@@ -1,0 +1,48 @@
+"""Corpus catalog: named DataFrames over the driver's parquet tables.
+
+The reference models 'the data' as ``Dict[str, pd.DataFrame]``
+(``src/etl/etl.py:11-18``). The Spark-native equivalent is a dict of lazy
+DataFrames / temp views — scans stay unmaterialized until an action, so
+Catalyst prunes columns and pushes filters into the parquet reader.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from pyspark.sql import functions as F
+
+from devcontainers_etl_node_spark.schemas import CORPUS_TABLES
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Lazy scan of one corpus table. Column pruning/filter pushdown apply.
+
+    events.parquet stores TIMESTAMP(NANOS), which Spark's parquet reader
+    rejects; read nanos as long (legacy conf, runtime-settable) and convert
+    to a microsecond TimestampType — truncation matches DuckDB's ns→display
+    behavior.
+
+    The session timezone is pinned to UTC here (runtime-settable) because
+    the engine's timestamp semantics are UTC throughout (the reference
+    UTC-normalizes at src/etl/loaders.py:128-133) — this keeps results
+    correct even when the caller built the SparkSession with a local tz.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = CORPUS_TABLES) -> dict[str, DataFrame]:
+    """Dict-of-tables, the engine analogue of extract_dataframes()
+    (reference src/etl/etl.py:11-18) — but lazy: nothing is read here."""
+    return {name: table(spark, sf_dir, name) for name in names}
+
+
+def register_views(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = CORPUS_TABLES) -> None:
+    """Register each table as a temp view for the SQL API."""
+    for name in names:
+        table(spark, sf_dir, name).createOrReplaceTempView(name)

@@ -1,0 +1,144 @@
+"""Embedding similarity search: brute-force cosine top-k + LSH-bucketed ANN.
+
+The embedding column is ArrayType(FloatType). All math is fold-based Column
+expressions in double precision — deterministic (sequential left fold), no
+Python in the loop, no collect().
+
+Scale story:
+- brute_force_topk broadcasts the (small) query set; the corpus never
+  shuffles — each scan partition scores its rows and a single top-k
+  window per query reduces the result. This is the exact baseline.
+- lsh_topk is the approximate path: sign-random-projection buckets from
+  deterministic hash-derived hyperplanes; candidates meet only within a
+  bucket (equi-join), then exact cosine re-ranks. At 100 TB the bucket
+  join replaces the cross product; recall is tunable via num_planes /
+  multi-probe.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Column, Window, functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Double-precision dot product of two float-array columns
+    (deterministic sequential fold)."""
+    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k neighbors for each query vector.
+
+    Returns (query_id, neighbor_id, cosine_sim, rn) with rn = 1..k ordered
+    by sim desc (neighbor_id breaks ties deterministically).
+    """
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    scored = (
+        c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine_sim", cosine(F.col("q_vec"), F.col("c_vec")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rn")
+    )
+
+
+def _hyperplane(plane: int, dim: int) -> Column:
+    """Deterministic pseudo-random hyperplane: component j derived from
+    xxhash64(plane, j) mapped to [-1, 1]. Seeded → reproducible tests."""
+    comps = [
+        (F.xxhash64(F.lit(plane), F.lit(j)) % 10_000).cast("double") / 10_000.0
+        for j in range(dim)
+    ]
+    return F.array(*comps)
+
+
+def srp_bucket(vec: Column, dim: int, num_planes: int = 12) -> Column:
+    """Sign-random-projection bucket id (num_planes-bit integer)."""
+    bucket = F.lit(0).cast("long")
+    for p in range(num_planes):
+        plane = _hyperplane(p, dim)
+        s = dot(vec, plane)
+        bucket = bucket + F.when(s > 0, F.shiftleft(F.lit(1).cast("long"), p)).otherwise(F.lit(0).cast("long"))
+    return bucket
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    dim: int = 64,
+    num_planes: int = 12,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: SRP bucket equi-join, exact cosine re-rank within
+    the bucket. Recall < 1.0 by design; rows-only correctness check."""
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+    ).withColumn("bucket", srp_bucket(F.col("c_vec"), dim, num_planes))
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+    ).withColumn("bucket", srp_bucket(F.col("q_vec"), dim, num_planes))
+    scored = (
+        c.join(F.broadcast(q), on="bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine_sim", cosine(F.col("q_vec"), F.col("c_vec")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rn")
+    )
+
+
+def neardup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str | None = "label",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs above `threshold`.
+
+    Blocked on `block_col` (cluster/label/LSH bucket) to avoid O(n²); with
+    block_col=None it is the exact quadratic baseline — only for small n.
+    """
+    cols = [F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")]
+    if block_col:
+        cols.append(F.col(block_col).alias("_blk"))
+    base = embeddings.select(*cols)
+    a, b = base.alias("a"), base.alias("b")
+    cond = F.col("a._id") < F.col("b._id")
+    if block_col:
+        cond = cond & (F.col("a._blk") == F.col("b._blk"))
+    return (
+        a.join(b, cond)
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            cosine(F.col("a._v"), F.col("b._v")).alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+    )

@@ -1,0 +1,113 @@
+"""Text analysis operators for large-scale training-data pipelines.
+
+All pure Column expressions (JVM-side, whole-stage codegen) — no Python
+UDFs in any hot path. Every operator is a narrow map over the documents
+table: no shuffle, scales linearly with input splits at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# Tiny multilingual stopword lists for the n-gram/stopword language-ID
+# heuristic and quality scoring. Deliberately small: the point is the
+# operator shape (scored argmax over language evidence), not lexicon size.
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "it", "for", "on"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "es", "por", "los"],
+    "de": ["der", "die", "das", "und", "ist", "von", "zu", "mit", "den", "ein"],
+    "fr": ["le", "la", "de", "et", "est", "un", "une", "les", "des", "en"],
+    "zh": ["的", "是", "在", "了", "和", "有", "我", "不", "这", "人"],
+}
+
+ENGLISH_STOPWORDS = STOPWORDS["en"]
+
+# BPE-ish token regex: word pieces, numbers, or single non-space symbols —
+# a deterministic public-knowledge approximation of subword tokenizers.
+TOKEN_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokenization; empty string → empty array."""
+    c = F.col(col) if isinstance(col, str) else col
+    trimmed = F.trim(c)
+    return F.when(trimmed == "", F.array().cast("array<string>")).otherwise(
+        F.split(trimmed, r"\s+")
+    )
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(tokens(col))
+
+
+def bpe_ish_token_count(col: Column | str) -> Column:
+    """Count of TOKEN_REGEX matches — a subword-ish token estimate."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(TOKEN_REGEX), F.lit(0)))
+
+
+def stopword_ratio(col: Column | str, stopwords: list[str] | None = None) -> Column:
+    """Fraction of whitespace tokens that are stopwords (0.0 if no tokens)."""
+    sw = F.array(*[F.lit(w) for w in (stopwords or ENGLISH_STOPWORDS)])
+    toks = tokens(col)
+    n = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(sw, F.lower(t))))
+    return F.when(n > 0, n_stop.cast("double") / n.cast("double")).otherwise(F.lit(0.0))
+
+
+def punct_ratio(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    n_punct = F.length(F.regexp_replace(c, r"[^\.,;:!\?]", ""))
+    return F.when(F.length(c) > 0, n_punct.cast("double") / F.length(c).cast("double")).otherwise(F.lit(0.0))
+
+
+def quality_score(col: Column | str) -> Column:
+    """Heuristic document-quality score in [0,1]: rewards mid-length docs,
+    healthy stopword density, low punctuation noise. The shape mirrors
+    public quality-filter pipelines (C4/Gopher-style rules)."""
+    c = F.col(col) if isinstance(col, str) else col
+    n_tok = token_count(c).cast("double")
+    len_ok = F.when((n_tok >= 10) & (n_tok <= 100000), F.lit(1.0)).otherwise(F.lit(0.25))
+    sw = stopword_ratio(c)
+    sw_ok = F.when((sw >= 0.01) & (sw <= 0.6), F.lit(1.0)).otherwise(F.lit(0.5))
+    pr_ok = F.when(punct_ratio(c) <= 0.2, F.lit(1.0)).otherwise(F.lit(0.5))
+    return (len_ok * sw_ok * pr_ok).alias("quality_score")
+
+
+def lang_id(col: Column | str) -> Column:
+    """Stopword-evidence language ID: argmax over per-language stopword hit
+    counts; 'und' when no evidence. Pure expressions → codegen'd."""
+    c = F.col(col) if isinstance(col, str) else col
+    toks = F.transform(tokens(c), lambda t: F.lower(t))
+    scores = []
+    for lang, words in STOPWORDS.items():
+        sw = F.array(*[F.lit(w) for w in words])
+        hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+        scores.append(F.struct(hits.alias("hits"), F.lit(lang).alias("lang")))
+    best = F.array_max(F.array(*scores))
+    return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def fingerprint(col: Column | str) -> Column:
+    """Deterministic 64-bit document fingerprint (xxhash64 of normalized
+    text) — the rolling-hash-style content fingerprint for shard-level
+    exact dedup at scale."""
+    c = F.col(col) if isinstance(col, str) else col
+    normalized = F.lower(F.regexp_replace(F.trim(c), r"\s+", " "))
+    return F.xxhash64(normalized)
+
+
+def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Full per-document text-analysis profile in one map-side pass."""
+    c = F.col(text_col)
+    return df.select(
+        *df.columns,
+        token_count(c).alias("n_tokens"),
+        bpe_ish_token_count(c).alias("n_subword_tokens"),
+        F.length(c).alias("n_chars_computed"),
+        stopword_ratio(c).alias("stopword_ratio"),
+        punct_ratio(c).alias("punct_ratio"),
+        quality_score(c).alias("quality_score"),
+        lang_id(c).alias("lang_pred"),
+        fingerprint(c).alias("fingerprint"),
+    )

@@ -1,0 +1,986 @@
+"""The driver-facing query catalog: every operator from SURVEY.md §2 as a
+named (spark_fn, oracle_sql) pair.
+
+Conventions for oracle parity (driver compares row count + schema +
+order-insensitive value hash at sf0.01):
+
+- **Money/double aggregation** goes through exact decimal: Spark
+  ``sum(cast(x as decimal(18,4)))`` == DuckDB ``SUM(CAST(x AS
+  DECIMAL(18,4)))`` (both exact), then one cast to double — identical
+  bits on both sides, immune to float summation order.
+- **Averages** are ``cast(decimal_sum as double) / count`` — a single
+  IEEE division on both engines.
+- **Timestamps never appear raw in output**: cast to DATE or format to a
+  string — avoids tz/precision representation skew between engines.
+- **Every LIMIT / row_number is fully tie-broken** by a unique key.
+- **All computed columns are aliased identically** in Spark and SQL.
+
+Spark side is the DataFrame API throughout — scans stay lazy, Catalyst
+prunes/pushes down; dimension joins are explicitly broadcast.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from devcontainers_etl_node_spark.catalog import table
+from devcontainers_etl_node_spark.operators import dedup, similarity, text as textops
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLE: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE[name] = oracle
+        return fn
+
+    return deco
+
+
+def _dec(col: str | F.Column, scale: int = 4) -> F.Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast(f"decimal(18,{scale})")
+
+
+def _dsum(col: str | F.Column) -> F.Column:
+    """Exact decimal sum surfaced as double (see module docstring)."""
+    return F.sum(_dec(col)).cast("double")
+
+
+# =========================================================================
+# Reference-pipeline semantics (SURVEY §2.2-§2.7)
+# =========================================================================
+
+
+@query(
+    "row_counts",
+    """
+    SELECT 'lineitem' AS tbl, COUNT(*) AS n FROM lineitem
+    UNION ALL SELECT 'orders', COUNT(*) FROM orders
+    UNION ALL SELECT 'customer', COUNT(*) FROM customer
+    UNION ALL SELECT 'events', COUNT(*) FROM events
+    UNION ALL SELECT 'documents', COUNT(*) FROM documents
+    """,
+)
+def row_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """A2 row-count report (reference src/etl/etl.py:66)."""
+    dfs = [
+        table(spark, sf, t).agg(F.count(F.lit(1)).alias("n")).select(F.lit(t).alias("tbl"), "n")
+        for t in ("lineitem", "orders", "customer", "events", "documents")
+    ]
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionByName(d)
+    return out
+
+
+@query(
+    "star_enrich",
+    """
+    SELECT o.o_orderkey, o.o_custkey, o.o_orderstatus,
+           CAST(o.o_orderdate AS DATE) AS order_date,
+           o.o_totalprice AS total_price,
+           c.c_name AS customer_name, c.c_mktsegment AS segment,
+           n.n_name AS nation_name
+    FROM orders o
+    LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+    """,
+)
+def star_enrich(spark: SparkSession, sf: str) -> DataFrame:
+    """The reference's flagship transform — fact enriched by chained left
+    joins against pre-projected dims (J1+J2, src/etl/etl.py:39-45), with
+    both dims broadcast (map-side join; the fact never shuffles)."""
+    orders = table(spark, sf, "orders")
+    customer = table(spark, sf, "customer").select(
+        F.col("c_custkey"), F.col("c_name").alias("customer_name"), F.col("c_mktsegment").alias("segment"), "c_nationkey"
+    )
+    nation = table(spark, sf, "nation").select("n_nationkey", F.col("n_name").alias("nation_name"))
+    return (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey, "left")
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey, "left")
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            F.col("o_orderdate").cast("date").alias("order_date"),
+            F.col("o_totalprice").alias("total_price"),
+            "customer_name",
+            "segment",
+            "nation_name",
+        )
+    )
+
+
+@query(
+    "conform_normalize",
+    """
+    SELECT CAST(event_id AS VARCHAR) AS event_id_str,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS event_ts,
+           COALESCE(TRY_CAST(user_id AS BIGINT), 0) AS user_id,
+           CAST(CAST(value AS DECIMAL(12,2)) AS VARCHAR) AS value_dec,
+           upper(event_type) AS event_type_u
+    FROM events
+    """,
+)
+def conform_normalize(spark: SparkSession, sf: str) -> DataFrame:
+    """K2 schema conformance semantics (reference src/etl/loaders.py:
+    115-149): id→string (F8), UTC timestamp normalize+format (F1/F2),
+    coerce-with-default (F6), decimal 2dp HALF_UP (F7)."""
+    ev = table(spark, sf, "events")
+    return ev.select(
+        F.col("event_id").cast("string").alias("event_id_str"),
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("event_ts"),
+        F.coalesce(F.col("user_id").try_cast("bigint"), F.lit(0)).alias("user_id"),
+        F.col("value").cast("decimal(12,2)").cast("string").alias("value_dec"),
+        F.upper("event_type").alias("event_type_u"),
+    )
+
+
+@query(
+    "union_by_name",
+    """
+    SELECT c_custkey AS entity_id, c_name AS entity_name, c_acctbal AS acctbal, 'customer' AS src FROM customer
+    UNION ALL
+    SELECT s_suppkey, s_name, NULL, 'supplier' FROM supplier
+    """,
+)
+def union_by_name(spark: SparkSession, sf: str) -> DataFrame:
+    """U1 pandas-concat semantics (reference src/etl/extractors.py:119):
+    name-aligned union with missing columns null-filled."""
+    c = table(spark, sf, "customer").select(
+        F.col("c_custkey").alias("entity_id"),
+        F.col("c_name").alias("entity_name"),
+        F.col("c_acctbal").alias("acctbal"),
+        F.lit("customer").alias("src"),
+    )
+    s = table(spark, sf, "supplier").select(
+        F.col("s_suppkey").alias("entity_id"),
+        F.col("s_name").alias("entity_name"),
+        F.lit("supplier").alias("src"),
+    )
+    return c.unionByName(s, allowMissingColumns=True)
+
+
+@query(
+    "sort_limit",
+    """
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 100
+    """,
+)
+def sort_limit(spark: SparkSession, sf: str) -> DataFrame:
+    """O1-O3 global sort + limit, fully tie-broken. Spark executes this as
+    a TakeOrderedAndProject — no global sort materialization."""
+    return (
+        table(spark, sf, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(100)
+    )
+
+
+@query(
+    "filter_predicates",
+    """
+    SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag,
+           CAST(l_shipdate AS DATE) AS ship_date
+    FROM lineitem
+    WHERE l_quantity BETWEEN 10 AND 20
+      AND l_returnflag IN ('A', 'R')
+      AND l_shipdate >= TIMESTAMP '1995-01-01'
+    """,
+)
+def filter_predicates(spark: SparkSession, sf: str) -> DataFrame:
+    """Predicate surface: between / isin / timestamp compare — all pushed
+    into the parquet scan by Catalyst."""
+    li = table(spark, sf, "lineitem")
+    return li.filter(
+        F.col("l_quantity").between(10, 20)
+        & F.col("l_returnflag").isin("A", "R")
+        & (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        "l_returnflag",
+        F.col("l_shipdate").cast("date").alias("ship_date"),
+    )
+
+
+@query(
+    "filter_like",
+    """
+    SELECT p_partkey, p_name, p_type
+    FROM part
+    WHERE p_type LIKE '%O%' AND p_name NOT LIKE 'b%'
+    """,
+)
+def filter_like(spark: SparkSession, sf: str) -> DataFrame:
+    p = table(spark, sf, "part")
+    return p.filter(F.col("p_type").like("%O%") & ~F.col("p_name").like("b%")).select(
+        "p_partkey", "p_name", "p_type"
+    )
+
+
+# =========================================================================
+# Aggregation surface (SURVEY §2.9)
+# =========================================================================
+
+
+@query(
+    "pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_price,
+           MIN(l_quantity) AS min_qty,
+           MAX(l_extendedprice) AS max_price,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q1 shape: the headline scan+aggregate. Partial aggregation is
+    map-side (hash agg) — the shuffle carries only group keys × partials."""
+    li = table(spark, sf, "lineitem").filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        _dsum("l_quantity").alias("sum_qty"),
+        _dsum("l_extendedprice").alias("sum_base_price"),
+        F.sum(_dec("l_extendedprice") * _dec(F.lit(1) - F.col("l_discount"))).cast("double").alias("sum_disc_price"),
+        (_dsum("l_quantity") / F.count(F.lit(1))).alias("avg_qty"),
+        (_dsum("l_extendedprice") / F.count(F.lit(1))).alias("avg_price"),
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_extendedprice").alias("max_price"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+@query(
+    "revenue_by_nation",
+    """
+    SELECT n.n_name AS nation_name,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_orders
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def revenue_by_nation(spark: SparkSession, sf: str) -> DataFrame:
+    """Join + aggregate: fact joins broadcast dims, then one shuffle on the
+    (tiny) group key."""
+    o = table(spark, sf, "orders")
+    c = table(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    n = table(spark, sf, "nation").select("n_nationkey", F.col("n_name").alias("nation_name"))
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("nation_name")
+        .agg(_dsum("o_totalprice").alias("revenue"), F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+@query(
+    "distinct_count",
+    """
+    SELECT o_orderpriority,
+           COUNT(DISTINCT o_custkey) AS n_customers,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def distinct_count(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        table(spark, sf, "orders")
+        .groupBy("o_orderpriority")
+        .agg(F.countDistinct("o_custkey").alias("n_customers"), F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+@query("approx_distinct")  # no oracle: approximate by definition → rows-only check
+def approx_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    """HLL++ approximate distinct — the 100 TB substitute for exact
+    count(distinct) when 2% error is acceptable (no exact-distinct shuffle)."""
+    return (
+        table(spark, sf, "orders")
+        .groupBy("o_orderpriority")
+        .agg(F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_customers"))
+    )
+
+
+@query(
+    "rollup_sales",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+           COUNT(*) AS n_rows,
+           CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
+           CAST(GROUPING(l_linestatus) AS INT) AS g_ls
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def rollup_sales(spark: SparkSession, sf: str) -> DataFrame:
+    li = table(spark, sf, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        _dsum("l_quantity").alias("sum_qty"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.grouping("l_returnflag").cast("int").alias("g_rf"),
+        F.grouping("l_linestatus").cast("int").alias("g_ls"),
+    )
+
+
+@query(
+    "cube_orders",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(GROUPING(o_orderstatus) AS INT) AS g_st,
+           CAST(GROUPING(o_orderpriority) AS INT) AS g_pr
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def cube_orders(spark: SparkSession, sf: str) -> DataFrame:
+    o = table(spark, sf, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.grouping("o_orderstatus").cast("int").alias("g_st"),
+        F.grouping("o_orderpriority").cast("int").alias("g_pr"),
+    )
+
+
+@query(
+    "above_avg_orders",
+    """
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE o_totalprice > (
+        SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) FROM orders
+    )
+    """,
+)
+def above_avg_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """Scalar-subquery shape: threshold computed once, broadcast into the
+    filter (cross join of a 1-row aggregate — no full-table shuffle)."""
+    o = table(spark, sf, "orders")
+    avg_df = o.agg((_dsum("o_totalprice") / F.count(F.lit(1))).alias("_avg"))
+    return (
+        o.crossJoin(F.broadcast(avg_df))
+        .filter(F.col("o_totalprice") > F.col("_avg"))
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+# =========================================================================
+# Join surface
+# =========================================================================
+
+
+@query(
+    "semi_join",
+    """
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 150000)
+    """,
+)
+def semi_join(spark: SparkSession, sf: str) -> DataFrame:
+    c = table(spark, sf, "customer")
+    big = table(spark, sf, "orders").filter(F.col("o_totalprice") > 150000).select("o_custkey")
+    return c.join(big, c.c_custkey == big.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@query(
+    "anti_join",
+    """
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+    """,
+)
+def anti_join(spark: SparkSession, sf: str) -> DataFrame:
+    c = table(spark, sf, "customer")
+    o = table(spark, sf, "orders").filter(F.col("o_totalprice") > 400000).select("o_custkey")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@query(
+    "full_outer_counts",
+    """
+    WITH cc AS (SELECT c_nationkey AS nk, COUNT(*) AS n_cust FROM customer GROUP BY c_nationkey),
+         ss AS (SELECT s_nationkey AS nk, COUNT(*) AS n_supp FROM supplier GROUP BY s_nationkey)
+    SELECT COALESCE(cc.nk, ss.nk) AS nationkey,
+           COALESCE(cc.n_cust, 0) AS n_cust,
+           COALESCE(ss.n_supp, 0) AS n_supp
+    FROM cc FULL OUTER JOIN ss ON cc.nk = ss.nk
+    """,
+)
+def full_outer_counts(spark: SparkSession, sf: str) -> DataFrame:
+    cc = table(spark, sf, "customer").groupBy(F.col("c_nationkey").alias("nk_c")).agg(F.count(F.lit(1)).alias("n_cust"))
+    ss = table(spark, sf, "supplier").groupBy(F.col("s_nationkey").alias("nk_s")).agg(F.count(F.lit(1)).alias("n_supp"))
+    return cc.join(ss, cc.nk_c == ss.nk_s, "full_outer").select(
+        F.coalesce("nk_c", "nk_s").alias("nationkey"),
+        F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+        F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+    )
+
+
+@query(
+    "theta_range_join",
+    """
+    SELECT s.s_suppkey, COUNT(*) AS n_close
+    FROM supplier s
+    JOIN customer c
+      ON s.s_nationkey = c.c_nationkey
+     AND c.c_acctbal BETWEEN s.s_acctbal - 500 AND s.s_acctbal + 500
+    GROUP BY s.s_suppkey
+    """,
+)
+def theta_range_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Equi + range (theta) join: the equi key carries the shuffle; the
+    range predicate filters inside each co-partition — no cross product."""
+    s = table(spark, sf, "supplier")
+    c = table(spark, sf, "customer")
+    cond = (s.s_nationkey == c.c_nationkey) & c.c_acctbal.between(s.s_acctbal - 500, s.s_acctbal + 500)
+    return s.join(c, cond).groupBy("s_suppkey").agg(F.count(F.lit(1)).alias("n_close"))
+
+
+@query(
+    "set_intersect",
+    """
+    SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 400000
+    INTERSECT
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    """,
+)
+def set_intersect(spark: SparkSession, sf: str) -> DataFrame:
+    a = table(spark, sf, "orders").filter(F.col("o_totalprice") > 400000).select(F.col("o_custkey").alias("custkey"))
+    b = table(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING").select(F.col("c_custkey").alias("custkey"))
+    return a.intersect(b)
+
+
+@query(
+    "set_except",
+    """
+    SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE o_totalprice > 400000
+    """,
+)
+def set_except(spark: SparkSession, sf: str) -> DataFrame:
+    a = table(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING").select(F.col("c_custkey").alias("custkey"))
+    b = table(spark, sf, "orders").filter(F.col("o_totalprice") > 400000).select(F.col("o_custkey").alias("custkey"))
+    return a.subtract(b)
+
+
+# =========================================================================
+# Window surface
+# =========================================================================
+
+
+@query(
+    "topk_per_group",
+    """
+    SELECT c_mktsegment, c_custkey, c_acctbal, rn FROM (
+        SELECT c_mktsegment, c_custkey, c_acctbal,
+               ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                  ORDER BY c_acctbal DESC, c_custkey) AS rn
+        FROM customer) t
+    WHERE rn <= 3
+    """,
+)
+def topk_per_group(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-group top-k via row_number ≤ k — Spark pushes a per-partition
+    local top-k (WindowGroupLimit) before the shuffle."""
+    w = Window.partitionBy("c_mktsegment").orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+    return (
+        table(spark, sf, "customer")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("c_mktsegment", "c_custkey", "c_acctbal", "rn")
+    )
+
+
+@query(
+    "window_running",
+    """
+    SELECT o_custkey, o_orderkey,
+           CAST(o_orderdate AS DATE) AS order_date,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+                PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total,
+           LAG(o_totalprice) OVER (
+                PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_price,
+           LEAD(o_totalprice) OVER (
+                PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS next_price
+    FROM orders
+    """,
+)
+def window_running(spark: SparkSession, sf: str) -> DataFrame:
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return table(spark, sf, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.col("o_orderdate").cast("date").alias("order_date"),
+        F.sum(_dec("o_totalprice")).over(run).cast("double").alias("running_total"),
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+    )
+
+
+@query(
+    "rank_parts",
+    """
+    SELECT p_partkey, p_brand, p_retailprice,
+           RANK() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC) AS price_rank,
+           DENSE_RANK() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC) AS price_dense_rank
+    FROM part
+    """,
+)
+def rank_parts(spark: SparkSession, sf: str) -> DataFrame:
+    w = Window.partitionBy("p_brand").orderBy(F.col("p_retailprice").desc())
+    p = table(spark, sf, "part")
+    return p.select(
+        "p_partkey",
+        "p_brand",
+        "p_retailprice",
+        F.rank().over(w).alias("price_rank"),
+        F.dense_rank().over(w).alias("price_dense_rank"),
+    )
+
+
+@query(
+    "sessionize",
+    """
+    WITH gaps AS (
+        SELECT user_id, ts,
+               CASE WHEN epoch_ms(ts) - LAG(epoch_ms(ts)) OVER w > 1800000
+                    OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+        SELECT user_id,
+               SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM gaps
+    )
+    SELECT user_id, COUNT(DISTINCT session_id) AS n_sessions, COUNT(*) AS n_events
+    FROM sess GROUP BY user_id
+    """,
+)
+def sessionize(spark: SparkSession, sf: str) -> DataFrame:
+    """Sessionization (30-min inactivity gap) via lag + running sum — the
+    batch analogue of session_window; one shuffle on user_id serves both
+    windows and the final aggregate."""
+    ev = table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = Window.partitionBy("user_id").orderBy("ts").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gaps = ev.withColumn(
+        "new_sess",
+        F.when(
+            (F.unix_millis("ts") - F.lag(F.unix_millis("ts")).over(w) > 1_800_000)
+            | F.lag("ts").over(w).isNull(),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    sess = gaps.withColumn("session_id", F.sum("new_sess").over(run))
+    return sess.groupBy("user_id").agg(
+        F.countDistinct("session_id").alias("n_sessions"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+# =========================================================================
+# Scalar-function surface
+# =========================================================================
+
+
+@query(
+    "scalar_string_math",
+    """
+    SELECT p_partkey,
+           upper(substr(p_name, 1, 8)) AS name8,
+           concat(p_brand, '#', p_type) AS brand_type,
+           length(p_name) AS name_len,
+           round(p_retailprice, 1) AS price_r1,
+           abs(p_size - 25) AS size_dev,
+           CAST(floor(p_retailprice) AS BIGINT) AS price_floor,
+           CAST(ceil(p_retailprice) AS BIGINT) AS price_ceil,
+           power(p_size, 2) AS size_sq,
+           CASE WHEN p_size > 35 THEN 'L' WHEN p_size > 15 THEN 'M' ELSE 'S' END AS size_class
+    FROM part
+    """,
+)
+def scalar_string_math(spark: SparkSession, sf: str) -> DataFrame:
+    p = table(spark, sf, "part")
+    return p.select(
+        "p_partkey",
+        F.upper(F.substring("p_name", 1, 8)).alias("name8"),
+        F.concat(F.col("p_brand"), F.lit("#"), F.col("p_type")).alias("brand_type"),
+        F.length("p_name").alias("name_len"),
+        F.round("p_retailprice", 1).alias("price_r1"),
+        F.abs(F.col("p_size") - 25).alias("size_dev"),
+        F.floor("p_retailprice").cast("bigint").alias("price_floor"),
+        F.ceil("p_retailprice").cast("bigint").alias("price_ceil"),
+        F.pow("p_size", F.lit(2)).alias("size_sq"),
+        F.when(F.col("p_size") > 35, "L").when(F.col("p_size") > 15, "M").otherwise("S").alias("size_class"),
+    )
+
+
+@query(
+    "date_functions",
+    """
+    SELECT o_orderkey,
+           CAST(o_orderdate AS DATE) AS order_date,
+           year(o_orderdate) AS order_year,
+           month(o_orderdate) AS order_month,
+           quarter(o_orderdate) AS order_quarter,
+           CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+           CAST(o_orderdate AS DATE) + 30 AS due_date,
+           last_day(CAST(o_orderdate AS DATE)) AS month_end
+    FROM orders
+    """,
+)
+def date_functions(spark: SparkSession, sf: str) -> DataFrame:
+    o = table(spark, sf, "orders")
+    d = F.col("o_orderdate").cast("date")
+    return o.select(
+        "o_orderkey",
+        d.alias("order_date"),
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        F.quarter("o_orderdate").alias("order_quarter"),
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month_start"),
+        F.date_add(d, 30).alias("due_date"),
+        F.last_day(d).alias("month_end"),
+    )
+
+
+@query(
+    "ship_delay",
+    """
+    SELECT o.o_orderpriority,
+           CAST(SUM(date_diff('day', CAST(o.o_orderdate AS DATE), CAST(l.l_shipdate AS DATE))) AS DOUBLE)
+               / COUNT(*) AS avg_delay_days,
+           COUNT(*) AS n_lines
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+)
+def ship_delay(spark: SparkSession, sf: str) -> DataFrame:
+    li = table(spark, sf, "lineitem")
+    o = table(spark, sf, "orders").select("o_orderkey", "o_orderdate", "o_orderpriority")
+    j = li.join(o, li.l_orderkey == o.o_orderkey)
+    delay = F.datediff(F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date"))
+    return j.groupBy("o_orderpriority").agg(
+        (F.sum(delay).cast("double") / F.count(F.lit(1))).alias("avg_delay_days"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+@query(
+    "json_extract",
+    """
+    SELECT event_id,
+           CAST(regexp_extract(props, '"k":\\s*(-?\\d+)', 1) AS BIGINT) AS k_value
+    FROM events
+    """,
+)
+def json_extract(spark: SparkSession, sf: str) -> DataFrame:
+    """F10 JSON decode. Spark side uses the native JSON path expression
+    (get_json_object); the oracle extracts the same field by regex so both
+    engines parse independently."""
+    ev = table(spark, sf, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("bigint").alias("k_value"),
+    )
+
+
+@query(
+    "pivot_events",
+    """
+    SELECT user_id % 10 AS user_bucket,
+           COUNT(*) FILTER (WHERE event_type = 'click') AS n_click,
+           COUNT(*) FILTER (WHERE event_type = 'view') AS n_view,
+           COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+           COUNT(*) FILTER (WHERE event_type = 'signup') AS n_signup,
+           COUNT(*) FILTER (WHERE event_type = 'error') AS n_error
+    FROM events
+    GROUP BY user_id % 10
+    """,
+)
+def pivot_events(spark: SparkSession, sf: str) -> DataFrame:
+    ev = table(spark, sf, "events").withColumn("user_bucket", F.col("user_id") % 10)
+    kinds = ["click", "view", "purchase", "signup", "error"]
+    piv = ev.groupBy("user_bucket").pivot("event_type", kinds).count()
+    return piv.select(
+        "user_bucket",
+        *[F.coalesce(F.col(k), F.lit(0)).alias(f"n_{k}") for k in kinds],
+    )
+
+
+@query(
+    "events_hourly",
+    """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def events_hourly(spark: SparkSession, sf: str) -> DataFrame:
+    """Tumbling-window aggregation (batch form of the streaming hourly
+    rollup — streaming/pipeline.py runs the same plan over readStream)."""
+    ev = table(spark, sf, "events")
+    return (
+        ev.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
+            "event_type",
+        ).agg(F.count(F.lit(1)).alias("n_events"), _dsum("value").alias("sum_value"))
+    )
+
+
+@query(
+    "percentile_value",
+    """
+    SELECT event_type,
+           quantile_cont(value, 0.5) AS p50,
+           quantile_cont(value, 0.95) AS p95
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def percentile_value(spark: SparkSession, sf: str) -> DataFrame:
+    ev = table(spark, sf, "events")
+    return ev.groupBy("event_type").agg(
+        F.percentile("value", 0.5).alias("p50"),
+        F.percentile("value", 0.95).alias("p95"),
+    )
+
+
+# =========================================================================
+# LLM-data-pipeline operators (north star; SURVEY §2.9 / §7 step 9)
+# =========================================================================
+
+
+@query(
+    "dedup_exact",
+    """
+    SELECT doc_id, lang, n_chars FROM (
+        SELECT doc_id, lang, n_chars,
+               ROW_NUMBER() OVER (PARTITION BY sha256(text) ORDER BY doc_id) AS rn
+        FROM documents) t
+    WHERE rn = 1
+    """,
+)
+def dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact dedup on a content hash — shuffle key is 32 bytes, not the
+    document (operators/dedup.py:exact_dedup)."""
+    docs = table(spark, sf, "documents")
+    return dedup.exact_dedup(docs).select("doc_id", "lang", "n_chars")
+
+
+@query(
+    "doc_fingerprint",
+    """
+    SELECT doc_id, sha256(text) AS content_sha, lang
+    FROM documents
+    """,
+)
+def doc_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    docs = table(spark, sf, "documents")
+    return docs.select("doc_id", F.sha2("text", 256).alias("content_sha"), "lang")
+
+
+@query(
+    "token_stats",
+    """
+    SELECT doc_id,
+           len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+           length(text) AS n_chars_computed,
+           CAST(length(replace(text, ' ', '')) AS DOUBLE)
+               / len(string_split_regex(trim(text), '\\s+')) AS avg_token_len
+    FROM documents
+    WHERE length(trim(text)) > 0
+    """,
+)
+def token_stats(spark: SparkSession, sf: str) -> DataFrame:
+    docs = table(spark, sf, "documents").filter(F.length(F.trim("text")) > 0)
+    n_tok = F.size(F.split(F.trim("text"), r"\s+"))
+    return docs.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        F.length("text").alias("n_chars_computed"),
+        (F.length(F.regexp_replace("text", " ", "")).cast("double") / n_tok).alias("avg_token_len"),
+    )
+
+
+@query(
+    "text_quality",
+    """
+    WITH toks AS (
+        SELECT doc_id, lang, string_split_regex(trim(text), '\\s+') AS t
+        FROM documents WHERE length(trim(text)) > 0)
+    SELECT doc_id, lang,
+           len(t) AS n_tokens,
+           len(list_filter(t, x -> list_contains(['the','a','of','and','to','in','is','it','for','on'], lower(x)))) AS n_stopwords,
+           CAST(len(list_filter(t, x -> list_contains(['the','a','of','and','to','in','is','it','for','on'], lower(x)))) AS DOUBLE)
+               / len(t) AS stopword_ratio
+    FROM toks
+    """,
+)
+def text_quality(spark: SparkSession, sf: str) -> DataFrame:
+    docs = table(spark, sf, "documents").filter(F.length(F.trim("text")) > 0)
+    sw = F.array(*[F.lit(w) for w in textops.ENGLISH_STOPWORDS])
+    toks = F.split(F.trim("text"), r"\s+")
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(sw, F.lower(t))))
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.size(toks).alias("n_tokens"),
+        n_stop.alias("n_stopwords"),
+        (n_stop.cast("double") / F.size(toks)).alias("stopword_ratio"),
+    )
+
+
+@query(
+    "lang_distribution",
+    """
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
+           COUNT(DISTINCT source) AS n_sources
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def lang_distribution(spark: SparkSession, sf: str) -> DataFrame:
+    docs = table(spark, sf, "documents")
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias("avg_chars"),
+        F.countDistinct("source").alias("n_sources"),
+    )
+
+
+@query("lang_id_pred")  # heuristic classifier — rows-only check
+def lang_id_pred(spark: SparkSession, sf: str) -> DataFrame:
+    docs = table(spark, sf, "documents")
+    return docs.select("doc_id", "lang", textops.lang_id("text").alias("lang_pred"))
+
+
+@query("minhash_neardup")  # LSH candidate generation — rows-only check
+def minhash_neardup(spark: SparkSession, sf: str) -> DataFrame:
+    docs = table(spark, sf, "documents")
+    return dedup.minhash_lsh_pairs(docs, threshold=0.3)
+
+
+@query("simhash_fingerprints")  # rows-only check
+def simhash_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
+    docs = table(spark, sf, "documents")
+    return dedup.simhash_buckets(docs)
+
+
+@query(
+    "knn_cosine",
+    """
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
+    pairs AS (
+        SELECT q.query_id, e.vec_id AS neighbor_id,
+               list_aggregate(list_transform(list_zip(q.qe, e.embedding),
+                   p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum')
+               / (sqrt(list_aggregate(list_transform(q.qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+                * sqrt(list_aggregate(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))) AS sim
+        FROM q, embeddings e WHERE e.vec_id <> q.query_id)
+    SELECT query_id, neighbor_id, rn FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn
+        FROM pairs) t
+    WHERE rn <= 5
+    """,
+)
+def knn_cosine(spark: SparkSession, sf: str) -> DataFrame:
+    """Brute-force cosine top-5 for 5 query vectors (ids only in the output
+    — float sims stay internal so ordering, not representation, is what's
+    checked). operators/similarity.py:brute_force_topk."""
+    emb = table(spark, sf, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    return similarity.brute_force_topk(emb, q, k=5).select("query_id", "neighbor_id", "rn")
+
+
+@query("ann_lsh")  # approximate by construction — rows-only check
+def ann_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    emb = table(spark, sf, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    return similarity.lsh_topk(emb, q, k=5).select("query_id", "neighbor_id", "rn")
+
+
+@query(
+    "embedding_neardup",
+    """
+    WITH pairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               list_aggregate(list_transform(list_zip(a.embedding, b.embedding),
+                   p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum')
+               / (sqrt(list_aggregate(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+                * sqrt(list_aggregate(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))) AS sim
+        FROM embeddings a JOIN embeddings b
+          ON a.label = b.label AND a.vec_id < b.vec_id)
+    SELECT id_a, id_b FROM pairs WHERE sim >= 0.35
+    """,
+)
+def embedding_neardup(spark: SparkSession, sf: str) -> DataFrame:
+    emb = table(spark, sf, "embeddings")
+    return similarity.neardup_pairs(emb, threshold=0.35, block_col="label").select("id_a", "id_b")
+
+
+@query(
+    "binary_plumbing",
+    """
+    SELECT doc_id AS media_id,
+           octet_length(encode(text)) AS n_bytes
+    FROM documents
+    """,
+)
+def binary_plumbing(spark: SparkSession, sf: str) -> DataFrame:
+    """Multimodal column plumbing: text → binary payload + typed metadata
+    (operators/multimodal.py). Output sticks to byte counts so the oracle
+    can verify the binary path end-to-end."""
+    from devcontainers_etl_node_spark.operators import multimodal
+
+    docs = table(spark, sf, "documents")
+    media = multimodal.attach_fake_media(docs)
+    return media.select("media_id", F.col("meta.n_bytes").alias("n_bytes"))
+
+
+@query("media_features")  # stubbed decoder — rows-only check
+def media_features(spark: SparkSession, sf: str) -> DataFrame:
+    from devcontainers_etl_node_spark.operators import multimodal
+
+    docs = table(spark, sf, "documents")
+    media = multimodal.attach_fake_media(docs)
+    return multimodal.decode_image_features(media)
