@@ -83,64 +83,120 @@ def minhash_lsh_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     shingle_k: int = 5,
-    num_hashes: int = 64,
-    bands: int = 16,
+    num_hashes: int = 32,
+    bands: int = 8,
     threshold: float = 0.5,
 ) -> DataFrame:
-    """Near-duplicate candidate pairs above `threshold` exact Jaccard.
+    """Near-duplicate pairs above `threshold` exact Jaccard.
 
-    shingle → 64-hash MinHash → `bands` bands of rows=num_hashes/bands →
-    bucket join on (band, band_hash) → exact-Jaccard verify. Returns
-    (id_a, id_b, jaccard_sim) with id_a < id_b, distinct.
+    Pipeline (each stage codegen'd, shuffle keys are fixed-width hashes):
+      1. explode distinct shingles → (id, shingle) rows;
+      2. one groupBy(id) computing all `num_hashes` minhashes as
+         min(xxhash64(seed_i, shingle)) aggregates — a single shuffle,
+         tight whole-stage-codegen loop (NOT per-row array lambdas, which
+         are interpreted and ~50x slower at sf0.1);
+      3. band the signature, explode (id, band, band_hash);
+      4. bucket self-join on (band, band_hash) → candidate pairs;
+      5. exact-Jaccard verify — shingle arrays re-derived only for the
+         (small) candidate set by joining back to the texts.
 
-    Scale: the self-join key is the LSH bucket, so only colliding docs meet;
-    AQE skew-join splits pathological buckets (e.g. boilerplate-heavy crawl
-    shards).
+    Scale: only colliding docs ever meet (no O(n²) stage); AQE skew-join
+    splits pathological buckets (boilerplate-heavy crawl shards).
     """
     rows = num_hashes // bands
-    sig = df.select(
-        F.col(id_col).alias("_id"),
-        char_shingles(text_col, shingle_k).alias("_sh"),
-    ).withColumn("_sig", minhash_signature(F.col("_sh"), num_hashes))
+    spark = df.sparkSession
+    base = df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_text"))
+    # small single-file inputs arrive as ONE split — spread the (CPU-heavy)
+    # signature compute across the cluster; at real scale the scan already
+    # has many splits and this is a cheap round-robin.
+    base = base.repartition(spark.sparkContext.defaultParallelism)
+
+    # shingle generation kept fully inside whole-stage codegen: explode the
+    # position range, then substring — no interpreted array lambdas.
+    # MinHash over the shingle *multiset* equals MinHash over the set (min
+    # is idempotent), so no distinct is needed here.
+    norm = F.lower(F.regexp_replace(F.trim(F.col("_text")), r"\s+", " "))
+    shingle_rows = (
+        base.withColumn("_norm", norm)
+        .select(
+            "_id",
+            "_norm",
+            F.explode(
+                F.sequence(F.lit(1), F.greatest(F.length("_norm") - (shingle_k - 1), F.lit(1)))
+            ).alias("_pos"),
+        )
+        .select("_id", F.col("_norm").substr(F.col("_pos"), F.lit(shingle_k)).alias("_s"))
+    )
+    sig = shingle_rows.groupBy("_id").agg(
+        *[F.min(F.xxhash64(F.lit(i), F.col("_s"))).alias(f"h{i}") for i in range(num_hashes)]
+    )
 
     banded = sig.select(
         "_id",
-        "_sh",
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.xxhash64(F.lit(b), F.slice("_sig", b * rows + 1, rows)).alias("bh"),
+                        F.xxhash64(F.lit(b), *[F.col(f"h{b * rows + i}") for i in range(rows)]).alias("bh"),
                     )
                     for b in range(bands)
                 ]
             )
         ).alias("bk"),
-    ).select("_id", "_sh", F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh"))
+    ).select("_id", F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh"))
 
-    left = banded.alias("a")
-    right = banded.alias("b")
     cand = (
-        left.join(
-            right,
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.bh") == F.col("b.bh"))
             & (F.col("a._id") < F.col("b._id")),
         )
-        .select(
-            F.col("a._id").alias("id_a"),
-            F.col("b._id").alias("id_b"),
-            F.col("a._sh").alias("sh_a"),
-            F.col("b._sh").alias("sh_b"),
-        )
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    return (
-        cand.withColumn("jaccard_sim", jaccard(F.col("sh_a"), F.col("sh_b")))
-        .filter(F.col("jaccard_sim") >= threshold)
-        .select("id_a", "id_b", "jaccard_sim")
+
+    # Banding can pass far more candidates than true near-dups (vocabulary-
+    # heavy corpora collide a lot). Before touching shingle ARRAYS, prune
+    # with the signature-estimated Jaccard (fraction of equal minhashes —
+    # unbiased estimator, σ ≈ sqrt(j(1-j)/num_hashes)): a codegen'd sum of
+    # num_hashes equality checks against the signature table. The cutoff
+    # sits ~2.5σ below `threshold` so true positives survive.
+    sig_a = sig.select(F.col("_id").alias("id_a"), *[F.col(f"h{i}").alias(f"a{i}") for i in range(num_hashes)])
+    sig_b = sig.select(F.col("_id").alias("id_b"), *[F.col(f"h{i}").alias(f"b{i}") for i in range(num_hashes)])
+    est = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0) for i in range(num_hashes)
+    ) / F.lit(float(num_hashes))
+    est_cut = max(0.0, threshold - 2.5 * (threshold * (1 - threshold) / num_hashes) ** 0.5)
+    # no broadcast hint: AQE auto-broadcasts the signature table while it
+    # fits, and falls back to a shuffle join at corpus scale.
+    cand = (
+        cand.join(sig_a, "id_a")
+        .join(sig_b, "id_b")
+        .withColumn("_est", est)
+        .filter(F.col("_est") >= est_cut)
+        .select("id_a", "id_b")
     )
+
+    # exact verify on the shortlist only: shingle SETS are materialized
+    # just for docs that appear in a candidate pair (semi-join), again via
+    # the codegen explode+substring path + collect_set — not per-row array
+    # lambdas over the whole corpus.
+    cand_ids = cand.select(F.col("id_a").alias("_id")).union(cand.select(F.col("id_b"))).distinct()
+    sh = (
+        shingle_rows.join(cand_ids, "_id", "left_semi")
+        .groupBy("_id")
+        .agg(F.collect_set("_s").alias("_sh"))
+    )
+    verified = (
+        cand.join(sh.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a")), "id_a")
+        .join(sh.select(F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b")), "id_b")
+        .withColumn("jaccard_sim", jaccard(F.col("sh_a"), F.col("sh_b")))
+        .filter(F.col("jaccard_sim") >= threshold)
+    )
+    return verified.select("id_a", "id_b", "jaccard_sim")
 
 
 def ngram_jaccard_pairs(

@@ -61,24 +61,30 @@ def brute_force_topk(
     )
 
 
-def _hyperplane(plane: int, dim: int) -> Column:
-    """Deterministic pseudo-random hyperplane: component j derived from
-    xxhash64(plane, j) mapped to [-1, 1]. Seeded → reproducible tests."""
-    comps = [
-        (F.xxhash64(F.lit(plane), F.lit(j)) % 10_000).cast("double") / 10_000.0
-        for j in range(dim)
-    ]
-    return F.array(*comps)
+def _hyperplanes(table: int, num_planes: int, dim: int) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes in [-1, 1]^dim, generated
+    driver-side from a seeded PRNG (tiny literals, folded into codegen —
+    NOT per-component hash expressions, which bloat the plan)."""
+    import random
+
+    rng = random.Random(0xC0FFEE + table)
+    return [[rng.uniform(-1.0, 1.0) for _ in range(dim)] for _ in range(num_planes)]
 
 
-def srp_bucket(vec: Column, dim: int, num_planes: int = 12) -> Column:
-    """Sign-random-projection bucket id (num_planes-bit integer)."""
-    bucket = F.lit(0).cast("long")
-    for p in range(num_planes):
-        plane = _hyperplane(p, dim)
-        s = dot(vec, plane)
-        bucket = bucket + F.when(s > 0, F.shiftleft(F.lit(1).cast("long"), p)).otherwise(F.lit(0).cast("long"))
-    return bucket
+def srp_buckets(vec: Column, dim: int, num_planes: int = 4, num_tables: int = 8) -> Column:
+    """Array of (table, bucket) structs: sign-random-projection bucket per
+    hash table. Multiple independent tables trade compute for recall —
+    the standard LSH knob."""
+    entries = []
+    for t in range(num_tables):
+        planes = _hyperplanes(t, num_planes, dim)
+        bucket = F.lit(0).cast("long")
+        for p, comps in enumerate(planes):
+            plane = F.array(*[F.lit(x) for x in comps])
+            s = dot(vec, plane)
+            bucket = bucket + F.when(s > 0, F.lit(1 << p).cast("long")).otherwise(F.lit(0).cast("long"))
+        entries.append(F.struct(F.lit(t).alias("t"), bucket.alias("bucket")))
+    return F.array(*entries)
 
 
 def lsh_topk(
@@ -86,25 +92,35 @@ def lsh_topk(
     queries: DataFrame,
     k: int = 5,
     dim: int = 64,
-    num_planes: int = 12,
+    num_planes: int = 4,
+    num_tables: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Approximate top-k: SRP bucket equi-join, exact cosine re-rank within
-    the bucket. Recall < 1.0 by design; rows-only correctness check."""
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("c_vec"),
-    ).withColumn("bucket", srp_bucket(F.col("c_vec"), dim, num_planes))
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("q_vec"),
-    ).withColumn("bucket", srp_bucket(F.col("q_vec"), dim, num_planes))
-    scored = (
-        c.join(F.broadcast(q), on="bucket")
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cosine_sim", cosine(F.col("q_vec"), F.col("c_vec")))
+    """Approximate top-k: candidates must share an SRP bucket in at least
+    one of `num_tables` hash tables; exact cosine re-ranks the candidates.
+    Recall < 1.0 by design; rows-only correctness check.
+
+    Scale: the corpus is bucketed once (map-side), the join key is
+    (table, bucket) — no cross product; recall tunes via num_tables /
+    num_planes without changing the plan shape."""
+    c = (
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+        .withColumn("tb", F.explode(srp_buckets(F.col("c_vec"), dim, num_planes, num_tables)))
+        .select("neighbor_id", "c_vec", F.col("tb.t").alias("t"), F.col("tb.bucket").alias("bucket"))
     )
+    q = (
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+        .withColumn("tb", F.explode(srp_buckets(F.col("q_vec"), dim, num_planes, num_tables)))
+        .select("query_id", "q_vec", F.col("tb.t").alias("t"), F.col("tb.bucket").alias("bucket"))
+    )
+    cand = (
+        c.join(F.broadcast(q), on=["t", "bucket"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "q_vec", "neighbor_id", "c_vec")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cand.withColumn("cosine_sim", cosine(F.col("q_vec"), F.col("c_vec")))
     w = Window.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), F.col("neighbor_id"))
     return (
         scored.withColumn("rn", F.row_number().over(w))

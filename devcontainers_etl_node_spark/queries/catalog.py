@@ -896,7 +896,7 @@ def lang_id_pred(spark: SparkSession, sf: str) -> DataFrame:
 @query("minhash_neardup")  # LSH candidate generation — rows-only check
 def minhash_neardup(spark: SparkSession, sf: str) -> DataFrame:
     docs = table(spark, sf, "documents")
-    return dedup.minhash_lsh_pairs(docs, threshold=0.3)
+    return dedup.minhash_lsh_pairs(docs, threshold=0.5)
 
 
 @query("simhash_fingerprints")  # rows-only check
