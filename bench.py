@@ -1,0 +1,85 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Timing methodology: each query is materialized with a noop-style action
+(count of the final plan for row-heavy outputs, collect for small
+aggregates) so we measure engine compute, not driver transfer. One warmup
+action first so JVM/codegen startup isn't attributed to the first query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from devcontainers_etl_node_spark.queries.catalog import QUERIES  # noqa: E402
+from devcontainers_etl_node_spark.session import get_spark  # noqa: E402
+
+# Headline set: the flagship ETL shape + the heaviest representatives of
+# each operator family (scan-agg, join-agg, window, sessionize, dedup,
+# text, similarity).
+HEADLINE = [
+    "pricing_summary",     # TPC-H Q1 scan+agg over lineitem
+    "star_enrich",         # broadcast star join (reference flagship)
+    "revenue_by_nation",   # join + shuffle agg
+    "window_running",      # partitioned window over orders
+    "topk_per_group",      # per-group top-k
+    "sessionize",          # lag + running-sum sessionization over events
+    "events_hourly",       # tumbling-window rollup
+    "dedup_exact",         # hash dedup over documents
+    "token_stats",         # text analysis map pass
+    "knn_cosine",          # brute-force embedding top-k
+    "minhash_neardup",     # MinHash LSH near-dup pairs
+]
+
+SMALL_OUTPUT = {"pricing_summary", "revenue_by_nation", "topk_per_group", "knn_cosine"}
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    spark = get_spark()
+    # warmup: JVM, codegen, parquet footer caches
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    QUERIES["row_counts"](spark, sf_dir).collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = QUERIES[name]
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        if name in SMALL_OUTPUT:
+            df.collect()
+        else:
+            # noop sink: computes every output column end-to-end (count()
+            # would let Catalyst prune cardinality-preserving operators
+            # like Window) without pulling rows to the driver.
+            df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
