@@ -1,0 +1,85 @@
+"""Driver-contract conformance: every query runs; a fast representative
+subset is checked against the DuckDB oracle exactly the way the driver does
+(row count + sorted-by-name schema + order-insensitive value hash) at
+sf0.001. The full sweep lives in tools/verify_oracle.py."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from tests.conftest import SF_SMALL
+
+
+def _norm(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        return "NaN" if math.isnan(v) else repr(v)
+    return str(v)
+
+
+def _canon(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted("|".join(_norm(r[i]) for i in order) for r in rows)
+
+
+FAST_ORACLED = [
+    "pricing_summary",
+    "star_enrich",
+    "conform_normalize",
+    "union_by_name",
+    "sort_limit",
+    "topk_per_group",
+    "sessionize",
+    "rollup_sales",
+    "semi_join",
+    "anti_join",
+    "set_intersect",
+    "json_extract",
+    "dedup_exact",
+    "token_stats",
+    "knn_cosine",
+    "binary_plumbing",
+]
+
+
+@pytest.mark.parametrize("name", FAST_ORACLED)
+def test_query_matches_oracle(spark, duck, name):
+    import __spark_entry__ as entrymod
+
+    sdf = entrymod.queries()[name](spark, SF_SMALL)
+    srows, scols = sdf.collect(), sdf.columns
+    res = duck.execute(entrymod.oracle_sql()[name])
+    ocols = [d[0] for d in res.description]
+    orows = res.fetchall()
+    assert sorted(scols) == sorted(ocols)
+    assert len(srows) == len(orows)
+    assert _canon(srows, scols) == _canon(orows, ocols)
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as entrymod
+
+    df = entrymod.entry(spark)
+    assert df.count() > 0
+    assert "nation_name" in df.columns
+
+
+def test_every_query_has_callable_and_oracle_consistency():
+    import __spark_entry__ as entrymod
+
+    q, o = entrymod.queries(), entrymod.oracle_sql()
+    assert len(q) >= 40
+    assert set(o) <= set(q)
+    # rows-only ops are the documented approximate/non-SQL set
+    rows_only = set(q) - set(o)
+    assert rows_only <= {
+        "approx_distinct",
+        "lang_id_pred",
+        "minhash_neardup",
+        "simhash_fingerprints",
+        "ann_lsh",
+        "media_features",
+    }
