@@ -1,0 +1,66 @@
+"""Structured Streaming: the continuous mode of the reference's Kafka path.
+
+The reference drains the topic from the beginning on every run
+(``extractors.py:41-73``) — replay makes duplicates semantically relevant,
+and its batch cadence is a sleep loop (``kafka_loader.py:96-118``). The
+streaming-native equivalents:
+
+- ``deduped_events``: dropDuplicates on event_id within a watermark — the
+  exactly-once answer to replay duplicates.
+- ``hourly_event_counts``: tumbling-window counts with late-data handling
+  (the batch twin is the ``events_hourly`` catalog query — same logical
+  aggregation, so batch and streaming results are comparable).
+- ``session_windows``: native session_window() with an inactivity gap —
+  the streaming twin of the batch ``sessionize`` catalog query.
+
+All transforms work identically on a batch DataFrame or a streaming one
+(tests drive them through ``readStream`` on parquet + a memory sink; in
+production the source is the Kafka readStream and the sink is
+``foreachBatch`` → JDBC, checkpointed).
+
+Scale: watermarks bound state; the shuffle is on (window, event_type) /
+session keys. State-store size is O(open windows), not O(stream).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def deduped_events(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Replay-safe dedup on event_id (reference replays from offset 0 every
+    run; duplicates are expected, extractors.py:58-59)."""
+    return events.withWatermark("ts", watermark).dropDuplicates(["event_id"])
+
+
+def hourly_event_counts(events: DataFrame, watermark: str = "30 minutes") -> DataFrame:
+    """Tumbling 1h window × event_type counts + value sum; late rows beyond
+    the watermark are dropped (documented Spark semantics)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def session_windows(events: DataFrame, gap: str = "30 minutes", watermark: str = "30 minutes") -> DataFrame:
+    """Per-user session windows with an inactivity gap — the streaming
+    twin of the batch sessionize query (lag + running sum)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("sw"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )

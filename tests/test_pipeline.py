@@ -1,0 +1,105 @@
+"""The reference's flagship ETL path end-to-end on generated data:
+generators (G1-G5) → star-schema transform (P1/P2 + J1/J2) → conformed
+sink schemas (K2), plus the Kafka serialization round-trip (F10/F11)."""
+
+from __future__ import annotations
+
+from devcontainers_etl_node_spark import schemas
+from devcontainers_etl_node_spark.generators import (
+    gen_customers,
+    gen_inventory_snapshots,
+    gen_products,
+    gen_sales_events,
+    seed_to_minimum,
+)
+from devcontainers_etl_node_spark.pipeline import transform_star_schema
+from devcontainers_etl_node_spark.sinks.kafka import to_kafka_records
+from devcontainers_etl_node_spark.sources.kafka import parse_event_stream
+from devcontainers_etl_node_spark.transforms.conform import conform
+
+
+def test_generators_shapes(spark):
+    prods = gen_products(spark, 30)
+    custs = gen_customers(spark, 20)
+    assert prods.count() == 30
+    assert custs.count() == 20
+    p = prods.collect()[0]
+    assert p.sku.startswith("SKU-")
+    assert p.category in {"electronics", "toys", "sports", "books", "home"}
+    assert float(p.price) >= 9.99
+    ev = gen_sales_events(spark, 50, prods, custs)
+    assert ev.count() == 50
+    e = ev.collect()[0]
+    assert 1 <= e.qty <= 4
+    assert e.unit_price is not None
+    inv = gen_inventory_snapshots(spark, prods, warehouses=2, days=14, step_days=7)
+    # 2 warehouses × 2 dates × 30 products
+    assert inv.count() == 2 * 2 * 30
+
+
+def test_generators_deterministic(spark):
+    a = {(r.product_id, r.sku) for r in gen_products(spark, 10, seed=7).collect()}
+    b = {(r.product_id, r.sku) for r in gen_products(spark, 10, seed=7).collect()}
+    c = {(r.product_id, r.sku) for r in gen_products(spark, 10, seed=8).collect()}
+    assert a == b
+    assert a != c
+
+
+def test_seed_to_minimum(spark):
+    few = gen_products(spark, 5)
+    seeded = seed_to_minimum(few, spark, min_count=25)
+    assert seeded.count() == 25
+    assert seed_to_minimum(seeded, spark, min_count=25).count() == 25
+
+
+def test_star_schema_pipeline(spark):
+    prods = gen_products(spark, 25).withColumnRenamed("product_id", "id").withColumnRenamed(
+        "product_name", "name"
+    )
+    custs = gen_customers(spark, 15).withColumnRenamed("customer_id", "id")
+    events = gen_sales_events(
+        spark,
+        40,
+        gen_products(spark, 25),
+        gen_customers(spark, 15),
+    )
+    inv = gen_inventory_snapshots(spark, gen_products(spark, 25), warehouses=2, days=7)
+    inv = inv.withColumn("object", inv.warehouse_id)
+
+    tables = transform_star_schema(prods, custs, events, inv)
+    assert set(tables) == {"dim_products", "dim_customers", "fact_sales", "fact_inventory"}
+
+    fact = tables["fact_sales"]
+    # enrichment columns present and joined (J1+J2)
+    for c in ["external_id", "customer_name", "segment", "sku", "product_name", "category"]:
+        assert c in fact.columns
+    rows = fact.collect()
+    assert len(rows) == 40
+    assert all(r.customer_name is not None for r in rows)  # all ids resolve
+
+    # K2: conform the fact to the declared sink schema
+    conformed = conform(fact, schemas.FACT_SALES)
+    assert [f.name for f in conformed.schema.fields] == [f.name for f in schemas.FACT_SALES.fields]
+    assert conformed.count() == 40
+
+
+def test_kafka_serialization_roundtrip(spark):
+    """F11 producer encode → F10 consumer decode recovers the event."""
+    prods, custs = gen_products(spark, 10), gen_customers(spark, 10)
+    events = gen_sales_events(spark, 20, prods, custs).select(
+        "event_id",
+        "ts",
+        "customer_id",
+        "product_id",
+        "qty",
+        "unit_price",
+    )
+    wire = to_kafka_records(events)
+    assert wire.columns == ["key", "value"]
+    back = parse_event_stream(wire)
+    rows = back.collect()
+    assert len(rows) == 20
+    orig = {r.event_id: r for r in events.collect()}
+    for r in rows:
+        assert r.qty == orig[r.event_id].qty
+        assert abs(r.unit_price - float(orig[r.event_id].unit_price)) < 1e-9

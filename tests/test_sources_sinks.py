@@ -1,0 +1,119 @@
+"""File source/sink behavior: the reference's CSV snapshot tree semantics
+(S3/S4/F4/F5/P6/U1 + K6) driven end-to-end through real files."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from devcontainers_etl_node_spark.sinks.files import write_inventory_tree, write_lakehouse_table
+from devcontainers_etl_node_spark.sources.files import read_inventory_csv_tree
+
+
+def _write(p, text):
+    p.parent.mkdir(parents=True, exist_ok=True)
+    p.write_text(text)
+
+
+def test_csv_tree_read(spark, tmp_path):
+    root = tmp_path / "inventory"
+    _write(
+        root / "2024" / "01" / "stock_wh-01_20240108.csv",
+        "date,product_id,warehouse_id,stock_units\n2024-01-08,1,wh-01,5\n2024-01-08,2,wh-01,7\n",
+    )
+    _write(
+        root / "2024" / "02" / "stock_wh-02_20240205.csv",
+        "date,product_id,warehouse_id,stock_units\n2024-02-05,1,wh-02,9\n",
+    )
+    _write(root / "2024" / "02" / "notes.txt", "ignored — not csv")
+
+    df = read_inventory_csv_tree(spark, str(root))
+    rows = df.collect()
+    assert len(rows) == 3  # .txt filtered out (extractors.py:93-96)
+    assert all(r.object.endswith(".csv") for r in rows)
+    whs = {r.warehouse_id for r in rows}
+    assert whs == {"wh-01", "wh-02"}
+
+
+def test_csv_filename_date_inference(spark, tmp_path):
+    """CSV without a date column value → date comes from the filename
+    (extractors.py:112-114); unparseable date strings → filename fallback;
+    no pattern anywhere → null (F4/F5)."""
+    root = tmp_path / "inv"
+    _write(
+        root / "2024" / "03" / "stock_wh-01_2024_03_15.csv",
+        "date,product_id,warehouse_id,stock_units\n,3,wh-01,2\nnot-a-date,4,wh-01,1\n",
+    )
+    _write(
+        root / "misc" / "stock_wh-09_nodate.csv",
+        "date,product_id,warehouse_id,stock_units\n,5,wh-09,8\n",
+    )
+    rows = {r.product_id: r for r in read_inventory_csv_tree(spark, str(root)).collect()}
+    assert rows[3].date == datetime.date(2024, 3, 15)
+    assert rows[4].date == datetime.date(2024, 3, 15)
+    assert rows[5].date is None
+
+
+def test_csv_coercion_defaults(spark, tmp_path):
+    """id/stock coercion null→0 (F6, loaders.py:135-137)."""
+    root = tmp_path / "inv2"
+    _write(
+        root / "stock_wh-01_2024-05-01.csv",
+        "date,product_id,warehouse_id,stock_units\n2024-05-01,,wh-01,\n",
+    )
+    r = read_inventory_csv_tree(spark, str(root)).collect()[0]
+    assert r.product_id == 0
+    assert r.stock_units == 0
+
+
+def test_empty_prefix_yields_typed_empty_df(spark, tmp_path):
+    """Empty prefix → empty DataFrame with the declared schema
+    (extractors.py:117-118)."""
+    root = tmp_path / "empty"
+    root.mkdir()
+    df = read_inventory_csv_tree(spark, str(root))
+    assert df.count() == 0
+    assert [f.name for f in df.schema.fields] == [
+        "date",
+        "product_id",
+        "warehouse_id",
+        "stock_units",
+        "object",
+    ]
+
+
+def test_inventory_tree_roundtrip(spark, tmp_path):
+    """K6 writer → S4 reader round trip through the year=/month= layout."""
+    src = spark.createDataFrame(
+        [
+            (datetime.date(2024, 1, 8), 1, "wh-01", 5),
+            (datetime.date(2024, 2, 5), 2, "wh-02", 7),
+        ],
+        "date date, product_id long, warehouse_id string, stock_units int",
+    )
+    out = tmp_path / "tree"
+    write_inventory_tree(src, str(out))
+    assert (out / "year=2024" / "month=01").exists()
+    back = read_inventory_csv_tree(spark, str(out))
+    assert back.count() == 2
+    # partition-pruned read: only January files are touched
+    jan = back.filter(F.col("date") < "2024-02-01").collect()
+    assert len(jan) == 1 and jan[0].product_id == 1
+
+
+def test_lakehouse_table_layout(spark, tmp_path):
+    df = spark.createDataFrame(
+        [
+            (1, datetime.datetime(2024, 1, 5, 10), "A"),
+            (2, datetime.datetime(2024, 2, 6, 11), "B"),
+        ],
+        "id long, ts timestamp, v string",
+    )
+    path = tmp_path / "lake"
+    write_lakehouse_table(df, str(path), ts_col="ts", sort_cols=["id"])
+    assert (path / "ym=202401").exists() and (path / "ym=202402").exists()
+    back = spark.read.parquet(str(path))
+    assert back.count() == 2
+    pruned = back.filter(F.col("ym") == "202401")
+    assert pruned.count() == 1

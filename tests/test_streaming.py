@@ -1,0 +1,91 @@
+"""Structured Streaming behavior, driven through readStream (parquet
+source) → memory sink, batch/stream parity included."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from devcontainers_etl_node_spark.schemas import CORPUS
+from devcontainers_etl_node_spark.streaming import (
+    deduped_events,
+    hourly_event_counts,
+    session_windows,
+)
+
+EVENTS_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+)
+
+
+@pytest.fixture()
+def event_rows():
+    t0 = datetime.datetime(2024, 1, 1, 10, 0, 0)
+
+    def ts(minutes):
+        return t0 + datetime.timedelta(minutes=minutes)
+
+    return [
+        (1, ts(0), 1, "click", 1.0, "{}"),
+        (1, ts(0), 1, "click", 1.0, "{}"),  # replay duplicate
+        (2, ts(5), 1, "view", 2.0, "{}"),
+        (3, ts(90), 1, "click", 3.0, "{}"),  # next hour + next session
+        (4, ts(2), 2, "purchase", 10.0, "{}"),
+    ]
+
+
+def _stream(spark, tmp_path, rows):
+    src = tmp_path / "events_src"
+    spark.createDataFrame(rows, EVENTS_SCHEMA).write.mode("overwrite").parquet(str(src))
+    return spark.readStream.schema(EVENTS_SCHEMA).parquet(str(src))
+
+
+def _run(df, name):
+    q = df.writeStream.outputMode("append").format("memory").queryName(name).start()
+    q.processAllAvailable()
+    q.stop()
+
+
+def test_streaming_dedup(spark, tmp_path, event_rows):
+    stream = _stream(spark, tmp_path, event_rows)
+    _run(deduped_events(stream), "dedup_out")
+    out = spark.sql("SELECT * FROM dedup_out").collect()
+    assert len(out) == 4  # replayed event_id=1 deduped
+
+
+def test_streaming_hourly_counts_match_batch(spark, tmp_path, event_rows):
+    # append-mode windows only emit once the watermark passes their end; a
+    # far-future sentinel closes all real windows (excluded from compare).
+    sentinel = (99, datetime.datetime(2024, 1, 1, 14, 0, 0), 99, "sentinel", 0.0, "{}")
+    stream = _stream(spark, tmp_path, event_rows + [sentinel])
+    _run(hourly_event_counts(stream), "hourly_out")
+    got = {
+        (r.window_start.hour, r.event_type): r.n_events
+        for r in spark.sql("SELECT * FROM hourly_out").collect()
+        if r.event_type != "sentinel"
+    }
+    # batch twin: same aggregation on the same rows as a plain DataFrame
+    batch = (
+        spark.createDataFrame(event_rows, EVENTS_SCHEMA)
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    expected = {(r["window"]["start"].hour, r.event_type): r.n for r in batch.collect()}
+    assert got == expected
+    assert got[(10, "click")] == 2  # both replays of id=1 in-window
+
+
+def test_streaming_session_windows(spark, tmp_path, event_rows):
+    sentinel = (99, datetime.datetime(2024, 1, 1, 14, 0, 0), 99, "sentinel", 0.0, "{}")
+    stream = _stream(spark, tmp_path, event_rows + [sentinel])
+    _run(session_windows(stream, gap="30 minutes"), "sess_out")
+    out = spark.sql("SELECT * FROM sess_out").collect()
+    by_user = {}
+    for r in out:
+        if r.user_id != 99:
+            by_user.setdefault(r.user_id, []).append(r.n_events)
+    # user 1: events at +0,+0,+5 then +90 → two sessions (3 events, 1 event)
+    assert sorted(by_user[1]) == [1, 3]
+    assert by_user[2] == [1]
