@@ -1,0 +1,72 @@
+"""Physical-plan shape assertions: the 100 TB design properties.
+
+These lock in the plans we want, not just the answers: filters/projections
+reach the parquet scan, small dims broadcast (fact never shuffles), global
+top-k avoids a global sort, per-group top-k gets the window-group-limit
+pushdown, and aggregations are partial (map-side) before the exchange.
+A regression in any of these is invisible at sf0.01 and fatal at 100 TB.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from devcontainers_etl_node_spark.queries.catalog import QUERIES
+from tests.conftest import SF_SMALL
+
+
+def plan(spark, name: str, final: bool = False) -> str:
+    df = QUERIES[name](spark, SF_SMALL)
+    if final:  # AQE: WholeStageCodegen / final join strategy appear only
+        df.collect()  # after execution re-plans the stages
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    p = plan(spark, "filter_predicates")
+    assert "PushedFilters: [" in p
+    # quantity between + returnflag in + shipdate >= all pushable
+    assert "GreaterThanOrEqual(l_quantity,10.0)" in p or "l_quantity" in p.split("PushedFilters")[1][:400]
+
+
+def test_column_pruning_reaches_scan(spark):
+    p = plan(spark, "sort_limit")
+    read = p.split("ReadSchema:")[1]
+    assert "o_orderkey" in read and "o_totalprice" in read
+    assert "o_orderpriority" not in read  # untouched column not read
+
+
+def test_star_enrich_broadcasts_dims(spark):
+    p = plan(spark, "star_enrich")
+    assert p.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in p  # the fact side never shuffles
+
+
+def test_global_topk_avoids_full_sort(spark):
+    p = plan(spark, "sort_limit")
+    assert "TakeOrderedAndProject" in p  # not a global Sort + Limit
+
+
+def test_group_topk_window_limit_pushdown(spark):
+    p = plan(spark, "topk_per_group")
+    assert "WindowGroupLimit" in p  # per-partition top-k before shuffle
+
+
+def test_aggregate_is_partial_before_exchange(spark):
+    p = plan(spark, "pricing_summary")
+    # two HashAggregates (partial + final) around the exchange
+    assert p.count("HashAggregate") >= 2
+    final = plan(spark, "pricing_summary", final=True)
+    # "*(n)" prefixes mark whole-stage-codegen spans in executedPlan output
+    assert "*(1) HashAggregate" in final or "*(2) HashAggregate" in final
+
+
+def test_semi_join_stays_semi(spark):
+    p = plan(spark, "semi_join")
+    assert "LeftSemi" in p
+
+
+@pytest.mark.parametrize("name", ["revenue_by_nation", "above_avg_orders"])
+def test_dim_joins_broadcast(spark, name):
+    p = plan(spark, name)
+    assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p
