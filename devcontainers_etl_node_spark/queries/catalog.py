@@ -984,3 +984,246 @@ def media_features(spark: SparkSession, sf: str) -> DataFrame:
     docs = table(spark, sf, "documents")
     media = multimodal.attach_fake_media(docs)
     return multimodal.decode_image_features(media)
+
+
+# =========================================================================
+# Extended operator coverage (round 1 widening)
+# =========================================================================
+
+
+@query(
+    "value_stats",
+    """
+    SELECT event_type,
+           MIN(value) AS min_v,
+           MAX(value) AS max_v,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_v,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_v,
+           round(sqrt((CAST(SUM(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                 - CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                   * CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*))
+                / (COUNT(*) - 1)), 6) AS stddev_v
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def value_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Moment statistics with engine-independent determinism: stddev is
+    computed from exact decimal sums via the explicit two-pass formula so
+    both engines do the same three IEEE ops (native stddev implementations
+    use different accumulation orders); rounded to 6dp because the wide
+    decimal(38,12)->double conversion itself differs by 1 ULP between
+    engines."""
+    ev = table(spark, sf, "events")
+    d6 = _dec("value", 6)
+    s = F.sum(d6).cast("double")
+    sq = F.sum(d6 * d6).cast("double")
+    n = F.count(F.lit(1))
+    return ev.groupBy("event_type").agg(
+        F.min("value").alias("min_v"),
+        F.max("value").alias("max_v"),
+        s.alias("sum_v"),
+        (s / n).alias("avg_v"),
+        F.round(F.sqrt((sq - s * s / n) / (n - F.lit(1))), 6).alias("stddev_v"),
+    )
+
+
+@query(
+    "grouping_sets",
+    """
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n_rows,
+           CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
+           CAST(GROUPING(l_linestatus) AS INT) AS g_ls
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+)
+def grouping_sets(spark: SparkSession, sf: str) -> DataFrame:
+    """Explicit grouping sets (beyond rollup/cube) via the SQL API — same
+    Catalyst plan as the DataFrame rollup variants."""
+    li = table(spark, sf, "lineitem")
+    li.createOrReplaceTempView("_gs_lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               COUNT(*) AS n_rows,
+               CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
+               CAST(GROUPING(l_linestatus) AS INT) AS g_ls
+        FROM _gs_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+@query(
+    "array_functions",
+    """
+    WITH t AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+        FROM documents WHERE length(trim(text)) > 0)
+    SELECT doc_id,
+           len(toks) AS n_toks,
+           len(list_distinct(toks)) AS n_distinct_toks,
+           list_contains(toks, 'data') AS has_data,
+           array_to_string(list_sort(list_distinct(list_transform(toks, x -> upper(x))))[1:3], ',') AS first3_upper
+    FROM t
+    """,
+)
+def array_functions(spark: SparkSession, sf: str) -> DataFrame:
+    """Array surface: split/size/distinct/contains/transform/sort/slice/
+    join — all codegen-capable collection expressions."""
+    docs = table(spark, sf, "documents").filter(F.length(F.trim("text")) > 0)
+    toks = F.split(F.trim("text"), r"\s+")
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_toks"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_toks"),
+        F.array_contains(toks, "data").alias("has_data"),
+        F.array_join(
+            F.slice(F.array_sort(F.array_distinct(F.transform(toks, lambda x: F.upper(x)))), 1, 3), ","
+        ).alias("first3_upper"),
+    )
+
+
+@query(
+    "map_functions",
+    """
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_from_map,
+           1 AS n_keys
+    FROM events
+    """,
+)
+def map_functions(spark: SparkSession, sf: str) -> DataFrame:
+    """Map surface: parse the JSON props into a MapType and use
+    map_keys/element_at (oracle reads the same field via JSON path)."""
+    ev = table(spark, sf, "events")
+    m = F.from_json("props", "map<string,bigint>")
+    return ev.select(
+        "event_id",
+        F.element_at(m, "k").alias("k_from_map"),
+        F.size(F.map_keys(m)).alias("n_keys"),
+    )
+
+
+@query(
+    "regexp_functions",
+    """
+    SELECT p_partkey,
+           regexp_extract(p_name, '([a-z]+)', 1) AS first_word,
+           regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled,
+           regexp_matches(p_type, '^(PROMO|ECONOMY)') AS is_promo_eco
+    FROM part
+    """,
+)
+def regexp_functions(spark: SparkSession, sf: str) -> DataFrame:
+    p = table(spark, sf, "part")
+    return p.select(
+        "p_partkey",
+        F.regexp_extract("p_name", "([a-z]+)", 1).alias("first_word"),
+        F.regexp_replace("p_name", "[aeiou]", "_").alias("devoweled"),
+        F.col("p_type").rlike("^(PROMO|ECONOMY)").alias("is_promo_eco"),
+    )
+
+
+@query(
+    "window_range_frame",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+                PARTITION BY o_custkey ORDER BY o_totalprice
+                RANGE BETWEEN 1000 PRECEDING AND 1000 FOLLOWING) AS DOUBLE) AS near_total,
+           NTILE(4) OVER (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey) AS quartile,
+           FIRST_VALUE(o_orderkey) OVER (
+                PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey) AS cheapest_order
+    FROM orders
+    """,
+)
+def window_range_frame(spark: SparkSession, sf: str) -> DataFrame:
+    """RANGE frames (value-based windows), ntile bucketing, first_value."""
+    o = table(spark, sf, "orders")
+    wv = Window.partitionBy("o_custkey").orderBy("o_totalprice").rangeBetween(-1000, 1000)
+    wr = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.sum(_dec("o_totalprice")).over(wv).cast("double").alias("near_total"),
+        F.ntile(4).over(wr).alias("quartile"),
+        F.first("o_orderkey").over(wr).alias("cheapest_order"),
+    )
+
+
+@query(
+    "pandas_udf_norm",
+    """
+    SELECT doc_id,
+           lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS norm_text_head
+    FROM documents
+    """,
+)
+def pandas_udf_norm(spark: SparkSession, sf: str) -> DataFrame:
+    """The UDF extension surface: an Arrow-vectorized pandas_udf doing
+    text normalization, checked against the same transform in SQL — proves
+    the Python batch path produces byte-identical results. (Row-at-a-time
+    UDFs are deliberately absent: pandas_udf is the engine's slow-path
+    floor.)"""
+    from devcontainers_etl_node_spark.functions import norm_text
+
+    docs = table(spark, sf, "documents")
+    return docs.select("doc_id", norm_text("text").alias("norm_text_head"))
+
+
+@query("percentile_approx")  # approximate by definition → rows-only
+def percentile_approx_q(spark: SparkSession, sf: str) -> DataFrame:
+    """approx_percentile: the 100 TB substitute for exact percentile (no
+    full sort / full materialization per group)."""
+    ev = table(spark, sf, "events")
+    return ev.groupBy("event_type").agg(
+        F.percentile_approx("value", 0.5, 10000).alias("p50_approx"),
+        F.percentile_approx("value", 0.95, 10000).alias("p95_approx"),
+    )
+
+
+@query(
+    "asof_join",
+    """
+    WITH clicks AS (SELECT * FROM events WHERE event_type = 'click'),
+         buys AS (SELECT * FROM events WHERE event_type = 'purchase'),
+         pairs AS (
+        SELECT c.event_id AS click_id, b.event_id AS purchase_id, b.ts AS pts,
+               ROW_NUMBER() OVER (PARTITION BY c.event_id ORDER BY b.ts DESC, b.event_id DESC) AS rn
+        FROM clicks c
+        JOIN buys b ON b.user_id = c.user_id AND b.ts <= c.ts)
+    SELECT click_id, purchase_id AS prev_purchase_id,
+           strftime(pts, '%Y-%m-%d %H:%M:%S') AS prev_purchase_ts
+    FROM pairs WHERE rn = 1
+    """,
+)
+def asof_join(spark: SparkSession, sf: str) -> DataFrame:
+    """As-of join (Spark has no native one): for every click, the user's
+    most recent purchase at or before it = equi-join on the key + ts
+    inequality + row_number pick. The equi key carries the shuffle; the
+    inequality filters inside the co-partition — the scalable composition
+    (SURVEY §4: no custom strategy needed). For sorted inputs the
+    applyInPandas merge_asof variant is the alternative; this one stays
+    fully JVM-side."""
+    ev = table(spark, sf, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), F.col("user_id").alias("cu"), F.col("ts").alias("cts")
+    )
+    buys = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), F.col("user_id").alias("bu"), F.col("ts").alias("pts")
+    )
+    j = clicks.join(buys, (F.col("bu") == F.col("cu")) & (F.col("pts") <= F.col("cts")))
+    w = Window.partitionBy("click_id").orderBy(F.col("pts").desc(), F.col("purchase_id").desc())
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "click_id",
+            F.col("purchase_id").alias("prev_purchase_id"),
+            F.date_format("pts", "yyyy-MM-dd HH:mm:ss").alias("prev_purchase_ts"),
+        )
+    )

@@ -82,4 +82,5 @@ def test_every_query_has_callable_and_oracle_consistency():
         "simhash_fingerprints",
         "ann_lsh",
         "media_features",
+        "percentile_approx",
     }
