@@ -103,6 +103,8 @@ def minhash_lsh_pairs(
     Scale: only colliding docs ever meet (no O(n²) stage); AQE skew-join
     splits pathological buckets (boilerplate-heavy crawl shards).
     """
+    from pyspark import StorageLevel
+
     rows = num_hashes // bands
     spark = df.sparkSession
     base = df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_text"))
@@ -127,9 +129,17 @@ def minhash_lsh_pairs(
         )
         .select("_id", F.col("_norm").substr(F.col("_pos"), F.lit(shingle_k)).alias("_s"))
     )
+    # The signature table is read 4x downstream (band self-join x2, est-
+    # prune a/b sides). It is tiny — num_hashes longs per doc (~256 B/doc,
+    # ~2.6 GB per 10M docs) — so persist it instead of recomputing the
+    # explode+agg lineage each time; disk-backed so it spills, never OOMs.
     sig = shingle_rows.groupBy("_id").agg(
         *[F.min(F.xxhash64(F.lit(i), F.col("_s"))).alias(f"h{i}") for i in range(num_hashes)]
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # eager materialization: the self-join scans sig concurrently, and two
+    # stages racing on a cold cache each compute the full lineage. One
+    # count() pins the cache before fan-out (this op is terminal anyway).
+    sig.count()
 
     banded = sig.select(
         "_id",
@@ -172,28 +182,46 @@ def minhash_lsh_pairs(
     est_cut = max(0.0, threshold - 2.5 * (threshold * (1 - threshold) / num_hashes) ** 0.5)
     # no broadcast hint: AQE auto-broadcasts the signature table while it
     # fits, and falls back to a shuffle join at corpus scale.
+    # the pruned pair list feeds three consumers (verify output + both
+    # arms of the cand_ids union); it is 2 longs/pair — persist it rather
+    # than re-running the band self-join + est joins per consumer.
     cand = (
         cand.join(sig_a, "id_a")
         .join(sig_b, "id_b")
         .withColumn("_est", est)
         .filter(F.col("_est") >= est_cut)
         .select("id_a", "id_b")
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    cand.count()
 
     # exact verify on the shortlist only: shingle SETS are materialized
     # just for docs that appear in a candidate pair (semi-join), again via
     # the codegen explode+substring path + collect_set — not per-row array
-    # lambdas over the whole corpus.
+    # lambdas over the whole corpus. Sets are xxhash64-compressed to longs
+    # first: primitive-array intersects are ~2x string-array intersects and
+    # shrink the set shuffle to 8 B/shingle regardless of shingle size
+    # (exact up to 64-bit hash collisions, i.e. negligible at any corpus
+    # size that fits a cluster); |union| comes from |A|+|B|-|A∩B| so only
+    # one array op runs per pair.
     cand_ids = cand.select(F.col("id_a").alias("_id")).union(cand.select(F.col("id_b"))).distinct()
     sh = (
-        shingle_rows.join(cand_ids, "_id", "left_semi")
+        shingle_rows.select("_id", F.xxhash64("_s").alias("_h"))
+        .join(cand_ids, "_id", "left_semi")
         .groupBy("_id")
-        .agg(F.collect_set("_s").alias("_sh"))
+        .agg(F.collect_set("_h").alias("_sh"))
+        .select("_id", "_sh", F.size("_sh").alias("_n"))
     )
+    n_int = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b"))).cast("double")
     verified = (
-        cand.join(sh.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a")), "id_a")
-        .join(sh.select(F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b")), "id_b")
-        .withColumn("jaccard_sim", jaccard(F.col("sh_a"), F.col("sh_b")))
+        cand.join(
+            sh.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a"), F.col("_n").alias("na")),
+            "id_a",
+        )
+        .join(
+            sh.select(F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b"), F.col("_n").alias("nb")),
+            "id_b",
+        )
+        .withColumn("jaccard_sim", n_int / (F.col("na") + F.col("nb") - n_int))
         .filter(F.col("jaccard_sim") >= threshold)
     )
     return verified.select("id_a", "id_b", "jaccard_sim")
