@@ -241,18 +241,24 @@ def ngram_jaccard_pairs(
     product; at 100 TB use minhash_lsh_pairs for candidate generation and
     this only as the verify stage.
     """
+    # shingle sets are xxhash64-compressed to sorted long arrays up front:
+    # the pairwise stage then intersects primitive arrays (cheap, fixed
+    # 8 B/shingle shuffle width) and |union| = |A|+|B|-|A∩B| — exact up to
+    # 64-bit collisions. Computed once per row, not per pair.
+    sh = F.array_sort(F.array_distinct(F.transform(word_shingles(text_col, ngram), lambda s: F.xxhash64(s))))
     base = df.select(
         F.col(id_col).alias("_id"),
-        word_shingles(text_col, ngram).alias("_sh"),
+        sh.alias("_sh"),
         *( [F.col(block_col).alias("_blk")] if block_col else [F.lit(1).alias("_blk")] ),
-    )
+    ).withColumn("_n", F.size("_sh"))
     a, b = base.alias("a"), base.alias("b")
+    n_int = F.size(F.array_intersect(F.col("a._sh"), F.col("b._sh"))).cast("double")
     return (
         a.join(b, (F.col("a._blk") == F.col("b._blk")) & (F.col("a._id") < F.col("b._id")))
         .select(
             F.col("a._id").alias("id_a"),
             F.col("b._id").alias("id_b"),
-            jaccard(F.col("a._sh"), F.col("b._sh")).alias("jaccard_sim"),
+            (n_int / (F.col("a._n") + F.col("b._n") - n_int)).alias("jaccard_sim"),
         )
         .filter(F.col("jaccard_sim") >= threshold)
     )

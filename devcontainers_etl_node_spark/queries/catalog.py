@@ -1227,3 +1227,32 @@ def asof_join(spark: SparkSession, sf: str) -> DataFrame:
             F.date_format("pts", "yyyy-MM-dd HH:mm:ss").alias("prev_purchase_ts"),
         )
     )
+
+
+@query(
+    "ngram_jaccard",
+    """
+    WITH sh AS (
+        SELECT doc_id, lang,
+               list_distinct(list_transform(
+                   generate_series(1, greatest(len(string_split_regex(lower(trim(text)), '\\s+')) - 2, 1)),
+                   i -> array_to_string(string_split_regex(lower(trim(text)), '\\s+')[i:i+2], ' ')
+               )) AS grams
+        FROM documents)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.grams, b.grams))) AS jaccard_sim
+    FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.2
+    """,
+)
+def ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact word-3-gram Jaccard near-dup pairs, blocked on `lang` so the
+    pairwise stage is per-language (reference has no dedup at all; this is
+    the north-star extension — SURVEY §7 step 9). Jaccard = |∩|/|∪| of two
+    small-int sizes, so the double division is bit-identical across
+    engines. At 100 TB the blocked cross product is the verify stage only;
+    candidate generation is minhash_lsh_pairs."""
+    docs = table(spark, sf, "documents")
+    return dedup.ngram_jaccard_pairs(docs, ngram=3, threshold=0.2, block_col="lang")

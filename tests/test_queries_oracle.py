@@ -39,6 +39,7 @@ FAST_ORACLED = [
     "set_intersect",
     "json_extract",
     "dedup_exact",
+    "ngram_jaccard",
     "token_stats",
     "knn_cosine",
     "binary_plumbing",
