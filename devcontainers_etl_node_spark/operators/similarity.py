@@ -129,6 +129,80 @@ def lsh_topk(
     )
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    train_fraction: float | None = None,
+) -> DataFrame:
+    """IVF (inverted-file) ANN: a KMeans coarse quantizer splits the corpus
+    into `n_centroids` inverted lists; each query probes its `n_probe`
+    nearest centroids (by the same euclidean metric KMeans assigns with)
+    and exact cosine re-ranks only those lists. Recall tunes via n_probe
+    with zero plan-shape change; rows-only correctness check.
+
+    Scale: training runs on a `train_fraction` sample (centroids are
+    O(n_centroids x dim) — driver-tiny); assignment is one JVM-side
+    model.transform over the scan; the probe table is (queries x n_probe)
+    rows and is broadcast, so the corpus never shuffles. Size n_centroids
+    ~ sqrt(n) so inverted lists stay executor-sized — too few centroids is
+    the skew knob to watch here.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"),
+    )
+    train = c.sample(fraction=train_fraction, seed=seed) if train_fraction else c
+    # a coarse quantizer doesn't need convergence, just stable lists —
+    # cap Lloyd iterations (each is a full pass over the training sample)
+    model = KMeans(k=n_centroids, seed=seed, maxIter=10, featuresCol="features").fit(train)
+    assigned = model.transform(c).select(
+        "neighbor_id", "c_vec", F.col("prediction").alias("centroid")
+    )
+
+    centers = [
+        (i, [float(x) for x in ctr]) for i, ctr in enumerate(model.clusterCenters())
+    ]
+    cent = corpus.sparkSession.createDataFrame(centers, ["centroid", "ctr_vec"])
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col("q_vec"), F.col("ctr_vec"), lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    wp = Window.partitionBy("query_id").orderBy(F.col("_d2"), F.col("centroid"))
+    probed = (
+        q.crossJoin(F.broadcast(cent))
+        .withColumn("_d2", d2)
+        .withColumn("_pr", F.row_number().over(wp))
+        .filter(F.col("_pr") <= n_probe)
+        .select("query_id", "q_vec", "centroid")
+    )
+
+    scored = (
+        assigned.join(F.broadcast(probed), "centroid")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine_sim", cosine(F.col("q_vec"), F.col("c_vec")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rn")
+    )
+
+
 def neardup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.9,

@@ -939,6 +939,15 @@ def ann_lsh(spark: SparkSession, sf: str) -> DataFrame:
     return similarity.lsh_topk(emb, q, k=5).select("query_id", "neighbor_id", "rn")
 
 
+@query("ann_ivf")  # approximate by construction — rows-only check
+def ann_ivf(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF ANN scale path: KMeans coarse quantizer + n-probe inverted-list
+    search, exact cosine re-rank. operators/similarity.py:ivf_topk."""
+    emb = table(spark, sf, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    return similarity.ivf_topk(emb, q, k=5).select("query_id", "neighbor_id", "rn")
+
+
 @query(
     "embedding_neardup",
     """

@@ -119,6 +119,30 @@ def test_lsh_topk_subset_of_corpus(spark):
     assert all(1 <= r.rn <= 3 for r in rows)
 
 
+def test_ivf_topk_recall_on_clustered_data(spark):
+    rng = np.random.default_rng(2)
+    # 4 well-separated clusters: IVF with n_probe=2 must recover the true
+    # neighbors of in-cluster queries
+    centers = rng.normal(size=(4, 16)) * 10
+    vecs = np.concatenate(
+        [centers[i % 4] + rng.normal(size=16) * 0.1 for i in range(80)]
+    ).reshape(80, 16).astype("float32")
+    df = spark.createDataFrame(
+        [(i, vecs[i].tolist()) for i in range(80)], ["vec_id", "embedding"]
+    )
+    q = df.filter(F.col("vec_id") < 2)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.brute_force_topk(df, q, k=3).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.ivf_topk(df, q, k=3, n_centroids=4, n_probe=2).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9
+
+
 def test_neardup_pairs_finds_duplicate_vector(spark):
     v = [1.0, 0.0, 0.0, 0.0]
     w = [0.99, 0.01, 0.0, 0.0]

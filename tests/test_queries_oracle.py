@@ -82,6 +82,7 @@ def test_every_query_has_callable_and_oracle_consistency():
         "minhash_neardup",
         "simhash_fingerprints",
         "ann_lsh",
+        "ann_ivf",
         "media_features",
         "percentile_approx",
     }
