@@ -50,6 +50,42 @@ def hourly_event_counts(events: DataFrame, watermark: str = "30 minutes") -> Dat
     )
 
 
+def user_running_totals(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): per-user running
+    event count / value total maintained across micro-batches — the
+    extension point for stateful logic Spark's built-in windows can't
+    express (the Arrow-batched analogue of a custom streaming operator).
+
+    State is one (long, double) pair per user — O(active users), bounded
+    below watermark-evicted session state. Emits the updated running row
+    for every user seen in the micro-batch (update semantics).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].fillna(0.0).sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+        )
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType="user_id long, n_events long, total_value double",
+            stateStructType="n long, total double",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def session_windows(events: DataFrame, gap: str = "30 minutes", watermark: str = "30 minutes") -> DataFrame:
     """Per-user session windows with an inactivity gap — the streaming
     twin of the batch sessionize query (lag + running sum)."""

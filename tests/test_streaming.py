@@ -89,3 +89,35 @@ def test_streaming_session_windows(spark, tmp_path, event_rows):
     # user 1: events at +0,+0,+5 then +90 → two sessions (3 events, 1 event)
     assert sorted(by_user[1]) == [1, 3]
     assert by_user[2] == [1]
+
+
+def test_stateful_running_totals_across_batches(spark, tmp_path):
+    from devcontainers_etl_node_spark.streaming import user_running_totals
+
+    t0 = datetime.datetime(2024, 1, 1, 10, 0, 0)
+    src = tmp_path / "events_src"
+    batch1 = [(1, t0, 1, "click", 1.0, "{}"), (2, t0, 2, "view", 2.0, "{}")]
+    spark.createDataFrame(batch1, EVENTS_SCHEMA).write.mode("overwrite").parquet(str(src))
+    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(str(src))
+    q = (
+        user_running_totals(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("totals_out")
+        .start()
+    )
+    q.processAllAvailable()
+    # second micro-batch: user 1 again — state must carry the prior count
+    batch2 = [(3, t0 + datetime.timedelta(minutes=1), 1, "click", 4.0, "{}")]
+    spark.createDataFrame(batch2, EVENTS_SCHEMA).write.mode("append").parquet(str(src))
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.sql(
+        "SELECT * FROM totals_out ORDER BY user_id, n_events"
+    ).collect()
+    # memory sink in update mode appends each emission: user 1 appears
+    # after batch1 (1 event, 1.0) and after batch2 (2 events, 5.0)
+    u1 = [(r.n_events, r.total_value) for r in rows if r.user_id == 1]
+    u2 = [(r.n_events, r.total_value) for r in rows if r.user_id == 2]
+    assert u1 == [(1, 1.0), (2, 5.0)]
+    assert u2 == [(1, 2.0)]
