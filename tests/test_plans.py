@@ -70,3 +70,17 @@ def test_semi_join_stays_semi(spark):
 def test_dim_joins_broadcast(spark, name):
     p = plan(spark, name)
     assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p
+
+
+def test_asof_join_is_equi_not_nested_loop(spark):
+    # the ts inequality must ride the user_id equi-key hash join; a
+    # BroadcastNestedLoopJoin / CartesianProduct here is O(n^2) at scale
+    p = plan(spark, "asof_join")
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+    assert "HashJoin" in p or "SortMergeJoin" in p
+
+
+def test_value_stats_partial_aggregation(spark):
+    p = plan(spark, "value_stats")
+    assert p.count("HashAggregate") >= 2  # map-side partial before exchange
