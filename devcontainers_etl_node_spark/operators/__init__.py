@@ -1,3 +1,9 @@
-from devcontainers_etl_node_spark.operators import dedup, similarity, text, multimodal
+from devcontainers_etl_node_spark.operators import (
+    dedup,
+    multimodal,
+    similarity,
+    skew,
+    text,
+)
 
-__all__ = ["dedup", "similarity", "text", "multimodal"]
+__all__ = ["dedup", "similarity", "skew", "text", "multimodal"]

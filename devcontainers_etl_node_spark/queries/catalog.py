@@ -1265,3 +1265,32 @@ def ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     candidate generation is minhash_lsh_pairs."""
     docs = table(spark, sf, "documents")
     return dedup.ngram_jaccard_pairs(docs, ngram=3, threshold=0.2, block_col="lang")
+
+
+@query(
+    "salted_join_revenue",
+    """
+    SELECT c.c_mktsegment AS segment,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def salted_join_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """Salting is semantics-preserving, so the oracle is the plain join:
+    orders x customer through operators/skew.py:salted_join (hot custkeys
+    spread over 16 reducers), then revenue per segment. At 100 TB this is
+    the planned fallback when the dim is too big to broadcast and one key
+    is power-law hot."""
+    from devcontainers_etl_node_spark.operators import skew
+
+    o = table(spark, sf, "orders").select("o_custkey", "o_totalprice")
+    c = table(spark, sf, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    joined = skew.salted_join(o, c, on="o_custkey", how="inner", salt=16)
+    return joined.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(_dec("o_totalprice")).cast("double").alias("revenue"),
+    )

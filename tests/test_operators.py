@@ -245,3 +245,34 @@ def test_frame_sample_stub(spark):
     )
     r = multimodal.frame_sample_stub(df, every_n=10).collect()[0]
     assert r.sampled_frames == 3
+
+
+def test_salted_join_matches_plain_join(spark):
+    from devcontainers_etl_node_spark.operators import skew
+
+    big = spark.createDataFrame(
+        [(1, i) for i in range(500)] + [(2, 0), (3, 1)], ["k", "v"]
+    )
+    small = spark.createDataFrame([(1, "a"), (2, "b"), (9, "z")], ["k", "name"])
+    for how in ("inner", "left"):
+        plain = {(r.k, r.v, r.name) for r in big.join(small, "k", how).collect()}
+        salted = {
+            (r.k, r.v, r.name)
+            for r in skew.salted_join(big, small, "k", how, salt=8).collect()
+        }
+        assert salted == plain
+
+
+def test_salted_agg_matches_plain_agg(spark):
+    from devcontainers_etl_node_spark.operators import skew
+
+    df = spark.createDataFrame([(i % 3, i) for i in range(1000)], ["k", "v"])
+    plain = {(r.k, r.n, r.s) for r in df.groupBy("k").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("v").alias("s")).collect()}
+    salted = {(r.k, r.n, r.s) for r in skew.salted_agg(
+        df, "k",
+        partial_aggs=[F.count(F.lit(1)).alias("pn"), F.sum("v").alias("ps")],
+        final_aggs=[F.sum("pn").alias("n"), F.sum("ps").alias("s")],
+        salt=8,
+    ).collect()}
+    assert salted == plain
