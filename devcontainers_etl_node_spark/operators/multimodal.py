@@ -110,6 +110,48 @@ def decode_image_real(df: DataFrame) -> DataFrame:
     )
 
 
+def resize_stub(df: DataFrame, target_w: int = 64, target_h: int = 64) -> DataFrame:
+    """Image resize stub over the same Arrow-batched plumbing as the real
+    thing: payload is deterministically downsampled byte-wise to the
+    target-area budget (stands in for bilinear resample — swap the marked
+    line for PIL's Image.resize), meta is rewritten with the target dims.
+    Batch shape, binary-in/binary-out signature, and partitioning are what
+    a real resizer needs."""
+    n_target = target_w * target_h
+
+    def _resize(payload: bytes | None) -> bytes | None:
+        if payload is None:
+            return None
+        arr = np.frombuffer(payload, dtype=np.uint8)
+        if arr.size <= n_target:
+            return payload
+        # REAL-RESIZER INTEGRATION POINT: replace this stride-sample with
+        # PIL.Image.open(...).resize((target_w, target_h)).tobytes()
+        idx = np.linspace(0, arr.size - 1, n_target).astype(np.int64)
+        return arr[idx].tobytes()
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            resized = pdf["payload"].map(_resize)
+            meta = pd.DataFrame(
+                {
+                    "mime": pdf["meta"].map(lambda m: None if m is None else m["mime"]),
+                    "width": target_w,
+                    "height": target_h,
+                    "n_bytes": resized.map(lambda p: 0 if p is None else len(p)).astype("int64"),
+                }
+            )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": resized,
+                    "meta": meta.to_dict("records"),
+                }
+            )
+
+    return df.mapInPandas(batches, schema=MEDIA_SCHEMA)
+
+
 def frame_sample_stub(df: DataFrame, every_n: int = 10) -> DataFrame:
     """Video frame sampling stub: models 1-in-N frame selection as metadata
     (real frame extraction needs ffmpeg). Keeps the operator signature and

@@ -276,3 +276,15 @@ def test_salted_agg_matches_plain_agg(spark):
         salt=8,
     ).collect()}
     assert salted == plain
+
+
+def test_resize_stub_rewrites_payload_and_meta(spark):
+    docs = spark.createDataFrame(
+        [(1, "x" * 10000), (2, "short"), (3, None)], ["doc_id", "text"]
+    )
+    media = multimodal.attach_fake_media(docs)
+    out = {r.media_id: r for r in multimodal.resize_stub(media, 16, 16).collect()}
+    assert len(out[1].payload) == 256  # downsampled to target area
+    assert out[1].meta.width == 16 and out[1].meta.height == 16
+    assert out[2].payload == b"short"  # under budget: passthrough
+    assert out[3].payload is None and out[3].meta.n_bytes == 0
