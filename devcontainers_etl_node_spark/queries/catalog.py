@@ -1294,3 +1294,31 @@ def salted_join_revenue(spark: SparkSession, sf: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         F.sum(_dec("o_totalprice")).cast("double").alias("revenue"),
     )
+
+
+@query(
+    "word_count",
+    """
+    WITH toks AS (
+        SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+        FROM documents WHERE length(trim(text)) > 0)
+    SELECT tok, COUNT(*) AS n
+    FROM toks WHERE tok <> ''
+    GROUP BY tok
+    ORDER BY n DESC, tok
+    LIMIT 20
+    """,
+)
+def word_count(spark: SparkSession, sf: str) -> DataFrame:
+    """The canonical explode → groupBy — rows fan out map-side, the
+    shuffle carries (token, partial count) thanks to partial aggregation,
+    and the top-20 is TakeOrderedAndProject (no global sort)."""
+    docs = table(spark, sf, "documents").filter(F.length(F.trim("text")) > 0)
+    return (
+        docs.select(F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "tok")
+        .limit(20)
+    )
