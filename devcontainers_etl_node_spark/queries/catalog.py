@@ -1322,3 +1322,32 @@ def word_count(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "tok")
         .limit(20)
     )
+
+
+@query(
+    "unpivot_metrics",
+    """
+    WITH u AS (
+        UNPIVOT (SELECT l_orderkey, l_quantity, l_extendedprice, l_discount, l_tax FROM lineitem)
+        ON l_quantity, l_extendedprice, l_discount, l_tax
+        INTO NAME metric VALUE val)
+    SELECT metric, COUNT(*) AS n,
+           CAST(SUM(CAST(val AS DECIMAL(18,4))) AS DOUBLE) AS total
+    FROM u GROUP BY metric
+    """,
+)
+def unpivot_metrics(spark: SparkSession, sf: str) -> DataFrame:
+    """Wide→long reshaping (unpivot/melt) then aggregate — the inverse of
+    pivot_events. Unpivot is a map-side expression expansion (no shuffle);
+    only the follow-up groupBy exchanges (metric, partial sum)."""
+    li = table(spark, sf, "lineitem")
+    return (
+        li.unpivot(
+            ids=["l_orderkey"],
+            values=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+            variableColumnName="metric",
+            valueColumnName="val",
+        )
+        .groupBy("metric")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(_dec("val")).cast("double").alias("total"))
+    )

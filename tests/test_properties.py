@@ -1,0 +1,63 @@
+"""Property-based tests (hypothesis): invariants the reference never
+checked (SURVEY §5 — the reference has zero tests). Each example runs one
+Spark job over a generated batch, so example counts stay small; the
+properties, not the volume, carry the weight.
+"""
+
+from __future__ import annotations
+
+from decimal import ROUND_HALF_UP, Decimal
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from devcontainers_etl_node_spark.operators import dedup
+
+# sane money range: inside decimal(12,2), away from float-repr edge cases
+money = st.floats(
+    min_value=-(10**9), max_value=10**9, allow_nan=False, allow_infinity=False
+)
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(money, min_size=1, max_size=50))
+def test_decimal_cast_matches_python_half_up(spark, xs):
+    """F7 conform semantics: Spark's double→decimal(12,2) cast rounds
+    HALF_UP exactly like the reference's Decimal(str(x)).quantize
+    (loaders.py:109-113) — on the shortest-repr decimal of the double."""
+    df = spark.createDataFrame([(i, float(x)) for i, x in enumerate(xs)], ["i", "x"])
+    got = {
+        r.i: r.d
+        for r in df.select("i", F.col("x").cast("decimal(12,2)").alias("d")).collect()
+    }
+    for i, x in enumerate(xs):
+        expected = Decimal(repr(float(x))).quantize(Decimal("0.01"), ROUND_HALF_UP)
+        assert got[i] == expected, (x, got[i], expected)
+
+
+tokens = st.lists(st.sampled_from(list("abcdefgh")), min_size=0, max_size=12)
+
+
+@settings(max_examples=5, deadline=None)
+@given(tokens, tokens)
+def test_jaccard_invariants(spark, a, b):
+    """jaccard ∈ [0,1], symmetric, 1.0 iff equal non-empty sets, 0.0 for
+    disjoint/empty."""
+    arr_a = F.array(*[F.lit(t) for t in a])
+    arr_b = F.array(*[F.lit(t) for t in b])
+    row = (
+        spark.range(1)
+        .select(
+            dedup.jaccard(arr_a, arr_b).alias("ab"),
+            dedup.jaccard(arr_b, arr_a).alias("ba"),
+        )
+        .collect()[0]
+    )
+    assert row.ab == row.ba
+    assert 0.0 <= row.ab <= 1.0
+    sa, sb = set(a), set(b)
+    if sa or sb:
+        expected = len(sa & sb) / len(sa | sb)
+        assert abs(row.ab - expected) < 1e-12
+    else:
+        assert row.ab == 0.0
