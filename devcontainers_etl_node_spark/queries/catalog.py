@@ -1351,3 +1351,47 @@ def unpivot_metrics(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("metric")
         .agg(F.count(F.lit(1)).alias("n"), F.sum(_dec("val")).cast("double").alias("total"))
     )
+
+
+@query(
+    "curation_pipeline",
+    """
+    WITH base AS (
+        SELECT doc_id, lang,
+               lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS norm,
+               len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+        FROM documents WHERE length(trim(text)) > 0),
+    filtered AS (
+        SELECT * FROM base
+        WHERE n_tokens BETWEEN 5 AND 1000 AND lang IN ('en','es','de','fr')),
+    deduped AS (
+        SELECT * FROM filtered
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY norm ORDER BY doc_id) = 1)
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           SUM(n_tokens) AS total_tokens,
+           CAST(SUM(n_tokens) AS DOUBLE) / COUNT(*) AS avg_tokens
+    FROM deduped GROUP BY lang
+    """,
+)
+def curation_pipeline(spark: SparkSession, sf: str) -> DataFrame:
+    """End-to-end training-data curation: length/lang gate → exact dedup
+    on whitespace-normalized text (min-id survivor, shuffle on the 32-byte
+    sha2, never the text) → per-language token accounting. The composite
+    the 100 TB pipeline actually runs; every stage is an operator proven
+    above on its own."""
+    docs = table(spark, sf, "documents").filter(F.length(F.trim("text")) > 0)
+    norm = F.lower(F.regexp_replace(F.trim("text"), r"\s+", " "))
+    base = docs.select(
+        "doc_id", "lang", norm.alias("norm"), F.size(F.split(F.trim("text"), r"\s+")).alias("n_tokens")
+    )
+    filtered = base.filter(
+        F.col("n_tokens").between(5, 1000) & F.col("lang").isin("en", "es", "de", "fr")
+    )
+    w = Window.partitionBy(F.sha2(F.col("norm"), 256)).orderBy("doc_id")
+    deduped = filtered.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1)
+    return deduped.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        (F.sum("n_tokens").cast("double") / F.count(F.lit(1))).alias("avg_tokens"),
+    )
