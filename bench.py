@@ -38,6 +38,8 @@ HEADLINE = [
     "token_stats",         # text analysis map pass
     "knn_cosine",          # brute-force embedding top-k
     "minhash_neardup",     # MinHash LSH near-dup pairs
+    "asof_join",           # as-of join (equi key + inequality + row_number)
+    "curation_pipeline",   # end-to-end curation: gate → dedup → accounting
 ]
 
 SMALL_OUTPUT = {"pricing_summary", "revenue_by_nation", "topk_per_group", "knn_cosine"}
