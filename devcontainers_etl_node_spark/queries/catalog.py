@@ -1395,3 +1395,48 @@ def curation_pipeline(spark: SparkSession, sf: str) -> DataFrame:
         F.sum("n_tokens").alias("total_tokens"),
         (F.sum("n_tokens").cast("double") / F.count(F.lit(1))).alias("avg_tokens"),
     )
+
+
+@query(
+    "time_rollup",
+    """
+    SELECT CASE WHEN GROUPING(d) = 0 THEN 'hour' WHEN GROUPING(m) = 0 THEN 'day' ELSE 'month' END AS grain,
+           strftime(COALESCE(d, m, mo), '%Y-%m-%d %H:%M:%S') AS bucket,
+           event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
+    FROM (SELECT date_trunc('hour', ts) AS d, date_trunc('day', ts) AS m,
+                 date_trunc('month', ts) AS mo, event_type, value
+          FROM events)
+    GROUP BY GROUPING SETS ((d, event_type), (m, event_type), (mo, event_type))
+    """,
+)
+def time_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """Hypertable-style multi-resolution rollup: hour/day/month continuous
+    aggregates in ONE grouping-sets pass (one scan, one shuffle — not three
+    jobs). At scale this materializes the coarse grains a dashboard reads,
+    while partial aggregation keeps the map-side combine per grain."""
+    ev = table(spark, sf, "events")
+    base = ev.select(
+        F.date_trunc("hour", "ts").alias("d"),
+        F.date_trunc("day", "ts").alias("m"),
+        F.date_trunc("month", "ts").alias("mo"),
+        "event_type",
+        "value",
+    )
+    g = base.groupingSets([["d", "event_type"], ["m", "event_type"], ["mo", "event_type"]], "d", "m", "mo", "event_type")
+    # grouping() is only legal inside the agg projection
+    return g.agg(
+        F.when(F.grouping("d") == 0, "hour")
+        .when(F.grouping("m") == 0, "day")
+        .otherwise("month")
+        .alias("grain"),
+        F.count(F.lit(1)).alias("n"),
+        F.sum(_dec("value", 6)).cast("double").alias("total"),
+    ).select(
+        "grain",
+        F.date_format(F.coalesce("d", "m", "mo"), "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+        "event_type",
+        "n",
+        "total",
+    )
