@@ -1,0 +1,118 @@
+"""Reference-architecture comparison: the reference's flagship transform
+(eager pandas star-join enrichment, src/etl/etl.py:20-54 semantics) timed
+head-to-head against this engine's star_enrich on the same parquet corpus.
+
+The reference itself cannot run here (it needs live Postgres/Kafka/MinIO);
+this reimplements its exact pandas call pattern (read-all, two chained
+left merges) — the same operations its transform_for_clickhouse performs —
+so the number is the reference's *architecture*, not its infra.
+
+Both sides run the same volume: the fact is replicated `xN` (pandas
+concat / Spark crossJoin(range(N))) so the crossover where distributed
+execution overtakes single-threaded eager pandas is measured, not argued.
+
+Usage: python tools/compare_reference_arch.py [sf_dir] [n_runs] [N,N,...]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import pandas as pd
+
+sys.path.insert(0, "/root/repo")
+
+from devcontainers_etl_node_spark.queries.catalog import table  # noqa: E402
+from devcontainers_etl_node_spark.session import get_spark  # noqa: E402
+
+
+def pandas_flagship(sf_dir: str, replicate: int = 1) -> pd.DataFrame:
+    # eager read of every input up front — the reference's extract stage
+    orders = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    if replicate > 1:
+        orders = pd.concat([orders] * replicate, ignore_index=True)
+    customer = pd.read_parquet(f"{sf_dir}/customer.parquet")
+    nation = pd.read_parquet(f"{sf_dir}/nation.parquet")
+    # transform: rename/project + two chained left merges (etl.py:39-45)
+    c = customer[["c_custkey", "c_name", "c_mktsegment", "c_nationkey"]].rename(
+        columns={"c_name": "customer_name", "c_mktsegment": "segment"}
+    )
+    n = nation[["n_nationkey", "n_name"]].rename(columns={"n_name": "nation_name"})
+    out = orders.merge(c, left_on="o_custkey", right_on="c_custkey", how="left")
+    out = out.merge(n, left_on="c_nationkey", right_on="n_nationkey", how="left")
+    out["order_date"] = pd.to_datetime(out["o_orderdate"]).dt.date
+    return out[
+        [
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            "order_date",
+            "o_totalprice",
+            "customer_name",
+            "segment",
+            "nation_name",
+        ]
+    ]
+
+
+def spark_flagship(spark, sf_dir: str, replicate: int = 1):
+    from pyspark.sql import functions as F
+
+    orders = table(spark, sf_dir, "orders")
+    if replicate > 1:
+        orders = orders.crossJoin(spark.range(replicate).select(F.lit(1).alias("_r"))).drop("_r")
+    customer = table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.col("c_name").alias("customer_name"),
+        F.col("c_mktsegment").alias("segment"),
+        "c_nationkey",
+    )
+    nation = table(spark, sf_dir, "nation").select(
+        "n_nationkey", F.col("n_name").alias("nation_name")
+    )
+    return (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey, "left")
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey, "left")
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            F.col("o_orderdate").cast("date").alias("order_date"),
+            F.col("o_totalprice").alias("total_price"),
+            "customer_name",
+            "segment",
+            "nation_name",
+        )
+    )
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    n_runs = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+    factors = [int(x) for x in sys.argv[3].split(",")] if len(sys.argv) > 3 else [1, 8, 64]
+
+    spark = get_spark()
+    spark.range(1_000_000).selectExpr("sum(id)").collect()  # JVM warmup
+
+    print("| fact rows | pandas (ref arch) | this engine | ratio |")
+    print("|---|---|---|---|")
+    for n in factors:
+        pd_times = []
+        for _ in range(n_runs):
+            t0 = time.perf_counter()
+            df = pandas_flagship(sf_dir, n)
+            pd_times.append(time.perf_counter() - t0)
+        rows = len(df)
+        del df
+        sp_times = []
+        for _ in range(n_runs):
+            t0 = time.perf_counter()
+            spark_flagship(spark, sf_dir, n).write.format("noop").mode("overwrite").save()
+            sp_times.append(time.perf_counter() - t0)
+        p, s = min(pd_times), min(sp_times)
+        print(f"| {rows:,} | {p:.2f}s | {s:.2f}s | {p / s:.2f}x |")
+
+
+if __name__ == "__main__":
+    main()
