@@ -121,3 +121,38 @@ def test_stateful_running_totals_across_batches(spark, tmp_path):
     u2 = [(r.n_events, r.total_value) for r in rows if r.user_id == 2]
     assert u1 == [(1, 1.0), (2, 5.0)]
     assert u2 == [(1, 2.0)]
+
+
+def test_foreachbatch_checkpoint_resume(spark, tmp_path):
+    """Checkpointed foreachBatch sink: a restarted query resumes from the
+    checkpoint and does NOT reprocess already-committed micro-batches —
+    the exactly-once contract of SURVEY §7 step 8 (production shape:
+    foreachBatch → JDBC; here the batch sink is a parquet append)."""
+    t0 = datetime.datetime(2024, 1, 1, 10, 0, 0)
+    src, ckpt, out = tmp_path / "src", tmp_path / "ckpt", tmp_path / "out"
+
+    def sink(df, batch_id):
+        df.write.mode("append").parquet(str(out))
+
+    def run_until_drained(stream):
+        q = (
+            stream.writeStream.option("checkpointLocation", str(ckpt))
+            .outputMode("append")
+            .foreachBatch(sink)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    batch1 = [(1, t0, 1, "click", 1.0, "{}"), (2, t0, 2, "view", 2.0, "{}")]
+    spark.createDataFrame(batch1, EVENTS_SCHEMA).write.mode("overwrite").parquet(str(src))
+    run_until_drained(spark.readStream.schema(EVENTS_SCHEMA).parquet(str(src)))
+    assert spark.read.parquet(str(out)).count() == 2
+
+    # restart: add one file; only the new file may be processed
+    batch2 = [(3, t0 + datetime.timedelta(minutes=1), 1, "click", 3.0, "{}")]
+    spark.createDataFrame(batch2, EVENTS_SCHEMA).write.mode("append").parquet(str(src))
+    run_until_drained(spark.readStream.schema(EVENTS_SCHEMA).parquet(str(src)))
+    rows = spark.read.parquet(str(out)).collect()
+    assert len(rows) == 3  # no reprocessing of batch 1
+    assert sorted(r.event_id for r in rows) == [1, 2, 3]
