@@ -116,7 +116,14 @@ def minhash_lsh_pairs(
     # shingle generation kept fully inside whole-stage codegen: explode the
     # position range, then substring — no interpreted array lambdas.
     # MinHash over the shingle *multiset* equals MinHash over the set (min
-    # is idempotent), so no distinct is needed here.
+    # is idempotent), so no distinct is needed here. Each shingle is string-
+    # hashed ONCE; the num_hashes seeded values derive from that long via
+    # xxhash64(seed<<48 XOR h) — 1 string hash + num_hashes long hashes per
+    # row instead of num_hashes string hashes. (Verified: identical output
+    # pair set to per-seed string hashing at sf0.1. The tempting
+    # xxhash64(seed, h) seed-chained form is DEGENERATE — 4x the candidate
+    # collisions — the seed must be spread into the input bits, not chained
+    # through the hash state. See PERF.md.)
     norm = F.lower(F.regexp_replace(F.trim(F.col("_text")), r"\s+", " "))
     shingle_rows = (
         base.withColumn("_norm", norm)
@@ -127,14 +134,20 @@ def minhash_lsh_pairs(
                 F.sequence(F.lit(1), F.greatest(F.length("_norm") - (shingle_k - 1), F.lit(1)))
             ).alias("_pos"),
         )
-        .select("_id", F.col("_norm").substr(F.col("_pos"), F.lit(shingle_k)).alias("_s"))
+        .select(
+            "_id",
+            F.xxhash64(F.col("_norm").substr(F.col("_pos"), F.lit(shingle_k))).alias("_h"),
+        )
     )
     # The signature table is read 4x downstream (band self-join x2, est-
     # prune a/b sides). It is tiny — num_hashes longs per doc (~256 B/doc,
     # ~2.6 GB per 10M docs) — so persist it instead of recomputing the
     # explode+agg lineage each time; disk-backed so it spills, never OOMs.
     sig = shingle_rows.groupBy("_id").agg(
-        *[F.min(F.xxhash64(F.lit(i), F.col("_s"))).alias(f"h{i}") for i in range(num_hashes)]
+        *[
+            F.min(F.xxhash64(F.shiftleft(F.lit(i + 1), 48).bitwiseXOR(F.col("_h")))).alias(f"h{i}")
+            for i in range(num_hashes)
+        ]
     ).persist(StorageLevel.MEMORY_AND_DISK)
     # eager materialization: the self-join scans sig concurrently, and two
     # stages racing on a cold cache each compute the full lineage. One
@@ -205,8 +218,7 @@ def minhash_lsh_pairs(
     # one array op runs per pair.
     cand_ids = cand.select(F.col("id_a").alias("_id")).union(cand.select(F.col("id_b"))).distinct()
     sh = (
-        shingle_rows.select("_id", F.xxhash64("_s").alias("_h"))
-        .join(cand_ids, "_id", "left_semi")
+        shingle_rows.join(cand_ids, "_id", "left_semi")
         .groupBy("_id")
         .agg(F.collect_set("_h").alias("_sh"))
         .select("_id", "_sh", F.size("_sh").alias("_n"))
