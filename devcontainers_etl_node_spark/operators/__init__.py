@@ -1,9 +1,10 @@
 from devcontainers_etl_node_spark.operators import (
     dedup,
     multimodal,
+    rangejoin,
     similarity,
     skew,
     text,
 )
 
-__all__ = ["dedup", "similarity", "skew", "text", "multimodal"]
+__all__ = ["dedup", "rangejoin", "similarity", "skew", "text", "multimodal"]

@@ -1479,3 +1479,35 @@ def correlation(spark: SparkSession, sf: str) -> DataFrame:
     num = n * F.col("sxy") - sx * sy
     den = F.sqrt(n * F.col("sxx") - sx * sx) * F.sqrt(n * F.col("syy") - sy * sy)
     return agg.select("l_returnflag", F.round(num / den, 6).alias("corr_qty_price"))
+
+
+@query(
+    "range_bucket_join",
+    """
+    SELECT s.s_suppkey,
+           COUNT(c.c_custkey) AS n_matching_customers
+    FROM supplier s LEFT JOIN customer c
+      ON c.c_acctbal >= s.s_acctbal - 50 AND c.c_acctbal < s.s_acctbal + 50
+    GROUP BY s.s_suppkey
+    """,
+)
+def range_bucket_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Point-in-interval join at scale: customers whose balance falls in
+    each supplier's ±50 band, via operators/rangejoin.py:interval_join —
+    the bucketized equi-join decomposition (replication factor ~2), NOT
+    the nested-loop plan a raw inequality predicate gets. Oracle is the
+    plain predicate join (same semantics)."""
+    from devcontainers_etl_node_spark.operators import rangejoin
+
+    c = table(spark, sf, "customer").select("c_custkey", "c_acctbal")
+    s = table(spark, sf, "supplier").select(
+        "s_suppkey",
+        (F.col("s_acctbal") - 50).alias("lo"),
+        (F.col("s_acctbal") + 50).alias("hi"),
+    )
+    j = rangejoin.interval_join(c, s, "c_acctbal", "lo", "hi", bucket_width=100.0, how="inner")
+    sup = table(spark, sf, "supplier").select("s_suppkey")
+    counts = j.groupBy("s_suppkey").agg(F.count(F.lit(1)).alias("n_matching_customers"))
+    return sup.join(counts, "s_suppkey", "left").select(
+        "s_suppkey", F.coalesce("n_matching_customers", F.lit(0)).alias("n_matching_customers")
+    )

@@ -288,3 +288,26 @@ def test_resize_stub_rewrites_payload_and_meta(spark):
     assert out[1].meta.width == 16 and out[1].meta.height == 16
     assert out[2].payload == b"short"  # under budget: passthrough
     assert out[3].payload is None and out[3].meta.n_bytes == 0
+
+
+def test_interval_join_matches_predicate_join(spark):
+    from devcontainers_etl_node_spark.operators import rangejoin
+
+    pts = spark.createDataFrame([(i, float(i)) for i in range(200)], ["pid", "v"])
+    ivs = spark.createDataFrame(
+        [(1, 10.0, 25.0), (2, 24.999, 25.0), (3, 99.5, 200.0), (4, 50.0, 50.0)],
+        ["iid", "lo", "hi"],
+    )
+    expected = {
+        (r.pid, r.iid)
+        for r in pts.join(ivs, (F.col("v") >= F.col("lo")) & (F.col("v") < F.col("hi"))).collect()
+    }
+    for w in (1.0, 7.3, 100.0):
+        got = {
+            (r.pid, r.iid)
+            for r in rangejoin.interval_join(pts, ivs, "v", "lo", "hi", w).collect()
+        }
+        assert got == expected, w
+    # left join keeps unmatched points exactly once
+    left = rangejoin.interval_join(pts, ivs, "v", "lo", "hi", 10.0, how="left")
+    assert left.count() == len(expected) + (200 - len({p for p, _ in expected}))
