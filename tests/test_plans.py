@@ -84,3 +84,27 @@ def test_asof_join_is_equi_not_nested_loop(spark):
 def test_value_stats_partial_aggregation(spark):
     p = plan(spark, "value_stats")
     assert p.count("HashAggregate") >= 2  # map-side partial before exchange
+
+
+def test_bucketed_tables_join_without_exchange(spark, tmp_path):
+    """Bucketing both join sides on the key pre-partitions the data at
+    write time: the sort-merge join then needs NO Exchange on either side
+    — the co-located-join story for repeated large-large joins at 100 TB
+    (pay the shuffle once at layout time, never per query)."""
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS bkt LOCATION '{tmp_path}/bkt'")
+    try:
+        src = spark.range(10_000).selectExpr("id AS k", "id % 97 AS v")
+        for t in ("bkt.left_t", "bkt.right_t"):
+            src.write.bucketBy(8, "k").sortBy("k").mode("overwrite").saveAsTable(t)
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            j = spark.table("bkt.left_t").join(spark.table("bkt.right_t"), "k")
+            plan = j._jdf.queryExecution().executedPlan().toString()
+            assert "SortMergeJoin" in plan
+            assert "Exchange" not in plan  # bucket layout replaces the shuffle
+            assert j.count() == 10_000
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    finally:
+        spark.sql("DROP DATABASE IF EXISTS bkt CASCADE")
