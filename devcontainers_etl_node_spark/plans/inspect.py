@@ -1,0 +1,51 @@
+"""Physical-plan introspection: the engine's scale guardrails as a library.
+
+The reference has no plan representation at all (SURVEY §4); this module is
+how this engine makes its *physical* properties first-class: tests assert
+them (tests/test_plans.py), tools/plan_audit.py prints the census, and
+operators can self-check (e.g. refuse a nested-loop plan on a path that
+must stay equi-keyed at 100 TB).
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+
+JOIN_KINDS = (
+    "BroadcastHashJoin",
+    "SortMergeJoin",
+    "ShuffledHashJoin",
+    "BroadcastNestedLoopJoin",
+    "CartesianProduct",
+)
+
+
+def physical_plan(df: DataFrame) -> str:
+    """The executed (pre-AQE-finalization) physical plan as text."""
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def plan_profile(df: DataFrame | str) -> dict:
+    """Compact plan census: join strategies, exchange count, partial-agg
+    presence, scan pushdown evidence, nested-loop red flags."""
+    plan = df if isinstance(df, str) else physical_plan(df)
+    joins = {k: plan.count(k) for k in JOIN_KINDS if plan.count(k)}
+    return {
+        "joins": joins,
+        "exchanges": plan.count("Exchange "),
+        "partial_agg": plan.count("HashAggregate") >= 2 or "partial_" in plan,
+        "pushed_filters": bool(re.search(r"PushedFilters: \[[^\]]", plan)),
+        "nested_loop": "BroadcastNestedLoopJoin" in plan or "CartesianProduct" in plan,
+    }
+
+
+def assert_no_nested_loop(df: DataFrame, context: str = "") -> None:
+    """Raise if the plan contains a nested-loop/cartesian join — the
+    guardrail for operators whose cost model assumes an equi-keyed plan."""
+    if plan_profile(df)["nested_loop"]:
+        raise AssertionError(
+            f"nested-loop join in plan{' for ' + context if context else ''} — "
+            "O(n·m) at scale; the join must ride an equi key"
+        )

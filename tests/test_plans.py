@@ -108,3 +108,18 @@ def test_bucketed_tables_join_without_exchange(spark, tmp_path):
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     finally:
         spark.sql("DROP DATABASE IF EXISTS bkt CASCADE")
+
+
+def test_plan_inspect_library(spark):
+    from devcontainers_etl_node_spark.plans import assert_no_nested_loop, plan_profile
+
+    small = spark.range(10).selectExpr("id AS k")
+    big = spark.range(1000).selectExpr("id AS k", "id AS v")
+    equi = big.join(small, "k")
+    p = plan_profile(equi)
+    assert not p["nested_loop"] and p["joins"]
+    assert_no_nested_loop(equi)  # no raise
+
+    theta = big.alias("a").crossJoin(small.alias("b"))
+    with pytest.raises(AssertionError, match="nested-loop"):
+        assert_no_nested_loop(theta, "crossJoin demo")
