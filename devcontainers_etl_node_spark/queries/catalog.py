@@ -1511,3 +1511,34 @@ def range_bucket_join(spark: SparkSession, sf: str) -> DataFrame:
     return sup.join(counts, "s_suppkey", "left").select(
         "s_suppkey", F.coalesce("n_matching_customers", F.lit(0)).alias("n_matching_customers")
     )
+
+
+@query(
+    "hash_split",
+    """
+    WITH assigned AS (
+        SELECT lang,
+               CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val' ELSE 'test' END AS split
+        FROM (SELECT lang,
+                     CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS b
+              FROM documents))
+    SELECT lang, split, COUNT(*) AS n
+    FROM assigned GROUP BY lang, split
+    """,
+)
+def hash_split(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic reproducible train/val/test split: bucket = first 8
+    hex chars of md5(id) mod 100 — stable across engines, runs, and
+    cluster sizes (no rand(), no sampling drift; adding rows never
+    reassigns existing ones). The canonical split op for a training-data
+    pipeline; md5 gives bit-identical assignment in Spark and DuckDB."""
+    docs = table(spark, sf, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast("long") % 100
+    )
+    split = (
+        F.when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test")
+    )
+    return docs.select("lang", split.alias("split")).groupBy("lang", "split").agg(
+        F.count(F.lit(1)).alias("n")
+    )
