@@ -1542,3 +1542,14 @@ def hash_split(spark: SparkSession, sf: str) -> DataFrame:
     return docs.select("lang", split.alias("split")).groupBy("lang", "split").agg(
         F.count(F.lit(1)).alias("n")
     )
+
+
+@query("stratified_sample")  # seeded RNG differs per engine — rows-only
+def stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-stratum Bernoulli sampling (sampleBy): downsample dominant
+    languages, keep the tail — the class-rebalancing primitive. Seeded for
+    run-to-run reproducibility; engine RNGs differ, so rows-only. For
+    cross-engine-deterministic selection use hash_split instead."""
+    docs = table(spark, sf, "documents")
+    sampled = docs.sampleBy("lang", {"en": 0.1, "es": 0.5, "de": 0.5, "fr": 0.5, "zh": 1.0}, seed=42)
+    return sampled.groupBy("lang").agg(F.count(F.lit(1)).alias("n_sampled"))

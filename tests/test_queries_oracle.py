@@ -85,4 +85,5 @@ def test_every_query_has_callable_and_oracle_consistency():
         "ann_ivf",
         "media_features",
         "percentile_approx",
+        "stratified_sample",
     }
