@@ -1553,3 +1553,94 @@ def stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
     docs = table(spark, sf, "documents")
     sampled = docs.sampleBy("lang", {"en": 0.1, "es": 0.5, "de": 0.5, "fr": 0.5, "zh": 1.0}, seed=42)
     return sampled.groupBy("lang").agg(F.count(F.lit(1)).alias("n_sampled"))
+
+
+@query(
+    "set_ops_all",
+    """
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    INTERSECT ALL
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+def set_ops_all(spark: SparkSession, sf: str) -> DataFrame:
+    """Multiset set-ops: INTERSECT ALL keeps duplicate multiplicity
+    (min of the two sides' counts) — the bag-semantics counterpart of
+    set_intersect."""
+    o = table(spark, sf, "orders")
+    open_keys = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    done_keys = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    return open_keys.intersectAll(done_keys)
+
+
+@query(
+    "posexplode_tokens",
+    """
+    WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+               FROM documents WHERE length(trim(text)) > 0)
+    SELECT doc_id,
+           generate_subscripts(toks, 1) - 1 AS pos,
+           unnest(toks) AS tok
+    FROM t WHERE doc_id < 50
+    """,
+)
+def posexplode_tokens(spark: SparkSession, sf: str) -> DataFrame:
+    """Ordinal-preserving explode (posexplode): token with its position —
+    the lateral-view form; position survives the fan-out so downstream
+    ops can reconstruct order without a window."""
+    docs = table(spark, sf, "documents").filter(
+        (F.length(F.trim("text")) > 0) & (F.col("doc_id") < 50)
+    )
+    return docs.select(
+        "doc_id", F.posexplode(F.split(F.trim("text"), r"\s+")).alias("pos", "tok")
+    )
+
+
+@query(
+    "json_string_path",
+    """
+    SELECT event_id,
+           json_extract_string(props, '$.k') AS k_str,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) % 7 AS k_mod
+    FROM events
+    """,
+)
+def json_string_path(spark: SparkSession, sf: str) -> DataFrame:
+    """String-path JSON access (get_json_object) — no schema declaration,
+    per-field extraction; the from_json/schema route is json_extract /
+    map_functions. Both stay JVM-side."""
+    ev = table(spark, sf, "events")
+    k = F.get_json_object("props", "$.k")
+    return ev.select(
+        "event_id",
+        k.alias("k_str"),
+        (k.cast("bigint") % 7).alias("k_mod"),
+    )
+
+
+@query(
+    "date_arith_extra",
+    """
+    SELECT o_orderkey,
+           CAST(last_day(CAST(o_orderdate AS DATE)) AS DATE) AS month_end,
+           CAST(CAST(o_orderdate AS DATE) + INTERVAL 1 MONTH AS DATE) AS next_month,
+           quarter(CAST(o_orderdate AS DATE)) AS q,
+           dayofweek(CAST(o_orderdate AS DATE)) + 1 AS dow,  -- DuckDB 0=Sun, Spark 1=Sun
+           CAST(date_trunc('week', CAST(o_orderdate AS DATE)) AS DATE) AS week_start
+    FROM orders
+    """,
+)
+def date_arith_extra(spark: SparkSession, sf: str) -> DataFrame:
+    """Extended date arithmetic: month-end clamping (add_months/last_day
+    agree with DuckDB's INTERVAL semantics), quarter, day-of-week,
+    ISO week truncation."""
+    o = table(spark, sf, "orders")
+    d = F.col("o_orderdate").cast("date")
+    return o.select(
+        "o_orderkey",
+        F.last_day(d).alias("month_end"),
+        F.add_months(d, 1).alias("next_month"),
+        F.quarter(d).alias("q"),
+        F.dayofweek(d).alias("dow"),
+        F.date_trunc("week", d).cast("date").alias("week_start"),
+    )
