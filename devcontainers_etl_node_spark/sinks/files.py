@@ -17,6 +17,32 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed managed table: pay the shuffle ONCE at layout time so every
+    subsequent equi-join/aggregation on ``bucket_cols`` between co-bucketed
+    tables runs with NO Exchange (proven in tests/test_plans.py:
+    test_bucketed_tables_join_without_exchange). ``sort_cols`` default to
+    the bucket columns, giving sort-merge joins a free sort too.
+
+    At 100 TB: size n_buckets so a bucket ≈ one executor task
+    (rows/n_buckets × row width ≲ a few hundred MB); both join sides must
+    use the SAME n_buckets and keys to co-locate.
+    """
+    (
+        df.write.mode(mode)
+        .bucketBy(n_buckets, *bucket_cols)
+        .sortBy(*(sort_cols or bucket_cols))
+        .saveAsTable(table)
+    )
+
+
 def write_inventory_tree(df: DataFrame, root: str, mode: str = "overwrite") -> None:
     """CSV snapshot tree partitioned by year/month (K6)."""
     (

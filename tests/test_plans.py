@@ -93,9 +93,11 @@ def test_bucketed_tables_join_without_exchange(spark, tmp_path):
     (pay the shuffle once at layout time, never per query)."""
     spark.sql(f"CREATE DATABASE IF NOT EXISTS bkt LOCATION '{tmp_path}/bkt'")
     try:
+        from devcontainers_etl_node_spark.sinks import write_bucketed_table
+
         src = spark.range(10_000).selectExpr("id AS k", "id % 97 AS v")
         for t in ("bkt.left_t", "bkt.right_t"):
-            src.write.bucketBy(8, "k").sortBy("k").mode("overwrite").saveAsTable(t)
+            write_bucketed_table(src, t, ["k"], n_buckets=8)
         prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         try:
