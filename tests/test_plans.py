@@ -125,3 +125,37 @@ def test_plan_inspect_library(spark):
     theta = big.alias("a").crossJoin(small.alias("b"))
     with pytest.raises(AssertionError, match="nested-loop"):
         assert_no_nested_loop(theta, "crossJoin demo")
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """AQE skew-join handling (enabled in session.py) must actually fire:
+    a 95%-hot key would pin one reducer at 100 TB; the final adaptive plan
+    splits that partition (skew=true on the SMJ) instead."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        big = spark.range(200_000).select(
+            F.when(F.col("id") % 20 != 0, F.lit(0)).otherwise(F.col("id")).alias("k"),
+            F.concat(F.lit("payload-"), F.col("id")).alias("pay"),
+        )
+        small = spark.range(10_000).select(F.col("id").alias("k"), F.lit("dim").alias("d"))
+        j = big.join(small, "k")
+        j.collect()  # executes THIS dataset's queryExecution → final AQE plan
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan  # the hot partition was split
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
