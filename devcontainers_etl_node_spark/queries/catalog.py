@@ -1644,3 +1644,120 @@ def date_arith_extra(spark: SparkSession, sf: str) -> DataFrame:
         F.dayofweek(d).alias("dow"),
         F.date_trunc("week", d).cast("date").alias("week_start"),
     )
+
+
+@query(
+    "string_functions_extra",
+    """
+    SELECT p_partkey,
+           translate(p_name, 'aeiou', '_____') AS masked,
+           reverse(p_brand) AS brand_rev,
+           repeat(p_brand[-1], 3) AS brand_tail3,
+           lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_padded,
+           rpad(p_type, 20, '.') AS type_pad,
+           strpos(p_type, 'BRUSHED') AS brushed_at
+    FROM part
+    """,
+)
+def string_functions_extra(spark: SparkSession, sf: str) -> DataFrame:
+    """Second string tier: translate/reverse/repeat/lpad/rpad/instr —
+    all codegen scalar expressions (scalar_string_math covers tier one)."""
+    p = table(spark, sf, "part")
+    return p.select(
+        "p_partkey",
+        F.translate("p_name", "aeiou", "_____").alias("masked"),
+        F.reverse("p_brand").alias("brand_rev"),
+        F.repeat(F.substring("p_brand", -1, 1), 3).alias("brand_tail3"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
+        F.rpad("p_type", 20, ".").alias("type_pad"),
+        F.instr("p_type", "BRUSHED").alias("brushed_at"),
+    )
+
+
+@query(
+    "null_conditional",
+    """
+    SELECT l_orderkey, l_linenumber,
+           nullif(l_returnflag, 'N') AS flag_or_null,
+           ifnull(nullif(l_returnflag, 'N'), '-') AS flag_filled,
+           greatest(l_quantity, l_discount * 100, l_tax * 100) AS g,
+           least(l_quantity, l_discount * 100, l_tax * 100) AS l,
+           CASE WHEN l_quantity > 25 THEN 'bulk' WHEN l_quantity > 10 THEN 'mid' ELSE 'small' END AS size_class
+    FROM lineitem
+    """,
+)
+def null_conditional(spark: SparkSession, sf: str) -> DataFrame:
+    """Null/conditional scalar surface: nullif/ifnull(coalesce)/greatest/
+    least/multi-branch CASE — null-propagation semantics identical across
+    engines."""
+    li = table(spark, sf, "lineitem")
+    flag_or_null = F.nullif("l_returnflag", F.lit("N"))
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        flag_or_null.alias("flag_or_null"),
+        F.coalesce(flag_or_null, F.lit("-")).alias("flag_filled"),
+        F.greatest("l_quantity", F.col("l_discount") * 100, F.col("l_tax") * 100).alias("g"),
+        F.least("l_quantity", F.col("l_discount") * 100, F.col("l_tax") * 100).alias("l"),
+        F.when(F.col("l_quantity") > 25, "bulk")
+        .when(F.col("l_quantity") > 10, "mid")
+        .otherwise("small")
+        .alias("size_class"),
+    )
+
+
+@query(
+    "bitwise_ops",
+    """
+    SELECT event_id,
+           user_id & 255 AS low_byte,
+           user_id | 4096 AS with_flag,
+           xor(user_id, event_id) AS mixed,
+           user_id << 2 AS shifted_l,
+           user_id >> 1 AS shifted_r
+    FROM events
+    """,
+)
+def bitwise_ops(spark: SparkSession, sf: str) -> DataFrame:
+    """Bitwise surface: and/or/xor/shifts — flag fields and hash-mixing
+    primitives (the minhash family derivation is built from these)."""
+    ev = table(spark, sf, "events")
+    u = F.col("user_id")
+    return ev.select(
+        "event_id",
+        u.bitwiseAND(F.lit(255)).alias("low_byte"),
+        u.bitwiseOR(F.lit(4096)).alias("with_flag"),
+        u.bitwiseXOR(F.col("event_id")).alias("mixed"),
+        F.shiftleft(u, 2).alias("shifted_l"),
+        F.shiftright(u, 1).alias("shifted_r"),
+    )
+
+
+@query(
+    "window_rank_stats",
+    """
+    SELECT o_orderkey, o_custkey,
+           round(percent_rank() OVER w, 9) AS pr,
+           round(cume_dist() OVER w, 9) AS cd,
+           nth_value(o_orderkey, 2) OVER (
+               PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS second_cheapest_so_far
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def window_rank_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Distribution window functions: percent_rank/cume_dist (exact
+    small-int divisions — identical IEEE results) and running nth_value
+    with an explicit ROWS frame (frames must be explicit for cross-engine
+    parity)."""
+    o = table(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    wr = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.percent_rank().over(w), 9).alias("pr"),
+        F.round(F.cume_dist().over(w), 9).alias("cd"),
+        F.nth_value("o_orderkey", 2).over(wr).alias("second_cheapest_so_far"),
+    )
