@@ -1,4 +1,5 @@
 from devcontainers_etl_node_spark.streaming.pipeline import (
+    click_purchase_join,
     deduped_events,
     hourly_event_counts,
     session_windows,
@@ -6,6 +7,7 @@ from devcontainers_etl_node_spark.streaming.pipeline import (
 )
 
 __all__ = [
+    "click_purchase_join",
     "hourly_event_counts",
     "deduped_events",
     "session_windows",

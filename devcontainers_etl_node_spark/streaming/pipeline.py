@@ -86,6 +86,43 @@ def user_running_totals(events: DataFrame, watermark: str = "1 hour") -> DataFra
     )
 
 
+def click_purchase_join(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    watermark: str = "30 minutes",
+    horizon: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream inner join: each click matched to same-user purchases
+    within `horizon` after it (the attribution join). Both sides carry
+    watermarks and the join condition bounds event time on BOTH ends —
+    that is what lets Spark evict join state, keeping it O(horizon of
+    in-flight events) instead of unbounded. Works identically on batch
+    DataFrames (the test's parity twin).
+    """
+    c = clicks.withWatermark("ts", watermark).select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("cu"),
+        F.col("ts").alias("click_ts"),
+    )
+    p = purchases.withWatermark("ts", watermark).select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("pu"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    cond = (
+        (F.col("cu") == F.col("pu"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {horizon}"))
+    )
+    return c.join(p, cond, "inner").select(
+        "click_id",
+        "purchase_id",
+        F.col("cu").alias("user_id"),
+        "click_ts",
+        "purchase_ts",
+    )
+
+
 def session_windows(events: DataFrame, gap: str = "30 minutes", watermark: str = "30 minutes") -> DataFrame:
     """Per-user session windows with an inactivity gap — the streaming
     twin of the batch sessionize query (lag + running sum)."""

@@ -156,3 +156,50 @@ def test_foreachbatch_checkpoint_resume(spark, tmp_path):
     rows = spark.read.parquet(str(out)).collect()
     assert len(rows) == 3  # no reprocessing of batch 1
     assert sorted(r.event_id for r in rows) == [1, 2, 3]
+
+
+def test_stream_stream_join_matches_batch_twin(spark, tmp_path):
+    from devcontainers_etl_node_spark.streaming import click_purchase_join
+
+    t0 = datetime.datetime(2024, 1, 1, 10, 0, 0)
+
+    def ts(minutes):
+        return t0 + datetime.timedelta(minutes=minutes)
+
+    rows = [
+        (1, ts(0), 1, "click", 1.0, "{}"),
+        (2, ts(20), 1, "purchase", 9.0, "{}"),   # within 1h of click 1
+        (3, ts(90), 1, "purchase", 9.0, "{}"),   # beyond horizon of click 1
+        (4, ts(85), 1, "click", 1.0, "{}"),      # click 4 → purchase 3
+        (5, ts(5), 2, "purchase", 5.0, "{}"),    # other user, no click
+        (6, ts(300), 9, "sentinel", 0.0, "{}"),  # advances both watermarks
+    ]
+    src = tmp_path / "ss_src"
+    spark.createDataFrame(rows, EVENTS_SCHEMA).write.mode("overwrite").parquet(str(src))
+
+    def split(df):
+        return (
+            df.filter(F.col("event_type") == "click"),
+            df.filter(F.col("event_type") == "purchase"),
+        )
+
+    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(str(src))
+    q = (
+        click_purchase_join(*split(stream))
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ss_join_out")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r.click_id, r.purchase_id)
+        for r in spark.sql("SELECT * FROM ss_join_out").collect()
+    }
+    batch = spark.createDataFrame(rows, EVENTS_SCHEMA)
+    expected = {
+        (r.click_id, r.purchase_id)
+        for r in click_purchase_join(*split(batch)).collect()
+    }
+    assert got == expected == {(1, 2), (4, 3)}
