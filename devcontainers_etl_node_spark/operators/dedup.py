@@ -265,8 +265,17 @@ def ngram_jaccard_pairs(
     ).withColumn("_n", F.size("_sh"))
     a, b = base.alias("a"), base.alias("b")
     n_int = F.size(F.array_intersect(F.col("a._sh"), F.col("b._sh"))).cast("double")
+    # length filter (set-similarity-join literature): J(A,B) >= t forces
+    # t <= |A|/|B| <= 1/t, so size-incompatible pairs are dropped INSIDE
+    # the join condition — before any array is ever intersected. Lossless.
+    ratio_ok = (F.col("a._n") >= F.col("b._n") * threshold) & (
+        F.col("b._n") >= F.col("a._n") * threshold
+    )
     return (
-        a.join(b, (F.col("a._blk") == F.col("b._blk")) & (F.col("a._id") < F.col("b._id")))
+        a.join(
+            b,
+            (F.col("a._blk") == F.col("b._blk")) & (F.col("a._id") < F.col("b._id")) & ratio_ok,
+        )
         .select(
             F.col("a._id").alias("id_a"),
             F.col("b._id").alias("id_b"),
