@@ -1,5 +1,6 @@
 from devcontainers_etl_node_spark.operators import (
     dedup,
+    graph,
     multimodal,
     rangejoin,
     similarity,
@@ -7,4 +8,4 @@ from devcontainers_etl_node_spark.operators import (
     text,
 )
 
-__all__ = ["dedup", "rangejoin", "similarity", "skew", "text", "multimodal"]
+__all__ = ["dedup", "graph", "rangejoin", "similarity", "skew", "text", "multimodal"]

@@ -1268,6 +1268,50 @@ def ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "dup_clusters",
+    """
+    WITH RECURSIVE sh AS (
+        SELECT doc_id, lang,
+               list_distinct(list_transform(
+                   generate_series(1, greatest(len(string_split_regex(lower(trim(text)), '\\s+')) - 2, 1)),
+                   i -> array_to_string(string_split_regex(lower(trim(text)), '\\s+')[i:i+2], ' ')
+               )) AS grams
+        FROM documents),
+    pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.2),
+    edges AS (
+        SELECT id_a AS u, id_b AS v FROM pairs
+        UNION
+        SELECT id_b, id_a FROM pairs),
+    cc AS (
+        SELECT u AS node, u AS component FROM edges
+        UNION
+        SELECT e.u, cc.component FROM edges e JOIN cc ON cc.node = e.v)
+    SELECT node, MIN(component) AS component FROM cc GROUP BY node
+    """,
+)
+def dup_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    """Near-duplicate CLUSTERS from pairwise matches: connected components
+    (min-label propagation, operators/graph.py) over the exact ngram-
+    Jaccard pair graph. This is the step the pairwise queries stop short
+    of — transitive closure, so chains A~B~C dedup to one cluster even
+    when A!~C. Each Spark iteration is one equi-join + min-agg (shuffle on
+    node id); the DuckDB oracle is the same fixpoint as a recursive CTE.
+    At 100 TB the pair graph is tiny relative to the corpus (dups are
+    rare), so iterations run on edge-scale data, not corpus-scale."""
+    from devcontainers_etl_node_spark.operators import graph
+
+    docs = table(spark, sf, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, ngram=3, threshold=0.2, block_col="lang").select(
+        "id_a", "id_b"
+    )
+    return graph.connected_components(pairs, src="id_a", dst="id_b")
+
+
+@query(
     "salted_join_revenue",
     """
     SELECT c.c_mktsegment AS segment,
@@ -1761,3 +1805,108 @@ def window_rank_stats(spark: SparkSession, sf: str) -> DataFrame:
         F.round(F.cume_dist().over(w), 9).alias("cd"),
         F.nth_value("o_orderkey", 2).over(wr).alias("second_cheapest_so_far"),
     )
+
+
+@query(
+    "struct_nested",
+    """
+    WITH t AS (
+        SELECT c_custkey,
+               struct_pack(
+                   profile := struct_pack(name := c_name, segment := c_mktsegment),
+                   account := struct_pack(balance := c_acctbal, nation := c_nationkey)
+               ) AS cust
+        FROM customer)
+    SELECT c_custkey,
+           cust['profile']['name'] AS name,
+           upper(cust['profile']['segment']) AS segment_uc,
+           cust['account']['nation'] AS nation,
+           round(cust['account']['balance'], 2) AS balance
+    FROM t
+    """,
+)
+def struct_nested(spark: SparkSession, sf: str) -> DataFrame:
+    """Struct-of-struct round trip: build a two-level nested struct, then
+    navigate dot paths back out (with a scalar function applied inside the
+    navigation). Catalyst collapses construct-then-extract to the raw
+    columns (CreateNamedStruct/GetStructField elimination) — the nesting
+    costs nothing in the plan, which is exactly why typed nested payloads
+    (§2.9 multimodal metadata) are safe to use as first-class columns."""
+    c = table(spark, sf, "customer")
+    nested = c.select(
+        "c_custkey",
+        F.struct(
+            F.struct(
+                F.col("c_name").alias("name"), F.col("c_mktsegment").alias("segment")
+            ).alias("profile"),
+            F.struct(
+                F.col("c_acctbal").alias("balance"), F.col("c_nationkey").alias("nation")
+            ).alias("account"),
+        ).alias("cust"),
+    )
+    return nested.select(
+        "c_custkey",
+        F.col("cust.profile.name").alias("name"),
+        F.upper(F.col("cust.profile.segment")).alias("segment_uc"),
+        F.col("cust.account.nation").alias("nation"),
+        F.round(F.col("cust.account.balance"), 2).alias("balance"),
+    )
+
+
+@query(
+    "date_arith_tier2",
+    """
+    SELECT o_orderkey,
+           date_diff('month', DATE '1995-01-01',
+                     CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE)) AS months_since_95,
+           CAST(CAST(o_orderdate AS DATE)
+                + (7 - ((isodow(CAST(o_orderdate AS DATE)) - 1) % 7)) * INTERVAL 1 DAY
+                AS DATE) AS next_monday,
+           date_diff('day', CAST(o_orderdate AS DATE), DATE '1997-06-01') AS days_to_anchor,
+           dayofyear(CAST(o_orderdate AS DATE)) AS doy,
+           weekofyear(CAST(o_orderdate AS DATE)) AS woy
+    FROM orders
+    """,
+)
+def date_arith_tier2(spark: SparkSession, sf: str) -> DataFrame:
+    """Date tier two: months_between (on month-truncated dates, where
+    Spark's fractional-month rule is exactly integer and equals DuckDB's
+    date_diff 'month'), next_day (DuckDB twin spelled via isodow modular
+    arithmetic — Spark's is strictly-after, hence the 7-not-0), datediff
+    against an anchor, day-of-year, ISO week."""
+    o = table(spark, sf, "orders")
+    d = F.col("o_orderdate").cast("date")
+    return o.select(
+        "o_orderkey",
+        F.months_between(F.date_trunc("month", d).cast("date"), F.lit("1995-01-01").cast("date"))
+        .cast("int")
+        .alias("months_since_95"),
+        F.next_day(d, "Mon").alias("next_monday"),
+        F.datediff(F.lit("1997-06-01").cast("date"), d).alias("days_to_anchor"),
+        F.dayofyear(d).alias("doy"),
+        F.weekofyear(d).alias("woy"),
+    )
+
+
+_EXISTS_SQL = """
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE CAST(o_orderdate AS DATE) >= DATE '1995-07-01'
+      AND CAST(o_orderdate AS DATE) < DATE '1995-10-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+    GROUP BY o_orderpriority
+"""
+
+
+@query("exists_subquery", _EXISTS_SQL)
+def exists_subquery(spark: SparkSession, sf: str) -> DataFrame:
+    """Correlated EXISTS through the engine's SQL entry point (every other
+    query is DataFrame API; this one proves spark.sql over registered
+    views runs the same catalog). TPC-H Q4 shape on this corpus's columns:
+    orders in a quarter with at least one returned line, counted by
+    priority. Catalyst rewrites the correlated EXISTS to a left-semi
+    hash join on l_orderkey — same physical plan the API form would get."""
+    for t in ("orders", "lineitem"):
+        table(spark, sf, t).createOrReplaceTempView(t)
+    return spark.sql(_EXISTS_SQL)

@@ -311,3 +311,24 @@ def test_interval_join_matches_predicate_join(spark):
     # left join keeps unmatched points exactly once
     left = rangejoin.interval_join(pts, ivs, "v", "lo", "hi", 10.0, how="left")
     assert left.count() == len(expected) + (200 - len({p for p, _ in expected}))
+
+
+def test_connected_components_labels_min_id(spark):
+    from devcontainers_etl_node_spark.operators import graph
+
+    # components: {1,2,3,4} (chain), {10,11}, {20,21,22} (triangle+tail)
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (20, 22)],
+        ["id_a", "id_b"],
+    )
+    got = {r.node: r.component for r in graph.connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_connected_components_long_chain_converges(spark):
+    from devcontainers_etl_node_spark.operators import graph
+
+    n = 12  # diameter 12 chain: needs multiple propagation rounds
+    edges = spark.createDataFrame([(i, i + 1) for i in range(n)], ["id_a", "id_b"])
+    got = {r.node: r.component for r in graph.connected_components(edges).collect()}
+    assert got == {i: 0 for i in range(n + 1)}
