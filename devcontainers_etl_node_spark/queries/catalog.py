@@ -1888,6 +1888,97 @@ def date_arith_tier2(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@query(
+    "collect_agg",
+    """
+    SELECT c_nationkey AS nation,
+           list_sort(list(DISTINCT c_mktsegment)) AS segments,
+           array_to_string(list_sort(list(DISTINCT c_mktsegment)), '|') AS segments_csv,
+           COUNT(*) AS n_customers
+    FROM customer
+    GROUP BY c_nationkey
+    """,
+)
+def collect_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """Array/string aggregation: collect_set → sorted array → delimited
+    string (the deterministic spelling of listagg/string_agg — raw
+    collect order is partition-dependent, so parity REQUIRES the
+    array_sort). Array-typed output goes through the hash as its string
+    form on both engines."""
+    c = table(spark, sf, "customer")
+    segs = F.array_sort(F.collect_set("c_mktsegment"))
+    return c.groupBy(F.col("c_nationkey").alias("nation")).agg(
+        segs.alias("segments"),
+        F.concat_ws("|", segs).alias("segments_csv"),
+        F.count(F.lit(1)).alias("n_customers"),
+    )
+
+
+@query(
+    "minmax_by",
+    """
+    SELECT c_mktsegment AS segment,
+           arg_max(c_custkey, c_acctbal) AS richest_cust,
+           arg_min(c_custkey, c_acctbal) AS poorest_cust,
+           count_if(c_acctbal < 0) AS n_negative,
+           bool_or(c_acctbal > 9000) AS any_rich,
+           bool_and(c_acctbal > -1000) AS all_above_floor
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+)
+def minmax_by(spark: SparkSession, sf: str) -> DataFrame:
+    """Argmin/argmax + boolean aggregates: max_by/min_by (DuckDB
+    arg_max/arg_min), count_if, bool_or/bool_and — single-pass partial
+    aggregates (no window, no self-join), which is what makes them the
+    scale-correct way to answer 'which row attains the extreme'."""
+    c = table(spark, sf, "customer")
+    return c.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.max_by("c_custkey", "c_acctbal").alias("richest_cust"),
+        F.min_by("c_custkey", "c_acctbal").alias("poorest_cust"),
+        F.count_if(F.col("c_acctbal") < 0).alias("n_negative"),
+        F.bool_or(F.col("c_acctbal") > 9000).alias("any_rich"),
+        F.bool_and(F.col("c_acctbal") > -1000).alias("all_above_floor"),
+    )
+
+
+@query(
+    "embedding_centroids",
+    """
+    WITH ex AS (
+        SELECT label,
+               unnest(list_transform(embedding,
+                      (x, i) -> struct_pack(pos := i - 1, val := x))) AS u
+        FROM embeddings)
+    SELECT label, u['pos'] AS pos,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(CAST(u['val'] AS VARCHAR) AS DECIMAL(27,12))) AS DOUBLE) / COUNT(*) AS centroid_val
+    FROM ex
+    GROUP BY label, u['pos']
+    """,
+)
+def embedding_centroids(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-label centroid of the embedding column — the vector-averaging
+    building block behind IVF training and cluster-based curation.
+    posexplode flattens vectors to (label, pos, val) rows so the centroid
+    is an ordinary groupBy avg — fully shuffle-parallel over label×pos,
+    no vector-width UDF, and exact cross-engine parity via the
+    decimal-sum-then-one-divide trick. float32 → decimal goes THROUGH THE
+    SHORTEST STRING REPR (both engines print the same shortest round-trip
+    decimal for a float, then parse it exactly) — a direct float→decimal
+    cast diverges at ~1e-11 because Spark expands the exact binary value
+    while DuckDB rounds at float precision (measured)."""
+    e = table(spark, sf, "embeddings")
+    ex = e.select("label", F.posexplode("embedding").alias("pos", "val"))
+    n = F.count(F.lit(1))
+    return ex.groupBy("label", "pos").agg(
+        n.alias("n"),
+        (F.sum(F.col("val").cast("string").cast("decimal(27,12)")).cast("double") / n).alias(
+            "centroid_val"
+        ),
+    )
+
+
 _EXISTS_SQL = """
     SELECT o_orderpriority, COUNT(*) AS order_count
     FROM orders
