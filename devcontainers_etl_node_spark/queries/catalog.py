@@ -1889,6 +1889,50 @@ def date_arith_tier2(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "higher_order_fns",
+    """
+    WITH t AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+        FROM documents WHERE length(trim(text)) > 0),
+    u AS (
+        SELECT doc_id, toks,
+               list_transform(toks, x -> CAST(length(x) AS BIGINT)) AS lens
+        FROM t)
+    SELECT doc_id,
+           CAST(list_sum(lens) AS BIGINT) AS total_chars,
+           len(list_filter(toks, x -> length(x) > 5)) AS n_long,
+           len(list_filter(toks, x -> length(x) > 12)) > 0 AS any_xlong,
+           len(list_filter(toks, x -> length(x) >= 40)) = 0 AS all_short,
+           CAST(list_sum(list_transform(list_zip(lens, list_reverse(lens)),
+                s -> s[1] * s[2])) AS BIGINT) AS dot_rev
+    FROM u
+    """,
+)
+def higher_order_fns(spark: SparkSession, sf: str) -> DataFrame:
+    """Higher-order array lambdas: transform/aggregate(fold)/filter/
+    exists/forall/zip_with — all evaluated inside codegen with NO Python
+    round trip (the reason array columns stay cheap at scale; a Python
+    UDF here would be the 10-100x slow path). Integer domain end-to-end,
+    so the fold is exact on both engines."""
+    docs = table(spark, sf, "documents").filter(F.length(F.trim("text")) > 0)
+    toks = F.split(F.trim("text"), r"\s+")
+    lens = F.transform(toks, lambda x: F.length(x).cast("long"))
+    zero = F.lit(0).cast("long")
+    return docs.select(
+        "doc_id",
+        F.aggregate(lens, zero, lambda acc, x: acc + x).alias("total_chars"),
+        F.size(F.filter(toks, lambda x: F.length(x) > 5)).alias("n_long"),
+        F.exists(toks, lambda x: F.length(x) > 12).alias("any_xlong"),
+        F.forall(toks, lambda x: F.length(x) < 40).alias("all_short"),
+        F.aggregate(
+            F.zip_with(lens, F.reverse(lens), lambda a, b: a * b),
+            zero,
+            lambda acc, x: acc + x,
+        ).alias("dot_rev"),
+    )
+
+
+@query(
     "collect_agg",
     """
     SELECT c_nationkey AS nation,

@@ -4,6 +4,7 @@
 from __future__ import annotations
 
 import datetime
+import re
 
 from pyspark.sql import functions as F
 
@@ -117,3 +118,11 @@ def test_lakehouse_table_layout(spark, tmp_path):
     assert back.count() == 2
     pruned = back.filter(F.col("ym") == "202401")
     assert pruned.count() == 1
+    # the predicate must prune at the SCAN (directory level), not post-filter:
+    # the FileSourceScan's PartitionFilters carries the ym predicate — at
+    # 100 TB this is the difference between listing one month and all of them
+    from devcontainers_etl_node_spark.plans import physical_plan
+
+    plan = physical_plan(pruned)
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "ym" in m.group(1), f"no partition pruning in plan:\n{plan}"
