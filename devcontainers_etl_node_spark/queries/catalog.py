@@ -1888,6 +1888,99 @@ def date_arith_tier2(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@query("sequence_pack")  # sequential recurrence → no SQL oracle, rows-only
+def sequence_pack(spark: SparkSession, sf: str) -> DataFrame:
+    """Greedy packing of curated documents into 512-token training
+    sequences, grouped per language (operators/packing.py — stateful fill
+    via applyInPandas; see module docstring for the 100 TB grouping
+    contract). Token counts ride the whitespace tokenizer so the query is
+    self-contained."""
+    from devcontainers_etl_node_spark.operators import packing
+
+    docs = table(spark, sf, "documents").filter(F.length(F.trim("text")) > 0)
+    with_tokens = docs.select(
+        "doc_id", "lang", F.size(F.split(F.trim("text"), r"\s+")).alias("n_tokens")
+    )
+    return packing.pack_sequences(
+        with_tokens, token_col="n_tokens", group_col="lang", id_col="doc_id", max_tokens=512
+    )
+
+
+@query(
+    "repetition_stats",
+    """
+    WITH t AS (
+        SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+        FROM documents WHERE length(trim(text)) > 0),
+    wc AS (
+        SELECT doc_id, w, COUNT(*) AS c
+        FROM (SELECT doc_id, unnest(toks) AS w FROM t)
+        GROUP BY doc_id, w),
+    ws AS (
+        SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_words,
+               COUNT(*) AS n_distinct, MAX(c) AS top_c
+        FROM wc GROUP BY doc_id),
+    bg AS (
+        SELECT doc_id, g, COUNT(*) AS c
+        FROM (SELECT doc_id,
+                     unnest(list_transform(generate_series(1, greatest(len(toks) - 1, 1)),
+                            i -> toks[i] || ' ' || toks[i + 1])[1:greatest(len(toks) - 1, 0)]) AS g
+              FROM t)
+        GROUP BY doc_id, g),
+    bs AS (SELECT doc_id, MAX(c) AS top_bg, CAST(SUM(c) AS BIGINT) AS n_bg FROM bg GROUP BY doc_id)
+    SELECT ws.doc_id, n_words, n_distinct,
+           CAST(n_distinct AS DOUBLE) / n_words AS distinct_frac,
+           CAST(top_c AS DOUBLE) / n_words AS top_word_frac,
+           CAST(top_bg AS DOUBLE) / n_bg AS top_bigram_frac
+    FROM ws LEFT JOIN bs ON ws.doc_id = bs.doc_id
+    """,
+)
+def repetition_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Repetition-based quality signals (the Gopher/C4 rule family):
+    distinct-word fraction, most-frequent-word fraction, most-frequent-
+    bigram fraction — high repetition marks boilerplate/spam for the
+    curation gate. Two partial-agg shuffles keyed on doc_id (word counts,
+    then doc rollup); ratios are single IEEE divisions of exact ints.
+    Single-word docs get NULL bigram stats via the left join on both
+    engines."""
+    docs = table(spark, sf, "documents").filter(F.length(F.trim("text")) > 0)
+    base = docs.select("doc_id", F.split(F.lower(F.trim("text")), r"\s+").alias("toks"))
+    wc = (
+        base.select("doc_id", F.explode("toks").alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    ws = wc.groupBy("doc_id").agg(
+        F.sum("c").alias("n_words"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.max("c").alias("top_c"),
+    )
+    grams = F.slice(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size("toks") - 1, F.lit(1))),
+            # F.get is 0-based and NULL-safe out of bounds; element_at THROWS
+            # under ANSI mode (Spark 4 default) on the single-word case
+            lambda i: F.concat(F.get("toks", i - 1), F.lit(" "), F.get("toks", i)),
+        ),
+        1,
+        F.greatest(F.size("toks") - 1, F.lit(0)),
+    )
+    bg = (
+        base.select("doc_id", F.explode(grams).alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    bs = bg.groupBy("doc_id").agg(F.max("c").alias("top_bg"), F.sum("c").alias("n_bg"))
+    return ws.join(bs, "doc_id", "left").select(
+        "doc_id",
+        "n_words",
+        "n_distinct",
+        (F.col("n_distinct").cast("double") / F.col("n_words")).alias("distinct_frac"),
+        (F.col("top_c").cast("double") / F.col("n_words")).alias("top_word_frac"),
+        (F.col("top_bg").cast("double") / F.col("n_bg")).alias("top_bigram_frac"),
+    )
+
+
 @query(
     "higher_order_fns",
     """

@@ -332,3 +332,43 @@ def test_connected_components_long_chain_converges(spark):
     edges = spark.createDataFrame([(i, i + 1) for i in range(n)], ["id_a", "id_b"])
     got = {r.node: r.component for r in graph.connected_components(edges).collect()}
     assert got == {i: 0 for i in range(n + 1)}
+
+
+def test_pack_sequences_invariants(spark):
+    from devcontainers_etl_node_spark.operators import packing
+
+    rows = [(i, "en" if i % 3 else "fr", 40 + (i * 37) % 200) for i in range(60)]
+    rows.append((100, "en", 900))  # oversize doc: must get its own sequence
+    df = spark.createDataFrame(rows, "doc_id long, lang string, n_tokens long")
+    out = packing.pack_sequences(
+        df, token_col="n_tokens", group_col="lang", id_col="doc_id", max_tokens=512
+    ).collect()
+
+    # every doc placed exactly once
+    assert sorted(r.id for r in out) == sorted(r[0] for r in rows)
+    by_seq: dict = {}
+    for r in out:
+        by_seq.setdefault((r.group, r.seq_id), []).append(r)
+    for (_, _), members in by_seq.items():
+        total = sum(r.n_tokens for r in members)
+        # budget respected unless a single oversize doc
+        assert total <= 512 or len(members) == 1
+        assert all(r.seq_tokens == total for r in members)
+    # greedy fill is maximal: the doc that OPENED sequence s+1 (its min id)
+    # would have overflowed sequence s
+    for grp in ("en", "fr"):
+        grp_rows = [r for r in out if r.group == grp]
+        seqs = sorted({r.seq_id for r in grp_rows})
+        assert seqs == list(range(len(seqs)))  # contiguous ids from 0
+        for s_prev, s_next in zip(seqs, seqs[1:]):
+            prev_total = sum(r.n_tokens for r in grp_rows if r.seq_id == s_prev)
+            opener = min(
+                (r for r in grp_rows if r.seq_id == s_next), key=lambda r: r.id
+            )
+            assert prev_total + opener.n_tokens > 512
+
+    # determinism: second run identical
+    out2 = packing.pack_sequences(
+        df, token_col="n_tokens", group_col="lang", id_col="doc_id", max_tokens=512
+    ).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))

@@ -86,4 +86,5 @@ def test_every_query_has_callable_and_oracle_consistency():
         "media_features",
         "percentile_approx",
         "stratified_sample",
+        "sequence_pack",
     }
