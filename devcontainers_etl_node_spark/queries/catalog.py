@@ -1888,6 +1888,128 @@ def date_arith_tier2(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@query(
+    "upsert_latest",
+    """
+    WITH changes AS (
+        SELECT c_custkey, c_name, round(c_acctbal + 100, 2) AS c_acctbal,
+               c_mktsegment, 1 AS version
+        FROM customer WHERE c_custkey % 7 = 0
+        UNION ALL
+        SELECT c_custkey + 1000000, c_name, c_acctbal, c_mktsegment, 1 AS version
+        FROM customer WHERE c_custkey % 11 = 0),
+    base AS (
+        SELECT c_custkey, c_name, c_acctbal, c_mktsegment, 0 AS version FROM customer),
+    unioned AS (SELECT * FROM base UNION ALL SELECT * FROM changes),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY c_custkey ORDER BY version DESC) AS rn
+        FROM unioned)
+    SELECT c_custkey, c_name, round(c_acctbal, 2) AS acctbal, c_mktsegment, version
+    FROM ranked WHERE rn = 1
+    """,
+)
+def upsert_latest(spark: SparkSession, sf: str) -> DataFrame:
+    """MERGE/upsert semantics without a table format: apply a changelog
+    (updates + inserts, derived deterministically from the corpus) over a
+    base snapshot as union-all → row_number by version → keep latest.
+    This is the engine's batch spelling of SCD-1; the shuffle is one
+    window partition by key (same cost class as the groupBy a real MERGE
+    does), and it is the foreachBatch body used for streaming upserts."""
+    c = table(spark, sf, "customer")
+    base = c.select("c_custkey", "c_name", "c_acctbal", "c_mktsegment").withColumn(
+        "version", F.lit(0)
+    )
+    updates = (
+        c.filter(F.col("c_custkey") % 7 == 0)
+        .select(
+            "c_custkey",
+            "c_name",
+            F.round(F.col("c_acctbal") + 100, 2).alias("c_acctbal"),
+            "c_mktsegment",
+        )
+        .withColumn("version", F.lit(1))
+    )
+    inserts = (
+        c.filter(F.col("c_custkey") % 11 == 0)
+        .select(
+            (F.col("c_custkey") + 1000000).alias("c_custkey"),
+            "c_name",
+            "c_acctbal",
+            "c_mktsegment",
+        )
+        .withColumn("version", F.lit(1))
+    )
+    unioned = base.unionByName(updates).unionByName(inserts)
+    w = Window.partitionBy("c_custkey").orderBy(F.col("version").desc())
+    return (
+        unioned.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "c_custkey",
+            "c_name",
+            F.round("c_acctbal", 2).alias("acctbal"),
+            "c_mktsegment",
+            "version",
+        )
+    )
+
+
+@query(
+    "incremental_rollup",
+    """
+    WITH old_part AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               COUNT(*) AS n, SUM(CAST(value AS DECIMAL(18,4))) AS sv
+        FROM events WHERE CAST(ts AS DATE) < DATE '2024-01-20'
+        GROUP BY event_type, CAST(ts AS DATE)),
+    new_part AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               COUNT(*) AS n, SUM(CAST(value AS DECIMAL(18,4))) AS sv
+        FROM events WHERE CAST(ts AS DATE) >= DATE '2024-01-20'
+        GROUP BY event_type, CAST(ts AS DATE)),
+    merged AS (
+        SELECT event_type, day, SUM(n) AS n, SUM(sv) AS sv
+        FROM (SELECT * FROM old_part UNION ALL SELECT * FROM new_part)
+        GROUP BY event_type, day)
+    SELECT event_type, day, CAST(n AS BIGINT) AS n_events,
+           CAST(sv AS DOUBLE) AS sum_value,
+           CAST(sv AS DOUBLE) / n AS avg_value
+    FROM merged
+    """,
+)
+def incremental_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental aggregate maintenance: a pre-existing rollup and a new
+    partition are each aggregated separately, then MERGED by re-summing —
+    valid because count/decimal-sum are commutative monoids (avg rides
+    sum/count; never store avg). This union-of-partials shape is how a
+    100 TB daily rollup absorbs one new day without rescanning history,
+    and it is exactly Spark's own partial-agg contract surfaced at the
+    query level. Oracle recomputes the same two-phase merge."""
+    ev = table(spark, sf, "events")
+    day = F.col("ts").cast("date")
+    cutoff = F.lit("2024-01-20").cast("date")
+
+    def part(df):
+        return df.groupBy("event_type", day.alias("day")).agg(
+            F.count(F.lit(1)).alias("n"), F.sum(_dec("value")).alias("sv")
+        )
+
+    old_part = part(ev.filter(day < cutoff))
+    new_part = part(ev.filter(day >= cutoff))
+    return (
+        old_part.unionByName(new_part)
+        .groupBy("event_type", "day")
+        .agg(F.sum("n").alias("n"), F.sum("sv").alias("sv"))
+        .select(
+            "event_type",
+            "day",
+            F.col("n").cast("long").alias("n_events"),
+            F.col("sv").cast("double").alias("sum_value"),
+            (F.col("sv").cast("double") / F.col("n")).alias("avg_value"),
+        )
+    )
+
+
 @query("sequence_pack")  # sequential recurrence → no SQL oracle, rows-only
 def sequence_pack(spark: SparkSession, sf: str) -> DataFrame:
     """Greedy packing of curated documents into 512-token training
