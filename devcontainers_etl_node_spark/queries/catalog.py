@@ -765,6 +765,37 @@ def events_hourly(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "events_sliding",
+    """
+    WITH slots AS (
+        SELECT event_type, value,
+               unnest([date_trunc('minute', ts) - (EXTRACT(minute FROM ts)::INT % 30) * INTERVAL 1 MINUTE,
+                       date_trunc('minute', ts) - (EXTRACT(minute FROM ts)::INT % 30) * INTERVAL 1 MINUTE
+                         - INTERVAL 30 MINUTE]) AS win_start
+        FROM events)
+    SELECT strftime(win_start, '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type, COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+    FROM slots
+    GROUP BY 1, 2
+    """,
+)
+def events_sliding(spark: SparkSession, sf: str) -> DataFrame:
+    """Sliding-window aggregation, batch twin: 1-hour windows every 30
+    minutes — each event lands in exactly size/slide = 2 windows, which
+    Spark's window() expresses directly (it expands to the slot list
+    before the shuffle; map-side partial aggs still apply). The DuckDB
+    twin materializes the same two slot starts per event via unnest.
+    The streaming form is the same plan + a watermark."""
+    ev = table(spark, sf, "events")
+    win = F.window("ts", "1 hour", "30 minutes")
+    return ev.groupBy(
+        F.date_format(win.start, "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type",
+    ).agg(F.count(F.lit(1)).alias("n_events"), _dsum("value").alias("sum_value"))
+
+
+@query(
     "percentile_value",
     """
     SELECT event_type,

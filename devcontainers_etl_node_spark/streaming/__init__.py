@@ -3,6 +3,7 @@ from devcontainers_etl_node_spark.streaming.pipeline import (
     deduped_events,
     hourly_event_counts,
     session_windows,
+    upsert_sink,
     user_running_totals,
 )
 
@@ -11,5 +12,6 @@ __all__ = [
     "hourly_event_counts",
     "deduped_events",
     "session_windows",
+    "upsert_sink",
     "user_running_totals",
 ]

@@ -137,3 +137,38 @@ def session_windows(events: DataFrame, gap: str = "30 minutes", watermark: str =
             "n_events",
         )
     )
+
+
+def upsert_sink(target_path: str, key_cols: list[str], version_col: str):
+    """foreachBatch body applying each micro-batch as an SCD-1 changelog
+    over a parquet target: union base + batch, keep the latest version
+    per key (the streaming form of the batch ``upsert_latest`` query).
+
+    The merged result is materialized via ``localCheckpoint`` BEFORE the
+    overwrite — the plan reads the same files it is about to replace, so
+    writing lazily would corrupt the read. On a real deployment the
+    target is a table format (Delta/Iceberg MERGE) or a JDBC upsert;
+    plain parquet here keeps the test hermetic while exercising the same
+    merge plan. State per batch is one window shuffle over base+batch —
+    at 100 TB the base must be partitioned on the key so the merge
+    rewrites only matched partitions (dynamic partition overwrite).
+    """
+    from pyspark.sql import Window
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        try:
+            base = spark.read.parquet(target_path)
+            unioned = base.unionByName(batch_df)
+        except Exception:  # first batch: target does not exist yet
+            unioned = batch_df
+        w = Window.partitionBy(*key_cols).orderBy(F.col(version_col).desc())
+        latest = (
+            unioned.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+            .localCheckpoint(eager=True)
+        )
+        latest.write.mode("overwrite").parquet(target_path)
+
+    return apply

@@ -203,3 +203,41 @@ def test_stream_stream_join_matches_batch_twin(spark, tmp_path):
         for r in click_purchase_join(*split(batch)).collect()
     }
     assert got == expected == {(1, 2), (4, 3)}
+
+
+def test_streaming_upsert_sink_keeps_latest_per_key(spark, tmp_path):
+    """foreachBatch SCD-1 merge: across micro-batches the target holds
+    exactly one row per key — the latest by version — matching the batch
+    upsert_latest semantics."""
+    from devcontainers_etl_node_spark.streaming import upsert_sink
+
+    t0 = datetime.datetime(2024, 1, 1, 10, 0, 0)
+    src, ckpt, tgt = tmp_path / "src", tmp_path / "ckpt", tmp_path / "tgt"
+
+    def run_until_drained():
+        q = (
+            spark.readStream.schema(EVENTS_SCHEMA)
+            .parquet(str(src))
+            .writeStream.option("checkpointLocation", str(ckpt))
+            .outputMode("append")
+            .foreachBatch(upsert_sink(str(tgt), ["user_id"], "ts"))
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    batch1 = [(1, t0, 1, "click", 1.0, "{}"), (2, t0, 2, "view", 2.0, "{}")]
+    spark.createDataFrame(batch1, EVENTS_SCHEMA).write.mode("overwrite").parquet(str(src))
+    run_until_drained()
+    got = {r.user_id: (r.event_id, r.value) for r in spark.read.parquet(str(tgt)).collect()}
+    assert got == {1: (1, 1.0), 2: (2, 2.0)}
+
+    # batch 2 updates user 1 and inserts user 3
+    batch2 = [
+        (3, t0 + datetime.timedelta(minutes=5), 1, "click", 9.0, "{}"),
+        (4, t0 + datetime.timedelta(minutes=6), 3, "view", 4.0, "{}"),
+    ]
+    spark.createDataFrame(batch2, EVENTS_SCHEMA).write.mode("append").parquet(str(src))
+    run_until_drained()
+    got = {r.user_id: (r.event_id, r.value) for r in spark.read.parquet(str(tgt)).collect()}
+    assert got == {1: (3, 9.0), 2: (2, 2.0), 3: (4, 4.0)}
