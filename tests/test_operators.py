@@ -372,3 +372,30 @@ def test_pack_sequences_invariants(spark):
         df, token_col="n_tokens", group_col="lang", id_col="doc_id", max_tokens=512
     ).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+
+
+def test_star_contraction_matches_label_propagation(spark):
+    import random
+
+    from devcontainers_etl_node_spark.operators import graph
+
+    random.seed(11)
+    es = [(random.randrange(120), random.randrange(120)) for _ in range(150)]
+    df = spark.createDataFrame(es, ["id_a", "id_b"]).filter("id_a != id_b")
+    a = {r.node: r.component for r in graph.connected_components(df).collect()}
+    b = {r.node: r.component for r in graph.connected_components_star(df).collect()}
+    assert a == b
+
+
+def test_star_contraction_long_chain_logarithmic(spark):
+    from devcontainers_etl_node_spark.operators import graph
+
+    # a 200-hop chain needs ~200 label-propagation rounds; star contraction
+    # must finish within max_iter=10 (O(log n)) or the labels come out wrong
+    n = 200
+    edges = spark.createDataFrame([(i, i + 1) for i in range(n)], ["id_a", "id_b"])
+    got = {
+        r.node: r.component
+        for r in graph.connected_components_star(edges, max_iter=10).collect()
+    }
+    assert got == {i: 0 for i in range(n + 1)}
