@@ -796,6 +796,80 @@ def events_sliding(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "window_time_range",
+    """
+    SELECT event_id, user_id,
+           COUNT(*) OVER w AS n_last_hour,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE) AS sum_last_hour
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+    """,
+)
+def window_time_range(spark: SparkSession, sf: str) -> DataFrame:
+    """Rolling time-RANGE frame: per-user trailing-1-hour count and sum.
+    The order key is epoch MICROSECONDS (unix_micros) so the frame
+    boundary is exact at the data's native precision on both engines —
+    ordering by seconds would quietly merge sub-second neighbors. This
+    frame is the batch twin of a sliding stream aggregate, and unlike
+    events_sliding it is per-ROW trailing, not per-slot."""
+    ev = table(spark, sf, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("n_last_hour"),
+        F.sum(_dec("value")).over(w).cast("double").alias("sum_last_hour"),
+    )
+
+
+@query(
+    "top_unshipped_orders",
+    """
+    SELECT o.o_orderkey,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(19,6))) AS DOUBLE) AS revenue,
+           CAST(o.o_orderdate AS DATE) AS order_date
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND CAST(o.o_orderdate AS DATE) < DATE '1995-03-15'
+      AND CAST(l.l_shipdate AS DATE) > DATE '1995-03-15'
+    GROUP BY o.o_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, o.o_orderkey
+    LIMIT 10
+    """,
+)
+def top_unshipped_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q3 shape: the classic 3-way join + filtered agg + top-k
+    composite. The segment filter prunes customer BEFORE the join (it is
+    the broadcast side); lineitem's shipdate predicate is pushed to the
+    scan. Revenue is the exact-decimal product-sum; the LIMIT is fully
+    tie-broken by orderkey."""
+    c = table(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    o = table(spark, sf, "orders").filter(F.col("o_orderdate").cast("date") < F.lit("1995-03-15"))
+    li = table(spark, sf, "lineitem").filter(F.col("l_shipdate").cast("date") > F.lit("1995-03-15"))
+    revenue = F.sum(
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(19,6)")
+    ).cast("double")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(revenue.alias("revenue"))
+        .select(
+            "o_orderkey", "revenue", F.col("o_orderdate").cast("date").alias("order_date")
+        )
+        .orderBy(F.col("revenue").desc(), "o_orderkey")
+        .limit(10)
+    )
+
+
+@query(
     "percentile_value",
     """
     SELECT event_type,
