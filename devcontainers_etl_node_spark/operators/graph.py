@@ -32,6 +32,26 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark import StorageLevel
 
 
+def _make_truncate(df: DataFrame):
+    """Lineage truncation strategy for iterative loops (module docstring):
+    localCheckpoint by default; with a checkpoint dir set, reliable
+    checkpoint with a transient persist (avoids the double compute of
+    checkpointing an uncached plan, then releases the blocks — the
+    CacheManager holds strong refs, so an unpaired persist per iteration
+    would leak for the session lifetime)."""
+    reliable = df.sparkSession.sparkContext.getCheckpointDir() is not None
+
+    def _truncate(d: DataFrame) -> DataFrame:
+        if reliable:
+            cached = d.persist(StorageLevel.MEMORY_AND_DISK)
+            out = cached.checkpoint(eager=True)
+            cached.unpersist()
+            return out
+        return d.localCheckpoint(eager=True)
+
+    return _truncate
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "id_a",
@@ -42,16 +62,11 @@ def connected_components(
 
     Returns (node, component) for every node that appears in an edge;
     `component` is the minimum node id in the component. Deterministic.
+    Raises if `max_iter` rounds pass without convergence (wrong labels
+    must never be returned silently — the caller can retry with a higher
+    bound or switch to ``connected_components_star``).
     """
-    sc = edges.sparkSession.sparkContext
-    reliable = sc.getCheckpointDir() is not None
-
-    def _truncate(df: DataFrame) -> DataFrame:
-        """Materialize and CUT LINEAGE (see module docstring)."""
-        if reliable:
-            df = df.persist(StorageLevel.MEMORY_AND_DISK).checkpoint(eager=True)
-            return df
-        return df.localCheckpoint(eager=True)
+    _truncate = _make_truncate(edges)
 
     both = _truncate(
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
@@ -83,8 +98,12 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
-            break
-    return labels
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} iterations "
+        "(graph diameter exceeds the bound) — raise max_iter or use "
+        "connected_components_star (O(log n) rounds)"
+    )
 
 
 def connected_components_star(
@@ -112,16 +131,18 @@ def connected_components_star(
     component's minimum. Convergence is detected by an edge-set
     signature (count + two independent hash sums — no full comparison
     join). Lineage is truncated per round exactly as in
-    ``connected_components`` (see module docstring).
+    ``connected_components`` (see module docstring). Raises on
+    non-convergence within `max_iter` rounds.
     """
-    spark = edges.sparkSession
-    reliable = spark.sparkContext.getCheckpointDir() is not None
+    _truncate = _make_truncate(edges)
 
-    def _truncate(df: DataFrame) -> DataFrame:
-        if reliable:
-            return df.persist(StorageLevel.MEMORY_AND_DISK).checkpoint(eager=True)
-        return df.localCheckpoint(eager=True)
-
+    # every node that appears in any edge — self-loop-only nodes must
+    # still come out labeled (same contract as connected_components)
+    all_nodes = _truncate(
+        edges.select(F.col(src).alias("node"))
+        .union(edges.select(F.col(dst).alias("node")))
+        .distinct()
+    )
     # canonical current edge set: (a, b) pairs, self-loops dropped
     cur = _truncate(
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
@@ -150,6 +171,7 @@ def connected_components_star(
         return (row.n, row.h1, row.h2)
 
     sig = _signature(cur)
+    converged = False
     for _ in range(max_iter):
         both = _sym(cur)
         mins = both.groupBy("u").agg(F.min("v").alias("mv"))
@@ -175,12 +197,22 @@ def connected_components_star(
         cur = _truncate(ss)
         new_sig = _signature(cur)
         if new_sig == sig:
+            converged = True
             break
         sig = new_sig
+    if not converged:
+        raise RuntimeError(
+            f"connected_components_star did not converge in {max_iter} rounds "
+            "— raise max_iter (expected rounds ~ log2(n))"
+        )
 
-    # fixpoint: stars (child → root). Roots label themselves.
-    return (
+    # fixpoint: stars (child → root). Roots label themselves; nodes with
+    # no surviving edge (singletons incl. self-loop-only) label themselves.
+    labeled = (
         cur.select(F.col("a").alias("node"), F.col("b").alias("component"))
         .union(cur.select(F.col("b").alias("node"), F.col("b").alias("component")))
         .distinct()
+    )
+    return all_nodes.join(labeled, "node", "left").select(
+        "node", F.coalesce("component", "node").alias("component")
     )

@@ -58,6 +58,12 @@ def pack_sequences(
         import pandas as pd
 
         pdf = pdf.sort_values("id", kind="stable").reset_index(drop=True)
+        # a NULL token count arrives as NaN (pandas nullable→float64) and
+        # every NaN comparison is False — the budget check would silently
+        # pass forever after. Fail loudly instead of packing garbage.
+        if pdf["n_tokens"].isna().any():
+            bad = pdf.loc[pdf["n_tokens"].isna(), "id"].tolist()[:5]
+            raise ValueError(f"pack_sequences: NULL token counts for ids {bad}")
         seq_ids = []
         seq, used = 0, 0
         for t in pdf["n_tokens"]:

@@ -2007,7 +2007,9 @@ def date_arith_tier2(spark: SparkSession, sf: str) -> DataFrame:
         SELECT c_custkey, c_name, c_acctbal, c_mktsegment, 0 AS version FROM customer),
     unioned AS (SELECT * FROM base UNION ALL SELECT * FROM changes),
     ranked AS (
-        SELECT *, ROW_NUMBER() OVER (PARTITION BY c_custkey ORDER BY version DESC) AS rn
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY c_custkey
+            ORDER BY version DESC, c_acctbal, c_name, c_mktsegment) AS rn
         FROM unioned)
     SELECT c_custkey, c_name, round(c_acctbal, 2) AS acctbal, c_mktsegment, version
     FROM ranked WHERE rn = 1
@@ -2045,7 +2047,12 @@ def upsert_latest(spark: SparkSession, sf: str) -> DataFrame:
         .withColumn("version", F.lit(1))
     )
     unioned = base.unionByName(updates).unionByName(inserts)
-    w = Window.partitionBy("c_custkey").orderBy(F.col("version").desc())
+    # the value columns tie-break: at scale factors where custkey+1e6
+    # collides with a real key, two version=1 rows exist for one key and
+    # an untied row_number would be engine-dependent
+    w = Window.partitionBy("c_custkey").orderBy(
+        F.col("version").desc(), "c_acctbal", "c_name", "c_mktsegment"
+    )
     return (
         unioned.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
@@ -2361,7 +2368,13 @@ def exists_subquery(spark: SparkSession, sf: str) -> DataFrame:
     views runs the same catalog). TPC-H Q4 shape on this corpus's columns:
     orders in a quarter with at least one returned line, counted by
     priority. Catalyst rewrites the correlated EXISTS to a left-semi
-    hash join on l_orderkey — same physical plan the API form would get."""
+    hash join on l_orderkey — same physical plan the API form would get.
+    Views are engine-prefixed: bare names would clobber/shadow other
+    temp views in the shared session catalog."""
     for t in ("orders", "lineitem"):
-        table(spark, sf, t).createOrReplaceTempView(t)
-    return spark.sql(_EXISTS_SQL)
+        table(spark, sf, t).createOrReplaceTempView(f"_gs_ex_{t}")
+    return spark.sql(
+        _EXISTS_SQL.replace("FROM orders", "FROM _gs_ex_orders").replace(
+            "FROM lineitem", "FROM _gs_ex_lineitem"
+        )
+    )

@@ -156,12 +156,20 @@ def upsert_sink(target_path: str, key_cols: list[str], version_col: str):
     from pyspark.sql import Window
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.errors import AnalysisException
+
         spark = batch_df.sparkSession
+        # ONLY path-not-found means "first batch". Any other failure
+        # (schema drift, corrupt files, storage errors) must propagate —
+        # swallowing it would make the overwrite below silently discard
+        # the entire previously-merged target.
         try:
             base = spark.read.parquet(target_path)
-            unioned = base.unionByName(batch_df)
-        except Exception:  # first batch: target does not exist yet
-            unioned = batch_df
+        except AnalysisException as e:
+            if "PATH_NOT_FOUND" not in str(e) and "Path does not exist" not in str(e):
+                raise
+            base = None
+        unioned = batch_df if base is None else base.unionByName(batch_df)
         w = Window.partitionBy(*key_cols).orderBy(F.col(version_col).desc())
         latest = (
             unioned.withColumn("_rn", F.row_number().over(w))

@@ -399,3 +399,36 @@ def test_star_contraction_long_chain_logarithmic(spark):
         for r in graph.connected_components_star(edges, max_iter=10).collect()
     }
     assert got == {i: 0 for i in range(n + 1)}
+
+
+def test_star_contraction_keeps_self_loop_singletons(spark):
+    from devcontainers_etl_node_spark.operators import graph
+
+    edges = spark.createDataFrame([(5, 5), (1, 2)], ["id_a", "id_b"])
+    got = {r.node: r.component for r in graph.connected_components_star(edges).collect()}
+    assert got == {5: 5, 1: 1, 2: 1}
+
+
+def test_connected_components_raises_on_nonconvergence(spark):
+    import pytest
+
+    from devcontainers_etl_node_spark.operators import graph
+
+    edges = spark.createDataFrame([(i, i + 1) for i in range(30)], ["id_a", "id_b"])
+    with pytest.raises(RuntimeError, match="did not converge"):
+        graph.connected_components(edges, max_iter=3)
+
+
+def test_pack_sequences_rejects_null_tokens(spark):
+    import pytest
+
+    from devcontainers_etl_node_spark.operators import packing
+
+    df = spark.createDataFrame(
+        [(1, "en", 100), (2, "en", None), (3, "en", 400)],
+        "doc_id long, lang string, n_tokens long",
+    )
+    with pytest.raises(Exception, match="NULL token counts"):
+        packing.pack_sequences(
+            df, token_col="n_tokens", group_col="lang", id_col="doc_id", max_tokens=512
+        ).collect()
