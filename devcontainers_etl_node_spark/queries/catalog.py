@@ -2378,3 +2378,187 @@ def exists_subquery(spark: SparkSession, sf: str) -> DataFrame:
             "FROM lineitem", "FROM _gs_ex_lineitem"
         )
     )
+
+
+@query(
+    "median_mode",
+    """
+    WITH med AS (
+        SELECT l_returnflag, COUNT(*) AS n,
+               median(l_quantity) AS med_qty
+        FROM lineitem GROUP BY l_returnflag),
+    qc AS (
+        SELECT l_returnflag, l_quantity AS v, COUNT(*) AS cnt
+        FROM lineitem GROUP BY l_returnflag, l_quantity),
+    qr AS (
+        SELECT l_returnflag, v,
+               ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                  ORDER BY cnt DESC, v) AS rn
+        FROM qc),
+    sc AS (
+        SELECT l_returnflag, l_linestatus AS s, COUNT(*) AS cnt
+        FROM lineitem GROUP BY l_returnflag, l_linestatus),
+    sr AS (
+        SELECT l_returnflag, s,
+               ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                  ORDER BY cnt DESC, s) AS rn
+        FROM sc)
+    SELECT med.l_returnflag, med.n, med.med_qty,
+           qr.v AS mode_qty, sr.s AS mode_status
+    FROM med
+    JOIN qr ON qr.l_returnflag = med.l_returnflag AND qr.rn = 1
+    JOIN sr ON sr.l_returnflag = med.l_returnflag AND sr.rn = 1
+    """,
+)
+def median_mode(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact order statistics as single-pass aggregates: median (exact
+    50th percentile, interpolating on even counts) and deterministic mode
+    (ties broken toward the LOWEST value — Spark's mode(deterministic=True)
+    contract, which the oracle reproduces with a count-desc/value-asc
+    row_number since DuckDB's mode() is arbitrary on ties). l_quantity is
+    integer-valued so the even-count midpoint is exact in binary on both
+    engines. Median is NOT percentile_approx — it sorts within each group
+    (Spark: partial TreeMap aggregation), fine for bounded group counts."""
+    li = table(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.median("l_quantity").alias("med_qty"),
+        F.mode("l_quantity", True).alias("mode_qty"),
+        F.mode("l_linestatus", True).alias("mode_status"),
+    )
+
+
+@query(
+    "regr_stats",
+    """
+    WITH s AS (
+        SELECT l_returnflag,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(19,4)) * CAST(l_quantity AS DECIMAL(19,4))) AS DOUBLE) AS sxx,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,4)) * CAST(l_extendedprice AS DECIMAL(19,4))) AS DOUBLE) AS syy,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(19,4)) * CAST(l_extendedprice AS DECIMAL(19,4))) AS DOUBLE) AS sxy
+        FROM lineitem GROUP BY l_returnflag)
+    SELECT l_returnflag, n,
+           round(sx / n, 6) AS avg_x,
+           round(sy / n, 6) AS avg_y,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+           round(sy / n - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * (sx / n), 6) AS intercept,
+           round(((n * sxy - sx * sy) * (n * sxy - sx * sy)) /
+                 ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+    FROM s
+    """,
+)
+def regr_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Linear-regression aggregate family (regr_slope / regr_intercept /
+    regr_r2 / regr_avgx / regr_avgy semantics) of l_extendedprice on
+    l_quantity per return flag, computed from exact decimal sums — one
+    shuffle-free partial-aggregate pass, then a fixed sequence of IEEE
+    double ops identical on both engines (native regr_* accumulate in
+    float with engine-dependent order; see `correlation`)."""
+    li = table(spark, sf, "lineitem")
+    x, y = _dec("l_quantity"), _dec("l_extendedprice")
+    agg = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(x * x).cast("double").alias("sxx"),
+        F.sum(y * y).cast("double").alias("syy"),
+        F.sum(x * y).cast("double").alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return agg.select(
+        "l_returnflag",
+        "n",
+        F.round(sx / n, 6).alias("avg_x"),
+        F.round(sy / n, 6).alias("avg_y"),
+        F.round(slope, 6).alias("slope"),
+        F.round(sy / n - slope * (sx / n), 6).alias("intercept"),
+        F.round(
+            ((n * sxy - sx * sy) * (n * sxy - sx * sy))
+            / ((n * sxx - sx * sx) * (n * syy - sy * sy)),
+            6,
+        ).alias("r2"),
+    )
+
+
+@query(
+    "map_higher_order",
+    """
+    WITH base AS (
+        SELECT event_id,
+               CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) AS DOUBLE) AS kd,
+               CAST(user_id AS DOUBLE) AS uid,
+               value AS val
+        FROM events)
+    SELECT event_id,
+           3 AS n_entries,
+           kd + 2 * kd AS k_tripled,
+           coalesce(array_to_string(
+               list_sort(list_filter(['k', 'uid', 'val'],
+                   x -> CASE x WHEN 'k' THEN kd > 50
+                               WHEN 'uid' THEN uid > 50
+                               ELSE val > 50 END)), ','), '') AS big_keys
+    FROM base
+    """,
+)
+def map_higher_order(spark: SparkSession, sf: str) -> DataFrame:
+    """Map higher-order surface: build a real MapType from columns
+    (create_map), then transform_values, map_zip_with, map_filter,
+    map_keys — all JVM-side lambda expressions, no UDF. The oracle
+    computes the same scalars straight from the columns (DuckDB has no
+    map_zip_with; semantics, not spelling, are what's checked).
+    element_at on a missing key would be an ANSI error — F.get is for
+    arrays only, so the zip result is read via try_element_at."""
+    ev = table(spark, sf, "events")
+    kd = F.get_json_object("props", "$.k").cast("bigint").cast("double")
+    m = F.create_map(
+        F.lit("k"), kd,
+        F.lit("uid"), F.col("user_id").cast("double"),
+        F.lit("val"), F.col("value"),
+    )
+    doubled = F.transform_values(m, lambda _, v: v * 2)
+    zipped = F.map_zip_with(m, doubled, lambda _, a, b: a + b)
+    big = F.map_filter(m, lambda _, v: v > 50)
+    return ev.select(
+        "event_id",
+        F.size(m).alias("n_entries"),
+        F.try_element_at(zipped, F.lit("k")).alias("k_tripled"),
+        F.array_join(F.array_sort(F.map_keys(big)), ",").alias("big_keys"),
+    )
+
+
+@query(
+    "stack_inline",
+    """
+    SELECT p_partkey, 'retail' AS metric, p_retailprice AS value FROM part
+    UNION ALL
+    SELECT p_partkey, 'size', CAST(p_size AS DOUBLE) FROM part
+    UNION ALL
+    SELECT p_partkey, 'name_len', CAST(length(p_name) AS DOUBLE) FROM part
+    """,
+)
+def stack_inline(spark: SparkSession, sf: str) -> DataFrame:
+    """Generator-expression wide→long: inline() over an inline-built
+    array<struct> — the table-function cousin of unpivot (see
+    unpivot_metrics) and the SQL stack() form. One scan of part produces
+    3 rows per input row with NO shuffle and no union of re-scans (the
+    oracle's UNION ALL re-reads the table 3× — at 100 TB the generator
+    form is strictly better)."""
+    p = table(spark, sf, "part")
+    entry_ = lambda name, col: F.struct(  # noqa: E731
+        F.lit(name).alias("metric"), col.cast("double").alias("value")
+    )
+    return p.select(
+        "p_partkey",
+        F.inline(
+            F.array(
+                entry_("retail", F.col("p_retailprice")),
+                entry_("size", F.col("p_size")),
+                entry_("name_len", F.length("p_name")),
+            )
+        ),
+    )

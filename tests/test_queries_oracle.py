@@ -43,6 +43,9 @@ FAST_ORACLED = [
     "token_stats",
     "knn_cosine",
     "binary_plumbing",
+    "median_mode",
+    "map_higher_order",
+    "stack_inline",
 ]
 
 
