@@ -14,7 +14,9 @@ prefix trees and MergeTree DDL.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+import math
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 
 def write_bucketed_table(
@@ -76,3 +78,80 @@ def write_lakehouse_table(
         .partitionBy("ym")
         .parquet(path)
     )
+
+
+def overwrite_partitions(df: DataFrame, path: str, partition_cols: list[str]) -> None:
+    """Dynamic partition overwrite: replace ONLY the partitions present in
+    ``df``, leave every other partition untouched.
+
+    This is the scale-correct incremental write: a daily batch touching 1
+    of 3000 date partitions rewrites 1/3000th of the table, while plain
+    ``mode("overwrite")`` would truncate ALL of it. The per-write option
+    is used (not the session config) so one writer's choice can't leak
+    into unrelated writes on the shared session.
+    """
+    (
+        df.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*partition_cols)
+        .parquet(path)
+    )
+
+
+def compact_small_files(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    partition_cols: list[str] | None = None,
+) -> dict[str, int]:
+    """Rewrite a parquet table into ~``target_file_bytes`` files.
+
+    The small-files problem is the classic long-running-ingest failure
+    mode: streaming/incremental writers leave thousands of KB-sized files
+    per partition, and at 100 TB the scan becomes metadata-bound (one
+    task + one open per file). This measures on-disk bytes via the Hadoop
+    FileSystem, computes the output file count, and rewrites through a
+    staging directory with an atomic-as-the-FS-allows swap (write staged
+    → delete original → rename) so a crash never leaves a half-compacted
+    table in place of the original — the staging dir survives for manual
+    recovery instead.
+
+    Partitioned tables pass ``partition_cols``: rows are shuffled by
+    partition key so each output partition dir gets coherent files.
+    Returns {files_before, files_after, bytes}.
+    """
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    src = jvm.org.apache.hadoop.fs.Path(path)
+    fs = src.getFileSystem(hconf)
+
+    def _stats(p) -> tuple[int, int]:
+        total, nfiles = 0, 0
+        it = fs.listFiles(p, True)
+        while it.hasNext():
+            f = it.next()
+            name = f.getPath().getName()
+            if not name.startswith("_") and not name.startswith("."):
+                total += f.getLen()
+                nfiles += 1
+        return total, nfiles
+
+    total_bytes, files_before = _stats(src)
+    n_out = max(1, math.ceil(total_bytes / target_file_bytes))
+    df = spark.read.parquet(path)
+
+    staging = path.rstrip("/") + ".__compact_staging__"
+    staging_p = jvm.org.apache.hadoop.fs.Path(staging)
+    if fs.exists(staging_p):  # leftover from a previous crash
+        fs.delete(staging_p, True)
+    if partition_cols:
+        out = df.repartition(n_out, *[F.col(c) for c in partition_cols])
+        out.write.mode("overwrite").partitionBy(*partition_cols).parquet(staging)
+    else:
+        df.repartition(n_out).write.mode("overwrite").parquet(staging)
+
+    fs.delete(src, True)
+    if not fs.rename(staging_p, src):
+        raise IOError(f"compact_small_files: rename {staging} -> {path} failed")
+    _, files_after = _stats(src)
+    return {"files_before": files_before, "files_after": files_after, "bytes": total_bytes}

@@ -4,6 +4,7 @@ from devcontainers_etl_node_spark.streaming.pipeline import (
     hourly_event_counts,
     session_windows,
     upsert_sink,
+    upsert_sink_partitioned,
     user_running_totals,
 )
 
@@ -13,5 +14,6 @@ __all__ = [
     "deduped_events",
     "session_windows",
     "upsert_sink",
+    "upsert_sink_partitioned",
     "user_running_totals",
 ]

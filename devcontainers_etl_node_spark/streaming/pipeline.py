@@ -180,3 +180,53 @@ def upsert_sink(target_path: str, key_cols: list[str], version_col: str):
         latest.write.mode("overwrite").parquet(target_path)
 
     return apply
+
+
+def upsert_sink_partitioned(
+    target_path: str, key_cols: list[str], version_col: str, partition_col: str
+):
+    """Partition-scoped SCD-1 foreachBatch merge — the 100 TB form of
+    ``upsert_sink``. Each micro-batch only ever touches the partitions it
+    contains: the base read is pruned to those partition values and the
+    write uses dynamic partition overwrite, so a batch hitting 1 of 3000
+    partitions reads and rewrites 1/3000th of the table instead of all of
+    it.
+
+    Contract: ``partition_col`` must be immutable per key (a key never
+    moves between partitions) — the same constraint Hive/Delta static
+    partition merges carry; otherwise a stale copy of the key survives in
+    its old partition.
+
+    The distinct partition-value collect is bounded by the number of
+    partitions a micro-batch spans (days/months — tiny), not by rows.
+    """
+    from pyspark.sql import Window
+
+    from devcontainers_etl_node_spark.sinks.files import overwrite_partitions
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.errors import AnalysisException
+
+        spark = batch_df.sparkSession
+        parts = [r[0] for r in batch_df.select(partition_col).distinct().collect()]
+        if not parts:
+            return
+        try:
+            base = spark.read.parquet(target_path).filter(
+                F.col(partition_col).isin(parts)
+            )
+        except AnalysisException as e:
+            if "PATH_NOT_FOUND" not in str(e) and "Path does not exist" not in str(e):
+                raise
+            base = None
+        unioned = batch_df if base is None else base.unionByName(batch_df)
+        w = Window.partitionBy(*key_cols).orderBy(F.col(version_col).desc())
+        latest = (
+            unioned.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+            .localCheckpoint(eager=True)  # the plan reads files the write replaces
+        )
+        overwrite_partitions(latest, target_path, [partition_col])
+
+    return apply

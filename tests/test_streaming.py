@@ -241,3 +241,47 @@ def test_streaming_upsert_sink_keeps_latest_per_key(spark, tmp_path):
     run_until_drained()
     got = {r.user_id: (r.event_id, r.value) for r in spark.read.parquet(str(tgt)).collect()}
     assert got == {1: (3, 9.0), 2: (2, 2.0), 3: (4, 4.0)}
+
+
+def test_streaming_upsert_sink_partitioned_prunes_untouched(spark, tmp_path):
+    """Partition-scoped SCD-1 merge: correctness matches upsert_sink AND a
+    micro-batch that only touches one partition leaves the other
+    partition's files physically untouched (same names — no rewrite)."""
+    from devcontainers_etl_node_spark.streaming import upsert_sink_partitioned
+
+    t0 = datetime.datetime(2024, 1, 1, 10, 0, 0)
+    src, ckpt, tgt = tmp_path / "src", tmp_path / "ckpt", tmp_path / "tgt"
+
+    def run_until_drained():
+        q = (
+            spark.readStream.schema(EVENTS_SCHEMA)
+            .parquet(str(src))
+            .writeStream.option("checkpointLocation", str(ckpt))
+            .outputMode("append")
+            .foreachBatch(
+                upsert_sink_partitioned(str(tgt), ["user_id"], "ts", "event_type")
+            )
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    batch1 = [(1, t0, 1, "click", 1.0, "{}"), (2, t0, 2, "view", 2.0, "{}")]
+    spark.createDataFrame(batch1, EVENTS_SCHEMA).write.mode("overwrite").parquet(str(src))
+    run_until_drained()
+    got = {r.user_id: r.value for r in spark.read.parquet(str(tgt)).collect()}
+    assert got == {1: 1.0, 2: 2.0}
+    view_files_before = sorted(p.name for p in (tgt / "event_type=view").glob("*.parquet"))
+    assert view_files_before
+
+    # batch 2 touches ONLY the click partition: updates user 1, inserts user 3
+    batch2 = [
+        (3, t0 + datetime.timedelta(minutes=5), 1, "click", 9.0, "{}"),
+        (4, t0 + datetime.timedelta(minutes=6), 3, "click", 4.0, "{}"),
+    ]
+    spark.createDataFrame(batch2, EVENTS_SCHEMA).write.mode("append").parquet(str(src))
+    run_until_drained()
+    got = {r.user_id: r.value for r in spark.read.parquet(str(tgt)).collect()}
+    assert got == {1: 9.0, 2: 2.0, 3: 4.0}
+    view_files_after = sorted(p.name for p in (tgt / "event_type=view").glob("*.parquet"))
+    assert view_files_after == view_files_before
