@@ -2562,3 +2562,336 @@ def stack_inline(spark: SparkSession, sf: str) -> DataFrame:
             )
         ),
     )
+
+
+# =========================================================================
+# TPC-H-style multi-join composites, tier 2 (SURVEY §2.9; schema-adapted:
+# the driver corpus has no partsupp/shipmode/commentary columns, so Q7/Q10/
+# Q13/Q14/Q15/Q17/Q18 shapes are re-targeted onto the columns that exist)
+# =========================================================================
+
+
+@query(
+    "volume_shipping",
+    """
+    SELECT supp_nation, cust_nation, l_year,
+           CAST(SUM(volume) AS DOUBLE) AS revenue
+    FROM (
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               year(l.l_shipdate) AS l_year,
+               CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(19,6)) AS volume
+        FROM lineitem l
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+        WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+               OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+          AND CAST(l.l_shipdate AS DATE) BETWEEN DATE '1995-01-01' AND DATE '1996-12-31'
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def volume_shipping(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q7 shape: bilateral trade volume between two nations by ship
+    year. Scale design: the nation filter lands on the two *dimension*
+    copies first, so the broadcast joins against supplier/customer act as
+    map-side semi-filters on the fact — lineitem rows for other nation
+    pairs never reach the (only) aggregation shuffle. The shipdate range
+    predicate is pushed to the parquet scan."""
+    nations = ("NATION_1", "NATION_2")
+    n = table(spark, sf, "nation")
+    n1 = n.filter(F.col("n_name").isin(*nations)).select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = n.filter(F.col("n_name").isin(*nations)).select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    s = (
+        table(spark, sf, "supplier")
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .select("s_suppkey", "supp_nation")
+    )
+    c = (
+        table(spark, sf, "customer")
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .select("c_custkey", "cust_nation")
+    )
+    li = table(spark, sf, "lineitem").filter(
+        F.col("l_shipdate").cast("date").between("1995-01-01", "1996-12-31")
+    )
+    o = table(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    return (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(
+            F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(19,6)"))
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+@query(
+    "returned_items",
+    """
+    SELECT c.c_custkey, c.c_name, n.n_name AS nation_name,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(19,6))) AS DOUBLE) AS revenue
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND CAST(o.o_orderdate AS DATE) >= DATE '1995-01-01'
+      AND CAST(o.o_orderdate AS DATE) < DATE '1995-04-01'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY revenue DESC, c.c_custkey
+    LIMIT 20
+    """,
+)
+def returned_items(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q10 shape: lost-revenue-per-customer from returned items in a
+    quarter, top 20. The quarter filter prunes orders at the scan; the
+    returnflag filter prunes lineitem at the scan; customer/nation ride in
+    as broadcasts AFTER the fact-side aggregation input is minimized. The
+    top-k is tie-broken by c_custkey."""
+    c = table(spark, sf, "customer").select("c_custkey", "c_name", "c_nationkey")
+    n = table(spark, sf, "nation").select("n_nationkey", F.col("n_name").alias("nation_name"))
+    o = table(spark, sf, "orders").filter(
+        (F.col("o_orderdate").cast("date") >= F.lit("1995-01-01"))
+        & (F.col("o_orderdate").cast("date") < F.lit("1995-04-01"))
+    )
+    li = table(spark, sf, "lineitem").filter(F.col("l_returnflag") == "R")
+    rev = F.sum(
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(19,6)")
+    ).cast("double")
+    return (
+        li.join(o.select("o_orderkey", "o_custkey"), li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), F.col("o_custkey") == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "nation_name")
+        .agg(rev.alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+@query(
+    "customer_distribution",
+    """
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+        SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+        FROM customer c
+        LEFT JOIN orders o
+          ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+        GROUP BY c.c_custkey
+    ) c_orders
+    GROUP BY c_count
+    """,
+)
+def customer_distribution(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q13 shape: distribution of per-customer order counts with an
+    ON-clause filter on the outer side (customers with zero qualifying
+    orders must still appear, with c_count=0). Two-level aggregation: the
+    first groups on the join key (reuses the join's partitioning — no extra
+    shuffle under AQE), the second is a tiny histogram shuffle."""
+    c = table(spark, sf, "customer").select("c_custkey")
+    o = (
+        table(spark, sf, "orders")
+        .filter(F.col("o_orderpriority") != "1-URGENT")
+        .select("o_custkey", "o_orderkey")
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+    )
+
+
+@query(
+    "large_orders",
+    """
+    SELECT c.c_name, c.c_custkey, o.o_orderkey,
+           CAST(o.o_orderdate AS DATE) AS order_date,
+           o.o_totalprice AS total_price,
+           CAST(t.qty_sum_dec AS DOUBLE) AS sum_qty
+    FROM (
+        SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(18,4))) AS qty_sum_dec
+        FROM lineitem
+        GROUP BY l_orderkey
+        HAVING SUM(CAST(l_quantity AS DECIMAL(18,4))) > 260
+    ) t
+    JOIN orders o ON o.o_orderkey = t.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    ORDER BY total_price DESC, o.o_orderkey
+    LIMIT 100
+    """,
+)
+def large_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q18 shape: orders whose total quantity exceeds a threshold
+    (top ~1% at this corpus' distribution), joined back to orders+customer.
+    The HAVING runs on the *partial-aggregated* lineitem (map-side combine
+    shrinks the shuffle to one row per orderkey); the threshold compare is
+    in exact decimal so membership is identical on both engines. At scale
+    the big-side join key (o_orderkey) is the same key the agg just
+    shuffled on — AQE reuses the partitioning."""
+    li = table(spark, sf, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(_dec("l_quantity")).alias("qty_sum_dec"))
+        .filter(F.col("qty_sum_dec") > 260)
+    )
+    o = table(spark, sf, "orders")
+    c = table(spark, sf, "customer").select("c_custkey", "c_name")
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("order_date"),
+            F.col("o_totalprice").alias("total_price"),
+            F.col("qty_sum_dec").cast("double").alias("sum_qty"),
+        )
+        .orderBy(F.col("total_price").desc(), "o_orderkey")
+        .limit(100)
+    )
+
+
+@query(
+    "small_qty_revenue",
+    """
+    SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(19,6))) AS DOUBLE) / 7.0 AS avg_yearly,
+           COUNT(*) AS n_matched
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN (
+        SELECT l_partkey,
+               SUM(CAST(l_quantity AS DECIMAL(19,4))) AS qty_sum,
+               COUNT(*) AS n_li
+        FROM lineitem
+        GROUP BY l_partkey
+    ) t ON t.l_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#4'
+      AND CAST(l.l_quantity AS DECIMAL(19,4)) * 5 * t.n_li < t.qty_sum
+    """,
+)
+def small_qty_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue from small-quantity lineitems (qty below
+    20% of the part's average), manually decorrelated: the correlated
+    scalar AVG becomes a per-part pre-aggregation joined back to lineitem —
+    the plan Catalyst's decorrelation would produce, stated explicitly.
+    The avg threshold compare is cross-multiplied (5*qty*n < sum) so both
+    engines decide membership in exact decimal — no float-division
+    boundary skew. The per-part agg is dimension-sized → broadcast."""
+    li = table(spark, sf, "lineitem")
+    p = table(spark, sf, "part").filter(F.col("p_brand") == "Brand#4").select("p_partkey")
+    per_part = li.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        F.sum(F.col("l_quantity").cast("decimal(19,4)")).alias("qty_sum"),
+        F.count(F.lit(1)).alias("n_li"),
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(per_part), li.l_partkey == F.col("t_partkey"))
+        .filter(F.col("l_quantity").cast("decimal(19,4)") * 5 * F.col("n_li") < F.col("qty_sum"))
+        .agg(
+            (F.sum(F.col("l_extendedprice").cast("decimal(19,6)")).cast("double") / 7.0).alias(
+                "avg_yearly"
+            ),
+            F.count(F.lit(1)).alias("n_matched"),
+        )
+    )
+
+
+@query(
+    "top_supplier",
+    """
+    WITH rev AS (
+        SELECT l_suppkey AS supplier_no,
+               SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(19,6))) AS rev_dec
+        FROM lineitem
+        WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+          AND CAST(l_shipdate AS DATE) < DATE '1996-04-01'
+        GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, CAST(r.rev_dec AS DOUBLE) AS total_revenue
+    FROM supplier s
+    JOIN rev r ON s.s_suppkey = r.supplier_no
+    WHERE r.rev_dec = (SELECT MAX(rev_dec) FROM rev)
+    """,
+)
+def top_supplier(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q15 shape: supplier(s) with maximum quarterly revenue. The
+    scalar-subquery MAX becomes an agg→broadcast→equality-filter (exact
+    decimal equality, not float). The revenue CTE is computed ONCE and
+    reused for both the ranking and the max — in Spark the self-reuse is an
+    AQE exchange reuse, not a recompute."""
+    li = table(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate").cast("date") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate").cast("date") < F.lit("1996-04-01"))
+    )
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(19,6)")).alias(
+            "rev_dec"
+        )
+    )
+    mx = rev.agg(F.max("rev_dec").alias("mx"))
+    s = table(spark, sf, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.join(F.broadcast(mx), rev.rev_dec == F.col("mx"))
+        .join(F.broadcast(s), F.col("supplier_no") == s.s_suppkey)
+        .select("s_suppkey", "s_name", F.col("rev_dec").cast("double").alias("total_revenue"))
+    )
+
+
+@query(
+    "promo_revenue",
+    """
+    SELECT (CAST(promo_dec AS DOUBLE) / CAST(total_dec AS DOUBLE)) * 100.0 AS promo_pct,
+           CAST(total_dec AS DOUBLE) AS total_revenue
+    FROM (
+        SELECT SUM(CASE WHEN p.p_type = 'PROMO'
+                        THEN CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(19,6))
+                        ELSE CAST(0 AS DECIMAL(19,6)) END) AS promo_dec,
+               SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(19,6))) AS total_dec
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE CAST(l.l_shipdate AS DATE) >= DATE '1996-03-01'
+          AND CAST(l.l_shipdate AS DATE) < DATE '1996-04-01'
+    ) agg
+    """,
+)
+def promo_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q14 shape: share of monthly revenue from promo parts — a
+    conditional aggregate ratio. Both legs are exact decimal sums; the
+    ratio is computed with the identical (div, then mul) float expression
+    on both engines. part rides in as a broadcast; the month filter is
+    pushed to the lineitem scan."""
+    li = table(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate").cast("date") >= F.lit("1996-03-01"))
+        & (F.col("l_shipdate").cast("date") < F.lit("1996-04-01"))
+    )
+    p = table(spark, sf, "part").select("p_partkey", "p_type")
+    vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(19,6)")
+    zero = F.lit(0).cast("decimal(19,6)")
+    agg = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.sum(F.when(F.col("p_type") == "PROMO", vol).otherwise(zero)).alias("promo_dec"),
+            F.sum(vol).alias("total_dec"),
+        )
+    )
+    return agg.select(
+        ((F.col("promo_dec").cast("double") / F.col("total_dec").cast("double")) * F.lit(100.0)).alias(
+            "promo_pct"
+        ),
+        F.col("total_dec").cast("double").alias("total_revenue"),
+    )

@@ -46,6 +46,9 @@ FAST_ORACLED = [
     "median_mode",
     "map_higher_order",
     "stack_inline",
+    "customer_distribution",
+    "top_supplier",
+    "promo_revenue",
 ]
 
 
