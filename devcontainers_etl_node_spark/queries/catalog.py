@@ -2895,3 +2895,458 @@ def promo_revenue(spark: SparkSession, sf: str) -> DataFrame:
         ),
         F.col("total_dec").cast("double").alias("total_revenue"),
     )
+
+
+# =========================================================================
+# TPC-H-style composites, tier 3 (region-rooted joins + subquery shapes;
+# schema-adapted: no partsupp/commitdate/phone in the driver corpus)
+# =========================================================================
+
+
+@query(
+    "local_supplier_volume",
+    """
+    SELECT n.n_name AS nation_name,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(19,6))) AS DOUBLE) AS revenue
+    FROM lineitem l
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey AND c.c_nationkey = s.s_nationkey
+    WHERE r.r_name = 'ASIA'
+      AND CAST(o.o_orderdate AS DATE) >= DATE '1996-01-01'
+      AND CAST(o.o_orderdate AS DATE) < DATE '1997-01-01'
+    GROUP BY n.n_name
+    """,
+)
+def local_supplier_volume(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q5 shape: revenue from orders where customer and supplier sit
+    in the same ASIA nation. Scale design: region→nation is folded into the
+    supplier dim (broadcast), so the fact picks up s_nationkey map-side;
+    the only big shuffle is lineitem⋈orders on orderkey; the
+    same-nation constraint is a post-broadcast filter, never a join
+    condition on the fact shuffle key."""
+    r = table(spark, sf, "region").filter(F.col("r_name") == "ASIA").select("r_regionkey")
+    nr = (
+        table(spark, sf, "nation")
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("n_nationkey", F.col("n_name").alias("nation_name"))
+    )
+    s = (
+        table(spark, sf, "supplier")
+        .join(F.broadcast(nr), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_nationkey", "nation_name")
+    )
+    o = table(spark, sf, "orders").filter(
+        (F.col("o_orderdate").cast("date") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate").cast("date") < F.lit("1997-01-01"))
+    ).select("o_orderkey", "o_custkey")
+    c = table(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    li = table(spark, sf, "lineitem")
+    return (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .groupBy("nation_name")
+        .agg(
+            F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(19,6)"))
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+@query(
+    "market_share",
+    """
+    SELECT o_year,
+           CAST(SUM(CASE WHEN supp_nation = 'NATION_2' THEN vol
+                         ELSE CAST(0 AS DECIMAL(19,6)) END) AS DOUBLE)
+             / CAST(SUM(vol) AS DOUBLE) AS mkt_share,
+           CAST(SUM(vol) AS DOUBLE) AS total_volume
+    FROM (
+        SELECT year(o.o_orderdate) AS o_year,
+               CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(19,6)) AS vol,
+               n2.n_name AS supp_nation
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n1 ON n1.n_nationkey = c.c_nationkey
+        JOIN region r ON r.r_regionkey = n1.n_regionkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation n2 ON n2.n_nationkey = s.s_nationkey
+        WHERE r.r_name = 'AMERICA' AND p.p_type = 'ECONOMY'
+          AND CAST(o.o_orderdate AS DATE) BETWEEN DATE '1995-01-01' AND DATE '1996-12-31'
+    ) x
+    GROUP BY o_year
+    """,
+)
+def market_share(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q8 shape: NATION_2's share of ECONOMY-part volume sold into
+    the AMERICA market, by order year. The region restriction folds into
+    customer (broadcast), the part-type filter into a broadcast of the
+    filtered part keys — both act as map-side semi-filters on lineitem
+    before the single orderkey shuffle. The share is a conditional
+    aggregate over one pass, not two scans."""
+    r = table(spark, sf, "region").filter(F.col("r_name") == "AMERICA").select("r_regionkey")
+    n1 = (
+        table(spark, sf, "nation")
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select(F.col("n_nationkey").alias("c_nk"))
+    )
+    c = (
+        table(spark, sf, "customer")
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("c_nk"))
+        .select("c_custkey")
+    )
+    n2 = table(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    s = (
+        table(spark, sf, "supplier")
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("s_nk"))
+        .select("s_suppkey", "supp_nation")
+    )
+    p = table(spark, sf, "part").filter(F.col("p_type") == "ECONOMY").select("p_partkey")
+    o = (
+        table(spark, sf, "orders")
+        .filter(F.col("o_orderdate").cast("date").between("1995-01-01", "1996-12-31"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .select("o_orderkey", F.year("o_orderdate").alias("o_year"))
+    )
+    li = table(spark, sf, "lineitem")
+    vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(19,6)")
+    zero = F.lit(0).cast("decimal(19,6)")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_year")
+        .agg(
+            (
+                F.sum(F.when(F.col("supp_nation") == "NATION_2", vol).otherwise(zero)).cast("double")
+                / F.sum(vol).cast("double")
+            ).alias("mkt_share"),
+            F.sum(vol).cast("double").alias("total_volume"),
+        )
+    )
+
+
+@query(
+    "product_profit",
+    """
+    SELECT n.n_name AS nation_name, year(o.o_orderdate) AS o_year,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                         - 0.5 * p.p_retailprice * l.l_quantity AS DECIMAL(19,6))) AS DOUBLE) AS profit
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE p.p_name LIKE '%red%'
+    GROUP BY nation_name, o_year
+    """,
+)
+def product_profit(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q9 shape: profit on 'red' parts by supplier nation and order
+    year (adapted: the corpus has no partsupp, so unit cost is modeled as
+    0.5×p_retailprice). The LIKE filter shrinks the part broadcast before
+    it reaches the fact; supplier+nation fold into one broadcast; the only
+    shuffle is lineitem⋈orders then the group-by exchange. The profit
+    expression is one double-arithmetic chain evaluated identically on
+    both engines, cast to decimal once before the sum."""
+    p = (
+        table(spark, sf, "part")
+        .filter(F.col("p_name").like("%red%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    n = table(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("nation_name")
+    )
+    s = (
+        table(spark, sf, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("s_nk"))
+        .select("s_suppkey", "nation_name")
+    )
+    o = table(spark, sf, "orders").select("o_orderkey", F.year("o_orderdate").alias("o_year"))
+    li = table(spark, sf, "lineitem")
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.lit(0.5) * F.col("p_retailprice") * F.col("l_quantity")
+    ).cast("decimal(19,6)")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("nation_name", "o_year")
+        .agg(F.sum(profit).cast("double").alias("profit"))
+    )
+
+
+@query(
+    "disjunctive_predicates",
+    """
+    SELECT CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(19,6))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_matched
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15 AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 25 AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 35 AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def disjunctive_predicates(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q19 shape: OR-of-ANDs mixing build-side (brand/size) and
+    probe-side (quantity) predicates. The union of the three brand/size
+    boxes is pushed into the part broadcast (build-side prefilter shrinks
+    the hash table); the full disjunction is evaluated after the join,
+    where Catalyst keeps it one codegen'd predicate — no union-of-three-
+    joins blowup, one pass over lineitem."""
+    p_pre = (
+        (F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15)
+        | (F.col("p_brand") == "Brand#2") & F.col("p_size").between(1, 25)
+        | (F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 35)
+    )
+    p = table(spark, sf, "part").filter(p_pre).select("p_partkey", "p_brand", "p_size")
+    li = table(spark, sf, "lineitem")
+    full = (
+        (F.col("p_brand") == "Brand#1")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1, 11)
+        | (F.col("p_brand") == "Brand#2")
+        & F.col("p_size").between(1, 25)
+        & F.col("l_quantity").between(10, 20)
+        | (F.col("p_brand") == "Brand#3")
+        & F.col("p_size").between(1, 35)
+        & F.col("l_quantity").between(20, 30)
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(full)
+        .agg(
+            F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(19,6)"))
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_matched"),
+        )
+    )
+
+
+_WAITING_SQL = """
+    SELECT s.s_name, COUNT(*) AS numwait
+    FROM {p}supplier s
+    JOIN {p}nation n ON n.n_nationkey = s.s_nationkey
+    JOIN {p}lineitem l1 ON l1.l_suppkey = s.s_suppkey
+    JOIN {p}orders o ON o.o_orderkey = l1.l_orderkey
+    WHERE o.o_orderstatus = 'F'
+      AND l1.l_returnflag = 'R'
+      AND n.n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
+      AND EXISTS (SELECT 1 FROM {p}lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM {p}lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_returnflag = 'R')
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    LIMIT 20
+"""
+
+
+@query("waiting_suppliers", _WAITING_SQL.format(p=""))
+def waiting_suppliers(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q21 shape (adapted: no commit/receipt dates, so "kept the
+    order waiting" becomes "sole returned line in a multi-supplier
+    finalized order"): correlated EXISTS + NOT EXISTS against the same
+    fact, via spark.sql so Catalyst's decorrelation is exercised — it
+    plans a left-semi and a left-anti join on l_orderkey, both riding the
+    fact's natural key. Top 20, fully tie-broken by supplier name."""
+    for t in ("supplier", "nation", "lineitem", "orders"):
+        table(spark, sf, t).createOrReplaceTempView(f"_gs_w_{t}")
+    return spark.sql(_WAITING_SQL.format(p="_gs_w_"))
+
+
+@query(
+    "inactive_customers",
+    """
+    SELECT c_nationkey % 5 AS cntrycode, COUNT(*) AS numcust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS totacctbal
+    FROM customer c
+    WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)
+                       FROM customer WHERE c_acctbal > 0.0)
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+    GROUP BY cntrycode
+    """,
+)
+def inactive_customers(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q22 shape (adapted: no phone column, so the country code is
+    c_nationkey mod 5; "never ordered" becomes "no urgent orders" since
+    every corpus customer has orders): above-average-balance customers
+    with no urgent orders, grouped by code. The scalar AVG is computed
+    once (decimal sum / count, one IEEE division) and broadcast; the NOT
+    EXISTS is a left-anti join against the filtered orders — at scale the
+    anti join's build side is only the urgent-order custkeys."""
+    c = table(spark, sf, "customer")
+    avg_pos = c.filter(F.col("c_acctbal") > 0.0).agg(
+        (F.sum(_dec("c_acctbal")).cast("double") / F.count(F.lit(1))).alias("avg_bal")
+    )
+    urgent = (
+        table(spark, sf, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    return (
+        c.join(F.broadcast(avg_pos))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(urgent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy((F.col("c_nationkey") % 5).alias("cntrycode"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(_dec("c_acctbal")).cast("double").alias("totacctbal"),
+        )
+    )
+
+
+# =========================================================================
+# LLM-data-pipeline operators, tier 2: chunking, contamination, keywords
+# =========================================================================
+
+
+@query(
+    "doc_chunking",
+    """
+    WITH st AS (
+        SELECT doc_id, text,
+               unnest(generate_series(1, n_chars, 150)) AS chunk_start
+        FROM documents)
+    SELECT doc_id, chunk_start,
+           CAST((chunk_start - 1) / 150 AS BIGINT) AS chunk_idx,
+           substr(text, CAST(chunk_start AS INTEGER), 200) AS chunk_text,
+           length(substr(text, CAST(chunk_start AS INTEGER), 200)) AS chunk_len
+    FROM st
+    """,
+)
+def doc_chunking(spark: SparkSession, sf: str) -> DataFrame:
+    """Document chunking for context-window preparation: 200-char chunks
+    on a 150-char stride (50-char overlap), with byte-exact offsets. The
+    chunk grid is `sequence(1, n_chars, 150)` exploded row-wise — pure
+    JVM expressions, zero shuffle, embarrassingly parallel at 100 TB
+    (each task chunks its own documents; no chunk ever crosses a
+    partition). chunk_idx derives exactly from the stride grid so both
+    engines agree bit-for-bit."""
+    d = table(spark, sf, "documents")
+    chunk = F.expr("substring(text, CAST(chunk_start AS INT), 200)")
+    return (
+        d.select(
+            "doc_id",
+            "text",
+            F.explode(
+                F.sequence(F.lit(1).cast("long"), F.col("n_chars"), F.lit(150).cast("long"))
+            ).alias("chunk_start"),
+        )
+        .select(
+            "doc_id",
+            "chunk_start",
+            ((F.col("chunk_start") - 1) / 150).cast("long").alias("chunk_idx"),
+            chunk.alias("chunk_text"),
+            F.length(chunk).alias("chunk_len"),
+        )
+    )
+
+
+@query(
+    "contamination_check",
+    """
+    WITH sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   generate_series(1, greatest(len(string_split_regex(lower(trim(text)), '\\s+')) - 2, 1)),
+                   i -> array_to_string(string_split_regex(lower(trim(text)), '\\s+')[i:i+2], ' ')
+               )) AS grams
+        FROM documents),
+    g AS (SELECT doc_id, unnest(grams) AS gram FROM sh),
+    bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 10 = 0),
+    cand AS (SELECT doc_id, gram FROM g WHERE doc_id % 10 <> 0)
+    SELECT c.doc_id, COUNT(*) AS n_grams, COUNT(b.gram) AS n_hit,
+           CAST(COUNT(b.gram) AS DOUBLE) / COUNT(*) AS contamination
+    FROM cand c LEFT JOIN bench b ON c.gram = b.gram
+    GROUP BY c.doc_id
+    HAVING COUNT(b.gram) > 0
+    """,
+)
+def contamination_check(spark: SparkSession, sf: str) -> DataFrame:
+    """Benchmark-contamination screen: fraction of each training doc's
+    word-3-grams that appear anywhere in a benchmark set (here the
+    deterministic doc_id%10==0 slice stands in for the eval corpus).
+    Scale design: the benchmark gram set is dimension-sized (eval suites
+    are tiny next to training corpora) → broadcast; candidate grams are
+    checked map-side and partially aggregated before the per-doc exchange,
+    so the 100 TB side never shuffles its text. The ratio is a small-int
+    division — bit-identical across engines."""
+    docs = table(spark, sf, "documents")
+    grams = docs.select("doc_id", F.explode(dedup.word_shingles("text", 3)).alias("gram"))
+    bench = (
+        grams.filter(F.col("doc_id") % 10 == 0)
+        .select("gram")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    cand = grams.filter(F.col("doc_id") % 10 != 0)
+    return (
+        cand.join(F.broadcast(bench), "gram", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count("hit").alias("n_hit"),
+            (F.count("hit").cast("double") / F.count(F.lit(1))).alias("contamination"),
+        )
+        .filter(F.col("n_hit") > 0)
+    )
+
+
+@query(
+    "tfidf_keywords",
+    """
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+        FROM documents),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+    idf AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    ranked AS (
+        SELECT t.doc_id, t.term, t.tf, d.df,
+               row_number() OVER (PARTITION BY t.doc_id
+                                  ORDER BY t.tf DESC, d.df ASC, t.term) AS rn
+        FROM tf t JOIN idf d ON t.term = d.term)
+    SELECT doc_id, term, tf, df, rn FROM ranked WHERE rn <= 3
+    """,
+)
+def tfidf_keywords(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document top-3 keywords by tf-idf ORDER (tf desc, then rarest
+    df, then term) — the ranking is integer-exact on purpose: tf×ln(N/df)
+    ranks identically but last-ulp log differences between libm and the
+    JVM could flip near-ties and break cross-engine hashing, so the score
+    stays out of the output. Plan: per-doc term counts (partial agg before
+    the doc shuffle), document frequencies as a vocabulary-sized broadcast
+    joined back map-side, then a WindowGroupLimit top-k per doc — the
+    corpus text itself is never shuffled."""
+    docs = table(spark, sf, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    idf = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tf").desc(), F.col("df").asc(), F.col("term").asc()
+    )
+    return (
+        tf.join(F.broadcast(idf), "term")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "term", "tf", "df", "rn")
+    )

@@ -49,6 +49,11 @@ FAST_ORACLED = [
     "customer_distribution",
     "top_supplier",
     "promo_revenue",
+    "local_supplier_volume",
+    "disjunctive_predicates",
+    "inactive_customers",
+    "doc_chunking",
+    "tfidf_keywords",
 ]
 
 
