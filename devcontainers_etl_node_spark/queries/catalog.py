@@ -3350,3 +3350,38 @@ def tfidf_keywords(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("doc_id", "term", "tf", "df", "rn")
     )
+
+
+@query(
+    "url_functions",
+    """
+    SELECT doc_id,
+           'https://' || source || '.example.com/docs/' || doc_id || '?lang=' || lang AS url,
+           source || '.example.com' AS host,
+           '/docs/' || doc_id AS path,
+           lang AS lang_param
+    FROM documents
+    """,
+)
+def url_functions(spark: SparkSession, sf: str) -> DataFrame:
+    """URL parsing (parse_url HOST/PATH/QUERY-param) — the oracle doesn't
+    parse at all: it constructs each part from the same columns the URL
+    was built from, so Spark's parser is validated against ground truth
+    rather than against another parser's quirks. Pure per-row codegen
+    expressions — zero shuffle at any scale."""
+    d = table(spark, sf, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com/docs/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?lang="),
+        F.col("lang"),
+    )
+    return d.select(
+        "doc_id",
+        url.alias("url"),
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("lang")).alias("lang_param"),
+    )

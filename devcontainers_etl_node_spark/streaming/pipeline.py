@@ -123,6 +123,19 @@ def click_purchase_join(
     )
 
 
+def enriched_stream(events: DataFrame, dim: DataFrame, key: str = "user_id") -> DataFrame:
+    """Stream-static join: each event enriched with a slowly-changing
+    dimension — the continuous form of the reference's flagship transform
+    (fact left-joined to dims, src/etl/etl.py:39-45). The static side is
+    re-read per micro-batch (so dim updates between batches are picked
+    up) and broadcast: stream state stays empty — a stream-static join
+    keeps NO join state, unlike stream-stream. At 100 TB of stream the
+    dim broadcast is the whole cost; an un-broadcastable dim would force
+    per-batch shuffles and should become a stream-stream join with
+    watermarks or a foreachBatch lookup instead."""
+    return events.join(F.broadcast(dim), on=key, how="left")
+
+
 def session_windows(events: DataFrame, gap: str = "30 minutes", watermark: str = "30 minutes") -> DataFrame:
     """Per-user session windows with an inactivity gap — the streaming
     twin of the batch sessionize query (lag + running sum)."""

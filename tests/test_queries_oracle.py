@@ -54,6 +54,7 @@ FAST_ORACLED = [
     "inactive_customers",
     "doc_chunking",
     "tfidf_keywords",
+    "url_functions",
 ]
 
 

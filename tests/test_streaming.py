@@ -91,6 +91,29 @@ def test_streaming_session_windows(spark, tmp_path, event_rows):
     assert by_user[2] == [1]
 
 
+def test_stream_static_enrichment_matches_batch(spark, tmp_path, event_rows):
+    """Stream-static join twin of the reference's star enrichment: every
+    event picks up its dim row; unmatched keys stay (left join); results
+    equal the batch join on the same rows."""
+    from devcontainers_etl_node_spark.streaming import enriched_stream
+
+    dim = spark.createDataFrame(
+        [(1, "gold"), (2, "silver")], "user_id long, tier string"
+    )
+    stream = _stream(spark, tmp_path, event_rows)
+    _run(enriched_stream(stream, dim), "enrich_out")
+    got = {
+        (r.event_id, r.tier) for r in spark.sql("SELECT * FROM enrich_out").collect()
+    }
+    batch = spark.createDataFrame(event_rows, EVENTS_SCHEMA)
+    expected = {
+        (r.event_id, r.tier) for r in enriched_stream(batch, dim).collect()
+    }
+    assert got == expected
+    assert ("1", "gold") not in got  # types preserved: event_id stays long
+    assert (4, "silver") in got
+
+
 def test_stateful_running_totals_across_batches(spark, tmp_path):
     from devcontainers_etl_node_spark.streaming import user_running_totals
 
