@@ -3385,3 +3385,62 @@ def url_functions(spark: SparkSession, sf: str) -> DataFrame:
         F.parse_url(url, F.lit("PATH")).alias("path"),
         F.parse_url(url, F.lit("QUERY"), F.lit("lang")).alias("lang_param"),
     )
+
+
+@query(
+    "gapfill_locf",
+    """
+    WITH ev AS (
+        SELECT event_type, date_trunc('hour', ts) AS h, value FROM events),
+    agg AS (
+        SELECT event_type, h, COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        FROM ev GROUP BY event_type, h),
+    bounds AS (SELECT MIN(h) AS h0, MAX(h) AS h1 FROM ev),
+    types AS (SELECT DISTINCT event_type FROM ev),
+    slots AS (
+        SELECT t.event_type, unnest(generate_series(b.h0, b.h1, INTERVAL 1 HOUR)) AS h
+        FROM types t, bounds b)
+    SELECT s.event_type, strftime(s.h, '%Y-%m-%d %H:%M:%S') AS slot_ts,
+           COALESCE(a.n, 0) AS n_events,
+           last_value(a.sum_value IGNORE NULLS) OVER (
+               PARTITION BY s.event_type ORDER BY s.h
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf_value
+    FROM slots s LEFT JOIN agg a ON a.event_type = s.event_type AND a.h = s.h
+    """,
+)
+def gapfill_locf(spark: SparkSession, sf: str) -> DataFrame:
+    """Hypertable-style gap-fill: a dense hourly slot grid per event type
+    (empty hours appear with n_events=0) with last-observation-carried-
+    forward on the hourly value sum — the time_bucket_gapfill + locf
+    combination. Scale design: the slot grid is types × hours — KB-sized
+    however big the fact is — built by exploding a sequence against the
+    broadcast min/max bounds; the fact is touched once for the hourly
+    pre-aggregation. The LOCF window rides the same (event_type, hour)
+    partitioning the join just produced."""
+    ev = table(spark, sf, "events").select(
+        "event_type", F.date_trunc("hour", "ts").alias("h"), "value"
+    )
+    agg = ev.groupBy("event_type", "h").agg(
+        F.count(F.lit(1)).alias("n"), F.sum(_dec("value")).cast("double").alias("sum_value")
+    )
+    bounds = ev.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    types = ev.select("event_type").distinct()
+    slots = types.join(F.broadcast(bounds)).select(
+        "event_type",
+        F.explode(F.expr("sequence(h0, h1, INTERVAL 1 HOUR)")).alias("h"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        slots.join(agg, ["event_type", "h"], "left")
+        .select(
+            "event_type",
+            F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("slot_ts"),
+            F.coalesce("n", F.lit(0)).alias("n_events"),
+            F.last("sum_value", ignorenulls=True).over(w).alias("locf_value"),
+        )
+    )

@@ -159,3 +159,43 @@ def test_aqe_splits_skewed_join_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_runtime_bloom_filter_prunes_fact_side(spark):
+    """Runtime filtering for selective dim joins (the 100 TB lever when
+    the dim is too big to broadcast): with runtime bloom filters enabled,
+    Catalyst injects might_contain(bloom_filter_agg(dim_keys)) onto the
+    fact side of the shuffle join, so fact rows that cannot match are
+    dropped at the scan instead of shuffling. Thresholds are lowered here
+    because test data is tiny; at production sizes the defaults
+    (10 MB creation side / 10 GB application side) gate it."""
+    from pyspark.sql import functions as F
+
+    from devcontainers_etl_node_spark.catalog import table
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        p = table(spark, SF_SMALL, "part").filter(F.col("p_brand") == "Brand#4").select(
+            "p_partkey"
+        )
+        li = table(spark, SF_SMALL, "lineitem")
+        j = li.join(p, li.l_partkey == p.p_partkey).agg(F.count(F.lit(1)).alias("n"))
+        opt = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in opt and "might_contain" in opt
+        # and it computes the same count as without the filter
+        for k, v in old.items():
+            if v is not None:
+                spark.conf.set(k, v)
+        plain = li.join(p, li.l_partkey == p.p_partkey).agg(F.count(F.lit(1)).alias("n"))
+        assert j.collect()[0].n == plain.collect()[0].n
+    finally:
+        for k, v in old.items():
+            if v is not None:
+                spark.conf.set(k, v)

@@ -55,6 +55,7 @@ FAST_ORACLED = [
     "doc_chunking",
     "tfidf_keywords",
     "url_functions",
+    "gapfill_locf",
 ]
 
 
