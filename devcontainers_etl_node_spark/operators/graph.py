@@ -216,3 +216,60 @@ def connected_components_star(
     return all_nodes.join(labeled, "node", "left").select(
         "node", F.coalesce("component", "node").alias("component")
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 10,
+    damping: float = 0.85,
+) -> DataFrame:
+    """PageRank over the directed (src, dst) edge list: a fixed number of
+    power iterations with dangling-mass redistribution.
+
+    Each iteration is one equi-join (ranks onto edges by source) + one
+    aggregation (contributions by destination) — the same shuffle shape
+    as connected_components, and the same lineage rule applies: truncate
+    per iteration or Catalyst re-analysis goes exponential (module
+    docstring). The dangling-node mass is a one-scalar collect per
+    iteration (iteration control, not data movement). A fixed iteration
+    count keeps the result deterministic up to float summation order —
+    convergence-threshold loops compare floats across engines and are
+    not reproducible.
+
+    Returns (node, rank); ranks sum to 1 over all nodes that appear in
+    any edge.
+    """
+    _truncate = _make_truncate(edges)
+
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("t")).distinct()
+    nodes = _truncate(
+        e.select(F.col("s").alias("node"))
+        .union(e.select(F.col("t").alias("node")))
+        .distinct()
+    )
+    n = nodes.count()
+    out = e.groupBy("s").agg(F.count(F.lit(1)).alias("outdeg"))
+    e2 = _truncate(e.join(out, "s"))
+    no_out = _truncate(nodes.join(out.withColumnRenamed("s", "node"), "node", "left_anti"))
+
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    for _ in range(iterations):
+        contrib = (
+            e2.join(ranks.withColumnRenamed("node", "s"), "s")
+            .groupBy(F.col("t").alias("node"))
+            .agg(F.sum(F.col("rank") / F.col("outdeg")).alias("c"))
+        )
+        dangling_row = no_out.join(ranks, "node").agg(F.sum("rank").alias("m")).collect()[0]
+        dangling = dangling_row.m or 0.0
+        ranks = _truncate(
+            nodes.join(contrib, "node", "left").select(
+                "node",
+                (
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping) * (F.coalesce("c", F.lit(0.0)) + F.lit(dangling / n))
+                ).alias("rank"),
+            )
+        )
+    return ranks

@@ -3444,3 +3444,93 @@ def gapfill_locf(spark: SparkSession, sf: str) -> DataFrame:
             F.last("sum_value", ignorenulls=True).over(w).alias("locf_value"),
         )
     )
+
+
+@query(
+    "profile_columns",
+    """
+    SELECT col_name, COUNT(*) AS n, COUNT(*) - COUNT(v) AS n_null,
+           COUNT(DISTINCT v) AS n_distinct
+    FROM (
+        SELECT 'o_orderkey' AS col_name, CAST(o_orderkey AS VARCHAR) AS v FROM orders
+        UNION ALL SELECT 'o_custkey', CAST(o_custkey AS VARCHAR) FROM orders
+        UNION ALL SELECT 'o_orderstatus', o_orderstatus FROM orders
+        UNION ALL SELECT 'o_orderpriority', o_orderpriority FROM orders
+    ) t
+    GROUP BY col_name
+    """,
+)
+def profile_columns(spark: SparkSession, sf: str) -> DataFrame:
+    """Data-profiling summary (the deequ/great-expectations primitive):
+    per-column row count, null count, and exact distinct count in ONE
+    scan — the stack() generator turns columns into (col_name, value)
+    rows so the profile is an ordinary partial-aggregated groupBy, not
+    one job per column. Values profile through their string form: only
+    injectivity matters for COUNT(DISTINCT), so cross-engine float
+    formatting differences can't skew the counts (floats are excluded
+    here anyway). At 100 TB: one pass, shuffle width = #cols × #distinct,
+    and approx_count_distinct is the drop-in when exactness isn't worth
+    the shuffle."""
+    o = table(spark, sf, "orders")
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]
+    pairs = ", ".join(f"'{c}', CAST({c} AS STRING)" for c in cols)
+    stacked = o.select(F.expr(f"stack({len(cols)}, {pairs}) AS (col_name, v)"))
+    return stacked.groupBy("col_name").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.count(F.lit(1)) - F.count("v")).alias("n_null"),
+        F.count_distinct("v").alias("n_distinct"),
+    )
+
+
+@query(
+    "histogram_bins",
+    """
+    WITH b AS (SELECT MIN(o_totalprice) AS mn, MAX(o_totalprice) AS mx FROM orders)
+    SELECT CAST(LEAST(FLOOR((o_totalprice - mn) / ((mx - mn) / 20)), 19) AS BIGINT) AS bucket,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS bucket_total
+    FROM orders, b
+    GROUP BY bucket
+    """,
+)
+def histogram_bins(spark: SparkSession, sf: str) -> DataFrame:
+    """Equi-width 20-bin histogram of order totals — the distribution
+    profile behind skew diagnostics and quantile sanity checks. The
+    min/max bounds are a 1-row broadcast; bucketing is a pure double
+    expression ((v-mn)/width, identical IEEE ops on both engines, max
+    pinned into the last bin), so the histogram is one partial-aggregated
+    pass — at 100 TB the shuffle carries exactly 20 rows per task."""
+    o = table(spark, sf, "orders")
+    b = o.agg(F.min("o_totalprice").alias("mn"), F.max("o_totalprice").alias("mx"))
+    bucket = F.least(
+        F.floor((F.col("o_totalprice") - F.col("mn")) / ((F.col("mx") - F.col("mn")) / 20)),
+        F.lit(19),
+    ).cast("long")
+    return (
+        o.join(F.broadcast(b))
+        .groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("bucket_total"),
+        )
+    )
+
+
+@query("dup_pagerank")
+def dup_pagerank(spark: SparkSession, sf: str) -> DataFrame:
+    """PageRank centrality over the near-duplicate pair graph (undirected:
+    both directions added), 5 power iterations — ranks surface the most-
+    connected representative inside each duplicate family, a principled
+    keep-this-one signal for cluster collapse. Iterative float sums have
+    no stable cross-engine oracle → rows-only; operator-level exactness
+    is pinned by tests/test_operators.py against hand-computed ranks."""
+    from devcontainers_etl_node_spark.operators.graph import pagerank
+
+    docs = table(spark, sf, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, ngram=3, threshold=0.2, block_col="lang")
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")).union(
+        pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    )
+    return pagerank(edges, iterations=5).select(
+        "node", F.round("rank", 9).alias("rank_r9")
+    )

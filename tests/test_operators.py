@@ -432,3 +432,35 @@ def test_pack_sequences_rejects_null_tokens(spark):
         packing.pack_sequences(
             df, token_col="n_tokens", group_col="lang", id_col="doc_id", max_tokens=512
         ).collect()
+
+
+def test_pagerank_matches_hand_computation(spark):
+    """PageRank on a 4-node graph (one dangling node) equals a pure-Python
+    reference run of the same power iteration, and ranks sum to 1."""
+    from devcontainers_etl_node_spark.operators.graph import pagerank
+
+    edges = [(1, 2), (2, 1), (3, 1), (1, 4)]  # 4 has no out-links
+
+    def ref_pagerank(es, iterations=10, d=0.85):
+        nodes = sorted({u for e in es for u in e})
+        n = len(nodes)
+        out: dict[int, list[int]] = {}
+        for s, t in sorted(set(es)):
+            out.setdefault(s, []).append(t)
+        rank = {v: 1.0 / n for v in nodes}
+        for _ in range(iterations):
+            dangling = sum(rank[v] for v in nodes if v not in out)
+            new = {v: (1 - d) / n + d * dangling / n for v in nodes}
+            for s, ts in out.items():
+                for t in ts:
+                    new[t] += d * rank[s] / len(ts)
+            rank = new
+        return rank
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.rank for r in pagerank(df, iterations=10).collect()}
+    want = ref_pagerank(edges, iterations=10)
+    assert set(got) == set(want)
+    for v in want:
+        assert got[v] == pytest.approx(want[v], rel=1e-9)
+    assert sum(got.values()) == pytest.approx(1.0, rel=1e-9)

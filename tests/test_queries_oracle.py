@@ -56,6 +56,8 @@ FAST_ORACLED = [
     "tfidf_keywords",
     "url_functions",
     "gapfill_locf",
+    "profile_columns",
+    "histogram_bins",
 ]
 
 
@@ -100,4 +102,5 @@ def test_every_query_has_callable_and_oracle_consistency():
         "percentile_approx",
         "stratified_sample",
         "sequence_pack",
+        "dup_pagerank",
     }
