@@ -16,7 +16,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
 
 def write_bucketed_table(
@@ -155,3 +155,68 @@ def compact_small_files(
         raise IOError(f"compact_small_files: rename {staging} -> {path} failed")
     _, files_after = _stats(src)
     return {"files_before": files_before, "files_after": files_after, "bytes": total_bytes}
+
+
+def zorder_key(cols: list[Column | str], bits: int = 8) -> Column:
+    """Morton (Z-order) key over equi-width bucket ids of the given
+    numeric columns — the multi-dimensional clustering key behind
+    Delta/Iceberg OPTIMIZE ZORDER BY. Each column is bucketed into
+    2^bits equi-width bins between per-column min/max (window-free: the
+    caller supplies columns already normalized, or uses write_zordered
+    which computes bounds in one tiny pre-pass), then the bucket bits
+    are interleaved so records close in EVERY dimension land close in
+    the sort order. Pure shift/mask expressions — codegen'd, no UDF.
+
+    Expects each column pre-scaled to [0, 1); values are clamped.
+    """
+    key = F.lit(0).cast("long")
+    nbuckets = 1 << bits
+    for lane, c in enumerate(cols):
+        cc = F.col(c) if isinstance(c, str) else c
+        b = F.least(
+            F.greatest((cc * nbuckets).cast("long"), F.lit(0)), F.lit(nbuckets - 1)
+        )
+        for j in range(bits):
+            key = key + (F.shiftleft(F.shiftright(b, j).bitwiseAND(1), j * len(cols) + lane))
+    return key
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    n_files: int = 8,
+    bits: int = 8,
+    mode: str = "overwrite",
+) -> None:
+    """Write `df` clustered by the Z-order of `cols`: one tiny pre-pass
+    computes per-column min/max (broadcast), each column is scaled to
+    [0,1), and rows are range-partitioned + sorted by the interleaved
+    key. Result: every output file covers a narrow range of EVERY
+    z-column, so parquet min/max row-group stats prune scans filtered on
+    any of them — single-column sorting only prunes its own column. At
+    100 TB this is the difference between reading 1/256th and reading
+    everything for a selective filter on the second dimension."""
+    bounds = df.agg(
+        *[F.min(c).alias(f"__mn_{c}") for c in cols],
+        *[F.max(c).alias(f"__mx_{c}") for c in cols],
+    )
+    scaled = [
+        (
+            (F.col(c) - F.col(f"__mn_{c}"))
+            / F.when(
+                F.col(f"__mx_{c}") != F.col(f"__mn_{c}"),
+                F.col(f"__mx_{c}") - F.col(f"__mn_{c}"),
+            ).otherwise(F.lit(1.0))
+        )
+        for c in cols
+    ]
+    (
+        df.join(F.broadcast(bounds))
+        .withColumn("__zkey", zorder_key(scaled, bits=bits))
+        .repartitionByRange(n_files, F.col("__zkey"))
+        .sortWithinPartitions("__zkey")
+        .drop("__zkey", *[f"__mn_{c}" for c in cols], *[f"__mx_{c}" for c in cols])
+        .write.mode(mode)
+        .parquet(path)
+    )

@@ -175,3 +175,40 @@ def test_compact_small_files_partitioned_keeps_layout(spark, tmp_path):
     assert (tmp_path / "fragpart" / "ym=202401").exists()
     assert (tmp_path / "fragpart" / "ym=202402").exists()
     assert {(r.id, r.ym) for r in spark.read.parquet(path).collect()} == before
+
+
+def test_zordered_write_narrows_both_dimensions(spark, tmp_path):
+    """Z-order clustering: with two independent uniform columns, every
+    z-ordered output file covers a narrow slice of BOTH x and y (that is
+    what lets parquet min/max stats prune on either), while sorting by x
+    alone leaves each file spanning essentially the full y range."""
+    from devcontainers_etl_node_spark.sinks.files import write_zordered
+
+    # deterministic pseudo-uniforms from a hash — no rand() nondeterminism
+    df = (
+        spark.range(20_000)
+        .withColumn("x", (F.pmod(F.xxhash64("id"), 100_000) / 100_000.0))
+        .withColumn("y", (F.pmod(F.xxhash64("id", F.lit(7)), 100_000) / 100_000.0))
+    )
+    zpath, xpath = str(tmp_path / "zord"), str(tmp_path / "xsort")
+    write_zordered(df, zpath, ["x", "y"], n_files=16)
+    df.repartitionByRange(16, "x").sortWithinPartitions("x").write.parquet(xpath)
+
+    def mean_span(path, col):
+        import glob as g
+
+        spans = []
+        for f in g.glob(f"{path}/part-*.parquet"):
+            r = spark.read.parquet(f).agg(
+                (F.max(col) - F.min(col)).alias("span")
+            ).collect()[0]
+            spans.append(r.span)
+        return sum(spans) / len(spans)
+
+    # x-sorted: x is tight but y spans ~everything per file
+    assert mean_span(xpath, "y") > 0.9
+    # z-ordered: both dimensions narrowed — each file covers a box
+    assert mean_span(zpath, "x") < 0.6
+    assert mean_span(zpath, "y") < 0.6
+    # same rows either way
+    assert spark.read.parquet(zpath).count() == 20_000
