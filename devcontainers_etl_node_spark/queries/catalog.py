@@ -3534,3 +3534,91 @@ def dup_pagerank(spark: SparkSession, sf: str) -> DataFrame:
     return pagerank(edges, iterations=5).select(
         "node", F.round("rank", 9).alias("rank_r9")
     )
+
+
+@query(
+    "domain_mix",
+    """
+    WITH tok AS (
+        SELECT source, doc_id,
+               len(string_split_regex(trim(text), '\\s+')) AS n_tok
+        FROM documents),
+    per_src AS (
+        SELECT source, COUNT(*) AS n_docs, SUM(n_tok) AS tokens
+        FROM tok GROUP BY source),
+    w AS (
+        SELECT source, n_docs, tokens,
+               CAST(sqrt(CAST(tokens AS DOUBLE)) AS DECIMAL(18,9)) AS w_dec
+        FROM per_src),
+    tot AS (SELECT SUM(w_dec) AS tw FROM w),
+    tgt AS (
+        SELECT source, n_docs, tokens,
+               CAST(w_dec AS DOUBLE) / CAST(tw AS DOUBLE) AS share,
+               CAST(FLOOR(CAST(w_dec AS DOUBLE) / CAST(tw AS DOUBLE) * 200) AS BIGINT) AS target_docs
+        FROM w, tot),
+    ranked AS (
+        SELECT source, doc_id,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY md5(CAST(doc_id AS VARCHAR))) AS rn
+        FROM tok),
+    sel AS (
+        SELECT t.source, COUNT(*) AS n_selected
+        FROM ranked r JOIN tgt t ON r.source = t.source AND r.rn <= t.target_docs
+        GROUP BY t.source)
+    SELECT t.source, t.n_docs, t.tokens, t.share, t.target_docs,
+           COALESCE(s.n_selected, 0) AS n_selected
+    FROM tgt t LEFT JOIN sel s ON t.source = s.source
+    """,
+)
+def domain_mix(spark: SparkSession, sf: str) -> DataFrame:
+    """Temperature-rebalanced domain mixing (the UnifiedQA/Pile-style
+    α=0.5 sampling): per-source weights ∝ tokens^0.5 flatten the source
+    distribution, a 200-doc budget is apportioned by weight share, and
+    each source's quota is filled deterministically by md5 rank (no RNG —
+    stable across engines, runs, and cluster sizes). Float parity by
+    construction: sqrt is IEEE-correctly-rounded on both engines, the
+    weight sum goes through exact decimal, and the share is one double
+    division of identical operands. Scale: per-source stats are
+    #sources-sized (broadcast everywhere); the only per-row work is a
+    token count and one window rank within each source."""
+    docs = table(spark, sf, "documents")
+    tok = docs.select(
+        "source",
+        "doc_id",
+        F.size(F.split(F.trim("text"), r"\s+")).alias("n_tok"),
+    )
+    per_src = tok.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("n_tok").alias("tokens")
+    )
+    w = per_src.withColumn(
+        "w_dec", F.sqrt(F.col("tokens").cast("double")).cast("decimal(18,9)")
+    )
+    tot = w.agg(F.sum("w_dec").alias("tw"))
+    share = F.col("w_dec").cast("double") / F.col("tw").cast("double")
+    tgt = w.join(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "tokens",
+        share.alias("share"),
+        F.floor(share * 200).cast("long").alias("target_docs"),
+    )
+    ranked = tok.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("source").orderBy(F.md5(F.col("doc_id").cast("string")))
+        ),
+    )
+    sel = (
+        ranked.join(F.broadcast(tgt.select("source", "target_docs")), "source")
+        .filter(F.col("rn") <= F.col("target_docs"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_selected"))
+    )
+    return tgt.join(sel, "source", "left").select(
+        "source",
+        "n_docs",
+        "tokens",
+        "share",
+        "target_docs",
+        F.coalesce("n_selected", F.lit(0)).alias("n_selected"),
+    )

@@ -58,6 +58,7 @@ FAST_ORACLED = [
     "gapfill_locf",
     "profile_columns",
     "histogram_bins",
+    "domain_mix",
 ]
 
 

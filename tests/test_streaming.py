@@ -308,3 +308,27 @@ def test_streaming_upsert_sink_partitioned_prunes_untouched(spark, tmp_path):
     assert got == {1: 9.0, 2: 2.0, 3: 4.0}
     view_files_after = sorted(p.name for p in (tgt / "event_type=view").glob("*.parquet"))
     assert view_files_after == view_files_before
+
+
+def test_dedup_within_watermark(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: duplicates arriving within the
+    watermark delay are suppressed even when their event times differ
+    slightly (the at-least-once-producer case exact dropDuplicates can't
+    handle: a retried event re-stamped 2s later is still one event).
+    State is evicted once the watermark passes — unlike dropDuplicates,
+    whose key state without a watermark grows forever."""
+    t0 = datetime.datetime(2024, 1, 1, 10, 0, 0)
+    rows = [
+        (1, t0, 1, "click", 1.0, "{}"),
+        (1, t0 + datetime.timedelta(seconds=2), 1, "click", 1.0, "{}"),  # retry, re-stamped
+        (2, t0 + datetime.timedelta(minutes=5), 1, "view", 2.0, "{}"),
+    ]
+    src = tmp_path / "ddww_src"
+    spark.createDataFrame(rows, EVENTS_SCHEMA).write.mode("overwrite").parquet(str(src))
+    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(str(src))
+    deduped = stream.withWatermark("ts", "10 minutes").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    _run(deduped, "ddww_out")
+    out = spark.sql("SELECT event_id FROM ddww_out").collect()
+    assert sorted(r.event_id for r in out) == [1, 2]
