@@ -3622,3 +3622,247 @@ def domain_mix(spark: SparkSession, sf: str) -> DataFrame:
         "target_docs",
         F.coalesce("n_selected", F.lit(0)).alias("n_selected"),
     )
+
+
+@query(
+    "forecast_revenue",
+    """
+    SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(19,6)))
+                AS DOUBLE) AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def forecast_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q6 (forecasting revenue change): pure filter → global sum,
+    the canonical predicate-pushdown showcase. All three predicates reach
+    the Parquet scan as PushedFilters (shipdate range prunes row groups
+    via min/max stats; at 100 TB with date-partitioned data this becomes
+    partition pruning); the aggregation is a map-side partial sum with a
+    single-row exchange. Reference analogue: filterless eager pandas had
+    no such path — this is the shape Catalyst optimizes best."""
+    li = table(spark, sf, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum((F.col("l_extendedprice") * F.col("l_discount")).cast("decimal(19,6)"))
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "late_priority_lines",
+    """
+    SELECT l.l_linestatus,
+           SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate >= o.o_orderdate + INTERVAL 60 DAY
+      AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate < TIMESTAMP '1997-01-01'
+    GROUP BY l.l_linestatus
+    """,
+)
+def late_priority_lines(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q12 shape (shipping modes / order priority), schema-adapted:
+    the corpus has no l_shipmode/commitdate/receiptdate, so 'late' is
+    shipped ≥60 days after order date and l_linestatus stands in for the
+    mode. Exercises a fact-fact equi-join with a residual theta predicate
+    (l_shipdate ≥ o_orderdate + 60d) evaluated post-join, plus the
+    Q12-signature conditional-count pivot. The shipdate range still
+    pushes to the scan; the join shuffles both sides on orderkey — at
+    100 TB both tables would be bucketed on orderkey (write_bucketed_table)
+    making this exchange-free. Cited reference analogue: the only joins
+    it has are dim enrichments (src/etl/etl.py:39-45); this is the
+    fact-to-fact case those can't express."""
+    li = table(spark, sf, "lineitem")
+    o = table(spark, sf, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+        )
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("l_shipdate") >= F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "funnel_conversion",
+    """
+    WITH per_user AS (
+        SELECT user_id,
+               MIN(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup,
+               MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+               MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+               MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+        FROM events GROUP BY user_id),
+    stages AS (
+        SELECT user_id,
+               (t_signup IS NOT NULL) AS s1,
+               (t_signup IS NOT NULL AND t_view > t_signup) AS s2,
+               (t_signup IS NOT NULL AND t_view > t_signup
+                AND t_click > t_view) AS s3,
+               (t_signup IS NOT NULL AND t_view > t_signup
+                AND t_click > t_view AND t_purchase > t_click) AS s4
+        FROM per_user)
+    SELECT COUNT(*) AS n_users,
+           SUM(CASE WHEN s1 THEN 1 ELSE 0 END) AS reached_signup,
+           SUM(CASE WHEN s2 THEN 1 ELSE 0 END) AS reached_view,
+           SUM(CASE WHEN s3 THEN 1 ELSE 0 END) AS reached_click,
+           SUM(CASE WHEN s4 THEN 1 ELSE 0 END) AS reached_purchase
+    FROM stages
+    """,
+)
+def funnel_conversion(spark: SparkSession, sf: str) -> DataFrame:
+    """Ordered-funnel conversion (signup → first view → first click →
+    first purchase, each stage strictly after the previous): the standard
+    product-analytics operator. One scan, one shuffle: per-user
+    first-occurrence times come from a single conditional-MIN groupBy
+    (no self-joins — the naive N-stage implementation is N-1 joins);
+    stage predicates are then pure column logic and the final rollup is
+    a tiny global aggregate. Timestamps are compared, never output, so
+    engine timestamp representation can't skew the hash. At 100 TB the
+    single groupBy(user_id) shuffle is the whole cost and AQE coalesces
+    its partitions."""
+    ev = table(spark, sf, "events")
+
+    def first_ts(t: str) -> F.Column:
+        return F.min(F.when(F.col("event_type") == t, F.col("ts")))
+
+    per_user = ev.groupBy("user_id").agg(
+        first_ts("signup").alias("t_signup"),
+        first_ts("view").alias("t_view"),
+        first_ts("click").alias("t_click"),
+        first_ts("purchase").alias("t_purchase"),
+    )
+    s1 = F.col("t_signup").isNotNull()
+    s2 = s1 & (F.col("t_view") > F.col("t_signup"))
+    s3 = s2 & (F.col("t_click") > F.col("t_view"))
+    s4 = s3 & (F.col("t_purchase") > F.col("t_click"))
+    cnt = lambda c, n: F.sum(F.when(c, 1).otherwise(0)).alias(n)  # noqa: E731
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        cnt(s1, "reached_signup"),
+        cnt(s2, "reached_view"),
+        cnt(s3, "reached_click"),
+        cnt(s4, "reached_purchase"),
+    )
+
+
+@query(
+    "cohort_retention",
+    """
+    WITH firsts AS (
+        SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_date
+        FROM events GROUP BY user_id),
+    activity AS (
+        SELECT DISTINCT e.user_id,
+               CAST(f.cohort_date AS VARCHAR) AS cohort_date,
+               CAST(floor(date_diff('day', f.cohort_date,
+                                    CAST(e.ts AS DATE)) / 7.0) AS BIGINT) AS week_offset
+        FROM events e JOIN firsts f ON e.user_id = f.user_id)
+    SELECT cohort_date, week_offset, COUNT(*) AS n_users
+    FROM activity
+    GROUP BY cohort_date, week_offset
+    """,
+)
+def cohort_retention(spark: SparkSession, sf: str) -> DataFrame:
+    """Cohort retention triangle: users grouped by first-seen date, then
+    for each cohort the count of users still active N weeks later. Plan:
+    one groupBy(user_id) for cohort dates (small: one row per user →
+    broadcast back onto the fact), a distinct over (user, cohort, week)
+    — the only full-fact shuffle — and a final small aggregate. The
+    cohort side is always user-cardinality-sized, so the join back is a
+    broadcast at any fact scale; day arithmetic is integer-exact on both
+    engines (datediff/date_diff on DATEs)."""
+    ev = table(spark, sf, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("cohort_date")
+    )
+    activity = (
+        ev.join(F.broadcast(firsts), "user_id")
+        .select(
+            "user_id",
+            F.col("cohort_date").cast("string").alias("cohort_date"),
+            F.floor(
+                F.datediff(F.to_date("ts"), F.col("cohort_date")) / 7.0
+            ).alias("week_offset"),
+        )
+        .distinct()
+    )
+    return activity.groupBy("cohort_date", "week_offset").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+
+
+@query(
+    "group_quantiles",
+    """
+    WITH ranked AS (
+        SELECT l_returnflag, l_extendedprice,
+               row_number() OVER (PARTITION BY l_returnflag
+                                  ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rn,
+               COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+        FROM lineitem)
+    SELECT l_returnflag, n AS n_rows,
+           MAX(CASE WHEN rn = greatest(1, CAST(ceil(0.25 * n) AS BIGINT))
+                    THEN l_extendedprice END) AS q25,
+           MAX(CASE WHEN rn = greatest(1, CAST(ceil(0.50 * n) AS BIGINT))
+                    THEN l_extendedprice END) AS q50,
+           MAX(CASE WHEN rn = greatest(1, CAST(ceil(0.75 * n) AS BIGINT))
+                    THEN l_extendedprice END) AS q75
+    FROM ranked
+    GROUP BY l_returnflag, n
+    """,
+)
+def group_quantiles(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-group exact quantiles by nearest-rank (type-1): the quantile
+    is an ELEMENT of the group (rank ceil(p·n)), never an interpolation —
+    so parity is exact element selection, immune to the engines'
+    differing interpolation formulas. One window pass per group computes
+    rank and group size together; the CASE/MAX pivot collapses the three
+    target ranks without re-scanning. Scale: a single hash-partitioned
+    sort per group — the same shuffle an exact median needs anyway; for
+    100 TB interactive use, percentile_approx (already in the catalog)
+    is the sketch-based alternative."""
+    li = table(spark, sf, "lineitem")
+    w = Window.partitionBy("l_returnflag").orderBy(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    wn = Window.partitionBy("l_returnflag")
+    ranked = li.select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+
+    def at(p: float, name: str) -> F.Column:
+        target = F.greatest(F.lit(1), F.ceil(p * F.col("n")).cast("long"))
+        return F.max(
+            F.when(F.col("rn") == target, F.col("l_extendedprice"))
+        ).alias(name)
+
+    return ranked.groupBy("l_returnflag", F.col("n").alias("n_rows")).agg(
+        at(0.25, "q25"), at(0.50, "q50"), at(0.75, "q75")
+    )

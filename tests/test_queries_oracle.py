@@ -59,6 +59,11 @@ FAST_ORACLED = [
     "profile_columns",
     "histogram_bins",
     "domain_mix",
+    "forecast_revenue",
+    "late_priority_lines",
+    "funnel_conversion",
+    "cohort_retention",
+    "group_quantiles",
 ]
 
 
