@@ -3866,3 +3866,134 @@ def group_quantiles(spark: SparkSession, sf: str) -> DataFrame:
     return ranked.groupBy("l_returnflag", F.col("n").alias("n_rows")).agg(
         at(0.25, "q25"), at(0.50, "q50"), at(0.75, "q75")
     )
+
+
+@query(
+    "pii_redaction",
+    """
+    WITH contact AS (
+        SELECT doc_id,
+               substr(text, 1, 40)
+               || ' reach user' || CAST(doc_id AS VARCHAR)
+               || '@mail-' || lang || '.org or 555-'
+               || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'
+               || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+               || CASE WHEN doc_id % 3 = 0 THEN ' cc admin@corp.io' ELSE '' END
+               AS raw
+        FROM documents)
+    SELECT doc_id,
+           regexp_replace(
+               regexp_replace(raw,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                   '<EMAIL>', 'g'),
+               '\\d{3}-\\d{3}-\\d{4}', '<PHONE>', 'g') AS redacted,
+           len(regexp_extract_all(raw,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_emails,
+           len(regexp_extract_all(raw, '\\d{3}-\\d{3}-\\d{4}')) AS n_phones
+    FROM contact
+    """,
+)
+def pii_redaction(spark: SparkSession, sf: str) -> DataFrame:
+    """PII scrubbing for training-data curation: regex redaction of
+    emails and US-style phone numbers, with per-doc redaction counts for
+    audit. The test corpus has no real PII, so a deterministic contact
+    suffix is synthesized from doc_id — the replacement provably fires
+    on every row (and twice for every third doc) rather than vacuously
+    matching nothing. Pure JVM-side regexp_replace/regexp_count inside
+    whole-stage codegen — no UDF, no shuffle at all: at 100 TB this is
+    an embarrassingly parallel map over the scan. Both regexes use only
+    leftmost-first constructs that Java regex and RE2 evaluate
+    identically."""
+    docs = table(spark, sf, "documents")
+    email_re = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    phone_re = "\\d{3}-\\d{3}-\\d{4}"
+    raw = F.concat(
+        F.substring("text", 1, 40),
+        F.lit(" reach user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail-"),
+        F.col("lang"),
+        F.lit(".org or 555-"),
+        F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+        F.lit("-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit(" cc admin@corp.io")).otherwise(F.lit("")),
+    )
+    return docs.select(
+        "doc_id",
+        F.regexp_replace(
+            F.regexp_replace(raw, email_re, "<EMAIL>"), phone_re, "<PHONE>"
+        ).alias("redacted"),
+        F.regexp_count(raw, F.lit(email_re)).alias("n_emails"),
+        F.regexp_count(raw, F.lit(phone_re)).alias("n_phones"),
+    )
+
+
+@query(
+    "skyline_frontier",
+    """
+    WITH m AS (
+        SELECT l_returnflag,
+               CAST(date_trunc('month', l_shipdate) AS DATE) AS ship_month,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS qty,
+               CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(19,6)))
+                    AS DOUBLE) AS revenue
+        FROM lineitem GROUP BY 1, 2)
+    SELECT a.l_returnflag, CAST(a.ship_month AS VARCHAR) AS ship_month,
+           a.qty, a.revenue
+    FROM m a
+    WHERE NOT EXISTS (
+        SELECT 1 FROM m b
+        WHERE b.l_returnflag = a.l_returnflag
+          AND b.qty >= a.qty AND b.revenue >= a.revenue
+          AND (b.qty > a.qty OR b.revenue > a.revenue))
+    """,
+)
+def skyline_frontier(spark: SparkSession, sf: str) -> DataFrame:
+    """Skyline (Pareto-frontier) query: per returnflag, the ship-months
+    not dominated by a same-flag month in both total quantity and revenue. Two-level
+    plan: the fact scan collapses to a ~#groups-sized aggregate first
+    (decimal-exact sums), then domination is a LEFT ANTI self-join with
+    a theta condition — on the tiny aggregate, so Spark broadcasts the
+    build side and the quadratic step touches #groups², never rows².
+    The 100 TB story: skylines over raw facts are never computed
+    directly; aggregate-then-skyline is the scalable decomposition, and
+    the frontier is provably identical when the skyline dimensions are
+    the aggregate outputs."""
+    li = table(spark, sf, "lineitem")
+    m = (
+        li.groupBy(
+            "l_returnflag",
+            F.date_trunc("month", "l_shipdate").cast("date").alias("ship_month"),
+        )
+        .agg(
+            F.sum(_dec("l_quantity")).cast("double").alias("qty"),
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(19,6)"
+                )
+            )
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+    b = m.select(
+        F.col("l_returnflag").alias("b_flag"),
+        F.col("qty").alias("b_qty"),
+        F.col("revenue").alias("b_revenue"),
+    )
+    dominated = (
+        (F.col("b_flag") == F.col("l_returnflag"))
+        & (F.col("b_qty") >= F.col("qty"))
+        & (F.col("b_revenue") >= F.col("revenue"))
+        & ((F.col("b_qty") > F.col("qty")) | (F.col("b_revenue") > F.col("revenue")))
+    )
+    return (
+        m.join(F.broadcast(b), dominated, "left_anti")
+        .select(
+            "l_returnflag",
+            F.col("ship_month").cast("string").alias("ship_month"),
+            "qty",
+            "revenue",
+        )
+    )

@@ -64,6 +64,8 @@ FAST_ORACLED = [
     "funnel_conversion",
     "cohort_retention",
     "group_quantiles",
+    "pii_redaction",
+    "skyline_frontier",
 ]
 
 
