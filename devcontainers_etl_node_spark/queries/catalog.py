@@ -3997,3 +3997,116 @@ def skyline_frontier(spark: SparkSession, sf: str) -> DataFrame:
             "revenue",
         )
     )
+
+
+@query(
+    "copurchase_pairs",
+    """
+    WITH basket AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    sized AS (
+        SELECT l_orderkey FROM basket
+        GROUP BY l_orderkey HAVING COUNT(*) <= 20),
+    pairs AS (
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+        FROM basket a
+        JOIN basket b ON a.l_orderkey = b.l_orderkey
+                     AND a.l_partkey < b.l_partkey
+        JOIN sized s ON s.l_orderkey = a.l_orderkey)
+    SELECT part_a, part_b, COUNT(*) AS n_orders
+    FROM pairs
+    GROUP BY part_a, part_b
+    HAVING COUNT(*) >= 2
+    ORDER BY n_orders DESC, part_a, part_b
+    LIMIT 100
+    """,
+)
+def copurchase_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Market-basket co-occurrence (frequent pair mining): parts that
+    appear together in ≥2 orders, top-100. Spark side avoids the naive
+    fact×fact self-join: one groupBy builds per-order part baskets
+    (collect_set dedups within the order), a basket-size cap bounds the
+    quadratic pair expansion — the essential guard at 100 TB, where one
+    degenerate mega-basket otherwise emits millions of pairs — and pair
+    generation is a JVM-side higher-order lambda (no UDF, no second
+    shuffle until the pair count). The oracle spells the same semantics
+    as a DISTINCT self-join, which is only viable at oracle scale."""
+    li = table(spark, sf, "lineitem")
+    baskets = (
+        li.groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("parts"))
+        .filter(F.size("parts") <= 20)
+    )
+    pairs = baskets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(parts, (x, i) ->"
+                " transform(slice(parts, i + 2, size(parts)),"
+                " y -> struct(x AS part_a, y AS part_b))))"
+            )
+        ).alias("p")
+    ).select("p.part_a", "p.part_b")
+    return (
+        pairs.groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") >= 2)
+        .orderBy(F.desc("n_orders"), "part_a", "part_b")
+        .limit(100)
+    )
+
+
+@query(
+    "editdist_verify",
+    """
+    WITH sh AS (
+        SELECT doc_id, lang,
+               list_distinct(list_transform(
+                   generate_series(1, greatest(len(string_split_regex(lower(trim(text)), '\\s+')) - 2, 1)),
+                   i -> array_to_string(string_split_regex(lower(trim(text)), '\\s+')[i:i+2], ' ')
+               )) AS grams
+        FROM documents),
+    pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.2)
+    SELECT p.id_a, p.id_b,
+           levenshtein(da.text, db.text) AS edit_dist,
+           len(da.text) AS len_a, len(db.text) AS len_b,
+           CAST(levenshtein(da.text, db.text) AS DOUBLE)
+             / greatest(len(da.text), len(db.text)) AS edit_ratio
+    FROM pairs p
+    JOIN documents da ON da.doc_id = p.id_a
+    JOIN documents db ON db.doc_id = p.id_b
+    """,
+)
+def editdist_verify(spark: SparkSession, sf: str) -> DataFrame:
+    """Edit-distance verification of near-dup candidates: exact
+    Levenshtein over the full text of each ngram-Jaccard candidate pair
+    — the precision stage a production dedup pipeline runs AFTER cheap
+    candidate generation, never before (Levenshtein is O(len²) per pair;
+    running it only on the ~sparse candidate set is what makes it
+    affordable at 100 TB). Integer edit distance and an |a|,|b|-ratio
+    whose division is bit-identical across engines. The candidate texts
+    join back via two broadcast-able id lookups."""
+    docs = table(spark, sf, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, ngram=3, threshold=0.2, block_col="lang").select(
+        "id_a", "id_b"
+    )
+    da = docs.select(F.col("doc_id").alias("id_a"), F.col("text").alias("text_a"))
+    db = docs.select(F.col("doc_id").alias("id_b"), F.col("text").alias("text_b"))
+    return (
+        pairs.join(da, "id_a")
+        .join(db, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.levenshtein("text_a", "text_b").alias("edit_dist"),
+            F.length("text_a").alias("len_a"),
+            F.length("text_b").alias("len_b"),
+            (
+                F.levenshtein("text_a", "text_b").cast("double")
+                / F.greatest(F.length("text_a"), F.length("text_b"))
+            ).alias("edit_ratio"),
+        )
+    )

@@ -66,6 +66,8 @@ FAST_ORACLED = [
     "group_quantiles",
     "pii_redaction",
     "skyline_frontier",
+    "copurchase_pairs",
+    "editdist_verify",
 ]
 
 
