@@ -3614,7 +3614,7 @@ def domain_mix(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("source")
         .agg(F.count(F.lit(1)).alias("n_selected"))
     )
-    return tgt.join(sel, "source", "left").select(
+    return tgt.join(F.broadcast(sel), "source", "left").select(
         "source",
         "n_docs",
         "tokens",
