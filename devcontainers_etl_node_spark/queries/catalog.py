@@ -4110,3 +4110,69 @@ def editdist_verify(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("edit_ratio"),
         )
     )
+
+
+@query(
+    "embedding_quantize",
+    """
+    WITH bounds AS (
+        SELECT vec_id, label, embedding,
+               CAST(list_min(embedding) AS DOUBLE) AS lo,
+               CAST(list_max(embedding) AS DOUBLE) AS hi
+        FROM embeddings),
+    q AS (
+        SELECT vec_id, label, lo, hi,
+               CASE WHEN hi = lo
+                    THEN list_transform(embedding, x -> 0)
+                    ELSE list_transform(embedding, x ->
+                        CAST(floor((CAST(x AS DOUBLE) - lo) / (hi - lo) * 254 + 0.5)
+                             AS INTEGER) - 127)
+               END AS quant
+        FROM bounds)
+    SELECT vec_id, label, lo, hi, quant,
+           CAST(list_sum(quant) AS BIGINT) AS q_sum,
+           list_min(quant) AS q_min, list_max(quant) AS q_max
+    FROM q
+    """,
+)
+def embedding_quantize(spark: SparkSession, sf: str) -> DataFrame:
+    """Int8 scalar quantization of embedding vectors (the memory-side
+    prerequisite for large-scale ANN: 4×-smaller vectors, cache-resident
+    codebooks). Per-vector min/max affine map to [-127,127], rounded via
+    floor(x+0.5) — floor of an exact integer-valued double is
+    bit-identical on both engines, unlike round(), whose half-even vs
+    half-away conventions differ. All math is element-wise higher-order
+    lambdas over the array column — JVM codegen, no UDF, no shuffle, and
+    at 100 TB it's a pure map stage pipelined into the scan. Constant
+    vectors (hi=lo) quantize to all-zeros rather than dividing by zero.
+    Outputs the full quantized array plus integer-exact checksums."""
+    emb = table(spark, sf, "embeddings")
+    lo = F.array_min("embedding").cast("double")
+    hi = F.array_max("embedding").cast("double")
+    bounds = emb.select(
+        "vec_id", "label", "embedding", lo.alias("lo"), hi.alias("hi")
+    )
+    quant = F.when(
+        F.col("hi") == F.col("lo"),
+        F.transform("embedding", lambda x: F.lit(0)),
+    ).otherwise(
+        F.transform(
+            "embedding",
+            lambda x: F.floor(
+                (x.cast("double") - F.col("lo")) / (F.col("hi") - F.col("lo")) * 254
+                + 0.5
+            ).cast("int")
+            - 127,
+        )
+    )
+    q = bounds.select("vec_id", "label", "lo", "hi", quant.alias("quant"))
+    return q.select(
+        "vec_id",
+        "label",
+        "lo",
+        "hi",
+        "quant",
+        F.aggregate("quant", F.lit(0).cast("long"), lambda a, x: a + x).alias("q_sum"),
+        F.array_min("quant").alias("q_min"),
+        F.array_max("quant").alias("q_max"),
+    )

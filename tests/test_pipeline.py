@@ -103,3 +103,38 @@ def test_kafka_serialization_roundtrip(spark):
     for r in rows:
         assert r.qty == orig[r.event_id].qty
         assert abs(r.unit_price - float(orig[r.event_id].unit_price)) < 1e-9
+
+
+def test_observe_pipeline_metrics(spark):
+    """df.observe(): data-quality counters (row count, join-miss count,
+    revenue total) accumulated DURING the enrichment pass — zero extra
+    scans or actions, which is the only affordable way to instrument a
+    100 TB pipeline (a separate count()/filter().count() audit would
+    re-read the fact twice). Metrics arrive on the driver with the
+    action's completion."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    prods = gen_products(spark, 25).withColumnRenamed("product_id", "id").withColumnRenamed(
+        "product_name", "name"
+    )
+    custs = gen_customers(spark, 15).withColumnRenamed("customer_id", "id")
+    events = gen_sales_events(
+        spark, 40, gen_products(spark, 25), gen_customers(spark, 15)
+    )
+    inv = gen_inventory_snapshots(spark, gen_products(spark, 25), warehouses=2, days=2)
+    inv = inv.withColumn("object", inv.warehouse_id)
+
+    fact = transform_star_schema(prods, custs, events, inv)["fact_sales"]
+    obs = Observation("quality")
+    observed = fact.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("customer_name").isNull(), 1).otherwise(0)).alias("join_misses"),
+        F.sum(F.col("qty")).alias("total_qty"),
+    )
+    n_collected = observed.count()  # one action drives both result and metrics
+    got = obs.get
+    assert got["n_rows"] == n_collected == 40
+    assert got["join_misses"] == 0
+    assert got["total_qty"] > 0

@@ -68,6 +68,7 @@ FAST_ORACLED = [
     "skyline_frontier",
     "copurchase_pairs",
     "editdist_verify",
+    "embedding_quantize",
 ]
 
 

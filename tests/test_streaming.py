@@ -332,3 +332,35 @@ def test_dedup_within_watermark(spark, tmp_path):
     _run(deduped, "ddww_out")
     out = spark.sql("SELECT event_id FROM ddww_out").collect()
     assert sorted(r.event_id for r in out) == [1, 2]
+
+
+def test_available_now_rate_limited_batches(spark, tmp_path, event_rows):
+    """trigger(availableNow=True) + maxFilesPerTrigger: bounded backfill
+    that drains everything present at start, but in rate-limited
+    micro-batches instead of one giant batch — the 100 TB catch-up
+    pattern (a cold start over a deep file backlog must not build one
+    batch whose state exceeds executor memory). One file per batch ⇒
+    at least as many batches as files, and the union of batches is
+    exactly the source."""
+    src = tmp_path / "an_src"
+    for i, row in enumerate(event_rows):
+        spark.createDataFrame([row], EVENTS_SCHEMA).write.mode(
+            "overwrite" if i == 0 else "append"
+        ).parquet(str(src))
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("an_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)  # availableNow terminates by itself
+    n_batches = q.lastProgress["batchId"] + 1
+    out = spark.sql("SELECT event_id FROM an_out").collect()
+    assert len(out) == len(event_rows)
+    assert n_batches >= 3  # rate limit actually split the backlog
