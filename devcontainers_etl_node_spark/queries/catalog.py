@@ -4176,3 +4176,82 @@ def embedding_quantize(spark: SparkSession, sf: str) -> DataFrame:
         F.array_min("quant").alias("q_min"),
         F.array_max("quant").alias("q_max"),
     )
+
+
+@query(
+    "scd2_history",
+    """
+    WITH chg AS (
+        SELECT user_id, ts, value, event_id
+        FROM events WHERE event_type = 'purchase')
+    SELECT user_id,
+           epoch_us(ts) AS valid_from_us,
+           epoch_us(lead(ts) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id)) AS valid_to_us,
+           value,
+           (lead(ts) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id) IS NULL) AS is_current
+    FROM chg
+    """,
+)
+def scd2_history(spark: SparkSession, sf: str) -> DataFrame:
+    """SCD type-2 interval construction from a changelog: each change row
+    becomes a [valid_from, valid_to) version, closed by the NEXT change
+    for the same key (lead window), open-ended for the current version —
+    the batch twin of the catalog's SCD-1 upsert_latest, keeping full
+    history instead of last-write-wins. One window pass, one shuffle on
+    the business key; validity bounds exported as epoch-microseconds so
+    no raw timestamps hit the comparator. At 100 TB the changelog is
+    appended daily and intervals are rebuilt per affected key only (the
+    incremental_rollup merge pattern), not globally."""
+    ev = table(spark, sf, "events")
+    chg = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts", "value", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    return chg.select(
+        "user_id",
+        F.unix_micros("ts").alias("valid_from_us"),
+        F.unix_micros(nxt).alias("valid_to_us"),
+        "value",
+        nxt.isNull().alias("is_current"),
+    )
+
+
+@query(
+    "mom_growth",
+    """
+    WITH m AS (
+        SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        FROM orders GROUP BY 1)
+    SELECT CAST(month AS VARCHAR) AS month, revenue,
+           lag(revenue) OVER (ORDER BY month) AS prev_revenue,
+           CASE WHEN lag(revenue) OVER (ORDER BY month) IS NULL THEN NULL
+                ELSE (revenue - lag(revenue) OVER (ORDER BY month))
+                     / lag(revenue) OVER (ORDER BY month)
+           END AS growth
+    FROM m
+    """,
+)
+def mom_growth(spark: SparkSession, sf: str) -> DataFrame:
+    """Month-over-month revenue growth: decimal-exact monthly sums, then
+    a lag window over the ~#months-sized aggregate. The growth ratio is
+    one subtraction and one division of identical doubles on both
+    engines. The unpartitioned ORDER BY window runs on the aggregate
+    (dozens of rows), never the fact — the single-partition window
+    bottleneck that would be fatal on raw data is irrelevant at
+    #months cardinality."""
+    o = table(spark, sf, "orders")
+    m = o.groupBy(
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month")
+    ).agg(F.sum(_dec("o_totalprice")).cast("double").alias("revenue"))
+    w = Window.orderBy("month")
+    prev = F.lag("revenue").over(w)
+    return m.select(
+        F.col("month").cast("string").alias("month"),
+        "revenue",
+        prev.alias("prev_revenue"),
+        F.when(prev.isNull(), F.lit(None)).otherwise(
+            (F.col("revenue") - prev) / prev
+        ).alias("growth"),
+    )

@@ -69,6 +69,8 @@ FAST_ORACLED = [
     "copurchase_pairs",
     "editdist_verify",
     "embedding_quantize",
+    "scd2_history",
+    "mom_growth",
 ]
 
 
