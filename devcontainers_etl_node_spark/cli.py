@@ -1,0 +1,139 @@
+"""Command-line front door: ``python -m devcontainers_etl_node_spark <cmd>``.
+
+The reference's entry point is ``python src/etl/etl.py`` (run the pipeline,
+print previews — reference ``src/etl/etl.py:56-67``). This engine's front
+door exposes the whole catalog instead:
+
+    python -m devcontainers_etl_node_spark list
+    python -m devcontainers_etl_node_spark run pricing_summary --sf /root/testdata/sf0.01
+    python -m devcontainers_etl_node_spark run pricing_summary --explain
+    python -m devcontainers_etl_node_spark sql "SELECT count(*) FROM lineitem" --sf ...
+    python -m devcontainers_etl_node_spark pipeline        # reference ETL twin
+
+``sql`` registers every corpus table as a temp view, so the engine is usable
+as a plain SQL shell over the lakehouse directory — the front door a
+reference user switching to this repo would expect.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+DEFAULT_SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def _spark():
+    from devcontainers_etl_node_spark.session import get_spark
+
+    return get_spark()
+
+
+def cmd_list(_args) -> int:
+    from devcontainers_etl_node_spark.queries.catalog import ORACLE, QUERIES
+
+    for name in sorted(QUERIES):
+        kind = "SQL " if name in ORACLE else "ROWS"
+        print(f"{kind} {name}")
+    print(f"{len(QUERIES)} queries ({len(ORACLE)} oracle-checked)", file=sys.stderr)
+    return 0
+
+
+def cmd_run(args) -> int:
+    from devcontainers_etl_node_spark.queries.catalog import QUERIES
+
+    if args.query not in QUERIES:
+        print(f"unknown query {args.query!r}; see `list`", file=sys.stderr)
+        return 2
+    spark = _spark()
+    df = QUERIES[args.query](spark, args.sf)
+    if args.explain:
+        df.explain("formatted")
+        return 0
+    df.show(args.rows, truncate=False)
+    return 0
+
+
+def cmd_sql(args) -> int:
+    from devcontainers_etl_node_spark.catalog import table
+
+    spark = _spark()
+    for t in TABLES:
+        try:
+            table(spark, args.sf, t).createOrReplaceTempView(t)
+        except Exception:  # missing table in a partial directory is fine
+            pass
+    df = spark.sql(args.statement)
+    if args.explain:
+        df.explain("formatted")
+        return 0
+    df.show(args.rows, truncate=False)
+    return 0
+
+
+def cmd_pipeline(args) -> int:
+    """Reference-ETL twin on synthetic generator data (no external infra)."""
+    from devcontainers_etl_node_spark.generators.synthetic import (
+        gen_customers,
+        gen_inventory_snapshots,
+        gen_products,
+        gen_sales_events,
+    )
+    from devcontainers_etl_node_spark.pipeline import transform_star_schema
+
+    spark = _spark()
+    prods = gen_products(spark, 25)
+    custs = gen_customers(spark, 15)
+    events = gen_sales_events(spark, args.rows, prods, custs)
+    inv = gen_inventory_snapshots(spark, prods, warehouses=3, days=7)
+    from pyspark.sql import functions as F
+
+    inv = inv.withColumn("object", F.lit("synthetic"))
+    tables = transform_star_schema(
+        prods.withColumnRenamed("product_id", "id").withColumnRenamed(
+            "product_name", "name"
+        ),
+        custs.withColumnRenamed("customer_id", "id"),
+        events,
+        inv,
+    )
+    for name, df in tables.items():  # preview, reference etl.py:65-67
+        print(f"== {name}: {df.count()} rows")
+        df.show(5, truncate=False)
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="devcontainers_etl_node_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    sub.add_parser("list", help="list catalog queries")
+
+    r = sub.add_parser("run", help="run a catalog query")
+    r.add_argument("query")
+    r.add_argument("--sf", default=DEFAULT_SF, help="corpus directory")
+    r.add_argument("--rows", type=int, default=20)
+    r.add_argument("--explain", action="store_true", help="print the physical plan")
+
+    s = sub.add_parser("sql", help="run ad-hoc SQL over the corpus views")
+    s.add_argument("statement")
+    s.add_argument("--sf", default=DEFAULT_SF)
+    s.add_argument("--rows", type=int, default=20)
+    s.add_argument("--explain", action="store_true")
+
+    pl = sub.add_parser("pipeline", help="reference ETL twin on synthetic data")
+    pl.add_argument("--rows", type=int, default=40, help="sales events to generate")
+
+    args = p.parse_args(argv)
+    return {"list": cmd_list, "run": cmd_run, "sql": cmd_sql, "pipeline": cmd_pipeline}[
+        args.cmd
+    ](args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

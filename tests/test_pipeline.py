@@ -138,3 +138,19 @@ def test_observe_pipeline_metrics(spark):
     assert got["n_rows"] == n_collected == 40
     assert got["join_misses"] == 0
     assert got["total_qty"] > 0
+
+
+def test_cli_list_and_run(spark, capsys):
+    """The CLI front door: `list` enumerates the catalog; `run` executes
+    a query through the same registry the driver uses."""
+    from devcontainers_etl_node_spark import cli
+
+    assert cli.main(["list"]) == 0
+    out = capsys.readouterr().out
+    assert "SQL  pricing_summary" in out
+    assert cli.main(["run", "nope"]) == 2
+    assert (
+        cli.main(["run", "row_counts", "--sf", "/root/testdata/sf0.001", "--rows", "3"])
+        == 0
+    )
+    assert "row" in capsys.readouterr().out.lower()
