@@ -18,10 +18,13 @@ from devcontainers_etl_node_spark.schemas import CORPUS_TABLES
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Lazy scan of one corpus table. Column pruning/filter pushdown apply.
 
-    events.parquet stores TIMESTAMP(NANOS), which Spark's parquet reader
-    rejects; read nanos as long (legacy conf, runtime-settable) and convert
-    to a microsecond TimestampType — truncation matches DuckDB's ns→display
-    behavior.
+    events.parquet has shipped with two physical encodings of ``ts``
+    across corpus generations: TIMESTAMP(NANOS) (which Spark's parquet
+    reader rejects unless nanos are read as long via the legacy conf) and
+    plain TIMESTAMP(MICROS) with isAdjustedToUTC=false (which Spark reads
+    as TIMESTAMP_NTZ). Both are normalized here to a microsecond
+    TimestampType in the UTC session zone — the exact semantics DuckDB
+    gives the same file — so every downstream query sees one stable type.
 
     The session timezone is pinned to UTC here (runtime-settable) because
     the engine's timestamp semantics are UTC throughout (the reference
@@ -32,7 +35,12 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_type = dict(df.dtypes)["ts"]
+        if ts_type == "bigint":  # nanos-as-long: truncate to micros
+            return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        # timestamp_ntz (or timestamp): wall clock interpreted in the UTC
+        # session zone — bit-identical to DuckDB's naive read of the file
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

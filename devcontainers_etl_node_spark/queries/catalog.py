@@ -4255,3 +4255,334 @@ def mom_growth(spark: SparkSession, sf: str) -> DataFrame:
             (F.col("revenue") - prev) / prev
         ).alias("growth"),
     )
+
+
+# =========================================================================
+# Behavioral analytics, tier 2: attribution / transitions / RFM / rolling
+# actives (extension surface; no reference analogue — the reference has no
+# aggregation at all, SURVEY §2.7)
+# =========================================================================
+
+
+@query(
+    "attribution_last_touch",
+    """
+    WITH first_purchase AS (
+        SELECT user_id, MIN(ts) AS t_purchase
+        FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+    touches AS (
+        SELECT e.user_id, e.event_type,
+               row_number() OVER (PARTITION BY e.user_id
+                                  ORDER BY e.ts DESC, e.event_id DESC) AS rn
+        FROM events e JOIN first_purchase p ON e.user_id = p.user_id
+        WHERE e.ts < p.t_purchase AND e.event_type <> 'purchase')
+    SELECT event_type AS channel, COUNT(*) AS conversions
+    FROM touches WHERE rn = 1
+    GROUP BY event_type
+    """,
+)
+def attribution_last_touch(spark: SparkSession, sf: str) -> DataFrame:
+    """Last-touch attribution: for every converting user, credit the last
+    non-purchase event strictly before their first purchase. Plan: the
+    first-purchase side is one conditional groupBy(user_id) — user-
+    cardinality-sized, so it broadcasts back onto the fact at any scale;
+    the per-user "last touch" is a row_number window fully tie-broken by
+    (ts DESC, event_id DESC) so both engines pick the identical row. The
+    only full-fact shuffle is the window's partitionBy(user_id); the
+    final channel rollup is tiny. No reference analogue (SURVEY §2.7 —
+    the reference performs no aggregation)."""
+    ev = table(spark, sf, "events")
+    first_purchase = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    touches = (
+        ev.join(F.broadcast(first_purchase), "user_id")
+        .filter((F.col("ts") < F.col("t_purchase")) & (F.col("event_type") != "purchase"))
+    )
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        touches.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .groupBy(F.col("event_type").alias("channel"))
+        .agg(F.count(F.lit(1)).alias("conversions"))
+    )
+
+
+@query(
+    "event_transitions",
+    """
+    WITH ordered AS (
+        SELECT user_id, event_type,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS next_type
+        FROM events)
+    SELECT event_type AS src, next_type AS dst, COUNT(*) AS n
+    FROM ordered WHERE next_type IS NOT NULL
+    GROUP BY event_type, next_type
+    """,
+)
+def event_transitions(spark: SparkSession, sf: str) -> DataFrame:
+    """First-order event-type transition counts (the Markov-chain edge
+    list behind "users who did X next did Y"). One lead() window per
+    user — fully tie-broken by (ts, event_id) so adjacent-pair identity
+    matches across engines — then a tiny (src,dst) rollup: at most
+    |event_type|² output rows. One shuffle on user_id; the rollup's
+    shuffle is on the tiny pair space. The window state per user is one
+    row of look-ahead, so executor memory is flat regardless of user
+    history length."""
+    ev = table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.select(
+            F.col("event_type").alias("src"),
+            F.lead("event_type").over(w).alias("dst"),
+        )
+        .filter(F.col("dst").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "rfm_segments",
+    """
+    WITH anchor AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS d0 FROM orders),
+    rfm AS (
+        SELECT o_custkey,
+               date_diff('day', MAX(CAST(o_orderdate AS DATE)), MAX(a.d0)) AS recency_days,
+               COUNT(*) AS frequency,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS monetary
+        FROM orders CROSS JOIN anchor a
+        GROUP BY o_custkey),
+    scored AS (
+        SELECT o_custkey, recency_days, frequency, monetary,
+               ntile(4) OVER (ORDER BY recency_days, o_custkey) AS r_q,
+               ntile(4) OVER (ORDER BY frequency DESC, o_custkey) AS f_q,
+               ntile(4) OVER (ORDER BY monetary DESC, o_custkey) AS m_q
+        FROM rfm)
+    SELECT r_q, f_q, m_q, COUNT(*) AS n_customers,
+           CAST(SUM(CAST(monetary AS DECIMAL(18,4))) AS DOUBLE) AS segment_revenue
+    FROM scored GROUP BY r_q, f_q, m_q
+    """,
+)
+def rfm_segments(spark: SparkSession, sf: str) -> DataFrame:
+    """RFM segmentation: per-customer recency / frequency / monetary,
+    each quartiled by ntile(4), rolled up to segment counts. ntile has
+    the identical earlier-buckets-get-extras definition on both engines
+    and every ORDER BY is fully tie-broken by custkey, so bucket
+    assignment is deterministic. Monetary goes through exact decimal
+    before its one cast to double. The three unpartitioned ntile windows
+    run over the customer-cardinality aggregate, not the fact — fine at
+    sf0.01; at 100 TB you'd replace global ntile with percentile
+    thresholds from a first aggregate pass (documented trade-off, same
+    output contract)."""
+    o = table(spark, sf, "orders")
+    anchor = o.agg(F.max(F.to_date("o_orderdate")).alias("d0"))
+    rfm = (
+        o.crossJoin(F.broadcast(anchor))
+        .groupBy("o_custkey")
+        .agg(
+            F.datediff(F.max(F.col("d0")), F.max(F.to_date("o_orderdate"))).alias("recency_days"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("monetary"),
+        )
+    )
+    scored = rfm.select(
+        "o_custkey",
+        "monetary",
+        F.ntile(4).over(Window.orderBy("recency_days", "o_custkey")).alias("r_q"),
+        F.ntile(4).over(Window.orderBy(F.col("frequency").desc(), "o_custkey")).alias("f_q"),
+        F.ntile(4).over(Window.orderBy(F.col("monetary").desc(), "o_custkey")).alias("m_q"),
+    )
+    return scored.groupBy("r_q", "f_q", "m_q").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum(_dec("monetary")).cast("double").alias("segment_revenue"),
+    )
+
+
+@query(
+    "rolling_active_users",
+    """
+    WITH activity AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+    days AS (SELECT DISTINCT day FROM activity)
+    SELECT CAST(d.day AS VARCHAR) AS day,
+           COUNT(DISTINCT CASE WHEN a.day = d.day THEN a.user_id END) AS dau,
+           COUNT(DISTINCT a.user_id) AS wau
+    FROM days d JOIN activity a
+      ON a.day BETWEEN d.day - INTERVAL 6 DAY AND d.day
+    GROUP BY d.day
+    """,
+)
+def rolling_active_users(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact DAU + trailing-7-day WAU per day. COUNT(DISTINCT) over a
+    trailing window isn't expressible as a window frame, so the classic
+    exact formulation is a bounded range join: the distinct (user, day)
+    activity set against the (tiny, broadcastable) day grid, each
+    activity row landing in ≤7 grid days. The fact is first collapsed
+    to distinct user-days (one shuffle), bounding the join blow-up at
+    7 × |user-days| regardless of raw event volume; the grid side is
+    #days rows and is broadcast, so no second full shuffle. Date
+    arithmetic is integer-exact on both engines."""
+    ev = table(spark, sf, "events")
+    activity = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    days = activity.select(F.col("day").alias("grid_day")).distinct()
+    joined = activity.join(
+        F.broadcast(days),
+        (F.col("day") >= F.date_sub(F.col("grid_day"), 6)) & (F.col("day") <= F.col("grid_day")),
+    )
+    return joined.groupBy("grid_day").agg(
+        F.count_distinct(F.when(F.col("day") == F.col("grid_day"), F.col("user_id"))).alias("dau"),
+        F.count_distinct("user_id").alias("wau"),
+    ).select(F.col("grid_day").cast("string").alias("day"), "dau", "wau")
+
+
+# =========================================================================
+# Deterministic sampling tier 2 + data-quality / dimension generation
+# =========================================================================
+
+
+@query(
+    "reservoir_sample_groups",
+    """
+    WITH ranked AS (
+        SELECT lang, doc_id, n_chars,
+               row_number() OVER (PARTITION BY lang
+                                  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        FROM documents)
+    SELECT lang, doc_id, n_chars, rn FROM ranked WHERE rn <= 10
+    """,
+)
+def reservoir_sample_groups(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-group fixed-size deterministic sample (the distributed,
+    reproducible stand-in for per-group reservoir sampling): rank rows
+    inside each group by md5(id) — a uniform, engine-identical permutation
+    — and keep the first k=10. Unlike rand()-based reservoirs the sample
+    is stable across engines, runs, and cluster sizes, and adding rows
+    never evicts more than the hash order implies. One shuffle on the
+    group key; Spark's WindowGroupLimit pushes the rn<=10 limit into the
+    sort so no group is fully materialized."""
+    docs = table(spark, sf, "documents")
+    w = Window.partitionBy("lang").orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+    return (
+        docs.select("lang", "doc_id", "n_chars", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 10)
+    )
+
+
+@query(
+    "weighted_priority_sample",
+    """
+    WITH prio AS (
+        SELECT lang, n_chars,
+               CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS DOUBLE)
+                 / 4294967296.0 / CAST(n_chars AS DOUBLE) AS priority,
+               doc_id
+        FROM documents WHERE n_chars > 0),
+    topk AS (
+        SELECT lang, n_chars,
+               row_number() OVER (ORDER BY priority, doc_id) AS rn
+        FROM prio)
+    SELECT lang, COUNT(*) AS n_sampled, SUM(n_chars) AS sampled_chars
+    FROM topk WHERE rn <= 100
+    GROUP BY lang
+    """,
+)
+def weighted_priority_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic weighted top-k sample: each row gets priority
+    u/weight where u is an md5-derived uniform in [0,1) (exact 32-bit
+    bucket / 2^32 — bit-identical across engines) and weight is document
+    length; the global k=100 lowest-priority rows are the sample, so
+    heavier documents are proportionally more likely to be drawn. One
+    IEEE division per row (no ln/pow — those diverge in the last ulp
+    across libm implementations); fully tie-broken. TopK is a
+    TakeOrderedAndProject — map-side partial top-100 per partition, no
+    full sort, no full shuffle — so it scales to any corpus size."""
+    docs = table(spark, sf, "documents").filter(F.col("n_chars") > 0)
+    u = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+        "long"
+    ).cast("double") / F.lit(4294967296.0)
+    prio = docs.select(
+        "lang", "n_chars", (u / F.col("n_chars").cast("double")).alias("priority"), "doc_id"
+    )
+    topk = prio.select(
+        "lang", "n_chars", F.row_number().over(Window.orderBy("priority", "doc_id")).alias("rn")
+    ).filter(F.col("rn") <= 100)
+    return topk.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_sampled"), F.sum("n_chars").alias("sampled_chars")
+    )
+
+
+@query(
+    "benford_digits",
+    """
+    SELECT substr(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR), 1, 1) AS leading_digit,
+           COUNT(*) AS n,
+           CAST(COUNT(*) AS DOUBLE) / (SELECT COUNT(*) FROM orders WHERE o_totalprice > 0) AS frac
+    FROM orders WHERE o_totalprice > 0
+    GROUP BY 1
+    """,
+)
+def benford_digits(spark: SparkSession, sf: str) -> DataFrame:
+    """Benford first-digit distribution over order amounts — the classic
+    anomaly/fraud data-quality screen. The leading digit is taken from
+    the DECIMAL(18,2) string rendering (exact and identically formatted
+    on both engines; double→string formatting is NOT engine-stable, and
+    log10-based digit extraction can flip at exact powers of ten). Single
+    aggregate over a 1-column scan; the total for the fraction comes from
+    the same tiny aggregate broadcast back."""
+    o = table(spark, sf, "orders").filter(F.col("o_totalprice") > 0)
+    digits = o.select(
+        F.substring(F.col("o_totalprice").cast("decimal(18,2)").cast("string"), 1, 1).alias(
+            "leading_digit"
+        )
+    )
+    counts = digits.groupBy("leading_digit").agg(F.count(F.lit(1)).alias("n"))
+    total = digits.agg(F.count(F.lit(1)).alias("total"))
+    return counts.crossJoin(F.broadcast(total)).select(
+        "leading_digit", "n", (F.col("n").cast("double") / F.col("total")).alias("frac")
+    )
+
+
+@query(
+    "calendar_dim",
+    """
+    WITH bounds AS (
+        SELECT MIN(CAST(o_orderdate AS DATE)) AS d0, MAX(CAST(o_orderdate AS DATE)) AS d1
+        FROM orders)
+    SELECT CAST(d AS VARCHAR) AS day,
+           CAST(year(d) AS INT) AS yr,
+           CAST(month(d) AS INT) AS mo,
+           CAST(dayofmonth(d) AS INT) AS dom,
+           CAST(isodow(d) AS INT) AS iso_dow,
+           (isodow(d) >= 6) AS is_weekend
+    FROM (SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS d
+          FROM bounds)
+    """,
+)
+def calendar_dim(spark: SparkSession, sf: str) -> DataFrame:
+    """Generated calendar dimension spanning the fact's date range — the
+    standard star-schema date dim, built with sequence()+explode from a
+    two-scalar aggregate (no driver-side loop, no collect). Output is
+    #days rows, so it broadcasts into any fact join. ISO day-of-week is
+    spelled weekday()+1 in Spark to match DuckDB's isodow (both
+    1=Monday..7=Sunday); the raw DATE is cast to string for
+    representation-stable hashing."""
+    o = table(spark, sf, "orders")
+    bounds = o.agg(
+        F.min(F.to_date("o_orderdate")).alias("d0"), F.max(F.to_date("o_orderdate")).alias("d1")
+    )
+    days = bounds.select(
+        F.explode(F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))).alias("d")
+    )
+    iso_dow = (F.weekday("d") + 1).cast("int")
+    return days.select(
+        F.col("d").cast("string").alias("day"),
+        F.year("d").cast("int").alias("yr"),
+        F.month("d").cast("int").alias("mo"),
+        F.dayofmonth("d").cast("int").alias("dom"),
+        iso_dow.alias("iso_dow"),
+        (iso_dow >= 6).alias("is_weekend"),
+    )

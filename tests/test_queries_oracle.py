@@ -71,6 +71,14 @@ FAST_ORACLED = [
     "embedding_quantize",
     "scd2_history",
     "mom_growth",
+    "attribution_last_touch",
+    "event_transitions",
+    "rfm_segments",
+    "rolling_active_users",
+    "reservoir_sample_groups",
+    "weighted_priority_sample",
+    "benford_digits",
+    "calendar_dim",
 ]
 
 
