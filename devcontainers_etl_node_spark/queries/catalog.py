@@ -4586,3 +4586,405 @@ def calendar_dim(spark: SparkSession, sf: str) -> DataFrame:
         iso_dow.alias("iso_dow"),
         (iso_dow >= 6).alias("is_weekend"),
     )
+
+
+# =========================================================================
+# TPC-H tier 4: Q11/Q16/Q20 shapes, adapted to the corpus (no partsupp
+# table; the distinct (l_partkey, l_suppkey) pairs from lineitem stand in
+# for part-supplier relationships, as declared in SURVEY §2.10)
+# =========================================================================
+
+
+@query(
+    "important_part_value",
+    """
+    WITH nation_supp AS (
+        SELECT s_suppkey FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        WHERE n_name = 'GERMANY'),
+    part_value AS (
+        SELECT l_partkey,
+               CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(19,6)))
+                    AS DECIMAL(38,6)) AS value_dec
+        FROM lineitem
+        WHERE l_suppkey IN (SELECT s_suppkey FROM nation_supp)
+        GROUP BY l_partkey),
+    total AS (SELECT SUM(value_dec) AS total_value FROM part_value)
+    SELECT l_partkey, CAST(value_dec AS DOUBLE) AS part_value
+    FROM part_value CROSS JOIN total
+    WHERE value_dec * 1000 > total_value
+    """,
+)
+def important_part_value(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q11 shape (important stock identification), adapted: the
+    corpus has no partsupp, so "stock value" is modeled as discounted
+    revenue per part restricted to one nation's suppliers; parts whose
+    value exceeds 1/1000 of the nation total qualify. Plan: the supplier
+    filter is a broadcast semi-join (supplier x nation is dim-sized at
+    any scale); one shuffle groups by partkey; the nation total is a
+    single-row aggregate broadcast back, and the threshold compare is
+    exact decimal cross-multiplication (value*1000 > total) — no
+    division, no float drift. Reference analogue: none (SURVEY §2.7, no
+    aggregation in the reference)."""
+    li = table(spark, sf, "lineitem")
+    s = table(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+    n = table(spark, sf, "nation").filter(F.col("n_name") == "GERMANY").select("n_nationkey")
+    nation_supp = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select("s_suppkey")
+    part_value = (
+        li.join(F.broadcast(nation_supp), li.l_suppkey == nation_supp.s_suppkey, "left_semi")
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))).cast(
+                    "decimal(19,6)"
+                )
+            )
+            .cast("decimal(38,6)")
+            .alias("value_dec")
+        )
+    )
+    total = part_value.agg(F.sum("value_dec").alias("total_value"))
+    return (
+        part_value.crossJoin(F.broadcast(total))
+        .filter(F.col("value_dec") * 1000 > F.col("total_value"))
+        .select("l_partkey", F.col("value_dec").cast("double").alias("part_value"))
+    )
+
+
+@query(
+    "parts_supplier_counts",
+    """
+    WITH pairs AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+    excluded AS (SELECT s_suppkey FROM supplier WHERE s_name LIKE '%7')
+    SELECT p_brand, p_type, p_size,
+           COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM pairs
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#45'
+      AND p_type NOT LIKE 'MEDIUM%'
+      AND p_size IN (1, 4, 7, 15, 22, 25, 35, 49)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM excluded)
+    GROUP BY p_brand, p_type, p_size
+    """,
+)
+def parts_supplier_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q16 shape (parts/supplier relationship): how many distinct
+    suppliers can furnish each qualifying (brand, type, size), excluding
+    a denylisted supplier set (complaint suppliers in stock Q16; a
+    deterministic name-suffix stand-in here — the corpus supplier table
+    has no comment column). Plan: the part predicate trio prunes on the
+    broadcast dim side before the join; the denylist is a broadcast
+    anti-join (safe for NOT IN here because s_suppkey is never null);
+    the only fact-sized shuffle is the distinct over (partkey, suppkey)
+    pairs. Distinct-count then shuffles only the qualifying pair set."""
+    li = table(spark, sf, "lineitem")
+    p = table(spark, sf, "part").filter(
+        (F.col("p_brand") != "Brand#45")
+        & (~F.col("p_type").startswith("MEDIUM"))
+        & (F.col("p_size").isin(1, 4, 7, 15, 22, 25, 35, 49))
+    )
+    excluded = table(spark, sf, "supplier").filter(F.col("s_name").endswith("7")).select(
+        "s_suppkey"
+    )
+    pairs = li.select("l_partkey", "l_suppkey").distinct()
+    return (
+        pairs.join(F.broadcast(p), pairs.l_partkey == p.p_partkey)
+        .join(F.broadcast(excluded), pairs.l_suppkey == excluded.s_suppkey, "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "dominant_suppliers",
+    """
+    WITH shipped AS (
+        SELECT l_partkey, l_suppkey,
+               SUM(CAST(l_quantity AS DECIMAL(18,4))) AS qty
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+          AND l_shipdate < TIMESTAMP '1996-01-01'
+        GROUP BY l_partkey, l_suppkey),
+    totals AS (
+        SELECT l_partkey, SUM(qty) AS total_qty FROM shipped GROUP BY l_partkey),
+    dominant AS (
+        SELECT DISTINCT s.l_suppkey
+        FROM shipped s JOIN totals t ON s.l_partkey = t.l_partkey
+        WHERE s.qty * 2 > t.total_qty)
+    SELECT s_suppkey, s_name
+    FROM supplier JOIN dominant ON s_suppkey = l_suppkey
+    """,
+)
+def dominant_suppliers(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q20 shape (excess/concentrated supply): suppliers who, for
+    at least one part, shipped more than half of that part's total 1995
+    volume. Plan: the year filter reaches the parquet scan (row-group
+    min/max pruning; partition pruning on a date-partitioned lakehouse
+    layout); one shuffle builds (part, supplier) partial sums; the
+    per-part totals reuse the same data partitioned by partkey, and the
+    majority test is exact decimal cross-multiplication (qty*2 >
+    total). The supplier lookup is a broadcast semi-join, so the big
+    side never re-shuffles for the final name attach."""
+    li = table(spark, sf, "lineitem")
+    shipped = (
+        li.filter((F.col("l_shipdate") >= "1995-01-01") & (F.col("l_shipdate") < "1996-01-01"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(_dec("l_quantity")).alias("qty"))
+    )
+    totals = shipped.groupBy("l_partkey").agg(F.sum("qty").alias("total_qty"))
+    dominant = (
+        shipped.join(totals, "l_partkey")
+        .filter(F.col("qty") * 2 > F.col("total_qty"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    s = table(spark, sf, "supplier").select("s_suppkey", "s_name")
+    return s.join(F.broadcast(dominant), s.s_suppkey == dominant.l_suppkey, "left_semi")
+
+
+# =========================================================================
+# Data-quality tier 2: distributional outliers + scalable quantile buckets
+# =========================================================================
+
+
+@query(
+    "iqr_outliers",
+    """
+    WITH ranked AS (
+        SELECT o_orderpriority,
+               CAST(o_totalprice AS DECIMAL(18,4)) AS price,
+               row_number() OVER (PARTITION BY o_orderpriority
+                                  ORDER BY CAST(o_totalprice AS DECIMAL(18,4)), o_orderkey) AS rn,
+               COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+        FROM orders),
+    fences AS (
+        SELECT o_orderpriority,
+               MAX(CASE WHEN rn = GREATEST(1, CAST(CEIL(0.25 * n) AS BIGINT)) THEN price END) AS q1,
+               MAX(CASE WHEN rn = GREATEST(1, CAST(CEIL(0.75 * n) AS BIGINT)) THEN price END) AS q3
+        FROM ranked GROUP BY o_orderpriority)
+    SELECT r.o_orderpriority,
+           COUNT(*) AS n_orders,
+           COUNT(CASE WHEN r.price * 2 < f.q1 * 5 - f.q3 * 3 THEN 1 END) AS n_low,
+           COUNT(CASE WHEN r.price * 2 > f.q3 * 5 - f.q1 * 3 THEN 1 END) AS n_high
+    FROM ranked r JOIN fences f ON r.o_orderpriority = f.o_orderpriority
+    GROUP BY r.o_orderpriority
+    """,
+)
+def iqr_outliers(spark: SparkSession, sf: str) -> DataFrame:
+    """Tukey-fence outlier screen per group: flag orders below
+    Q1 - 1.5*IQR or above Q3 + 1.5*IQR of their priority class. The
+    quartiles are exact nearest-rank elements (type-1, same convention
+    as group_quantiles) and the fence comparison is rearranged to
+    integer-coefficient decimal form (price*2 < 5*q1 - 3*q3) so no 1.5
+    ever materializes — every compare is exact on both engines. Plan:
+    one sort per group for ranks; the fences table is #groups rows and
+    broadcasts back onto the ranked rows, so the second pass adds no
+    fact-sized shuffle (the window's partitioning is reused)."""
+    o = table(spark, sf, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(_dec("o_totalprice"), "o_orderkey")
+    wn = Window.partitionBy("o_orderpriority")
+    ranked = o.select(
+        "o_orderpriority",
+        _dec("o_totalprice").alias("price"),
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+
+    def at(p: float, name: str) -> F.Column:
+        target = F.greatest(F.lit(1), F.ceil(p * F.col("n")).cast("long"))
+        return F.max(F.when(F.col("rn") == target, F.col("price"))).alias(name)
+
+    fences = ranked.groupBy("o_orderpriority").agg(at(0.25, "q1"), at(0.75, "q3"))
+    joined = ranked.join(F.broadcast(fences), "o_orderpriority")
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.count(
+            F.when(F.col("price") * 2 < F.col("q1") * 5 - F.col("q3") * 3, 1)
+        ).alias("n_low"),
+        F.count(
+            F.when(F.col("price") * 2 > F.col("q3") * 5 - F.col("q1") * 3, 1)
+        ).alias("n_high"),
+    )
+
+
+@query(
+    "quantile_buckets",
+    """
+    WITH ranked AS (
+        SELECT CAST(o_totalprice AS DECIMAL(18,4)) AS price,
+               row_number() OVER (ORDER BY CAST(o_totalprice AS DECIMAL(18,4)), o_orderkey) AS rn,
+               COUNT(*) OVER () AS n
+        FROM orders),
+    thresholds AS (
+        SELECT MAX(CASE WHEN rn = GREATEST(1, CAST(CEIL(0.25 * n) AS BIGINT)) THEN price END) AS t1,
+               MAX(CASE WHEN rn = GREATEST(1, CAST(CEIL(0.50 * n) AS BIGINT)) THEN price END) AS t2,
+               MAX(CASE WHEN rn = GREATEST(1, CAST(CEIL(0.75 * n) AS BIGINT)) THEN price END) AS t3
+        FROM ranked)
+    SELECT CASE WHEN o.price <= t.t1 THEN 1
+                WHEN o.price <= t.t2 THEN 2
+                WHEN o.price <= t.t3 THEN 3
+                ELSE 4 END AS bucket,
+           COUNT(*) AS n_orders,
+           CAST(SUM(o.price) AS DOUBLE) AS bucket_revenue
+    FROM (SELECT CAST(o_totalprice AS DECIMAL(18,4)) AS price FROM orders) o
+    CROSS JOIN thresholds t
+    GROUP BY 1
+    """,
+)
+def quantile_buckets(spark: SparkSession, sf: str) -> DataFrame:
+    """Scalable quartile bucketing — the 100 TB alternative to a global
+    ntile window (see rfm_segments): extract the three exact nearest-rank
+    thresholds once, broadcast the 1-row threshold table, and assign
+    buckets with a per-row CASE — the assignment pass is an embarrassingly
+    parallel map with no global sort and no window state. Unlike ntile,
+    ties land deterministically on threshold compare (<=), so the bucket
+    populations differ from ntile's equal-fill by design; the contract is
+    value-based bucketing. Threshold extraction here uses one global-sort
+    window at orders cardinality; at extreme scale you'd swap in a
+    two-pass count-then-select-at-rank or percentile_approx — same
+    broadcast contract downstream."""
+    o = table(spark, sf, "orders")
+    ranked = o.select(
+        _dec("o_totalprice").alias("price"),
+        F.row_number().over(Window.orderBy(_dec("o_totalprice"), "o_orderkey")).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+
+    def at(p: float, name: str) -> F.Column:
+        target = F.greatest(F.lit(1), F.ceil(p * F.col("n")).cast("long"))
+        return F.max(F.when(F.col("rn") == target, F.col("price"))).alias(name)
+
+    thresholds = ranked.agg(at(0.25, "t1"), at(0.50, "t2"), at(0.75, "t3"))
+    prices = o.select(_dec("o_totalprice").alias("price"))
+    return (
+        prices.crossJoin(F.broadcast(thresholds))
+        .select(
+            F.when(F.col("price") <= F.col("t1"), 1)
+            .when(F.col("price") <= F.col("t2"), 2)
+            .when(F.col("price") <= F.col("t3"), 3)
+            .otherwise(4)
+            .alias("bucket"),
+            "price",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("price").cast("double").alias("bucket_revenue"),
+        )
+    )
+
+
+# =========================================================================
+# Graph tier 2: triangle counting over the co-purchase graph
+# =========================================================================
+
+
+@query(
+    "copurchase_triangles",
+    """
+    WITH basket AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    sized AS (
+        SELECT l_orderkey FROM basket
+        GROUP BY l_orderkey HAVING COUNT(*) <= 20),
+    pairs AS (
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+        FROM basket a
+        JOIN basket b ON a.l_orderkey = b.l_orderkey
+                     AND a.l_partkey < b.l_partkey
+        JOIN sized s ON s.l_orderkey = a.l_orderkey),
+    edges AS (
+        SELECT part_a, part_b FROM pairs
+        GROUP BY part_a, part_b HAVING COUNT(*) >= 2),
+    triangles AS (
+        SELECT e1.part_a AS a, e1.part_b AS b, e2.part_b AS c
+        FROM edges e1
+        JOIN edges e2 ON e2.part_a = e1.part_b
+        JOIN edges e3 ON e3.part_a = e1.part_a AND e3.part_b = e2.part_b)
+    SELECT COUNT(*) AS n_triangles,
+           COUNT(DISTINCT a) AS n_apex_parts
+    FROM triangles
+    """,
+)
+def copurchase_triangles(spark: SparkSession, sf: str) -> DataFrame:
+    """Triangle count over the co-purchase graph (same edge definition as
+    copurchase_pairs: >= 2 shared orders, basket-size-capped): the
+    standard cohesion metric for recommendation graphs. The canonical
+    relational formulation — edges ordered a<b, two joins closing the
+    wedge — counts each triangle exactly once. Plan: the expensive step
+    is the pair build, bounded by the basket-size cap (<= C(20,2) pairs
+    per order); the edge list after the >= 2-support filter is small, so
+    both closing joins broadcast. At web scale you'd pre-filter edges by
+    degree (count per node) before the wedge join — same contract."""
+    li = table(spark, sf, "lineitem")
+    basket = li.select("l_orderkey", "l_partkey").distinct()
+    sized = basket.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("bsz")).filter(
+        F.col("bsz") <= 20
+    )
+    a = basket.alias("a")
+    b = basket.alias("b")
+    keep = sized.select(F.col("l_orderkey").alias("sized_orderkey"))
+    pairs = (
+        a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+               & (F.col("a.l_partkey") < F.col("b.l_partkey")))
+        .join(F.broadcast(keep), F.col("a.l_orderkey") == F.col("sized_orderkey"),
+              "left_semi")
+        .select(F.col("a.l_partkey").alias("part_a"), F.col("b.l_partkey").alias("part_b"))
+    )
+    edges = (
+        pairs.groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= 2)
+        .select("part_a", "part_b")
+    )
+    e1 = edges.alias("e1")
+    e2 = edges.alias("e2")
+    e3 = edges.alias("e3")
+    tri = (
+        e1.join(F.broadcast(e2), F.col("e2.part_a") == F.col("e1.part_b"))
+        .join(
+            F.broadcast(e3),
+            (F.col("e3.part_a") == F.col("e1.part_a"))
+            & (F.col("e3.part_b") == F.col("e2.part_b")),
+        )
+        .select(F.col("e1.part_a").alias("a"))
+    )
+    return tri.agg(
+        F.count(F.lit(1)).alias("n_triangles"),
+        F.countDistinct("a").alias("n_apex_parts"),
+    )
+
+
+# =========================================================================
+# Mergeable sketches: two-level HLL union (rows-only; DuckDB has no
+# compatible sketch to hash against — the pytest checks estimate vs exact)
+# =========================================================================
+
+
+@query("hll_mergeable")
+def hll_mergeable(spark: SparkSession, sf: str) -> DataFrame:
+    """Two-level mergeable distinct-count: shard-level HLL sketches
+    (hll_sketch_agg per (day, user_id%16)) are unioned per day
+    (hll_union_agg) and only then estimated — the exact pattern a
+    1000-executor rollup uses so no single task ever sees all users, and
+    re-aggregation (day -> week -> month) never rescans the fact. Output:
+    day, estimated distinct users, shard count. Rows-only check (DuckDB
+    has no wire-compatible HLL); tests/test_queries_catalog.py asserts
+    the estimate lands within 5% of the exact distinct per day."""
+    ev = table(spark, sf, "events")
+    shards = (
+        ev.select(
+            F.to_date("ts").alias("day"),
+            (F.col("user_id") % 16).alias("shard"),
+            "user_id",
+        )
+        .groupBy("day", "shard")
+        .agg(F.hll_sketch_agg("user_id").alias("sketch"))
+    )
+    return (
+        shards.groupBy("day")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("est_users"),
+            F.count(F.lit(1)).alias("n_shards"),
+        )
+        .select(F.col("day").cast("string").alias("day"), "est_users", "n_shards")
+    )

@@ -79,6 +79,12 @@ FAST_ORACLED = [
     "weighted_priority_sample",
     "benford_digits",
     "calendar_dim",
+    "important_part_value",
+    "parts_supplier_counts",
+    "dominant_suppliers",
+    "iqr_outliers",
+    "quantile_buckets",
+    "copurchase_triangles",
 ]
 
 
@@ -124,4 +130,5 @@ def test_every_query_has_callable_and_oracle_consistency():
         "stratified_sample",
         "sequence_pack",
         "dup_pagerank",
+        "hll_mergeable",
     }
