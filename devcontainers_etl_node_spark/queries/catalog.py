@@ -1093,11 +1093,25 @@ def binary_plumbing(spark: SparkSession, sf: str) -> DataFrame:
 
 @query("media_features")  # stubbed decoder — rows-only check
 def media_features(spark: SparkSession, sf: str) -> DataFrame:
+    """Arrow-batched media feature extraction (operators/multimodal.py).
+
+    The operator returns `feature array<float>`; the driver's correctness
+    harness canonicalizes rows via pandas sort_values, which cannot hash
+    Python lists. So the query wrapper (operator unchanged) projects the
+    array to a deterministic scalar signature: each component rounded to
+    6dp and joined into one string column."""
     from devcontainers_etl_node_spark.operators import multimodal
 
     docs = table(spark, sf, "documents")
     media = multimodal.attach_fake_media(docs)
-    return multimodal.decode_image_features(media)
+    feats = multimodal.decode_image_features(media)
+    return feats.select(
+        "media_id",
+        "n_bytes",
+        F.concat_ws(
+            ",", F.transform(F.col("feature"), lambda x: F.format_number(x.cast("double"), 6))
+        ).alias("feature_sig"),
+    )
 
 
 # =========================================================================
