@@ -108,6 +108,23 @@ def cmd_pipeline(args) -> int:
     return 0
 
 
+def cmd_generate(args) -> int:
+    """G6 continuous generator fleet twin (reference data_chargers/load.py)."""
+    from devcontainers_etl_node_spark.config import EngineConfig
+    from devcontainers_etl_node_spark.generators.charger import run_chargers
+
+    cfg = EngineConfig()
+    if args.interval is not None:
+        cfg.interval_seconds = args.interval
+    if args.magnitude is not None:
+        cfg.magnitude_order = args.magnitude
+    spark = _spark()
+    history = run_chargers(spark, args.out, cycles=args.cycles, config=cfg)
+    for i, counts in enumerate(history):
+        print(f"cycle {i}: {counts}")
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="devcontainers_etl_node_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -129,10 +146,20 @@ def main(argv: list[str] | None = None) -> int:
     pl = sub.add_parser("pipeline", help="reference ETL twin on synthetic data")
     pl.add_argument("--rows", type=int, default=40, help="sales events to generate")
 
+    g = sub.add_parser("generate", help="continuous generator fleet (G6 twin)")
+    g.add_argument("--out", required=True, help="lakehouse root for the three sinks")
+    g.add_argument("--cycles", type=int, default=0, help="cycles to run (0 = forever)")
+    g.add_argument("--interval", type=int, default=None, help="seconds between cycles")
+    g.add_argument("--magnitude", type=int, default=None, help="events per cycle")
+
     args = p.parse_args(argv)
-    return {"list": cmd_list, "run": cmd_run, "sql": cmd_sql, "pipeline": cmd_pipeline}[
-        args.cmd
-    ](args)
+    return {
+        "list": cmd_list,
+        "run": cmd_run,
+        "sql": cmd_sql,
+        "pipeline": cmd_pipeline,
+        "generate": cmd_generate,
+    }[args.cmd](args)
 
 
 if __name__ == "__main__":

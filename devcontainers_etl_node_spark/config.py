@@ -49,6 +49,10 @@ class EngineConfig:
     ch_batch_rows: int = field(default_factory=lambda: _env_int("CH_CHUNK_ROWS", 200_000))  # loaders.py:13
     insert_enabled: bool = field(default_factory=lambda: _env_bool("INSERT", True))  # etl.py:8
 
+    # --- Generator fleet (reference data_chargers defaults) ---
+    interval_seconds: int = field(default_factory=lambda: _env_int("INTERVAL_SECONDS", 10))  # postgres/kafka_loader.py
+    magnitude_order: int = field(default_factory=lambda: _env_int("MAGNITUDE_ORDER", 10))  # rows per cycle
+
     # --- Corpus / bench ---
     sf_dir: str = field(default_factory=lambda: os.getenv("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
 
