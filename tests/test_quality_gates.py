@@ -1,0 +1,54 @@
+"""Quality gates for approximate operators: the rows-only catalog entries
+(ann_lsh, ann_ivf, hll_mergeable) carry no SQL oracle by design, so these
+tests pin their *accuracy* against exact ground truth instead.
+
+Recall knob sweep at sf0.01 (measured, deterministic — seeded hyperplanes
+and KMeans seed):
+    lsh  tables=8  planes=4: 0.60   tables=16 planes=4: 0.88
+    lsh  tables=12 planes=3: 0.96   tables=24 planes=4: 0.96
+    ivf  cent=16 probe=4: 0.72      cent=16 probe=6: 0.84
+    ivf  cent=16 probe=8: 0.96
+The catalog entries use tables=16 / n_probe=6 — the cheapest settings
+clearing the 0.8 gate with margin.
+"""
+
+import pyspark.sql.functions as F
+import pytest
+
+from devcontainers_etl_node_spark.catalog import table
+from devcontainers_etl_node_spark.queries.catalog import QUERIES
+
+SF = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def knn_truth(spark):
+    rows = QUERIES["knn_cosine"](spark, SF).collect()
+    return {(r.query_id, r.neighbor_id) for r in rows}
+
+
+def _recall(spark, name, truth):
+    got = {(r.query_id, r.neighbor_id) for r in QUERIES[name](spark, SF).collect()}
+    return len(got & truth) / len(truth)
+
+
+def test_ann_lsh_recall_at_5(spark, knn_truth):
+    assert _recall(spark, "ann_lsh", knn_truth) >= 0.8
+
+
+def test_ann_ivf_recall_at_5(spark, knn_truth):
+    assert _recall(spark, "ann_ivf", knn_truth) >= 0.8
+
+
+def test_hll_mergeable_within_5pct_of_exact(spark):
+    est = {r.day: r.est_users for r in QUERIES["hll_mergeable"](spark, SF).collect()}
+    exact = {
+        str(r.day): r.n
+        for r in table(spark, SF, "events")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(est) == set(exact)
+    for day, e in est.items():
+        assert abs(e - exact[day]) / exact[day] <= 0.05, day
