@@ -4303,13 +4303,14 @@ def mom_growth(spark: SparkSession, sf: str) -> DataFrame:
 def attribution_last_touch(spark: SparkSession, sf: str) -> DataFrame:
     """Last-touch attribution: for every converting user, credit the last
     non-purchase event strictly before their first purchase. Plan: the
-    first-purchase side is one conditional groupBy(user_id) — user-
-    cardinality-sized, so it broadcasts back onto the fact at any scale;
-    the per-user "last touch" is a row_number window fully tie-broken by
-    (ts DESC, event_id DESC) so both engines pick the identical row. The
-    only full-fact shuffle is the window's partitionBy(user_id); the
-    final channel rollup is tiny. No reference analogue (SURVEY §2.7 —
-    the reference performs no aggregation)."""
+    first-purchase side is one conditional groupBy(user_id) — converter-
+    cardinality-sized, which GROWS with users, so no broadcast is forced:
+    AQE broadcasts it while it fits and falls back to a shuffle join on
+    user_id at scale (where the join then shares the window's
+    partitioning). The per-user "last touch" is a row_number window fully
+    tie-broken by (ts DESC, event_id DESC) so both engines pick the
+    identical row. The final channel rollup is tiny. No reference
+    analogue (SURVEY §2.7 — the reference performs no aggregation)."""
     ev = table(spark, sf, "events")
     first_purchase = (
         ev.filter(F.col("event_type") == "purchase")
@@ -4317,7 +4318,7 @@ def attribution_last_touch(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.min("ts").alias("t_purchase"))
     )
     touches = (
-        ev.join(F.broadcast(first_purchase), "user_id")
+        ev.join(first_purchase, "user_id")
         .filter((F.col("ts") < F.col("t_purchase")) & (F.col("event_type") != "purchase"))
     )
     w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
