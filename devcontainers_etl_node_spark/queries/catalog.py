@@ -5379,3 +5379,179 @@ def tpch_q12_exact(spark: SparkSession, sf: str) -> DataFrame:
             F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
         )
     )
+
+
+# =========================================================================
+# Multimodal tier 2: the resize / frame-sample plumbing as oracled entries
+# (the stubs are deterministic byte-level transforms, so their *metadata*
+# outputs are exactly SQL-expressible — the oracle checks the real
+# mapInPandas Arrow path end-to-end, not a simplification)
+# =========================================================================
+
+
+@query(
+    "media_resize",
+    """
+    SELECT doc_id AS media_id,
+           CAST(LEAST(octet_length(encode(text)), 4096) AS BIGINT) AS n_bytes,
+           64 AS width, 64 AS height
+    FROM documents
+    """,
+)
+def media_resize(spark: SparkSession, sf: str) -> DataFrame:
+    """Image-resize plumbing over Arrow-batched mapInPandas
+    (operators/multimodal.py:resize_stub): payloads above the 64x64 target
+    budget are deterministically downsampled, metadata rewritten with the
+    target dims. The oracle pins the byte-count/dims contract — the
+    payload itself is exercised by the n_bytes == len(payload) invariant
+    inside the operator. At scale: one map pass, payloads never shuffle."""
+    from devcontainers_etl_node_spark.operators import multimodal
+
+    docs = table(spark, sf, "documents")
+    media = multimodal.attach_fake_media(docs)
+    resized = multimodal.resize_stub(media, target_w=64, target_h=64)
+    return resized.select(
+        "media_id",
+        F.col("meta.n_bytes").alias("n_bytes"),
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+    )
+
+
+@query(
+    "frame_sample",
+    """
+    SELECT doc_id AS media_id,
+           CAST(floor(octet_length(encode(text)) / 10) AS BIGINT) AS sampled_frames
+    FROM documents
+    """,
+)
+def frame_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Video frame-sampling plumbing (operators/multimodal.py:
+    frame_sample_stub): 1-in-N frame selection modeled as metadata (real
+    extraction needs ffmpeg — documented stub). Map-side only."""
+    from devcontainers_etl_node_spark.operators import multimodal
+
+    docs = table(spark, sf, "documents")
+    media = multimodal.attach_fake_media(docs)
+    return multimodal.frame_sample_stub(media, every_n=10).select("media_id", "sampled_frames")
+
+
+# =========================================================================
+# Round-2 widening: n-gram stats, vector hygiene, semantic dedup
+# =========================================================================
+
+
+@query(
+    "bigram_top",
+    """
+    WITH t AS (
+        SELECT string_split_regex(lower(trim(text)), '\\s+') AS toks
+        FROM documents WHERE length(trim(text)) > 0),
+    idx AS (
+        SELECT toks, unnest(generate_series(1, len(toks) - 1)) AS i
+        FROM t WHERE len(toks) >= 2),
+    grams AS (SELECT toks[i] || ' ' || toks[i + 1] AS bigram FROM idx)
+    SELECT bigram, COUNT(*) AS n
+    FROM grams
+    GROUP BY bigram
+    ORDER BY n DESC, bigram
+    LIMIT 20
+    """,
+)
+def bigram_top(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus-level top-20 bigrams — the n>1 companion to word_count and
+    the building block of contamination screens and boilerplate detection.
+    Bigram construction is an array lambda over the token vector (map-
+    side, codegen); the shuffle carries (bigram, partial count) thanks to
+    partial aggregation; the global top-20 is TakeOrderedAndProject (no
+    full sort). Tie-broken by the bigram text itself."""
+    docs = table(spark, sf, "documents").filter(F.length(F.trim("text")) > 0)
+    toks = F.split(F.lower(F.trim("text")), r"\s+")
+    d = docs.select(toks.alias("toks")).filter(F.size("toks") >= 2)
+    grams = d.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - 1),
+                lambda i: F.concat_ws(
+                    " ", F.element_at(F.col("toks"), i), F.element_at(F.col("toks"), i + 1)
+                ),
+            )
+        ).alias("bigram")
+    )
+    return (
+        grams.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "bigram")
+        .limit(20)
+    )
+
+
+@query(
+    "embedding_norms",
+    """
+    SELECT vec_id,
+           CAST(len(embedding) AS INT) AS dim,
+           sqrt(list_aggregate(list_transform(embedding,
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) AS l2_norm,
+           CAST(embedding[1] AS DOUBLE)
+             / sqrt(list_aggregate(list_transform(embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) AS u0
+    FROM embeddings
+    """,
+)
+def embedding_norms(spark: SparkSession, sf: str) -> DataFrame:
+    """Vector hygiene pass: dimension check + L2 norm + first component of
+    the unit-normalized vector. Both engines fold the squared components
+    left-to-right in double precision, so the norms are bit-identical
+    (same property the knn/neardup oracles already rely on). Pure map-side
+    array lambdas — zero shuffle at any scale."""
+    emb = table(spark, sf, "embeddings")
+    sq_sum = F.aggregate(
+        F.col("embedding"),
+        F.lit(0.0),
+        lambda acc, x: acc + x.cast("double") * x.cast("double"),
+    )
+    norm = F.sqrt(sq_sum)
+    return emb.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        norm.alias("l2_norm"),
+        (F.element_at("embedding", 1).cast("double") / norm).alias("u0"),
+    )
+
+
+@query(
+    "semantic_dedup",
+    """
+    WITH pairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM embeddings a JOIN embeddings b
+          ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE list_aggregate(list_transform(list_zip(a.embedding, b.embedding),
+                  p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum')
+              / (sqrt(list_aggregate(list_transform(a.embedding,
+                     x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+               * sqrt(list_aggregate(list_transform(b.embedding,
+                     x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))) >= 0.35)
+    SELECT vec_id, label
+    FROM embeddings
+    WHERE vec_id NOT IN (SELECT id_b FROM pairs)
+    """,
+)
+def semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """SemDeDup-style embedding dedup: within each cluster (the corpus
+    label column stands in for the KMeans cluster id — the clustering
+    itself is ivf_topk's quantizer), drop every vector that has a
+    LOWER-id neighbor above the cosine threshold; survivors are the
+    deterministic one-pass representatives. Plan: blocked pair join on
+    the cluster key (the SemDeDup trick — the quadratic term is bounded
+    per cluster, never corpus-wide) + a broadcast anti-join of the drop
+    list. At 100 TB: cluster with ~sqrt(n) centroids so each block is
+    executor-sized; the anti-join side is only the dropped ids."""
+    from devcontainers_etl_node_spark.operators import similarity
+
+    emb = table(spark, sf, "embeddings")
+    pairs = similarity.neardup_pairs(emb, threshold=0.35, block_col="label")
+    dropped = pairs.select(F.col("id_b").alias("vec_id")).distinct()
+    return emb.join(F.broadcast(dropped), "vec_id", "left_anti").select("vec_id", "label")
