@@ -212,3 +212,65 @@ def test_zordered_write_narrows_both_dimensions(spark, tmp_path):
     assert mean_span(zpath, "y") < 0.6
     # same rows either way
     assert spark.read.parquet(zpath).count() == 20_000
+
+
+# ---------------------------------------------------------------------------
+# Round-2 widening: columnar format matrix + malformed-record resilience
+# ---------------------------------------------------------------------------
+
+
+def test_orc_roundtrip_preserves_schema_and_values(spark, tmp_path):
+    """ORC is the second columnar format big lakehouses standardize on;
+    the engine's tables must survive a parquet->orc->parquet trip with
+    schema (incl. decimal/timestamp) and values intact."""
+    src = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", None)], "id long, s string, v double"
+    ).withColumn("price", F.col("id").cast("decimal(12,2)"))
+    p = str(tmp_path / "t.orc")
+    src.write.orc(p)
+    back = spark.read.orc(p)
+    assert back.schema == src.schema
+    assert sorted(back.collect()) == sorted(src.collect())
+
+
+def test_json_corrupt_records_are_quarantined_not_fatal(spark, tmp_path):
+    """PERMISSIVE parsing with _corrupt_record: at 100 TB a handful of
+    malformed lines must never kill the job — they land in a quarantine
+    column for audit, clean rows parse normally."""
+    f = tmp_path / "events.json"
+    f.write_text(
+        '{"event_id": 1, "v": 10.0}\n'
+        "THIS IS NOT JSON\n"
+        '{"event_id": 2, "v": 20.0}\n'
+        '{"event_id": 3, "v": "not-a-double"}\n'
+    )
+    schema = "event_id long, v double, _corrupt_record string"
+    df = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(str(f))
+    )
+    rows = df.collect()
+    assert len(rows) == 4
+    good = [r for r in rows if r._corrupt_record is None]
+    bad = [r for r in rows if r._corrupt_record is not None]
+    assert {r.event_id for r in good} == {1, 2}
+    assert len(bad) == 2  # the non-JSON line and the type-mismatched row
+    # the corrupt payloads are preserved verbatim for audit
+    assert any("NOT JSON" in r._corrupt_record for r in bad)
+
+
+def test_csv_schema_drift_columns_union(spark, tmp_path):
+    """Schema drift across ingest generations: a late file adding a column
+    must not break the read — explicit schema + permissive fill gives the
+    union view (the conform/union_by_name path handles the rest)."""
+    old = tmp_path / "gen1.csv"
+    new = tmp_path / "gen2.csv"
+    old.write_text("id,qty\n1,5\n")
+    new.write_text("id,qty,channel\n2,7,web\n")
+    schema = "id long, qty int, channel string"
+    df = spark.read.schema(schema).option("header", True).csv([str(old), str(new)])
+    rows = {r.id: r for r in df.collect()}
+    assert rows[1].channel is None
+    assert rows[2].channel == "web"
