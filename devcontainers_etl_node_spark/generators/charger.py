@@ -190,3 +190,41 @@ def _topic_max_cycle(spark: SparkSession, path: str) -> int:
         return int(row[0]) if row and row[0] is not None else -1
     except Exception:
         return -1
+
+
+def stream_chargers(
+    spark: SparkSession,
+    root: str,
+    checkpoint: str,
+    rows_per_batch: int = 100,
+    max_rows: int = 0,
+) -> "object":
+    """G6 streaming twin: the sales producer as a Structured Streaming job.
+
+    The batch fleet (run_chargers) mirrors the reference's sleep-loop
+    processes; this is the engine-native upgrade — the synthetic_sales
+    custom source (sources/pysource.py) emits rows_per_batch rows per
+    microbatch with a CHECKPOINTED offset, and the kafka-wire-format
+    records append to the topic directory exactly once across restarts
+    (the recovery contract the reference producers lack: killing one
+    mid-loop re-emits rows; killing this stream resumes from the offset).
+
+    Returns the StreamingQuery; caller stops it (or caps with max_rows
+    and processAllAvailable for bounded runs)."""
+    from devcontainers_etl_node_spark.sources.pysource import SyntheticSalesDataSource
+
+    spark.dataSource.register(SyntheticSalesDataSource)
+    paths = ChargerPaths(root)
+    stream = (
+        spark.readStream.format("synthetic_sales")
+        .option("rows_per_batch", rows_per_batch)
+        .option("max_rows", max_rows)
+        .load()
+    )
+    records = to_kafka_records(stream, key_col="event_id")
+    return (
+        records.writeStream.format("json")
+        .option("path", paths.sales_topic)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )

@@ -5586,3 +5586,72 @@ def variant_semistructured(spark: SparkSession, sf: str) -> DataFrame:
         F.variant_get(v, "$.missing", "string").isNull().alias("missing_is_null"),
         F.schema_of_variant(F.variant_get(v, "$.k", "variant")).alias("k_type"),
     )
+
+
+@query(
+    "recursive_cte_ancestry",
+    """
+    WITH RECURSIVE anc AS (
+        SELECT o_orderkey AS node, o_orderkey AS cur, 0 AS depth
+        FROM orders WHERE o_orderkey < 256
+        UNION ALL
+        SELECT node, cur // 2, depth + 1 FROM anc WHERE cur > 1)
+    SELECT node,
+           CAST(MAX(depth) AS INT) AS depth_to_root,
+           CAST(SUM(cur) AS BIGINT) AS path_sum
+    FROM anc GROUP BY node
+    """,
+)
+def recursive_cte_ancestry(spark: SparkSession, sf: str) -> DataFrame:
+    """Recursive CTE (Spark 4 WITH RECURSIVE) — iterative graph walks as
+    plain SQL: each order key halves toward the root, accumulating path
+    depth and sum (a binary-tree ancestry walk; the same recursion shape
+    as BOM explosion / org rollups). Spark executes the fixpoint as
+    repeated self-union steps under the hood — the declarative twin of
+    operators/graph.py's explicit iterate-and-localCheckpoint loop, cross-
+    checked here against DuckDB's recursive executor. Depth is bounded
+    (log2 of the key domain), far under the engine's recursion limit."""
+    table(spark, sf, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        WITH RECURSIVE anc AS (
+            SELECT o_orderkey AS node, o_orderkey AS cur, CAST(0 AS INT) AS depth
+            FROM orders WHERE o_orderkey < 256
+            UNION ALL
+            SELECT node, cur DIV 2, depth + 1 FROM anc WHERE cur > 1)
+        SELECT node,
+               CAST(MAX(depth) AS INT) AS depth_to_root,
+               CAST(SUM(cur) AS BIGINT) AS path_sum
+        FROM anc GROUP BY node
+        """
+    )
+
+
+@query(
+    "lateral_topk_per_nation",
+    """
+    SELECT n_name, c.c_custkey, c.c_acctbal
+    FROM nation, LATERAL (
+        SELECT c_custkey, c_acctbal FROM customer
+        WHERE c_nationkey = n_nationkey
+        ORDER BY c_acctbal DESC, c_custkey LIMIT 1) c
+    """,
+)
+def lateral_topk_per_nation(spark: SparkSession, sf: str) -> DataFrame:
+    """LATERAL correlated subquery: richest customer per nation, written
+    the way an analyst ports it from Postgres/DuckDB — the correlated
+    ORDER BY ... LIMIT 1 runs per outer row. Catalyst decorrelates this
+    into a join + per-group limit rather than executing N subqueries (the
+    same physical shape topk_per_group declares directly); fully
+    tie-broken so both engines pick the identical row."""
+    for t in ("nation", "customer"):
+        table(spark, sf, t).createOrReplaceTempView(t)
+    return spark.sql(
+        """
+        SELECT n_name, c.c_custkey, c.c_acctbal
+        FROM nation, LATERAL (
+            SELECT c_custkey, c_acctbal FROM customer
+            WHERE c_nationkey = n_nationkey
+            ORDER BY c_acctbal DESC, c_custkey LIMIT 1) c
+        """
+    )

@@ -75,3 +75,30 @@ def test_sales_records_are_kafka_wire_format(spark, tmp_path):
     payload = json.loads(row.value)
     assert payload["event_id"] == row.key
     assert {"event_id", "ts", "customer_id", "product_id", "qty", "unit_price"} <= set(payload)
+
+
+def test_stream_charger_exactly_once_across_restart(spark, tmp_path):
+    """The streaming fleet twin: a capped stream emits exactly max_rows
+    wire-format records; restarting with a HIGHER cap resumes from the
+    checkpointed offset — no duplicates, no gaps."""
+    from devcontainers_etl_node_spark.generators.charger import ChargerPaths, stream_chargers
+
+    root = str(tmp_path / "scharger")
+    ckpt = str(tmp_path / "ckpt")
+    q = stream_chargers(spark, root, ckpt, rows_per_batch=20, max_rows=50)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    topic = spark.read.json(ChargerPaths(root).sales_topic)
+    keys1 = sorted(int(r.key) for r in topic.select("key").collect())
+    assert keys1 == list(range(50))
+
+    q = stream_chargers(spark, root, ckpt, rows_per_batch=20, max_rows=90)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    topic = spark.read.json(ChargerPaths(root).sales_topic)
+    keys2 = sorted(int(r.key) for r in topic.select("key").collect())
+    assert keys2 == list(range(90))  # resumed at 50, not re-emitted
