@@ -5655,3 +5655,104 @@ def lateral_topk_per_nation(spark: SparkSession, sf: str) -> DataFrame:
             ORDER BY c_acctbal DESC, c_custkey LIMIT 1) c
         """
     )
+
+
+@query(
+    "cogroup_reconcile",
+    """
+    WITH ev AS (
+        SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id),
+    od AS (
+        SELECT o_custkey AS user_id, COUNT(*) AS n_orders,
+               MAX(o_totalprice) AS max_order_price
+        FROM orders GROUP BY o_custkey)
+    SELECT COALESCE(ev.user_id, od.user_id) AS user_id,
+           COALESCE(n_events, 0) AS n_events,
+           COALESCE(n_orders, 0) AS n_orders,
+           max_order_price
+    FROM ev FULL OUTER JOIN od ON ev.user_id = od.user_id
+    """,
+)
+def cogroup_reconcile(spark: SparkSession, sf: str) -> DataFrame:
+    """Co-grouped applyInPandas: the two-sided per-key custom merge the
+    DataFrame API can't express as a single join — both groups arrive as
+    pandas frames per key (full-outer semantics: either side may be
+    empty). Output sticks to order-insensitive facts (counts, max) so the
+    arbitrary intra-group row order can't leak into results. At scale:
+    one shuffle per side on the key, executor memory bounds the LARGEST
+    single key's two groups — the operator to avoid on whale keys (use
+    the join formulation the oracle shows instead); it exists for
+    genuinely procedural two-sided logic (reconciliation, interleaved
+    replay)."""
+    import pandas as pd
+
+    ev = table(spark, sf, "events").select("user_id")
+    od = table(spark, sf, "orders").select(
+        F.col("o_custkey").alias("user_id"), "o_totalprice"
+    )
+
+    def merge(key: tuple, ev_pdf: pd.DataFrame, od_pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [len(ev_pdf)],
+                "n_orders": [len(od_pdf)],
+                "max_order_price": [
+                    od_pdf["o_totalprice"].max() if len(od_pdf) else None
+                ],
+            }
+        )
+
+    return (
+        ev.groupBy("user_id")
+        .cogroup(od.groupBy("user_id"))
+        .applyInPandas(
+            merge,
+            "user_id long, n_events bigint, n_orders bigint, max_order_price double",
+        )
+    )
+
+
+@query(
+    "udtf_chunk_ranges",
+    """
+    WITH d AS (SELECT doc_id, n_chars FROM documents WHERE doc_id < 50)
+    SELECT doc_id,
+           CAST(unnest(generate_series(0, CAST(ceil(n_chars / 200.0) AS BIGINT) - 1)) AS INT) AS chunk_idx,
+           CAST(unnest(generate_series(0, CAST(ceil(n_chars / 200.0) AS BIGINT) - 1)) * 200 AS BIGINT) AS start,
+           LEAST(CAST(unnest(generate_series(0, CAST(ceil(n_chars / 200.0) AS BIGINT) - 1)) * 200 + 200 AS BIGINT),
+                 n_chars) AS stop
+    FROM d WHERE n_chars > 0
+    """,
+)
+def udtf_chunk_ranges(spark: SparkSession, sf: str) -> DataFrame:
+    """Python UDTF (Spark 4 user-defined TABLE function): one input row →
+    N output rows with procedural logic, registered and invoked from SQL
+    via LATERAL. The demo emits fixed-size chunk ranges per document —
+    the same grid doc_chunking derives relationally (the relational form
+    is the scale path; a UDTF runs row-at-a-time in Python and earns its
+    keep only when the expansion logic is genuinely imperative)."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_idx int, start bigint, stop bigint")
+    class ChunkRanges:
+        def eval(self, n_chars: int, size: int):
+            if n_chars is None or n_chars <= 0:
+                return
+            lo = 0
+            idx = 0
+            while lo < n_chars:
+                yield idx, lo, min(lo + size, n_chars)
+                idx += 1
+                lo += size
+
+    spark.udtf.register("chunk_ranges", ChunkRanges)
+    table(spark, sf, "documents").filter(F.col("doc_id") < 50).createOrReplaceTempView(
+        "_udtf_docs"
+    )
+    return spark.sql(
+        """
+        SELECT doc_id, c.chunk_idx, c.start, c.stop
+        FROM _udtf_docs, LATERAL chunk_ranges(CAST(n_chars AS INT), 200) c
+        """
+    )
