@@ -114,5 +114,68 @@ def main() -> None:
         print(f"| {rows:,} | {p:.2f}s | {s:.2f}s | {p / s:.2f}x |")
 
 
+
+
+# ---------------------------------------------------------------------------
+# Workload 2: exact dedup (the LLM-pipeline shape) — pandas drop_duplicates
+# vs the engine's sha2-keyed deterministic dedup, same replicated corpus.
+# Run: python tools/compare_reference_arch.py dedup [sf_dir] [n_runs] [N,...]
+# ---------------------------------------------------------------------------
+
+
+def pandas_dedup(sf_dir: str, replicate: int = 1) -> int:
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    if replicate > 1:
+        docs = pd.concat(
+            [docs.assign(doc_id=docs.doc_id + i * 10_000_000) for i in range(replicate)],
+            ignore_index=True,
+        )
+    kept = docs.sort_values("doc_id").drop_duplicates(subset=["text"], keep="first")
+    return len(kept)
+
+
+def spark_dedup(spark, sf_dir: str, replicate: int = 1) -> int:
+    from pyspark.sql import functions as F
+
+    from devcontainers_etl_node_spark.operators.dedup import exact_dedup
+
+    docs = table(spark, sf_dir, "documents")
+    if replicate > 1:
+        docs = (
+            docs.crossJoin(spark.range(replicate).select(F.col("id").alias("_r")))
+            .withColumn("doc_id", F.col("doc_id") + F.col("_r") * 10_000_000)
+            .drop("_r")
+        )
+    return exact_dedup(docs).count()
+
+
+def main_dedup() -> None:
+    sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    n_runs = int(sys.argv[3]) if len(sys.argv) > 3 else 3
+    factors = [int(x) for x in sys.argv[4].split(",")] if len(sys.argv) > 4 else [1, 8, 64]
+
+    spark = get_spark()
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    print("| corpus rows | pandas drop_duplicates | engine exact_dedup | ratio |")
+    print("|---|---|---|---|")
+    base = len(pd.read_parquet(f"{sf_dir}/documents.parquet"))
+    for n in factors:
+        pd_times, sp_times = [], []
+        for _ in range(n_runs):
+            t0 = time.perf_counter()
+            pandas_dedup(sf_dir, n)
+            pd_times.append(time.perf_counter() - t0)
+        for _ in range(n_runs):
+            t0 = time.perf_counter()
+            spark_dedup(spark, sf_dir, n)
+            sp_times.append(time.perf_counter() - t0)
+        p, s = min(pd_times), min(sp_times)
+        print(f"| {base * n:,} | {p:.2f}s | {s:.2f}s | {p / s:.2f}x |")
+
+
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "dedup":
+        main_dedup()
+    else:
+        main()
