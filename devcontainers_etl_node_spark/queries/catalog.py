@@ -5756,3 +5756,98 @@ def udtf_chunk_ranges(spark: SparkSession, sf: str) -> DataFrame:
         FROM _udtf_docs, LATERAL chunk_ranges(CAST(n_chars AS INT), 200) c
         """
     )
+
+
+@query(
+    "cdc_apply",
+    """
+    WITH log AS (
+        SELECT c_custkey AS k, c_acctbal AS v, 1 AS seq, 'I' AS op FROM customer
+        UNION ALL
+        SELECT c_custkey, c_acctbal + 50, 2, 'U' FROM customer WHERE c_custkey % 5 = 0
+        UNION ALL
+        SELECT c_custkey, NULL, 3, 'D' FROM customer WHERE c_custkey % 10 = 0),
+    latest AS (
+        SELECT k, v, op,
+               row_number() OVER (PARTITION BY k ORDER BY seq DESC) AS rn
+        FROM log)
+    SELECT k, v FROM latest WHERE rn = 1 AND op <> 'D'
+    """,
+)
+def cdc_apply(spark: SparkSession, sf: str) -> DataFrame:
+    """CDC changelog application with DELETE semantics — the missing third
+    of the upsert family (upsert_latest = I/U, scd2_history = validity
+    intervals, this = full I/U/D materialization): latest op per key wins,
+    tombstones drop the row. The changelog here is synthesized from
+    customer with integer-arithmetic ops so both engines derive identical
+    input. Plan: one union (map-side), one row_number window on the key —
+    the same single-shuffle shape a Debezium-feed merge runs at scale;
+    the window prunes to rn=1 via WindowGroupLimit before the filter."""
+    c = table(spark, sf, "customer")
+    ins = c.select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_acctbal").alias("v"),
+        F.lit(1).alias("seq"),
+        F.lit("I").alias("op"),
+    )
+    upd = (
+        c.filter(F.col("c_custkey") % 5 == 0)
+        .select(
+            F.col("c_custkey").alias("k"),
+            (F.col("c_acctbal") + 50).alias("v"),
+            F.lit(2).alias("seq"),
+            F.lit("U").alias("op"),
+        )
+    )
+    dels = (
+        c.filter(F.col("c_custkey") % 10 == 0)
+        .select(
+            F.col("c_custkey").alias("k"),
+            F.lit(None).cast("double").alias("v"),
+            F.lit(3).alias("seq"),
+            F.lit("D").alias("op"),
+        )
+    )
+    log = ins.unionByName(upd).unionByName(dels)
+    w = Window.partitionBy("k").orderBy(F.col("seq").desc())
+    return (
+        log.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("op") != "D"))
+        .select("k", "v")
+    )
+
+
+@query("countmin_userid")  # sketch estimate — rows-only; accuracy gate in tests
+def countmin_userid(spark: SparkSession, sf: str) -> DataFrame:
+    """Count-min sketch built RELATIONALLY — the mergeable heavy-hitter
+    counter as two DataFrame passes, no driver-side sketch object:
+
+      sketch:  depth x width counter table from one explode + groupBy
+               ((d, xxhash64(d, key) % width) -> count) — partial aggs
+               make each executor's contribution a local sketch that the
+               shuffle merges, exactly how sketches compose across a
+               1000-executor fleet (and across days: UNION + re-group).
+      probe:   for each queried key, min over depth of its bucket counts
+               (count-min's one-sided guarantee: estimate >= truth).
+
+    Probes the 100 lowest user_ids; tests/test_quality_gates.py pins
+    estimate >= exact and within +5%. Rows-only (DuckDB shares no hash
+    family). Sketch size here: depth 4 x width 1024 longs = 32 KB."""
+    depth, width = 4, 1024
+    ev = table(spark, sf, "events")
+    rows = ev.select(
+        "user_id",
+        F.explode(F.array(*[F.lit(d) for d in range(depth)])).alias("d"),
+    ).select("d", F.pmod(F.xxhash64("d", "user_id"), F.lit(width)).alias("bucket"))
+    sketch = rows.groupBy("d", "bucket").agg(F.count(F.lit(1)).alias("n"))
+
+    probe_keys = ev.select("user_id").distinct().orderBy("user_id").limit(100)
+    probes = probe_keys.select(
+        "user_id",
+        F.explode(F.array(*[F.lit(d) for d in range(depth)])).alias("d"),
+    ).select("user_id", "d", F.pmod(F.xxhash64("d", "user_id"), F.lit(width)).alias("bucket"))
+    return (
+        probes.join(sketch, ["d", "bucket"])
+        .groupBy("user_id")
+        .agg(F.min("n").alias("est_n"))
+    )

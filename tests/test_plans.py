@@ -199,3 +199,24 @@ def test_runtime_bloom_filter_prunes_fact_side(spark):
         for k, v in old.items():
             if v is not None:
                 spark.conf.set(k, v)
+
+
+def test_lakehouse_layout_partition_prunes(spark, tmp_path):
+    """The write_lakehouse_table monthly layout must give partition
+    pruning on ym: a filtered read lists only the matching partition
+    directories (PartitionFilters in the scan, one ym in the files)."""
+    from pyspark.sql import functions as F
+
+    from devcontainers_etl_node_spark.catalog import table as corpus_table
+    from devcontainers_etl_node_spark.sinks.files import write_lakehouse_table
+
+    orders = corpus_table(spark, "/root/testdata/sf0.001", "orders")
+    path = str(tmp_path / "orders_lake")
+    write_lakehouse_table(orders, path, ts_col="o_orderdate", sort_cols=["o_orderkey"])
+
+    df = spark.read.parquet(path).filter(F.col("ym") == "199506")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "ym" in plan
+    # the pruned read equals a direct read of that one partition directory
+    direct = spark.read.parquet(path + "/ym=199506").count()
+    assert direct > 0 and df.count() == direct

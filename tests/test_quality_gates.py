@@ -52,3 +52,21 @@ def test_hll_mergeable_within_5pct_of_exact(spark):
     assert set(est) == set(exact)
     for day, e in est.items():
         assert abs(e - exact[day]) / exact[day] <= 0.05, day
+
+
+def test_countmin_never_underestimates_and_is_tight(spark):
+    """Relational count-min (countmin_userid query): every estimate must be
+    >= the exact per-user count (one-sided error is the count-min
+    guarantee) and within +5% of exact for the probed heavy users at this
+    sketch size."""
+    est = {r.user_id: r.est_n for r in QUERIES["countmin_userid"](spark, SF).collect()}
+    ev = table(spark, SF, "events")
+    exact = {
+        r.user_id: r.n
+        for r in ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()
+        if r.user_id in est
+    }
+    assert set(est) == set(exact)
+    for k, n in exact.items():
+        assert est[k] >= n, (k, n, est[k])
+        assert est[k] <= n * 1.05 + 2, (k, n, est[k])
