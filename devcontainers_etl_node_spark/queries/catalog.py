@@ -2282,7 +2282,6 @@ def higher_order_fns(spark: SparkSession, sf: str) -> DataFrame:
     "collect_agg",
     """
     SELECT c_nationkey AS nation,
-           list_sort(list(DISTINCT c_mktsegment)) AS segments,
            array_to_string(list_sort(list(DISTINCT c_mktsegment)), '|') AS segments_csv,
            COUNT(*) AS n_customers
     FROM customer
@@ -2293,12 +2292,12 @@ def collect_agg(spark: SparkSession, sf: str) -> DataFrame:
     """Array/string aggregation: collect_set → sorted array → delimited
     string (the deterministic spelling of listagg/string_agg — raw
     collect order is partition-dependent, so parity REQUIRES the
-    array_sort). Array-typed output goes through the hash as its string
-    form on both engines."""
+    array_sort). The array reaches the output as its delimited string
+    form only: the driver harness canonicalizes rows via pandas
+    sort_values, which cannot hash list cells."""
     c = table(spark, sf, "customer")
     segs = F.array_sort(F.collect_set("c_mktsegment"))
     return c.groupBy(F.col("c_nationkey").alias("nation")).agg(
-        segs.alias("segments"),
         F.concat_ws("|", segs).alias("segments_csv"),
         F.count(F.lit(1)).alias("n_customers"),
     )
@@ -4148,7 +4147,8 @@ def editdist_verify(spark: SparkSession, sf: str) -> DataFrame:
                              AS INTEGER) - 127)
                END AS quant
         FROM bounds)
-    SELECT vec_id, label, lo, hi, quant,
+    SELECT vec_id, label, lo, hi,
+           array_to_string(quant, ',') AS quant_csv,
            CAST(list_sum(quant) AS BIGINT) AS q_sum,
            list_min(quant) AS q_min, list_max(quant) AS q_max
     FROM q
@@ -4185,12 +4185,14 @@ def embedding_quantize(spark: SparkSession, sf: str) -> DataFrame:
         )
     )
     q = bounds.select("vec_id", "label", "lo", "hi", quant.alias("quant"))
+    # the quantized vector reaches the output as a csv string: the driver
+    # harness canonicalizes via pandas sort_values, which can't hash lists
     return q.select(
         "vec_id",
         "label",
         "lo",
         "hi",
-        "quant",
+        F.array_join("quant", ",").alias("quant_csv"),
         F.aggregate("quant", F.lit(0).cast("long"), lambda a, x: a + x).alias("q_sum"),
         F.array_min("quant").alias("q_min"),
         F.array_max("quant").alias("q_max"),
