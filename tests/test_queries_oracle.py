@@ -131,4 +131,5 @@ def test_every_query_has_callable_and_oracle_consistency():
         "sequence_pack",
         "dup_pagerank",
         "hll_mergeable",
+        "countmin_userid",
     }
