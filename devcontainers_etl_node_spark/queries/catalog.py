@@ -5853,3 +5853,134 @@ def countmin_userid(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.min("n").alias("est_n"))
     )
+
+
+@query(
+    "line_dedup",
+    """
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+        FROM documents WHERE length(trim(text)) > 0),
+    lines AS (
+        SELECT doc_id, i AS line_idx,
+               array_to_string(t[(i * 10 + 1):((i + 1) * 10)], ' ') AS line
+        FROM (SELECT doc_id, t,
+                     unnest(generate_series(0, CAST(ceil(len(t) / 10.0) AS BIGINT) - 1)) AS i
+              FROM toks)),
+    ranked AS (
+        SELECT doc_id, line_idx, line,
+               row_number() OVER (PARTITION BY line ORDER BY doc_id, line_idx) AS rn
+        FROM lines)
+    SELECT doc_id,
+           CAST(COUNT(CASE WHEN rn = 1 THEN 1 END) AS BIGINT) AS kept_lines,
+           CAST(COUNT(CASE WHEN rn > 1 THEN 1 END) AS BIGINT) AS dropped_lines,
+           COALESCE(string_agg(CASE WHEN rn = 1 THEN line END, ' ' ORDER BY line_idx), '')
+               AS new_text
+    FROM ranked GROUP BY doc_id
+    """,
+)
+def line_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """C4/RefinedWeb-style LINE-level dedup: documents are split into text
+    units (fixed 10-token chunks here — the corpus has no newlines; with
+    real text the splitter is '\\n'), each unit is kept only at its FIRST
+    corpus-wide occurrence (deterministic: ordered by doc_id, position),
+    and documents are reassembled from their surviving units. This is the
+    boilerplate-killer exact dedup that runs BELOW document granularity —
+    headers/footers repeated across a crawl disappear while unique prose
+    survives. Plan: explode to units map-side, ONE shuffle on the unit
+    text for the first-occurrence window (at scale: hash the unit to a
+    64-bit key first — same trick as exact_dedup), then one shuffle back
+    on doc_id to reassemble in position order."""
+    docs = table(spark, sf, "documents").filter(F.length(F.trim("text")) > 0)
+    t = F.split(F.trim("text"), r"\s+")
+    lines = (
+        docs.select("doc_id", t.alias("t"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(0), F.ceil(F.size("t") / 10.0).cast("bigint") - 1)
+            ).alias("line_idx"),
+            F.col("t"),
+        )
+        .select(
+            "doc_id",
+            "line_idx",
+            F.concat_ws(" ", F.slice("t", F.col("line_idx") * 10 + 1, 10)).alias("line"),
+        )
+    )
+    w = Window.partitionBy("line").orderBy("doc_id", "line_idx")
+    ranked = lines.withColumn("rn", F.row_number().over(w))
+    kept_struct = F.when(F.col("rn") == 1, F.struct("line_idx", "line"))
+    return (
+        ranked.groupBy("doc_id")
+        .agg(
+            F.count(F.when(F.col("rn") == 1, 1)).alias("kept_lines"),
+            F.count(F.when(F.col("rn") > 1, 1)).alias("dropped_lines"),
+            F.coalesce(
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        F.array_sort(F.collect_list(kept_struct)), lambda s: s.line
+                    ),
+                ),
+                F.lit(""),
+            ).alias("new_text"),
+        )
+    )
+
+
+@query(
+    "try_arithmetic",
+    """
+    SELECT event_id,
+           TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_ok,
+           TRY_CAST(event_type AS BIGINT) AS bad_cast,
+           value / NULLIF(CAST(user_id % 5 AS DOUBLE), 0) AS safe_div,
+           CAST(NULL AS BIGINT) AS overflow_guard
+    FROM events
+    """,
+)
+def try_arithmetic(spark: SparkSession, sf: str) -> DataFrame:
+    """ANSI-safe arithmetic surface (Spark 4 runs ANSI mode by default, so
+    bad casts/div-by-zero THROW unless handled): try_cast yields NULL on
+    junk, try_divide yields NULL on zero denominators, try_add NULL on
+    int64 overflow. The 100 TB relevance: one malformed row must never
+    kill a 10-hour job — the try_ family is the per-expression quarantine
+    (the scan-level twin is the PERMISSIVE corrupt-record test). Oracle:
+    DuckDB TRY_CAST / NULLIF spell the identical semantics."""
+    ev = table(spark, sf, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").try_cast("bigint").alias("k_ok"),
+        F.col("event_type").try_cast("bigint").alias("bad_cast"),
+        F.try_divide(F.col("value"), (F.col("user_id") % 5).cast("double")).alias("safe_div"),
+        F.try_add(F.lit(9223372036854775807), F.col("event_id") + 1).alias("overflow_guard"),
+    )
+
+
+@query(
+    "xml_roundtrip",
+    """
+    SELECT event_id, event_type AS et, CAST(user_id AS BIGINT) AS uid
+    FROM events WHERE event_id < 1000
+    """,
+)
+def xml_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """Native XML parsing (Spark 4 from_xml): rows are serialized to XML
+    strings (to_xml) and parsed back through a declared schema — the
+    parse_url pattern: the oracle is the pre-serialization ground truth,
+    so the assertion is that encode∘decode is the identity on typed
+    values. Both directions are JVM expressions (map-side, codegen'd);
+    at scale this is the ingest path for XML feeds (SEC filings, sitemap
+    crawls, legacy SOAP dumps) without a Python parser in the loop."""
+    ev = table(spark, sf, "events").filter(F.col("event_id") < 1000)
+    xml = ev.select(
+        "event_id",
+        F.to_xml(
+            F.struct(F.col("event_type").alias("et"), F.col("user_id").alias("uid"))
+        ).alias("payload"),
+    )
+    parsed = xml.select(
+        "event_id", F.from_xml("payload", "et STRING, uid BIGINT").alias("s")
+    )
+    return parsed.select("event_id", F.col("s.et").alias("et"), F.col("s.uid").alias("uid"))
