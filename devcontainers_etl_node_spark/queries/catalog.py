@@ -5984,3 +5984,80 @@ def xml_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
         "event_id", F.from_xml("payload", "et STRING, uid BIGINT").alias("s")
     )
     return parsed.select("event_id", F.col("s.et").alias("et"), F.col("s.uid").alias("uid"))
+
+
+@query("pretrain_prep")  # minhash stage is non-SQL — rows-only; invariants in tests
+def pretrain_prep(spark: SparkSession, sf: str) -> DataFrame:
+    """The full pretraining-data preparation funnel as ONE lazy DAG — the
+    flagship composition of the engine's LLM operators, end to end:
+
+      1. quality gate     — length + quality-score thresholds (map-side)
+      2. exact dedup      — sha2 groupBy, deterministic survivor
+      3. near-dup removal — MinHash LSH pairs, higher id dropped
+      4. contamination    — docs sharing any 3-gram with the benchmark
+                            slice (doc_id%10==0 stand-in) are removed via
+                            broadcast anti-join
+      5. sequence packing — greedy per-language context-window fill
+                            (applyInPandas, 512-token budget)
+
+    Output: one row per pipeline stage with surviving docs + token mass —
+    the funnel report a data team reads after every corpus build. Every
+    stage is the already-tested operator (dedup.py / similarity / packing
+    .py); Catalyst pipelines the map-side stages into single passes.
+    Deterministic but not SQL-expressible (MinHash) → rows-only;
+    tests/test_quality_gates.py pins funnel monotonicity + packing budget."""
+    from devcontainers_etl_node_spark.operators import dedup as dd, packing, text as tx
+
+    docs = table(spark, sf, "documents")
+    tok = tx.token_count("text")
+
+    def stage_row(name: str, order: int, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.lit(order).alias("stage_no"),
+            F.lit(name).alias("stage"),
+            F.count(F.lit(1)).alias("docs"),
+            F.coalesce(F.sum(tx.token_count("text")), F.lit(0)).alias("tokens"),
+        )
+
+    raw = docs
+    gated = docs.filter((F.length("text") >= 50) & (tx.quality_score("text") >= 0.2))
+    exact = dd.exact_dedup(gated)
+    pairs = dd.minhash_lsh_pairs(exact, threshold=0.5)
+    near_drop = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    neardeduped = exact.join(F.broadcast(near_drop), "doc_id", "left_anti")
+    bench_grams = (
+        docs.filter(F.col("doc_id") % 10 == 0)
+        .select(F.explode(dd.word_shingles("text", 3)).alias("gram"))
+        .distinct()
+    )
+    doc_grams = neardeduped.filter(F.col("doc_id") % 10 != 0).select(
+        "doc_id", F.explode(dd.word_shingles("text", 3)).alias("gram")
+    )
+    contaminated = (
+        doc_grams.join(F.broadcast(bench_grams), "gram", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    clean = neardeduped.filter(F.col("doc_id") % 10 != 0).join(
+        F.broadcast(contaminated), "doc_id", "left_anti"
+    )
+
+    packed = packing.pack_sequences(
+        clean.withColumn("n_tokens", tok), "n_tokens", "lang", "doc_id", max_tokens=512
+    )
+    packed_summary = packed.agg(
+        F.lit(5).alias("stage_no"),
+        F.lit("packed").alias("stage"),
+        F.countDistinct(F.concat_ws("|", "group", "seq_id")).alias("docs"),
+        F.sum("n_tokens").alias("tokens"),
+    )
+
+    funnel = (
+        stage_row("raw", 0, raw)
+        .unionByName(stage_row("quality_gate", 1, gated))
+        .unionByName(stage_row("exact_dedup", 2, exact))
+        .unionByName(stage_row("near_dedup", 3, neardeduped))
+        .unionByName(stage_row("decontaminated", 4, clean))
+        .unionByName(packed_summary)
+    )
+    return funnel.orderBy("stage_no")

@@ -70,3 +70,23 @@ def test_countmin_never_underestimates_and_is_tight(spark):
     for k, n in exact.items():
         assert est[k] >= n, (k, n, est[k])
         assert est[k] <= n * 1.05 + 2, (k, n, est[k])
+
+
+def test_pretrain_prep_funnel_invariants(spark):
+    """The pretraining funnel must be monotone (each stage keeps <= docs
+    and <= tokens of the previous relational stage), strictly filtering
+    where the corpus has known dups/contamination, and the packed stage's
+    token mass must equal the decontaminated stage's (packing reorganizes,
+    never drops)."""
+    rows = {r.stage: r for r in QUERIES["pretrain_prep"](spark, SF).collect()}
+    assert set(rows) == {"raw", "quality_gate", "exact_dedup", "near_dedup", "decontaminated", "packed"}
+    order = ["raw", "quality_gate", "exact_dedup", "near_dedup", "decontaminated"]
+    for a, b in zip(order, order[1:]):
+        assert rows[b].docs <= rows[a].docs, (a, b)
+        assert rows[b].tokens <= rows[a].tokens, (a, b)
+    # corpus has near-dups and a benchmark slice — those stages strictly filter
+    assert rows["near_dedup"].docs < rows["exact_dedup"].docs
+    assert rows["decontaminated"].docs < rows["near_dedup"].docs
+    assert rows["packed"].tokens == rows["decontaminated"].tokens
+    # sequences are fuller than one-doc-per-sequence would be
+    assert rows["packed"].docs < rows["decontaminated"].docs

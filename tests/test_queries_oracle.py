@@ -132,4 +132,5 @@ def test_every_query_has_callable_and_oracle_consistency():
         "dup_pagerank",
         "hll_mergeable",
         "countmin_userid",
+        "pretrain_prep",
     }
