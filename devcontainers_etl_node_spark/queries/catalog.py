@@ -6061,3 +6061,46 @@ def pretrain_prep(spark: SparkSession, sf: str) -> DataFrame:
         .unionByName(packed_summary)
     )
     return funnel.orderBy("stage_no")
+
+
+@query(
+    "phrase_search",
+    """
+    WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+               FROM documents WHERE length(trim(text)) > 0),
+    pos AS (
+        SELECT doc_id,
+               generate_subscripts(toks, 1) AS p,
+               unnest(toks) AS tok
+        FROM t),
+    hits AS (
+        SELECT a.doc_id, a.p AS phrase_pos
+        FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.p = a.p + 1
+        WHERE a.tok = 'batch' AND b.tok = 'table')
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits,
+           CAST(MIN(phrase_pos) AS BIGINT) AS first_pos
+    FROM hits GROUP BY doc_id
+    """,
+)
+def phrase_search(spark: SparkSession, sf: str) -> DataFrame:
+    """Positional phrase search — the inverted-index probe shape: tokens
+    explode with their positions (the posting list), and a phrase match
+    is an equi-join on doc + adjacent positions restricted to the query
+    terms. Plan: the term filters cut the posting list BEFORE the
+    self-join (only 'batch'/'table' postings shuffle, not the corpus),
+    exactly how a search index probe touches only the query terms'
+    postings at any corpus size. Output: per-doc hit count + first
+    position, both integer-exact."""
+    docs = table(spark, sf, "documents").filter(F.length(F.trim("text")) > 0)
+    pos = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower(F.trim("text")), r"\s+")).alias("p0", "tok"),
+    ).select("doc_id", (F.col("p0") + 1).alias("p"), "tok")
+    a = pos.filter(F.col("tok") == "batch").alias("a")
+    b = pos.filter(F.col("tok") == "table").alias("b")
+    hits = a.join(
+        b, (F.col("a.doc_id") == F.col("b.doc_id")) & (F.col("b.p") == F.col("a.p") + 1)
+    ).select(F.col("a.doc_id").alias("doc_id"), F.col("a.p").alias("phrase_pos"))
+    return hits.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_hits"), F.min("phrase_pos").alias("first_pos")
+    )
