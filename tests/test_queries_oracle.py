@@ -134,3 +134,27 @@ def test_every_query_has_callable_and_oracle_consistency():
         "countmin_userid",
         "pretrain_prep",
     }
+
+
+def test_no_query_outputs_driver_unhashable_columns(spark):
+    """The driver's correctness harness canonicalizes result rows via
+    pandas sort_values, which cannot hash list/dict cells — an array, map,
+    or struct output column crashes the gate (the round-1 media_features
+    defect). Lock the invariant: every catalog query's output schema is
+    scalar-only. Schema resolution is analysis-only (no execution), so
+    this sweeps all entries cheaply."""
+    from pyspark.sql import types as T
+
+    import __spark_entry__ as entrymod
+
+    offenders = {}
+    for name, fn in entrymod.queries().items():
+        schema = fn(spark, "/root/testdata/sf0.001").schema
+        bad = [
+            f.name
+            for f in schema.fields
+            if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+        ]
+        if bad:
+            offenders[name] = bad
+    assert not offenders, offenders
