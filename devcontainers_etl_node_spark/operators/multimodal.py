@@ -163,3 +163,39 @@ def frame_sample_stub(df: DataFrame, every_n: int = 10) -> DataFrame:
             F.floor(F.col("meta.n_bytes") / F.lit(every_n)).cast("long"),
         ).otherwise(F.lit(0).cast("long")),
     )
+
+
+def decode_image_features_arrow(df: DataFrame, feature_dim: int = 8) -> DataFrame:
+    """mapInArrow twin of decode_image_features: the batch arrives as a
+    pyarrow RecordBatch and leaves as one — no pandas materialization in
+    the middle, which matters when payloads are large (pandas object
+    columns copy every cell; Arrow buffers are zero-copy slices). Same
+    deterministic stub features, byte-identical output to the pandas
+    path (pinned by test)."""
+    import pyarrow as pa
+
+    def _features(payload: bytes | None) -> list[float]:
+        if payload is None:
+            return [0.0] * feature_dim
+        arr = np.frombuffer(payload, dtype=np.uint8)
+        if arr.size == 0:
+            return [0.0] * feature_dim
+        chunks = np.array_split(arr.astype(np.float64), feature_dim)
+        return [float(c.mean()) if c.size else 0.0 for c in chunks]
+
+    def batches(it):
+        for batch in it:
+            payloads = batch.column("payload").to_pylist()
+            ids = batch.column("media_id")
+            yield pa.RecordBatch.from_arrays(
+                [
+                    ids,
+                    pa.array(
+                        [0 if p is None else len(p) for p in payloads], type=pa.int64()
+                    ),
+                    pa.array([_features(p) for p in payloads], type=pa.list_(pa.float32())),
+                ],
+                names=["media_id", "n_bytes", "feature"],
+            )
+
+    return df.mapInArrow(batches, schema=FEATURES_SCHEMA)

@@ -464,3 +464,16 @@ def test_pagerank_matches_hand_computation(spark):
     for v in want:
         assert got[v] == pytest.approx(want[v], rel=1e-9)
     assert sum(got.values()) == pytest.approx(1.0, rel=1e-9)
+
+
+def test_arrow_decode_matches_pandas_decode(spark):
+    """The mapInArrow media decode must be byte-identical to the
+    mapInPandas path — same stub, two batch transports."""
+    from devcontainers_etl_node_spark.catalog import table
+    from devcontainers_etl_node_spark.operators import multimodal
+
+    docs = table(spark, "/root/testdata/sf0.001", "documents").limit(50)
+    media = multimodal.attach_fake_media(docs)
+    a = {r.media_id: (r.n_bytes, r.feature) for r in multimodal.decode_image_features(media).collect()}
+    b = {r.media_id: (r.n_bytes, r.feature) for r in multimodal.decode_image_features_arrow(media).collect()}
+    assert a == b
