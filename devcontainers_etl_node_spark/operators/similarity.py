@@ -232,3 +232,92 @@ def neardup_pairs(
         )
         .filter(F.col("cosine_sim") >= threshold)
     )
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = 4,
+    n_codes: int = 16,
+    rerank: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    train_fraction: float | None = None,
+) -> DataFrame:
+    """Product-quantization ANN (the memory-side scale path: FAISS's IVF-PQ
+    second stage). The vector splits into `m` subspaces; each subspace
+    gets its own `n_codes`-centroid KMeans codebook; a corpus vector is
+    stored as m one-byte codes (dim x 4 bytes -> m bytes, 64x here).
+    Query scoring is ASYMMETRIC distance: the exact query subvector against
+    each codebook centroid builds an (m x n_codes) lookup table —
+    driver-tiny, broadcast as literal expressions — and a corpus vector's
+    approximate squared distance is the SUM of m table lookups over its
+    codes. Top `rerank*k` by ADC are exact-cosine re-ranked.
+
+    Scale: codebooks train on a sample (m tiny KMeans fits); corpus
+    encoding is m map-side model.transforms; scoring is pure expressions
+    over the m code columns — the corpus never shuffles, never
+    materializes distances to anything but its own rows; only the
+    rerank*k shortlist touches full vectors. Recall tunes via n_codes /
+    rerank with no plan change. Rows-only correctness; recall gate in
+    tests/test_quality_gates.py."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    dim_row = corpus.select(F.size(vec_col).alias("d")).first()
+    dim = dim_row["d"]
+    sub = dim // m
+
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+
+    # per-subspace codebooks + corpus codes (m map-side transforms)
+    encoded = c
+    codebooks: list[list[list[float]]] = []
+    for j in range(m):
+        subvec = F.slice("c_vec", j * sub + 1, sub).cast("array<double>")
+        feat = encoded.withColumn(f"_f{j}", array_to_vector(subvec))
+        train = feat.sample(fraction=train_fraction, seed=seed + j) if train_fraction else feat
+        model = KMeans(
+            k=n_codes, seed=seed + j, maxIter=10, featuresCol=f"_f{j}", predictionCol=f"_c{j}"
+        ).fit(train)
+        codebooks.append([[float(x) for x in ctr] for ctr in model.clusterCenters()])
+        encoded = model.transform(feat).drop(f"_f{j}")
+
+    # ADC: per query, distance table to every centroid of every subspace,
+    # folded into the plan as literal centroid arrays (m*n_codes*sub doubles
+    # — e.g. 4*16*16 = 1024 literals, well under plan-size limits)
+    def sub_d2(qcol: F.Column, j: int, code_col: str) -> F.Column:
+        qs = F.slice(qcol, j * sub + 1, sub)
+        table = [
+            F.aggregate(
+                F.zip_with(
+                    qs,
+                    F.array(*[F.lit(x) for x in codebooks[j][code]]),
+                    lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            for code in range(n_codes)
+        ]
+        # element_at on a literal-built array indexes the code's distance
+        return F.element_at(F.array(*table), F.col(code_col).cast("int") + 1)
+
+    scored = encoded.crossJoin(F.broadcast(q)).filter(F.col("neighbor_id") != F.col("query_id"))
+    adc = sum(sub_d2(F.col("q_vec"), j, f"_c{j}") for j in range(m))
+    scored = scored.withColumn("_adc", adc)
+    w_adc = Window.partitionBy("query_id").orderBy(F.col("_adc"), F.col("neighbor_id"))
+    shortlist = scored.withColumn("_rn", F.row_number().over(w_adc)).filter(
+        F.col("_rn") <= rerank * k
+    )
+
+    rer = shortlist.withColumn("cosine_sim", cosine(F.col("q_vec"), F.col("c_vec")))
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), F.col("neighbor_id"))
+    return (
+        rer.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rn")
+    )

@@ -8,6 +8,7 @@ and KMeans seed):
     lsh  tables=12 planes=3: 0.96   tables=24 planes=4: 0.96
     ivf  cent=16 probe=4: 0.72      cent=16 probe=6: 0.84
     ivf  cent=16 probe=8: 0.96
+    pq   m=8 codes=32 rerank=8: 0.80   m=16 codes=32 rerank=8: 1.00
 The catalog entries use tables=16 / n_probe=6 — the cheapest settings
 clearing the 0.8 gate with margin.
 """
@@ -38,6 +39,10 @@ def test_ann_lsh_recall_at_5(spark, knn_truth):
 
 def test_ann_ivf_recall_at_5(spark, knn_truth):
     assert _recall(spark, "ann_ivf", knn_truth) >= 0.8
+
+
+def test_ann_pq_recall_at_5(spark, knn_truth):
+    assert _recall(spark, "ann_pq", knn_truth) >= 0.8
 
 
 def test_hll_mergeable_within_5pct_of_exact(spark):

@@ -133,6 +133,7 @@ def test_every_query_has_callable_and_oracle_consistency():
         "hll_mergeable",
         "countmin_userid",
         "pretrain_prep",
+        "ann_pq",
     }
 
 
