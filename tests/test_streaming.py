@@ -450,3 +450,37 @@ def test_transform_with_state_counter(spark, tmp_path, event_rows):
             spark.conf.set(
                 "spark.sql.streaming.stateStore.providerClass", prev_provider
             )
+
+
+def test_streaming_neardup_simhash_dedup(spark, tmp_path):
+    """Streaming NEAR-dup suppression — the curation dedup moved onto the
+    continuous path: documents are fingerprinted map-side with simhash
+    (operators/dedup.py, pure expressions) and deduplicated on the
+    fingerprint within the watermark window. Whitespace/case variants of
+    the same text share a fingerprint (identical token stream), so a
+    re-crawled page re-stamped seconds later is suppressed, while a
+    genuinely different document passes. State is fingerprint-keyed and
+    watermark-evicted — O(window), not O(stream)."""
+    import datetime
+
+    from devcontainers_etl_node_spark.operators.dedup import simhash
+
+    t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    schema = "doc_id long, ts timestamp, text string"
+    rows = [
+        (1, t0, "the quick brown fox jumps over the dog"),
+        (2, t0 + datetime.timedelta(seconds=3), "The  Quick   Brown fox jumps over the dog"),
+        (3, t0 + datetime.timedelta(seconds=5), "a completely different document about spark"),
+    ]
+    src = tmp_path / "nd_src"
+    spark.createDataFrame(rows, schema).write.mode("overwrite").parquet(str(src))
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    deduped = (
+        stream.withColumn("fp", simhash("text"))
+        .withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark(["fp"])
+    )
+    _run(deduped, "neardup_out")
+    out = spark.sql("SELECT doc_id FROM neardup_out").collect()
+    kept = sorted(r.doc_id for r in out)
+    assert len(kept) == 2 and 3 in kept  # one of the near-dup pair + the distinct doc
