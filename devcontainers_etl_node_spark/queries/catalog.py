@@ -6122,3 +6122,67 @@ def ann_pq(spark: SparkSession, sf: str) -> DataFrame:
     return similarity.pq_topk(emb, q, k=5, m=16, n_codes=32, rerank=8).select(
         "query_id", "neighbor_id", "rn"
     )
+
+
+@query(
+    "gopher_quality_filter",
+    """
+    WITH m AS (
+        SELECT doc_id,
+               string_split_regex(lower(trim(text)), '\\s+') AS toks,
+               length(text) AS n_chars,
+               length(text) - length(replace(text, ' ', '')) AS n_spaces
+        FROM documents WHERE length(trim(text)) > 0),
+    f AS (
+        SELECT doc_id,
+               len(toks) AS n_words,
+               CAST(len(toks) >= 10 AND len(toks) <= 100000 AS BOOLEAN) AS ok_word_count,
+               CAST((n_chars - n_spaces) * 10 >= len(toks) * 30
+                    AND (n_chars - n_spaces) * 10 <= len(toks) * 100 AS BOOLEAN) AS ok_mean_word_len,
+               CAST(len(list_filter(toks, t -> t IN ('the','a','of','to','and','in','is'))) > 0
+                    AS BOOLEAN) AS ok_has_stopword,
+               CAST(len(list_distinct(toks)) * 5 >= len(toks) AS BOOLEAN) AS ok_distinct_ratio
+        FROM m)
+    SELECT doc_id, n_words, ok_word_count, ok_mean_word_len, ok_has_stopword,
+           ok_distinct_ratio,
+           CAST(ok_word_count AND ok_mean_word_len AND ok_has_stopword
+                AND ok_distinct_ratio AS BOOLEAN) AS keep
+    FROM f
+    """,
+)
+def gopher_quality_filter(spark: SparkSession, sf: str) -> DataFrame:
+    """The published Gopher quality rules as per-rule audit flags + a final
+    keep verdict (Rae et al. 2021 §A1.1, adapted to this corpus's ranges):
+    word-count bounds, mean-word-length band (spelled as exact integer
+    cross-multiplication — chars*10 vs words*30..100 — so no float
+    division enters the oracle), stopword presence, distinct-word ratio
+    (the repetition screen). Emitting per-rule booleans instead of just
+    the verdict is the operational form: corpus reports need WHY a doc
+    fell out, and the flags cost nothing extra (one map pass, zero
+    shuffle, all whole-stage codegen)."""
+    docs = table(spark, sf, "documents").filter(F.length(F.trim("text")) > 0)
+    toks = F.split(F.lower(F.trim("text")), r"\s+")
+    n_chars = F.length("text")
+    n_spaces = F.length("text") - F.length(F.regexp_replace("text", " ", ""))
+    stop = F.array(*[F.lit(w) for w in ["the", "a", "of", "to", "and", "in", "is"]])
+    d = docs.select(
+        "doc_id",
+        toks.alias("toks"),
+        n_chars.alias("n_chars"),
+        n_spaces.alias("n_spaces"),
+    )
+    n_words = F.size("toks")
+    letters = F.col("n_chars") - F.col("n_spaces")
+    ok_wc = (n_words >= 10) & (n_words <= 100000)
+    ok_mwl = (letters * 10 >= n_words * 30) & (letters * 10 <= n_words * 100)
+    ok_stop = F.size(F.array_intersect(F.col("toks"), stop)) > 0
+    ok_distinct = F.size(F.array_distinct("toks")) * 5 >= n_words
+    return d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        ok_wc.alias("ok_word_count"),
+        ok_mwl.alias("ok_mean_word_len"),
+        ok_stop.alias("ok_has_stopword"),
+        ok_distinct.alias("ok_distinct_ratio"),
+        (ok_wc & ok_mwl & ok_stop & ok_distinct).alias("keep"),
+    )
