@@ -6186,3 +6186,42 @@ def gopher_quality_filter(spark: SparkSession, sf: str) -> DataFrame:
         ok_distinct.alias("ok_distinct_ratio"),
         (ok_wc & ok_mwl & ok_stop & ok_distinct).alias("keep"),
     )
+
+
+@query(
+    "group_by_all_topk",
+    """
+    WITH agg AS (
+        SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+        FROM orders
+        GROUP BY o_orderpriority, o_orderstatus)
+    SELECT o_orderpriority, o_orderstatus, n, total FROM (
+        SELECT *, row_number() OVER (PARTITION BY o_orderpriority
+                                     ORDER BY n DESC, o_orderstatus) AS rn
+        FROM agg) t
+    WHERE rn <= 2
+    """,
+)
+def group_by_all_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """GROUP BY ALL (group on every non-aggregate select item — the
+    modern ergonomics Spark 4 shares with DuckDB/Snowflake) feeding a
+    windowed top-2-statuses-per-priority. Spark has no QUALIFY clause,
+    so the window filter is the standard derived table; the oracle
+    spells the grouping explicitly, proving the sugar resolves to the
+    identical grouping set."""
+    table(spark, sf, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        WITH agg AS (
+            SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+            FROM orders
+            GROUP BY ALL)
+        SELECT o_orderpriority, o_orderstatus, n, total FROM (
+            SELECT *, row_number() OVER (PARTITION BY o_orderpriority
+                                         ORDER BY n DESC, o_orderstatus) AS rn
+            FROM agg) t
+        WHERE rn <= 2
+        """
+    )
