@@ -95,3 +95,61 @@ def test_pretrain_prep_funnel_invariants(spark):
     assert rows["packed"].tokens == rows["decontaminated"].tokens
     # sequences are fuller than one-doc-per-sequence would be
     assert rows["packed"].docs < rows["decontaminated"].docs
+
+
+def test_lang_id_classifies_distinctive_text(spark):
+    """The corpus lang labels are random w.r.t. the (uniform synthetic)
+    text, so corpus accuracy is meaningless by construction; the
+    behavioral gate instead: on text carrying each language's stopword
+    evidence, lang_id must pick that language, and evidence-free text
+    must map to 'und'."""
+    from devcontainers_etl_node_spark.operators.text import lang_id
+
+    rows = [
+        ("en", "the cat sat on the mat and it is happy"),
+        ("es", "el perro y la casa que es de los vecinos"),
+        ("de", "der hund und die katze das ist ein tier"),
+        ("fr", "le chien et la maison est une des belles"),
+        ("zh", "我 是 人 这 不 了 和 有 在 的"),
+        ("und", "xylophone quartz zebra"),
+    ]
+    df = spark.createDataFrame(rows, "expected string, text string")
+    out = df.select("expected", lang_id("text").alias("pred")).collect()
+    for r in out:
+        assert r.pred == r.expected, (r.expected, r.pred)
+
+
+def test_percentile_approx_within_5pct_of_exact(spark):
+    """approx percentiles (rows-only entry) must land within 5% relative
+    of the exact per-group percentiles."""
+    approx = {r.event_type: (r.p50_approx, r.p95_approx) for r in QUERIES["percentile_approx"](spark, SF).collect()}
+    ev = table(spark, SF, "events")
+    exact = {
+        r.event_type: (r.p50, r.p95)
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.expr("percentile(value, 0.5)").alias("p50"),
+            F.expr("percentile(value, 0.95)").alias("p95"),
+        )
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for k in exact:
+        for a, e in zip(approx[k], exact[k]):
+            assert abs(a - e) / abs(e) <= 0.05, (k, a, e)
+
+
+def test_stratified_sample_respects_fractions(spark):
+    """sampleBy fractions (rows-only entry): each stratum's realized rate
+    must be in a Bernoulli-plausible band around its target, and the
+    zh stratum (fraction 1.0) must be complete."""
+    got = {r.lang: r.n_sampled for r in QUERIES["stratified_sample"](spark, SF).collect()}
+    totals = {
+        r.lang: r.n
+        for r in table(spark, SF, "documents").groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    targets = {"en": 0.1, "es": 0.5, "de": 0.5, "fr": 0.5, "zh": 1.0}
+    assert got["zh"] == totals["zh"]
+    for lang, frac in targets.items():
+        rate = got.get(lang, 0) / totals[lang]
+        assert abs(rate - frac) <= 0.2, (lang, rate, frac)
