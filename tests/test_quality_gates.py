@@ -153,3 +153,16 @@ def test_stratified_sample_respects_fractions(spark):
     for lang, frac in targets.items():
         rate = got.get(lang, 0) / totals[lang]
         assert abs(rate - frac) <= 0.2, (lang, rate, frac)
+
+
+def test_approx_distinct_within_5pct_of_exact(spark):
+    """approx_count_distinct (rows-only entry) within 5% of exact NDV."""
+    approx = {r.o_orderpriority: r.approx_customers for r in QUERIES["approx_distinct"](spark, SF).collect()}
+    o = table(spark, SF, "orders")
+    exact = {
+        r.o_orderpriority: r.n
+        for r in o.groupBy("o_orderpriority").agg(F.countDistinct("o_custkey").alias("n")).collect()
+    }
+    assert set(approx) == set(exact)
+    for k, e in approx.items():
+        assert abs(e - exact[k]) / exact[k] <= 0.05, (k, e, exact[k])
