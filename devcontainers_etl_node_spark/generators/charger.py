@@ -34,6 +34,7 @@ import time
 from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from devcontainers_etl_node_spark.config import DEFAULT, EngineConfig
@@ -74,7 +75,7 @@ def _existing_max(spark: SparkSession, path: str, id_col: str) -> int:
     try:
         row = spark.read.parquet(path).agg(F.max(id_col)).first()
         return int(row[0]) if row and row[0] is not None else 0
-    except Exception:  # AnalysisException: path does not exist
+    except AnalysisException:  # path does not exist yet (first cycle)
         return 0
 
 
@@ -188,7 +189,7 @@ def _topic_max_cycle(spark: SparkSession, path: str) -> int:
     try:
         row = spark.read.json(path).agg(F.max("cycle")).first()
         return int(row[0]) if row and row[0] is not None else -1
-    except Exception:
+    except AnalysisException:  # topic dir absent — fresh start
         return -1
 
 

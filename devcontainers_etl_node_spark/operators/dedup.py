@@ -83,8 +83,8 @@ def minhash_lsh_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     shingle_k: int = 5,
-    num_hashes: int = 16,
-    bands: int = 4,
+    num_hashes: int = 32,
+    bands: int = 8,
     threshold: float = 0.5,
 ) -> DataFrame:
     """Near-duplicate pairs above `threshold` exact Jaccard.
@@ -105,10 +105,16 @@ def minhash_lsh_pairs(
       5. exact-Jaccard verify — shingle arrays re-derived only for the
          (small) candidate set by joining back to the texts.
 
-    Defaults are 16 hashes / 4 bands (r=4): the same per-band collision
-    curve s^4 as the previous 32/8 at half the signature compute and half
-    the plan width; verified byte-identical pair set at sf0.1 AND sf0.01.
-    At lower recall targets pass bands=8,num_hashes=32 explicitly.
+    Defaults are 32 hashes / 8 bands (r=4): per-band collision curve s^4
+    with 8-way OR-amplification — detection probability at j=0.5 is
+    ~0.40. Passing num_hashes=16, bands=4 halves signature compute and
+    plan width at the SAME per-band curve but HALVES the
+    OR-amplification (detection at j=0.5 drops to ~0.23), i.e. it is a
+    *lower-recall* setting for borderline pairs; on the synthetic
+    corpus the emitted pair set happened to be byte-identical at sf0.1
+    and sf0.01, but that is corpus luck, not a guarantee. The library
+    default stays 32/8 (recall-first); latency-sensitive callers opt
+    into 16/4 explicitly.
 
     Scale: only colliding docs ever meet (no O(n²) stage); AQE skew-join
     splits pathological buckets (boilerplate-heavy crawl shards).
@@ -256,7 +262,16 @@ def minhash_lsh_pairs(
         .withColumn("jaccard_sim", n_int / (F.col("na") + F.col("nb") - n_int))
         .filter(F.col("jaccard_sim") >= threshold)
     )
-    return verified.select("id_a", "id_b", "jaccard_sim")
+    # Materialize the (small) verified pair list, then RELEASE the three
+    # persisted intermediates — without this, repeated calls in one
+    # session (neardup_docs, pretrain_prep, gate sweeps) accumulate
+    # cached shingle/signature data indefinitely. localCheckpoint also
+    # truncates the lineage, so callers that embed this result in a
+    # bigger DAG (pretrain_prep) don't drag the whole LSH plan along.
+    out = verified.select("id_a", "id_b", "jaccard_sim").localCheckpoint(eager=True)
+    for cached in (shingle_rows, sig, cand):
+        cached.unpersist()
+    return out
 
 
 def ngram_jaccard_pairs(

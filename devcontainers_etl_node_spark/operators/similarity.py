@@ -17,6 +17,7 @@ Scale story:
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, Column, Window, functions as F
 
 
@@ -245,26 +246,42 @@ def pq_topk(
     vec_col: str = "embedding",
     seed: int = 42,
     train_fraction: float | None = None,
+    max_train_rows: int = 16384,
 ) -> DataFrame:
     """Product-quantization ANN (the memory-side scale path: FAISS's IVF-PQ
     second stage). The vector splits into `m` subspaces; each subspace
     gets its own `n_codes`-centroid KMeans codebook; a corpus vector is
     stored as m one-byte codes (dim x 4 bytes -> m bytes, 64x here).
     Query scoring is ASYMMETRIC distance: the exact query subvector against
-    each codebook centroid builds an (m x n_codes) lookup table —
-    driver-tiny, broadcast as literal expressions — and a corpus vector's
-    approximate squared distance is the SUM of m table lookups over its
-    codes. Top `rerank*k` by ADC are exact-cosine re-ranked.
+    each codebook centroid builds an (m x n_codes) lookup table, and a
+    corpus vector's approximate squared distance is the SUM of m table
+    lookups over its codes. Top `rerank*k` by ADC are exact-cosine
+    re-ranked.
 
-    Scale: codebooks train on a sample (m tiny KMeans fits); corpus
-    encoding is m map-side model.transforms; scoring is pure expressions
-    over the m code columns — the corpus never shuffles, never
-    materializes distances to anything but its own rows; only the
-    rerank*k shortlist touches full vectors. Recall tunes via n_codes /
-    rerank with no plan change. Rows-only correctness; recall gate in
-    tests/test_quality_gates.py."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    The codebooks and lookup tables are DATA, not plan literals, and
+    training is driver-side numpy over a bounded sample (round-3
+    change). The previous form ran m sequential MLlib KMeans fits
+    (hundreds of scheduler-bound micro-jobs) and embedded m*n_codes
+    separate zip_with trees as plan literals — 42.9 s at sf0.01, all
+    codegen/analysis/scheduling, and it would RECOMPILE per query set.
+    Now: Lloyd's algorithm on a <=max_train_rows sample fits all m
+    codebooks in milliseconds (training on a sample is how FAISS trains
+    PQ codebooks — the codebook does not need the full corpus); corpus
+    encoding is ONE Arrow-batched pandas UDF pass (vectorized argmin
+    over the broadcast codebooks); the per-query ADC tables are tiny
+    numpy arrays shipped as a broadcast-joined DataFrame; scoring is m
+    element_at lookups. The plan compiles once regardless of m/n_codes.
+
+    Scale: the sample collect is bounded (max_train_rows); the encode
+    pass is map-side Arrow; scoring carries only the m byte codes (the
+    full vector is dropped before the per-query top-k window and
+    re-joined for the rerank*k shortlist only); the query set must fit
+    on the driver — the same constraint as its broadcast. Recall tunes
+    via n_codes / rerank with no plan change. Rows-only correctness;
+    recall gate in tests/test_quality_gates.py."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
 
     dim_row = corpus.select(F.size(vec_col).alias("d")).first()
     dim = dim_row["d"]
@@ -273,48 +290,86 @@ def pq_topk(
     c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
 
-    # per-subspace codebooks + corpus codes (m map-side transforms)
-    encoded = c
-    codebooks: list[list[list[float]]] = []
+    # --- codebook training: bounded-sample collect + numpy Lloyd ---
+    train_src = c.sample(fraction=train_fraction, seed=seed) if train_fraction else c
+    train_pdf = train_src.select("c_vec").limit(max_train_rows).toPandas()
+    X_full = np.asarray(train_pdf["c_vec"].tolist(), dtype=np.float64)
+    rng = np.random.default_rng(seed)
+    codebooks = np.empty((m, n_codes, sub), dtype=np.float64)
     for j in range(m):
-        subvec = F.slice("c_vec", j * sub + 1, sub).cast("array<double>")
-        feat = encoded.withColumn(f"_f{j}", array_to_vector(subvec))
-        train = feat.sample(fraction=train_fraction, seed=seed + j) if train_fraction else feat
-        model = KMeans(
-            k=n_codes, seed=seed + j, maxIter=10, featuresCol=f"_f{j}", predictionCol=f"_c{j}"
-        ).fit(train)
-        codebooks.append([[float(x) for x in ctr] for ctr in model.clusterCenters()])
-        encoded = model.transform(feat).drop(f"_f{j}")
+        X = X_full[:, j * sub : (j + 1) * sub]
+        init = rng.choice(len(X), size=n_codes, replace=len(X) < n_codes)
+        C = X[init].copy()
+        for _ in range(10):
+            # ||x-c||^2 = x^2 + c^2 - 2xc, vectorized n x n_codes
+            d = (X * X).sum(1)[:, None] + (C * C).sum(1)[None, :] - 2.0 * X @ C.T
+            assign = d.argmin(1)
+            for code in range(n_codes):
+                pts = X[assign == code]
+                if len(pts):
+                    C[code] = pts.mean(0)
+        codebooks[j] = C
 
-    # ADC: per query, distance table to every centroid of every subspace,
-    # folded into the plan as literal centroid arrays (m*n_codes*sub doubles
-    # — e.g. 4*16*16 = 1024 literals, well under plan-size limits)
-    def sub_d2(qcol: F.Column, j: int, code_col: str) -> F.Column:
-        qs = F.slice(qcol, j * sub + 1, sub)
-        table = [
-            F.aggregate(
-                F.zip_with(
-                    qs,
-                    F.array(*[F.lit(x) for x in codebooks[j][code]]),
-                    lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            for code in range(n_codes)
+    # --- corpus encoding: one Arrow pass, all m argmins vectorized ---
+    spark = corpus.sparkSession
+    cb_bc = spark.sparkContext.broadcast(codebooks)
+
+    @F.pandas_udf("array<int>")
+    def _encode(v: pd.Series) -> pd.Series:
+        cbs = cb_bc.value
+        Xb = np.asarray(v.tolist(), dtype=np.float64)
+        codes = np.empty((len(Xb), m), dtype=np.int32)
+        for j in range(m):
+            Xj = Xb[:, j * sub : (j + 1) * sub]
+            Cj = cbs[j]
+            dj = (Xj * Xj).sum(1)[:, None] + (Cj * Cj).sum(1)[None, :] - 2.0 * Xj @ Cj.T
+            codes[:, j] = dj.argmin(1)
+        return pd.Series(list(codes.tolist()))
+
+    encoded = c.select("neighbor_id", _encode(F.col("c_vec")).alias("_codes"))
+
+    # --- per-query ADC tables: numpy on the (driver-resident) query set,
+    # shipped as a broadcast-joined DataFrame column, never plan literals ---
+    q_rows = q.collect()
+    id_type = queries.schema[id_col].dataType
+    dtab_schema = T.StructType(
+        [
+            T.StructField("query_id", id_type),
+            T.StructField("_dtab", T.ArrayType(T.ArrayType(T.DoubleType()))),
         ]
-        # element_at on a literal-built array indexes the code's distance
-        return F.element_at(F.array(*table), F.col(code_col).cast("int") + 1)
+    )
+    dtab_rows = []
+    for r in q_rows:
+        qv = np.asarray(r["q_vec"], dtype=np.float64)
+        tabs = [
+            ((codebooks[j] - qv[j * sub : (j + 1) * sub]) ** 2).sum(1).tolist()
+            for j in range(m)
+        ]
+        dtab_rows.append((r["query_id"], tabs))
+    dtab = spark.createDataFrame(dtab_rows, dtab_schema)
 
-    scored = encoded.crossJoin(F.broadcast(q)).filter(F.col("neighbor_id") != F.col("query_id"))
-    adc = sum(sub_d2(F.col("q_vec"), j, f"_c{j}") for j in range(m))
+    # score on codes only — the full c_vec never enters the per-query
+    # top-k window; the shortlist re-joins the corpus for exact rerank.
+    scored = encoded.crossJoin(F.broadcast(dtab)).filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    adc = sum(
+        F.element_at(F.element_at("_dtab", j + 1), F.element_at("_codes", j + 1) + 1)
+        for j in range(m)
+    )
     scored = scored.withColumn("_adc", adc)
     w_adc = Window.partitionBy("query_id").orderBy(F.col("_adc"), F.col("neighbor_id"))
-    shortlist = scored.withColumn("_rn", F.row_number().over(w_adc)).filter(
-        F.col("_rn") <= rerank * k
+    shortlist = (
+        scored.withColumn("_rn", F.row_number().over(w_adc))
+        .filter(F.col("_rn") <= rerank * k)
+        .select("query_id", "neighbor_id")
     )
 
-    rer = shortlist.withColumn("cosine_sim", cosine(F.col("q_vec"), F.col("c_vec")))
+    rer = (
+        shortlist.join(F.broadcast(q), "query_id")
+        .join(c, "neighbor_id")
+        .withColumn("cosine_sim", cosine(F.col("q_vec"), F.col("c_vec")))
+    )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), F.col("neighbor_id"))
     return (
         rer.withColumn("rn", F.row_number().over(w))

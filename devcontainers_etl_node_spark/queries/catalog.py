@@ -1001,7 +1001,10 @@ def lang_id_pred(spark: SparkSession, sf: str) -> DataFrame:
 @query("minhash_neardup")  # LSH candidate generation — rows-only check
 def minhash_neardup(spark: SparkSession, sf: str) -> DataFrame:
     docs = table(spark, sf, "documents")
-    return dedup.minhash_lsh_pairs(docs, threshold=0.5)
+    # latency-tuned 16/4 (same per-band s^4 curve, halved OR-amplification
+    # vs the recall-first 32/8 library default; pair set identical on this
+    # corpus — pinned by tests/test_operators.py).
+    return dedup.minhash_lsh_pairs(docs, threshold=0.5, num_hashes=16, bands=4)
 
 
 @query("simhash_fingerprints")  # rows-only check
@@ -6003,7 +6006,20 @@ def pretrain_prep(spark: SparkSession, sf: str) -> DataFrame:
     Output: one row per pipeline stage with surviving docs + token mass —
     the funnel report a data team reads after every corpus build. Every
     stage is the already-tested operator (dedup.py / similarity / packing
-    .py); Catalyst pipelines the map-side stages into single passes.
+    .py).
+
+    Plan-size control (round-3 change): each funnel stage is
+    ``localCheckpoint(eager=True)``-materialized at its boundary, so a
+    downstream stage references a truncated lineage instead of the full
+    upstream DAG. Without this the single lazy DAG re-referenced the
+    whole upstream lineage per stage (PLANS.md recorded 2 257 printed
+    exchanges; 57.7 s at sf0.01, all analysis/codegen) — and plan size
+    grew multiplicatively in funnel DEPTH, the real scale axis of a
+    curation pipeline. With per-stage materialization the plan is
+    bounded per stage and each stage computes ONCE. On a cluster the
+    same boundary becomes a persisted staging table (parquet), which
+    also buys restartability; localCheckpoint is the single-node
+    equivalent (executor-local storage, no lineage).
     Deterministic but not SQL-expressible (MinHash) → rows-only;
     tests/test_quality_gates.py pins funnel monotonicity + packing budget."""
     from devcontainers_etl_node_spark.operators import dedup as dd, packing, text as tx
@@ -6021,10 +6037,14 @@ def pretrain_prep(spark: SparkSession, sf: str) -> DataFrame:
 
     raw = docs
     gated = docs.filter((F.length("text") >= 50) & (tx.quality_score("text") >= 0.2))
-    exact = dd.exact_dedup(gated)
-    pairs = dd.minhash_lsh_pairs(exact, threshold=0.5)
+    # stage boundaries: materialize + truncate lineage (see docstring).
+    exact = dd.exact_dedup(gated).localCheckpoint(eager=True)
+    # minhash_lsh_pairs localCheckpoints its own (small) pair output.
+    pairs = dd.minhash_lsh_pairs(exact, threshold=0.5, num_hashes=16, bands=4)
     near_drop = pairs.select(F.col("id_b").alias("doc_id")).distinct()
-    neardeduped = exact.join(F.broadcast(near_drop), "doc_id", "left_anti")
+    neardeduped = exact.join(
+        F.broadcast(near_drop), "doc_id", "left_anti"
+    ).localCheckpoint(eager=True)
     bench_grams = (
         docs.filter(F.col("doc_id") % 10 == 0)
         .select(F.explode(dd.word_shingles("text", 3)).alias("gram"))
@@ -6038,8 +6058,10 @@ def pretrain_prep(spark: SparkSession, sf: str) -> DataFrame:
         .select("doc_id")
         .distinct()
     )
-    clean = neardeduped.filter(F.col("doc_id") % 10 != 0).join(
-        F.broadcast(contaminated), "doc_id", "left_anti"
+    clean = (
+        neardeduped.filter(F.col("doc_id") % 10 != 0)
+        .join(F.broadcast(contaminated), "doc_id", "left_anti")
+        .localCheckpoint(eager=True)
     )
 
     packed = packing.pack_sequences(

@@ -142,8 +142,11 @@ def test_no_query_outputs_driver_unhashable_columns(spark):
     pandas sort_values, which cannot hash list/dict cells — an array, map,
     or struct output column crashes the gate (the round-1 media_features
     defect). Lock the invariant: every catalog query's output schema is
-    scalar-only. Schema resolution is analysis-only (no execution), so
-    this sweeps all entries cheaply."""
+    scalar-only. Schema resolution is lazy for most entries, but a few
+    eager builders DO execute jobs at DataFrame-construction time
+    (minhash_lsh_pairs runs its count()/localCheckpoint, ann_ivf/ann_pq
+    fit KMeans), so this sweep runs them at sf0.001 — small enough to
+    stay cheap, and the execution doubles as a smoke test."""
     from pyspark.sql import types as T
 
     import __spark_entry__ as entrymod
