@@ -1339,28 +1339,51 @@ def percentile_approx_q(spark: SparkSession, sf: str) -> DataFrame:
 )
 def asof_join(spark: SparkSession, sf: str) -> DataFrame:
     """As-of join (Spark has no native one): for every click, the user's
-    most recent purchase at or before it = equi-join on the key + ts
-    inequality + row_number pick. The equi key carries the shuffle; the
-    inequality filters inside the co-partition — the scalable composition
-    (SURVEY §4: no custom strategy needed). For sorted inputs the
-    applyInPandas merge_asof variant is the alternative; this one stays
-    fully JVM-side."""
+    most recent purchase at or before it.
+
+    Round-3 re-plan: the union-and-last-value window, LINEAR in the rows
+    per user. Clicks and purchases union into one stream; within each
+    user, rows sort by (ts, kind, purchase_id) with purchases ordered
+    BEFORE clicks at equal ts (the <= semantics) and ascending
+    purchase_id so the running last() sees the highest id of a tied ts
+    last; each click then reads `last(purchase_id, ignoreNulls)` over
+    the preceding rows. One shuffle on user_id, no join at all. The
+    previous equi-join + ts-inequality + row_number form was correct
+    but materialized clicks x purchases per user before picking rn=1 —
+    a power user with 10^4 of each makes 10^8 intermediate rows in one
+    partition; this form streams through the same data once. Same
+    output hash (oracle unchanged)."""
     ev = table(spark, sf, "events")
     clicks = ev.filter(F.col("event_type") == "click").select(
-        F.col("event_id").alias("click_id"), F.col("user_id").alias("cu"), F.col("ts").alias("cts")
+        "user_id",
+        "ts",
+        F.lit(1).alias("kind"),
+        F.col("event_id").alias("click_id"),
+        F.lit(None).cast("long").alias("purchase_id"),
+        F.lit(None).cast("timestamp").alias("pts"),
     )
     buys = ev.filter(F.col("event_type") == "purchase").select(
-        F.col("event_id").alias("purchase_id"), F.col("user_id").alias("bu"), F.col("ts").alias("pts")
+        "user_id",
+        "ts",
+        F.lit(0).alias("kind"),
+        F.lit(None).cast("long").alias("click_id"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("pts"),
     )
-    j = clicks.join(buys, (F.col("bu") == F.col("cu")) & (F.col("pts") <= F.col("cts")))
-    w = Window.partitionBy("click_id").orderBy(F.col("pts").desc(), F.col("purchase_id").desc())
+    merged = clicks.unionByName(buys)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "kind", "purchase_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     return (
-        j.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+        merged.withColumn("prev_purchase_id", F.last("purchase_id", ignorenulls=True).over(w))
+        .withColumn("prev_pts", F.last("pts", ignorenulls=True).over(w))
+        .filter((F.col("kind") == 1) & F.col("prev_purchase_id").isNotNull())
         .select(
             "click_id",
-            F.col("purchase_id").alias("prev_purchase_id"),
-            F.date_format("pts", "yyyy-MM-dd HH:mm:ss").alias("prev_purchase_ts"),
+            "prev_purchase_id",
+            F.date_format("prev_pts", "yyyy-MM-dd HH:mm:ss").alias("prev_purchase_ts"),
         )
     )
 

@@ -72,13 +72,15 @@ def test_dim_joins_broadcast(spark, name):
     assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p
 
 
-def test_asof_join_is_equi_not_nested_loop(spark):
-    # the ts inequality must ride the user_id equi-key hash join; a
-    # BroadcastNestedLoopJoin / CartesianProduct here is O(n^2) at scale
+def test_asof_join_is_linear_window_no_join(spark):
+    # round-3 plan: union-and-last-value window — LINEAR per user key.
+    # Any join node here means the quadratic clicks x purchases per-user
+    # blowup is back (a 10^4 x 10^4 power user = 10^8 intermediate rows).
     p = plan(spark, "asof_join")
-    assert "BroadcastNestedLoopJoin" not in p
-    assert "CartesianProduct" not in p
-    assert "HashJoin" in p or "SortMergeJoin" in p
+    assert "Join" not in p and "CartesianProduct" not in p
+    assert "Window" in p
+    # exactly one width-changing shuffle: the hashpartitioning on user_id
+    assert p.count("Exchange hashpartitioning") == 1
 
 
 def test_value_stats_partial_aggregation(spark):
