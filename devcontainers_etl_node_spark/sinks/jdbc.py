@@ -5,9 +5,11 @@ Reference behavior (``loaders.py:151-186``): normalize → insert in
 partitions replace manual chunking, and N partitions insert concurrently
 (the reference is single-connection).
 
-DDL bootstrap (K1, ``loaders.py:40-107``) is a plain statement executed
-through the driver's JDBC connection before the first insert; no database
-is reachable in this container, so these run only against a live target.
+The chunked-append wire path (table creation, batched executeBatch
+inserts, append accumulation) is executed end-to-end against embedded
+Derby by ``tests/test_jdbc_roundtrip.py``. DDL bootstrap (K1,
+``loaders.py:40-107``) renders ClickHouse-dialect statements, so it runs
+only against a live ClickHouse (rendering is pinned by tests/test_ddl.py).
 """
 
 from __future__ import annotations

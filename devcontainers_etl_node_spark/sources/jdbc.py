@@ -6,9 +6,10 @@ cannot do: partitioned parallel reads (``partitionColumn``/``numPartitions``
 → N concurrent range queries) and predicate/projection pushdown via the
 JDBC DSv2 source.
 
-No database is reachable in this container, so these builders are exercised
-by unit tests only up to plan construction; the options they set are the
-public Spark JDBC options.
+No Postgres is reachable in this container, but the full wire path —
+driver, SQL generation, partitioned range queries, query pushdown — is
+executed end-to-end against embedded Derby (shipped in Spark's own jars)
+by ``tests/test_jdbc_roundtrip.py``; only the URL differs in production.
 """
 
 from __future__ import annotations
