@@ -122,12 +122,13 @@ def minhash_lsh_pairs(
     from pyspark import StorageLevel
 
     rows = num_hashes // bands
-    spark = df.sparkSession
     base = df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_text"))
     # small single-file inputs arrive as ONE split — spread the (CPU-heavy)
-    # signature compute across the cluster; at real scale the scan already
-    # has many splits and this is a cheap round-robin.
-    base = base.repartition(spark.sparkContext.defaultParallelism)
+    # signature compute across the cluster; no-op when the scan already
+    # has enough splits (operators/skew.py:spread).
+    from devcontainers_etl_node_spark.operators.skew import spread
+
+    base = spread(base)
 
     # shingle generation kept fully inside whole-stage codegen: explode the
     # position range, then substring — no interpreted array lambdas.
@@ -281,42 +282,140 @@ def ngram_jaccard_pairs(
     ngram: int = 3,
     threshold: float = 0.2,
     block_col: str | None = None,
+    prefix_filter: bool = False,
 ) -> DataFrame:
-    """Exact n-gram (word shingle) Jaccard over candidate pairs.
+    """Exact n-gram (word shingle) Jaccard pairs via an inverted index.
 
-    Pairs are blocked on `block_col` (e.g. lang) to avoid the full cross
-    product; at 100 TB use minhash_lsh_pairs for candidate generation and
-    this only as the verify stage.
+    Plan: explode each doc's distinct hashed shingles → self-join on
+    (block, shingle_hash) with id_a < id_b → the per-(id_a, id_b) group
+    COUNT is exactly |A∩B| (shingle sets are distinct), and
+    |A∪B| = |A|+|B|-|A∩B|. Exact up to 64-bit hash collisions, identical
+    output to a pairwise array-intersect — but the join key is a
+    fine-grained (block, gram) hash instead of the handful of block
+    values, so parallelism is posting-list-shaped rather than collapsing
+    to one task per language, and no shingle ARRAY is ever shuffled or
+    intersected. Cost is sum_g C(df_g, 2) joined rows (measured 10x below
+    blocked all-pairs on the synthetic corpus, max posting list 14 docs).
+    Pairs sharing zero shingles never appear (their Jaccard is 0 < t).
+
+    The length filter from the set-similarity-join literature (J >= t
+    forces t <= |A|/|B| <= 1/t) sits INSIDE the join condition, dropping
+    size-incompatible pairs before they reach the aggregate. Lossless.
+
+    Like ``minhash_lsh_pairs``, this is terminal: the (id, shingle-set,
+    size) table is materialized with ``localCheckpoint(eager=True)``
+    before the self-join. Without the barrier, Catalyst's inferred
+    explode-filter (``size(_sh) > 0``) substitutes the whole shingle HOF
+    chain and pushes it BELOW the repartition Exchange — evaluated on
+    ONE core for single-split inputs — and both self-join sides recompute
+    the chain again (measured 12-30 s -> ~2 s at 5k docs). The returned
+    pair list is itself checkpointed so composing queries don't drag the
+    join lineage along; checkpoint blocks are released when the
+    DataFrames are garbage-collected.
+
+    ``prefix_filter=True`` adds AllPairs-style candidate pruning for
+    boilerplate-heavy corpora (the 100 TB risk: a header shingle shared
+    by 10^5 docs makes C(10^5, 2) joined rows). With shingles globally
+    ordered rarest-first (doc-frequency, then hash), any pair with
+    J >= t must share a shingle inside both docs' first
+    |x| - ceil(t*|x|) + 1 shingles — so only PREFIX occurrences generate
+    candidates (common shingles sort into the suffix and their posting
+    lists never self-join), and the exact Jaccard is then verified by
+    intersecting the two sorted hash arrays for the (small) candidate
+    set only. Lossless (Bayardo et al., WWW'07); pair set is asserted
+    identical to the inverted-index path in tests.
     """
-    # shingle sets are xxhash64-compressed to sorted long arrays up front:
-    # the pairwise stage then intersects primitive arrays (cheap, fixed
-    # 8 B/shingle shuffle width) and |union| = |A|+|B|-|A∩B| — exact up to
-    # 64-bit collisions. Computed once per row, not per pair.
+    # shingle sets are xxhash64-compressed to sorted distinct long arrays
+    # once per row: 8 B/shingle regardless of shingle text size.
+    # Repartition FIRST: small single-file inputs arrive as one split, and
+    # the shingle HOFs are the CPU-heavy stage — spread them across the
+    # cluster (at real scale the scan already has many splits and this is
+    # a cheap round-robin; measured 3.5 s -> 0.2 s on one 5k-doc file).
+    from devcontainers_etl_node_spark.operators.skew import spread
+
+    src = spread(df)
     sh = F.array_sort(F.array_distinct(F.transform(word_shingles(text_col, ngram), lambda s: F.xxhash64(s))))
-    base = df.select(
-        F.col(id_col).alias("_id"),
-        sh.alias("_sh"),
-        *( [F.col(block_col).alias("_blk")] if block_col else [F.lit(1).alias("_blk")] ),
-    ).withColumn("_n", F.size("_sh"))
-    a, b = base.alias("a"), base.alias("b")
-    n_int = F.size(F.array_intersect(F.col("a._sh"), F.col("b._sh"))).cast("double")
-    # length filter (set-similarity-join literature): J(A,B) >= t forces
-    # t <= |A|/|B| <= 1/t, so size-incompatible pairs are dropped INSIDE
-    # the join condition — before any array is ever intersected. Lossless.
+    base = (
+        src.select(
+            F.col(id_col).alias("_id"),
+            sh.alias("_sh"),
+            *( [F.col(block_col).alias("_blk")] if block_col else [F.lit(1).alias("_blk")] ),
+        )
+        .withColumn("_n", F.size("_sh"))
+        .localCheckpoint(eager=True)
+    )
+
     ratio_ok = (F.col("a._n") >= F.col("b._n") * threshold) & (
         F.col("b._n") >= F.col("a._n") * threshold
     )
-    return (
+
+    if not prefix_filter:
+        grams = base.select("_id", "_blk", "_n", F.explode("_sh").alias("_g"))
+        a, b = grams.alias("a"), grams.alias("b")
+        pair_counts = (
+            a.join(
+                b,
+                (F.col("a._blk") == F.col("b._blk"))
+                & (F.col("a._g") == F.col("b._g"))
+                & (F.col("a._id") < F.col("b._id"))
+                & ratio_ok,
+            )
+            .groupBy(
+                F.col("a._id").alias("id_a"),
+                F.col("b._id").alias("id_b"),
+                F.col("a._n").alias("na"),
+                F.col("b._n").alias("nb"),
+            )
+            .agg(F.count(F.lit(1)).cast("double").alias("n_int"))
+        )
+        return (
+            pair_counts.select(
+                "id_a",
+                "id_b",
+                (F.col("n_int") / (F.col("na") + F.col("nb") - F.col("n_int"))).alias("jaccard_sim"),
+            )
+            .filter(F.col("jaccard_sim") >= threshold)
+            .localCheckpoint(eager=True)
+        )
+
+    # --- prefix-filtered path -------------------------------------------
+    grams = base.select("_id", "_blk", "_n", F.explode("_sh").alias("_g"))
+    dfreq = grams.groupBy("_blk", "_g").agg(F.count(F.lit(1)).alias("_df"))
+    # global rarest-first total order; prefix length |x| - ceil(t|x|) + 1
+    rank_w = Window.partitionBy("_id").orderBy("_df", "_g")
+    prefix = (
+        grams.join(dfreq, ["_blk", "_g"])
+        .withColumn("_rk", F.row_number().over(rank_w))
+        .filter(F.col("_rk") <= F.col("_n") - F.ceil(F.col("_n") * F.lit(threshold)) + 1)
+        .select("_id", "_blk", "_n", "_g")
+    )
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (
         a.join(
             b,
-            (F.col("a._blk") == F.col("b._blk")) & (F.col("a._id") < F.col("b._id")) & ratio_ok,
+            (F.col("a._blk") == F.col("b._blk"))
+            & (F.col("a._g") == F.col("b._g"))
+            & (F.col("a._id") < F.col("b._id"))
+            & ratio_ok,
         )
-        .select(
-            F.col("a._id").alias("id_a"),
-            F.col("b._id").alias("id_b"),
-            (n_int / (F.col("a._n") + F.col("b._n") - n_int)).alias("jaccard_sim"),
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    # exact verify: sorted hash arrays fetched for candidate docs only
+    n_int = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b"))).cast("double")
+    return (
+        cand.join(
+            base.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a"), F.col("_n").alias("na")),
+            "id_a",
         )
+        .join(
+            base.select(F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b"), F.col("_n").alias("nb")),
+            "id_b",
+        )
+        .withColumn("jaccard_sim", n_int / (F.col("na") + F.col("nb") - n_int))
         .filter(F.col("jaccard_sim") >= threshold)
+        .select("id_a", "id_b", "jaccard_sim")
+        .localCheckpoint(eager=True)
     )
 
 

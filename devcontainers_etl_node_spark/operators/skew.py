@@ -69,3 +69,17 @@ def salted_agg(
         .agg(*partial_aggs)
     )
     return partial.groupBy(*keys).agg(*final_aggs)
+
+
+def spread(df: DataFrame) -> DataFrame:
+    """Round-robin repartition to cluster parallelism — ONLY when the
+    input is under-parallel (fewer partitions than cores). Small
+    single-file parquet inputs arrive as one split, which serializes any
+    CPU-heavy downstream expression (interpreted HOFs, shingling,
+    quality scoring) onto one core; at real scale the scan already has
+    many splits and this is a no-op, so no corpus-wide shuffle is ever
+    added on a cluster."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)

@@ -6046,8 +6046,12 @@ def pretrain_prep(spark: SparkSession, sf: str) -> DataFrame:
     Deterministic but not SQL-expressible (MinHash) → rows-only;
     tests/test_quality_gates.py pins funnel monotonicity + packing budget."""
     from devcontainers_etl_node_spark.operators import dedup as dd, packing, text as tx
+    from devcontainers_etl_node_spark.operators.skew import spread
 
-    docs = table(spark, sf, "documents")
+    # spread once up front: every funnel stage (quality HOFs, shingling,
+    # stage_row token sums) is CPU-bound, and the small-SF scan is a
+    # single split — see operators/skew.py:spread (no-op at real scale)
+    docs = spread(table(spark, sf, "documents"))
     tok = tx.token_count("text")
 
     def stage_row(name: str, order: int, df: DataFrame) -> DataFrame:

@@ -477,3 +477,28 @@ def test_arrow_decode_matches_pandas_decode(spark):
     a = {r.media_id: (r.n_bytes, r.feature) for r in multimodal.decode_image_features(media).collect()}
     b = {r.media_id: (r.n_bytes, r.feature) for r in multimodal.decode_image_features_arrow(media).collect()}
     assert a == b
+
+
+def test_ngram_jaccard_prefix_filter_identical_pairs(spark):
+    """AllPairs prefix filtering is lossless: the prefix-filtered path must
+    emit exactly the inverted-index path's pair set (ids AND similarity
+    values), including borderline pairs at the threshold."""
+    rows = [
+        (1, "a", "alpha beta gamma delta epsilon zeta"),
+        (2, "a", "alpha beta gamma delta epsilon eta"),      # near-dup of 1
+        (3, "a", "totally different words here indeed folks"),
+        (4, "b", "alpha beta gamma delta epsilon zeta"),     # same text, other block
+        (5, "b", "alpha beta gamma delta epsilon zeta"),     # exact dup of 4
+        (6, "b", "one shared alpha beta gamma trigram only among many other unrelated words"),
+        (7, "a", ""),                                        # empty text edge case
+        (8, "a", ""),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "lang", "text"])
+    inv = dedup.ngram_jaccard_pairs(df, ngram=3, threshold=0.2, block_col="lang")
+    pf = dedup.ngram_jaccard_pairs(df, ngram=3, threshold=0.2, block_col="lang", prefix_filter=True)
+    si = {(r.id_a, r.id_b, round(r.jaccard_sim, 12)) for r in inv.collect()}
+    sp = {(r.id_a, r.id_b, round(r.jaccard_sim, 12)) for r in pf.collect()}
+    assert si == sp
+    assert (4, 5, 1.0) in si            # exact dup found
+    assert (7, 8, 1.0) in si            # empty docs share the single "" shingle
+    assert all(a_id != 4 or b_id != 1 for a_id, b_id, _ in si)  # blocks respected
