@@ -15,6 +15,7 @@ warm number is what a long-lived cluster session sees.
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import re
@@ -45,7 +46,26 @@ HEADLINE = [
     "curation_pipeline",   # end-to-end curation: gate → dedup → accounting
 ]
 
-SMALL_OUTPUT = {"pricing_summary", "revenue_by_nation", "topk_per_group", "knn_cosine"}
+# Added in round 3 so the most expensive plans are visible to the bench
+# (they were previously only covered by the sf0.01 sweep). The JSON keeps
+# a separate r2-comparable subtotal: round-over-round comparisons should
+# use `headline_r2_total` for the original 13, `value` for everything.
+HEAVY = [
+    "line_dedup",          # sub-document (line-level) dedup
+    "dup_clusters",        # ngram-Jaccard pairs → connected components
+    "ann_pq",              # product-quantization ANN with exact re-rank
+    "pretrain_prep",       # 6-stage curation funnel (gate→dedup→pack)
+]
+
+SMALL_OUTPUT = {
+    "pricing_summary",
+    "revenue_by_nation",
+    "topk_per_group",
+    "knn_cosine",
+    "dup_clusters",
+    "ann_pq",
+    "pretrain_prep",
+}
 
 
 def main() -> None:
@@ -59,10 +79,14 @@ def main() -> None:
     QUERIES["row_counts"](spark, sf_dir).collect()
 
     timings: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in HEADLINE + HEAVY:
         fn = QUERIES[name]
         best = float("inf")
         for _ in range(2):
+            # release localCheckpoint blocks from prior constructions: the
+            # JVM frees them only after Python GC drops the DataFrame refs,
+            # and carried-over blocks showed up as 4 s -> 30 s spikes.
+            gc.collect()
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
             if name in SMALL_OUTPUT:
@@ -76,6 +100,7 @@ def main() -> None:
         timings[name] = round(best, 4)
 
     total = round(sum(timings.values()), 4)
+    r2_total = round(sum(timings[n] for n in HEADLINE), 4)
     print(
         json.dumps(
             {
@@ -84,6 +109,10 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                # round-over-round: BENCH_r01/r02 covered only the original
+                # 13 queries — compare their `value` to this subtotal.
+                "headline_r2_total": r2_total,
+                "added_r3": HEAVY,
             }
         )
     )
