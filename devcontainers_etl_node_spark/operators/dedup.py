@@ -78,6 +78,52 @@ def jaccard(a: Column, b: Column) -> Column:
     return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
 
 
+def band_candidate_pairs(sig: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+    """LSH banding + bucket self-join over a signature table.
+
+    `sig` must carry (_id, _sig: array<long> of length num_hashes).
+    Each signature is cut into `bands` bands of num_hashes/bands rows;
+    a band's bucket key is xxhash64(band, rows...), and candidates are
+    the distinct (id_a < id_b) pairs colliding in at least one bucket.
+
+    This is THE skew point of MinHash dedup at scale: a boilerplate-heavy
+    shard puts thousands of docs into one (band, bh) bucket, and that
+    single join key then produces a quadratic row count in one reducer.
+    AQE skew-join handling (enabled in session.py) splits the oversized
+    partition across tasks at runtime — tests/test_plans.py pins that the
+    split actually fires on a skewed signature table, and PERF.md records
+    the measured effect. Exposed as its own function so the skewed-input
+    plan can be asserted without running the full text pipeline.
+    """
+    rows = num_hashes // bands
+    banded = sig.select(
+        "_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(F.lit(b), *[F.col("_sig")[b * rows + i] for i in range(rows)]).alias("bh"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("_id", F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh"))
+
+    return (
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -121,7 +167,6 @@ def minhash_lsh_pairs(
     """
     from pyspark import StorageLevel
 
-    rows = num_hashes // bands
     base = df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_text"))
     # small single-file inputs arrive as ONE split — spread the (CPU-heavy)
     # signature compute across the cluster; no-op when the scan already
@@ -178,32 +223,7 @@ def minhash_lsh_pairs(
     # count() pins the cache before fan-out (this op is terminal anyway).
     sig.count()
 
-    banded = sig.select(
-        "_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(F.lit(b), *[F.col("_sig")[b * rows + i] for i in range(rows)]).alias("bh"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bk"),
-    ).select("_id", F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh"))
-
-    cand = (
-        banded.alias("a")
-        .join(
-            banded.alias("b"),
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bh") == F.col("b.bh"))
-            & (F.col("a._id") < F.col("b._id")),
-        )
-        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
-    )
+    cand = band_candidate_pairs(sig, num_hashes=num_hashes, bands=bands)
 
     # Banding can pass far more candidates than true near-dups (vocabulary-
     # heavy corpora collide a lot). Before touching shingle ARRAYS, prune

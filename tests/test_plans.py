@@ -163,6 +163,58 @@ def test_aqe_splits_skewed_join_partition(spark):
                 spark.conf.set(k, v)
 
 
+def test_minhash_band_join_skew_split_fires(spark):
+    """The band bucket self-join is THE skew point of MinHash dedup: a
+    boilerplate-heavy shard collapses thousands of docs into one
+    (band, bh) bucket, and that key's quadratic output lands in a single
+    reducer. PERF.md claims AQE splits it — this pins the claim on the
+    operator's own join: a signature table where 20% of docs share one
+    signature must produce SortMergeJoin(skew=true) in the final
+    adaptive plan. Thresholds are lowered to make test-scale partitions
+    eligible; the broadcast path is disabled because at corpus scale the
+    banded table is far beyond any broadcast threshold."""
+    from pyspark.sql import functions as F
+
+    from devcontainers_etl_node_spark.operators import dedup
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.0",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "1KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "512b",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        n_hot, n = 2000, 10000
+        sig = spark.range(n).select(
+            F.col("id").alias("_id"),
+            F.when(
+                F.col("id") < n_hot,
+                F.array(*[F.lit(i).cast("long") for i in range(16)]),
+            )
+            .otherwise(F.array(*[F.xxhash64(F.col("id"), F.lit(i)) for i in range(16)]))
+            .alias("_sig"),
+        )
+        cand = dedup.band_candidate_pairs(sig, num_hashes=16, bands=4)
+        qe = cand._jdf.queryExecution()
+        # run THIS queryExecution (collect would ship ~2M pair rows to the
+        # driver; executing the physical plan's RDD keeps it executor-side)
+        n_pairs = qe.executedPlan().execute().count()
+        assert n_pairs == n_hot * (n_hot - 1) // 2  # hot bucket is all-pairs
+        plan = qe.executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan  # the hot bucket's partition was split
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 def test_runtime_bloom_filter_prunes_fact_side(spark):
     """Runtime filtering for selective dim joins (the 100 TB lever when
     the dim is too big to broadcast): with runtime bloom filters enabled,
