@@ -1,11 +1,14 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns
 with typed metadata, processed via Arrow-batched mapInPandas.
 
-The decode step is STUBBED (no image/audio libraries in this container):
-`decode_image_features` produces a deterministic fake feature vector from
-the payload bytes, and `decode_image_real` raises NotImplementedError with
-the integration point documented. Everything Spark-side — schema, batch
-shape, partitioning, UDF signatures — is real and tested.
+The default decode step is STUBBED (no image/audio libraries in this
+container): `decode_image_features` produces a deterministic fake feature
+vector from the payload bytes. `decode_image_real` is the genuine PIL
+path — grayscale grid features + decoded dimensions — available when
+Pillow is installed (its test is importorskip-gated; without Pillow it
+raises a clear ModuleNotFoundError instead of silently stubbing).
+Everything Spark-side — schema, batch shape, partitioning, UDF
+signatures — is real and tested in both cases.
 
 Scale: mapInPandas streams Arrow batches; payload bytes never hit the
 driver. Partition sizing for 100 TB of media = spark.sql.files.
@@ -99,15 +102,70 @@ def decode_image_features(df: DataFrame, feature_dim: int = 8) -> DataFrame:
     return df.mapInPandas(batches, schema=FEATURES_SCHEMA)
 
 
-def decode_image_real(df: DataFrame) -> DataFrame:
-    """Real image decode — requires PIL/opencv, not present in this
-    container. The mapInPandas plumbing is identical to
-    decode_image_features."""
-    raise NotImplementedError(
-        "image decode libraries are not available in this environment; "
-        "use decode_image_features (deterministic stub) — the Spark-side "
-        "schema/batching/partitioning is identical."
-    )
+REAL_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("n_bytes", T.LongType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("feature", T.ArrayType(T.FloatType()), True),
+    ]
+)
+
+
+def decode_image_real(df: DataFrame, grid: int = 8) -> DataFrame:
+    """Real image decode via PIL over the same Arrow-batched mapInPandas
+    plumbing as the stub: payload → PIL.Image → grayscale → grid×grid
+    mean-pooled pixel feature in [0,1], plus the decoded dimensions.
+
+    Requires Pillow on driver AND executors; checked eagerly on the
+    driver so the failure is a clear ModuleNotFoundError at call time,
+    not a buried executor stack trace (the test is importorskip-gated,
+    so environments without Pillow skip it rather than silently passing
+    a stub). Undecodable payloads (corrupt images — a fact of life in
+    any 100 TB crawl) yield NULL feature/dims instead of failing the
+    job; count them downstream with `feature IS NULL`.
+    """
+    try:
+        import PIL  # noqa: F401
+    except ModuleNotFoundError as e:
+        raise ModuleNotFoundError(
+            "decode_image_real requires Pillow (PIL) on driver and executors; "
+            "use decode_image_features (deterministic stub) when media "
+            "libraries are unavailable — the Spark-side schema/batching/"
+            "partitioning is identical."
+        ) from e
+
+    def _decode(payload: bytes | None):
+        if payload is None:
+            return (None, None, None)
+        import io
+
+        from PIL import Image
+
+        try:
+            with Image.open(io.BytesIO(payload)) as img:
+                w, h = img.size
+                small = img.convert("L").resize((grid, grid))
+                px = np.asarray(small, dtype=np.float64) / 255.0
+                return (int(w), int(h), [float(v) for v in px.ravel()])
+        except Exception:
+            return (None, None, None)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            decoded = pdf["payload"].map(_decode)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "n_bytes": pdf["payload"].map(lambda p: 0 if p is None else len(p)).astype("int64"),
+                    "width": decoded.map(lambda d: d[0]),
+                    "height": decoded.map(lambda d: d[1]),
+                    "feature": decoded.map(lambda d: d[2]),
+                }
+            )
+
+    return df.mapInPandas(batches, schema=REAL_FEATURES_SCHEMA)
 
 
 def resize_stub(df: DataFrame, target_w: int = 64, target_h: int = 64) -> DataFrame:

@@ -231,12 +231,41 @@ def test_media_pipeline_schema_and_determinism(spark):
     assert not any(math.isnan(x) for x in rows[1].feature)
 
 
-def test_decode_image_real_is_stubbed(spark):
+def test_decode_image_real_without_pil_raises_clear_error(spark):
+    """Without Pillow the real decoder must fail fast at call time with
+    guidance toward the stub — never silently degrade to fake features."""
+    import importlib.util
+
+    if importlib.util.find_spec("PIL") is not None:
+        pytest.skip("Pillow installed — covered by test_decode_image_real_with_pil")
     df = multimodal.attach_fake_media(
         spark.createDataFrame([(1, "x")], ["doc_id", "text"])
     )
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ModuleNotFoundError, match="decode_image_features"):
         multimodal.decode_image_real(df)
+
+
+def test_decode_image_real_with_pil(spark):
+    """End-to-end real decode when Pillow exists: a generated PNG comes
+    back with its true dimensions and a grid of [0,1] features; a corrupt
+    payload yields NULLs instead of failing the job. Skipped (not stubbed)
+    when Pillow is absent."""
+    PIL_Image = pytest.importorskip("PIL.Image")
+    import io
+
+    buf = io.BytesIO()
+    PIL_Image.new("RGB", (5, 3), color=(255, 0, 0)).save(buf, format="PNG")
+    png = buf.getvalue()
+    media = spark.createDataFrame(
+        [(1, bytearray(png)), (2, bytearray(b"not an image"))],
+        "media_id long, payload binary",
+    )
+    rows = {r.media_id: r for r in multimodal.decode_image_real(media, grid=4).collect()}
+    assert (rows[1].width, rows[1].height) == (5, 3)
+    assert len(rows[1].feature) == 16
+    assert all(0.0 <= v <= 1.0 for v in rows[1].feature)
+    assert rows[2].feature is None and rows[2].width is None
+    assert rows[2].n_bytes == len(b"not an image")
 
 
 def test_frame_sample_stub(spark):
