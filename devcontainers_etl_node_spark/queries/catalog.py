@@ -1462,6 +1462,94 @@ def dup_clusters(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "dup_canonical",
+    """
+    WITH RECURSIVE sh AS (
+        SELECT doc_id, lang,
+               list_distinct(list_transform(
+                   generate_series(1, greatest(len(string_split_regex(lower(trim(text)), '\\s+')) - 2, 1)),
+                   i -> array_to_string(string_split_regex(lower(trim(text)), '\\s+')[i:i+2], ' ')
+               )) AS grams
+        FROM documents),
+    pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.2),
+    edges AS (
+        SELECT id_a AS u, id_b AS v FROM pairs
+        UNION
+        SELECT id_b, id_a FROM pairs),
+    cc AS (
+        SELECT u AS node, u AS component FROM edges
+        UNION
+        SELECT e.u, cc.component FROM edges e JOIN cc ON cc.node = e.v),
+    labels AS (SELECT node, MIN(component) AS component FROM cc GROUP BY node),
+    members AS (
+        SELECT l.component, l.node AS doc_id,
+               len(string_split_regex(lower(trim(d.text)), '\\s+')) AS n_tokens
+        FROM labels l JOIN documents d ON d.doc_id = l.node),
+    ranked AS (
+        SELECT component, doc_id, n_tokens,
+               row_number() OVER (PARTITION BY component
+                                  ORDER BY n_tokens DESC, doc_id) AS rn
+        FROM members)
+    SELECT r.component,
+           r.doc_id AS canonical_doc_id,
+           CAST(r.n_tokens AS BIGINT) AS canonical_tokens,
+           CAST(m.n_members AS BIGINT) AS n_members
+    FROM ranked r
+    JOIN (SELECT component, COUNT(*) AS n_members FROM members GROUP BY component) m
+      USING (component)
+    WHERE r.rn = 1
+    """,
+)
+def dup_canonical(spark: SparkSession, sf: str) -> DataFrame:
+    """Survivorship selection over near-duplicate clusters — the decision
+    step after dup_clusters: per connected component, keep the LONGEST
+    member (ties to the lowest doc_id), the policy crawl curation
+    pipelines actually apply (the longest variant usually carries the
+    full article; lowest-id is the deterministic tie-break, not the
+    policy). Output: one row per cluster with the canonical doc, its
+    token count, and the cluster size.
+
+    Plan: the cluster labels are edge-scale (dups are rare at any
+    corpus size), so the members join brings in only clustered docs
+    (broadcast under AQE at this sf, shuffle join at scale — either is
+    correct), and the winner is one WindowGroupLimit-prunable
+    row_number per component. The oracle replays the same recursive-CTE
+    fixpoint as dup_clusters and the same (n_tokens DESC, doc_id)
+    ranking."""
+    from devcontainers_etl_node_spark.operators import graph
+
+    docs = table(spark, sf, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, ngram=3, threshold=0.2, block_col="lang").select(
+        "id_a", "id_b"
+    )
+    labels = graph.connected_components(pairs, src="id_a", dst="id_b")
+    members = labels.join(
+        docs.select(
+            F.col("doc_id").alias("node"),
+            F.size(F.split(F.lower(F.trim("text")), r"\s+")).alias("n_tokens"),
+        ),
+        "node",
+    )
+    w = Window.partitionBy("component").orderBy(F.col("n_tokens").desc(), F.col("node"))
+    sizes = members.groupBy("component").agg(F.count(F.lit(1)).alias("n_members"))
+    return (
+        members.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .join(sizes, "component")
+        .select(
+            "component",
+            F.col("node").alias("canonical_doc_id"),
+            F.col("n_tokens").cast("long").alias("canonical_tokens"),
+            F.col("n_members").cast("long").alias("n_members"),
+        )
+    )
+
+
+@query(
     "salted_join_revenue",
     """
     SELECT c.c_mktsegment AS segment,
@@ -5952,6 +6040,162 @@ def line_dedup(spark: SparkSession, sf: str) -> DataFrame:
                 F.lit(""),
             ).alias("new_text"),
         )
+    )
+
+
+@query(
+    "vocab_tokenize",
+    """
+    WITH t AS (
+        SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+        FROM documents WHERE length(trim(text)) > 0),
+    pos AS (
+        SELECT doc_id, i AS p, toks[i] AS tok
+        FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks))) AS i FROM t)),
+    freq AS (SELECT tok, COUNT(*) AS n FROM pos GROUP BY tok),
+    vocab AS (
+        SELECT tok, CAST(row_number() OVER (ORDER BY n DESC, tok) - 1 AS BIGINT) AS id
+        FROM freq ORDER BY n DESC, tok LIMIT 256),
+    mapped AS (
+        SELECT p.doc_id, p.p, COALESCE(v.id, -1) AS id
+        FROM pos p LEFT JOIN vocab v USING (tok))
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(COUNT(CASE WHEN id = -1 THEN 1 END) AS BIGINT) AS n_oov,
+           COALESCE(string_agg(CAST(id AS VARCHAR), ',' ORDER BY p)
+                        FILTER (WHERE p <= 12), '') AS ids_prefix
+    FROM mapped GROUP BY doc_id
+    """,
+)
+def vocab_tokenize(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus-fit vocabulary tokenization — the id-mapping shape every
+    LLM ingest pipeline runs: fit a vocab on the corpus (top-256 tokens
+    by frequency, ties broken by token text — deterministic), then map
+    every token position to its id with -1 for out-of-vocabulary.
+    Output per doc: token count, OOV count, and the first-12-ids string
+    (scalar, driver-hashable) — the shape a downstream packer consumes.
+
+    Plan: the vocab is a 256-row table → broadcast to the position join,
+    so the corpus-side mapping is map-side (zero shuffle beyond the
+    frequency agg that FITS the vocab — one explode + partial-agg pass).
+    At 100 TB with a real 100k-token vocab the broadcast is ~MBs and the
+    shape is unchanged; a trained BPE merges table rides the same join.
+    The single-partition row_number over the vocab is 256 rows — the
+    driver-tiny exception, not a scale smell."""
+    from devcontainers_etl_node_spark.operators.skew import spread
+
+    docs = spread(table(spark, sf, "documents").filter(F.length(F.trim("text")) > 0))
+    toks = F.split(F.lower(F.trim("text")), r"\s+")
+    pos = docs.select("doc_id", F.posexplode(toks).alias("p0", "tok")).select(
+        "doc_id", (F.col("p0") + 1).alias("p"), "tok"
+    )
+    freq = pos.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    vocab = (
+        freq.orderBy(F.col("n").desc(), "tok")
+        .limit(256)
+        .withColumn(
+            "id",
+            (F.row_number().over(Window.orderBy(F.col("n").desc(), "tok")) - 1).cast("long"),
+        )
+        .select("tok", "id")
+    )
+    mapped = pos.join(F.broadcast(vocab), "tok", "left").select(
+        "doc_id", "p", F.coalesce("id", F.lit(-1)).cast("long").alias("id")
+    )
+    prefix_struct = F.when(
+        F.col("p") <= 12, F.struct(F.col("p"), F.col("id").cast("string").alias("id_s"))
+    )
+    return mapped.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.count(F.when(F.col("id") == -1, 1)).alias("n_oov"),
+        F.coalesce(
+            F.concat_ws(
+                ",",
+                F.transform(F.array_sort(F.collect_list(prefix_struct)), lambda s: s.id_s),
+            ),
+            F.lit(""),
+        ).alias("ids_prefix"),
+    )
+
+
+@query(
+    "substring_dup_stats",
+    """
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+        FROM documents WHERE length(trim(text)) > 0),
+    base AS (SELECT doc_id, t, len(t) AS n FROM toks),
+    grams AS (
+        SELECT doc_id, i AS pos, array_to_string(t[i:i+7], ' ') AS g
+        FROM (SELECT doc_id, t, unnest(generate_series(1, n - 7)) AS i
+              FROM base WHERE n >= 8)),
+    dup AS (SELECT g FROM grams GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2),
+    dup_pos AS (SELECT gr.doc_id, gr.pos FROM grams gr JOIN dup USING (g)),
+    covered AS (
+        SELECT doc_id,
+               COUNT(DISTINCT pos) AS n_dup_grams,
+               COUNT(DISTINCT j) AS covered_tokens
+        FROM (SELECT doc_id, pos, unnest(generate_series(pos, pos + 7)) AS j
+              FROM dup_pos)
+        GROUP BY doc_id)
+    SELECT b.doc_id,
+           CAST(b.n AS BIGINT) AS n_tokens,
+           CAST(COALESCE(c.n_dup_grams, 0) AS BIGINT) AS n_dup_grams,
+           CAST(COALESCE(c.covered_tokens, 0) AS BIGINT) AS covered_tokens,
+           CAST(COALESCE(c.covered_tokens, 0) AS DOUBLE) / b.n AS dup_fraction
+    FROM base b LEFT JOIN covered c USING (doc_id)
+    """,
+)
+def substring_dup_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Substring-level duplication audit — the rolling-window complement to
+    line_dedup: every 8-token window (ANY alignment, not fixed chunks) is
+    hashed, windows whose gram occurs in >= 2 DISTINCT documents mark
+    their token span as duplicated, and per doc the union of those spans
+    yields covered-token counts and a dup fraction. This is the signal
+    the substring-dedup literature (Lee et al. 2022 "Deduplicating
+    Training Data", RefinedWeb) thresholds to drop boilerplate-laden
+    docs that document-level MinHash misses.
+
+    Plan: positions explode map-side (slice+concat_ws+xxhash64, all
+    codegen — no interpreted HOFs); ONE shuffle on the 8-byte gram hash
+    for the cross-doc frequency; the hot-gram join flows back to
+    positions; span coverage is an exact interval union computed as
+    k-bounded explode + distinct — shuffle rows bounded by k x dup
+    positions, never corpus x k. Within-doc repetition is deliberately
+    excluded (repetition_stats owns that axis). The oracle groups by the
+    gram STRING — the Spark side's 64-bit gram hash is exact up to
+    collisions (identical stance to ngram_jaccard, negligible at any
+    corpus size that fits a cluster)."""
+    from devcontainers_etl_node_spark.operators.skew import spread
+
+    k = 8
+    docs = spread(table(spark, sf, "documents").filter(F.length(F.trim("text")) > 0))
+    t = F.split(F.lower(F.trim("text")), r"\s+")
+    base = docs.select("doc_id", t.alias("t")).withColumn("n", F.size("t"))
+    base = base.localCheckpoint(eager=True)  # barrier: stop the inferred
+    # explode-filter from re-evaluating split() below the spread exchange,
+    # and let the final left-join reuse the tokenized table
+    grams = (
+        base.filter(F.col("n") >= k)
+        .select("doc_id", F.explode(F.sequence(F.lit(1), F.col("n") - (k - 1))).alias("pos"), "t")
+        .select("doc_id", "pos", F.xxhash64(F.concat_ws(" ", F.slice("t", F.col("pos"), k))).alias("g"))
+    )
+    dup = grams.groupBy("g").agg(F.countDistinct("doc_id").alias("ndocs")).filter(F.col("ndocs") >= 2)
+    dup_pos = grams.join(dup.select("g"), "g").select("doc_id", "pos")
+    covered = (
+        dup_pos.select("doc_id", "pos", F.explode(F.sequence(F.col("pos"), F.col("pos") + (k - 1))).alias("j"))
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("pos").alias("n_dup_grams"),
+            F.countDistinct("j").alias("covered_tokens"),
+        )
+    )
+    return base.join(covered, "doc_id", "left").select(
+        "doc_id",
+        F.col("n").cast("long").alias("n_tokens"),
+        F.coalesce("n_dup_grams", F.lit(0)).cast("long").alias("n_dup_grams"),
+        F.coalesce("covered_tokens", F.lit(0)).cast("long").alias("covered_tokens"),
+        (F.coalesce("covered_tokens", F.lit(0)).cast("double") / F.col("n")).alias("dup_fraction"),
     )
 
 
