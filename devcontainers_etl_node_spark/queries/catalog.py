@@ -6044,6 +6044,133 @@ def line_dedup(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "collated_group",
+    """
+    WITH mixed AS (
+        SELECT CASE WHEN p_partkey % 2 = 0 THEN upper(p_brand)
+                    ELSE lower(p_brand) END AS brand_mixed,
+               p_retailprice
+        FROM part)
+    SELECT lower(brand_mixed) AS brand,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(p_retailprice AS DECIMAL(18,4))) AS DOUBLE) AS retail_sum
+    FROM mixed GROUP BY lower(brand_mixed)
+    """,
+)
+def collated_group(spark: SparkSession, sf: str) -> DataFrame:
+    """Collation-aware grouping (Spark 4 collations): brands are
+    deliberately case-mangled (upper for even part keys, lower for odd),
+    then grouped under the UTF8_LCASE collation — the engine treats
+    'BRAND#11' and 'brand#11' as ONE group key with no pre-normalization
+    column. The group representative Spark keeps is arbitrary, so the
+    output projects lower() for a deterministic value; the oracle is the
+    classic GROUP BY lower() spelling — proving the collation path
+    produces exactly the normalize-then-group answer. At scale the win
+    is that collation rides the shuffle key itself (no derived column,
+    no double materialization of the raw + normalized string)."""
+    p = table(spark, sf, "part")
+    mixed = p.select(
+        F.when(F.col("p_partkey") % 2 == 0, F.upper("p_brand"))
+        .otherwise(F.lower("p_brand"))
+        .alias("brand_mixed"),
+        "p_retailprice",
+    )
+    return (
+        mixed.groupBy(F.collate(F.col("brand_mixed"), "UTF8_LCASE").alias("k"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_dec("p_retailprice")).cast("double").alias("retail_sum"),
+        )
+        .select(F.lower(F.col("k").cast("string")).alias("brand"), "n", "retail_sum")
+    )
+
+
+@query(
+    "pmi_cooccurrence",
+    """
+    WITH t AS (
+        SELECT doc_id, list_distinct(string_split_regex(lower(trim(text)), '\\s+')) AS toks
+        FROM documents WHERE length(trim(text)) > 0),
+    n_docs AS (SELECT COUNT(*) AS nd FROM t),
+    present AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+    dfreq AS (SELECT tok, COUNT(*) AS n FROM present GROUP BY tok),
+    top AS (SELECT tok, n FROM dfreq ORDER BY n DESC, tok LIMIT 50),
+    hits AS (SELECT p.doc_id, p.tok, t2.n FROM present p JOIN top t2 USING (tok)),
+    pairs AS (
+        SELECT a.tok AS w1, b.tok AS w2, a.n AS n1, b.n AS n2,
+               COUNT(*) AS n_both
+        FROM hits a JOIN hits b ON a.doc_id = b.doc_id AND a.tok < b.tok
+        GROUP BY a.tok, b.tok, a.n, b.n)
+    SELECT w1, w2,
+           CAST(n_both AS BIGINT) AS n_both,
+           CAST(n1 AS BIGINT) AS n1,
+           CAST(n2 AS BIGINT) AS n2,
+           CAST(n_both * (SELECT nd FROM n_docs) AS DOUBLE) / (n1 * n2) AS lift
+    FROM pairs
+    ORDER BY lift DESC, w1, w2
+    LIMIT 20
+    """,
+)
+def pmi_cooccurrence(spark: SparkSession, sf: str) -> DataFrame:
+    """Document-level co-occurrence lift over the top-50 vocabulary — the
+    association-mining shape (PMI without the log: lift =
+    P(x,y)/(P(x)P(y)) = n_both*N / (n1*n2), which orders pairs
+    identically to PMI since log is monotone, and stays integer-exact —
+    NOTES.md: never emit ln() in an oracled query). Used to surface
+    collocations and template phrases in corpus audits.
+
+    Plan: per-doc DISTINCT tokens (within-doc repetition must not
+    inflate document co-occurrence), the 50-token vocab broadcasts into
+    a semi-filter so only vocabulary hits explode; the within-doc pair
+    join is bounded by 50^2 per doc regardless of corpus size; the
+    one-row doc count broadcasts into the final projection (the audited
+    one-row NLJ pattern). Top-20 is TakeOrderedAndProject."""
+    from devcontainers_etl_node_spark.operators.skew import spread
+
+    docs = spread(table(spark, sf, "documents").filter(F.length(F.trim("text")) > 0))
+    toks = F.array_distinct(F.split(F.lower(F.trim("text")), r"\s+"))
+    t = docs.select("doc_id", toks.alias("toks")).localCheckpoint(eager=True)
+    present = t.select("doc_id", F.explode("toks").alias("tok"))
+    top = (
+        present.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "tok")
+        .limit(50)
+    )
+    hits = present.join(F.broadcast(top), "tok")
+    pairs = (
+        hits.alias("a")
+        .join(
+            hits.alias("b"),
+            (F.col("a.doc_id") == F.col("b.doc_id")) & (F.col("a.tok") < F.col("b.tok")),
+        )
+        .groupBy(
+            F.col("a.tok").alias("w1"),
+            F.col("b.tok").alias("w2"),
+            F.col("a.n").alias("n1"),
+            F.col("b.n").alias("n2"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    nd = t.agg(F.count(F.lit(1)).alias("nd"))
+    return (
+        pairs.crossJoin(F.broadcast(nd))
+        .select(
+            "w1",
+            "w2",
+            F.col("n_both").cast("long").alias("n_both"),
+            F.col("n1").cast("long").alias("n1"),
+            F.col("n2").cast("long").alias("n2"),
+            ((F.col("n_both") * F.col("nd")).cast("double") / (F.col("n1") * F.col("n2"))).alias(
+                "lift"
+            ),
+        )
+        .orderBy(F.col("lift").desc(), "w1", "w2")
+        .limit(20)
+    )
+
+
+@query(
     "vocab_tokenize",
     """
     WITH t AS (
