@@ -6412,8 +6412,11 @@ def pretrain_prep(spark: SparkSession, sf: str) -> DataFrame:
     curation pipeline. With per-stage materialization the plan is
     bounded per stage and each stage computes ONCE. On a cluster the
     same boundary becomes a persisted staging table (parquet), which
-    also buys restartability; localCheckpoint is the single-node
-    equivalent (executor-local storage, no lineage).
+    also buys restartability — implemented as funnel.run_staged_funnel
+    (crash-resume from completed stages, downstream staleness tracked;
+    report pinned row-for-row equal to this query in tests/
+    test_funnel.py); localCheckpoint is the single-node equivalent
+    (executor-local storage, no lineage).
     Deterministic but not SQL-expressible (MinHash) → rows-only;
     tests/test_quality_gates.py pins funnel monotonicity + packing budget."""
     from devcontainers_etl_node_spark.operators import dedup as dd, packing, text as tx
