@@ -108,6 +108,24 @@ def cmd_pipeline(args) -> int:
     return 0
 
 
+def cmd_curate(args) -> int:
+    """Staged restartable curation funnel (funnel.py) over a corpus
+    directory: writes per-stage parquet under --work, resumes from
+    completed stages, prints the funnel report."""
+    from devcontainers_etl_node_spark import funnel
+    from devcontainers_etl_node_spark.catalog import table
+
+    spark = _spark()
+    docs = table(spark, args.sf, "documents")
+    out = funnel.run_staged_funnel(spark, docs, args.work, max_tokens=args.max_tokens)
+    if out["computed"]:
+        print(f"computed stages: {', '.join(out['computed'])}", file=sys.stderr)
+    else:
+        print("all stages already complete — reusing staged outputs", file=sys.stderr)
+    out["report"].show(truncate=False)
+    return 0
+
+
 def cmd_generate(args) -> int:
     """G6 continuous generator fleet twin (reference data_chargers/load.py)."""
     from devcontainers_etl_node_spark.config import EngineConfig
@@ -146,6 +164,11 @@ def main(argv: list[str] | None = None) -> int:
     pl = sub.add_parser("pipeline", help="reference ETL twin on synthetic data")
     pl.add_argument("--rows", type=int, default=40, help="sales events to generate")
 
+    c = sub.add_parser("curate", help="staged restartable curation funnel")
+    c.add_argument("--sf", default=DEFAULT_SF, help="corpus directory")
+    c.add_argument("--work", required=True, help="staging directory for per-stage parquet")
+    c.add_argument("--max-tokens", type=int, default=512, help="packing budget")
+
     g = sub.add_parser("generate", help="continuous generator fleet (G6 twin)")
     g.add_argument("--out", required=True, help="lakehouse root for the three sinks")
     g.add_argument("--cycles", type=int, default=0, help="cycles to run (0 = forever)")
@@ -158,6 +181,7 @@ def main(argv: list[str] | None = None) -> int:
         "run": cmd_run,
         "sql": cmd_sql,
         "pipeline": cmd_pipeline,
+        "curate": cmd_curate,
         "generate": cmd_generate,
     }[args.cmd](args)
 

@@ -166,3 +166,68 @@ def test_approx_distinct_within_5pct_of_exact(spark):
     assert set(approx) == set(exact)
     for k, e in approx.items():
         assert abs(e - exact[k]) / exact[k] <= 0.05, (k, e, exact[k])
+
+
+def test_substring_dup_stats_invariants(spark):
+    """Oracled at sf0.01; these pin the semantic invariants the hash
+    match can't state: coverage is a true span union (bounded by both
+    n_tokens and k*n_dup_grams), fractions live in [0,1], and a doc with
+    no 8-token window (short doc) reports zero duplication."""
+    rows = {r.doc_id: r for r in QUERIES["substring_dup_stats"](spark, SF).collect()}
+    assert rows
+    for r in rows.values():
+        assert 0.0 <= r.dup_fraction <= 1.0
+        assert r.covered_tokens <= r.n_tokens
+        assert r.covered_tokens <= 8 * r.n_dup_grams
+        if r.n_dup_grams > 0:
+            assert r.covered_tokens >= 8  # one dup window covers >= k tokens
+        if r.n_tokens < 8:
+            assert r.n_dup_grams == 0 and r.covered_tokens == 0
+
+
+def test_substring_dup_detects_planted_cross_doc_span(spark):
+    """A 12-token span planted in two docs must be flagged in both, with
+    coverage of exactly the shared span (the surrounding unique text must
+    NOT count)."""
+    shared = "alpha bravo charlie delta echo foxtrot golf hotel india juliett kilo lima"
+    rows = [
+        (1, f"{shared} unique tail one two three four five six seven eight nine"),
+        (2, f"opening words here differ substantially {shared}"),
+        (3, "entirely unrelated content with twelve different words in this document body"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    # run the same pipeline inline (k=8) against the planted corpus
+    from pyspark.sql import functions as F2
+
+    k = 8
+    t = F2.split(F2.lower(F2.trim("text")), r"\s+")
+    base = df.select("doc_id", t.alias("t")).withColumn("n", F2.size("t"))
+    grams = (
+        base.filter(F2.col("n") >= k)
+        .select("doc_id", F2.explode(F2.sequence(F2.lit(1), F2.col("n") - (k - 1))).alias("pos"), "t")
+        .select("doc_id", "pos", F2.xxhash64(F2.concat_ws(" ", F2.slice("t", F2.col("pos"), k))).alias("g"))
+    )
+    dup = grams.groupBy("g").agg(F2.countDistinct("doc_id").alias("nd")).filter(F2.col("nd") >= 2)
+    covered = (
+        grams.join(dup.select("g"), "g")
+        .select("doc_id", F2.explode(F2.sequence(F2.col("pos"), F2.col("pos") + (k - 1))).alias("j"))
+        .groupBy("doc_id")
+        .agg(F2.countDistinct("j").alias("covered"))
+    )
+    got = {r.doc_id: r.covered for r in covered.collect()}
+    assert got.get(1) == 12 and got.get(2) == 12  # exactly the shared span
+    assert 3 not in got
+
+
+def test_vocab_tokenize_invariants(spark):
+    """ids_prefix length, OOV bounds, and vocabulary determinism: re-running
+    yields identical outputs (vocab ties are broken by token text)."""
+    out1 = {r.doc_id: r for r in QUERIES["vocab_tokenize"](spark, SF).collect()}
+    out2 = {r.doc_id: r for r in QUERIES["vocab_tokenize"](spark, SF).collect()}
+    assert out1.keys() == out2.keys()
+    for doc_id, r in out1.items():
+        assert r.n_oov <= r.n_tokens
+        ids = r.ids_prefix.split(",")
+        assert len(ids) == min(12, r.n_tokens)
+        assert all(i == "-1" or 0 <= int(i) <= 255 for i in ids)
+        assert out2[doc_id].ids_prefix == r.ids_prefix
