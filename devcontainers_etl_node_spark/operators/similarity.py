@@ -376,3 +376,150 @@ def pq_topk(
         .filter(F.col("rn") <= k)
         .select("query_id", "neighbor_id", "cosine_sim", "rn")
     )
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 6,
+    m: int = 8,
+    n_codes: int = 32,
+    rerank: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_train_rows: int = 16384,
+) -> DataFrame:
+    """IVF-PQ — the billion-scale ANN recipe (FAISS IndexIVFPQ): a coarse
+    KMeans quantizer splits the corpus into `n_cells` inverted lists, and
+    each vector's RESIDUAL (x - centroid) is product-quantized to m
+    one-byte codes. A query probes its `n_probe` nearest cells; within a
+    probed cell the asymmetric distance uses tables built from the QUERY
+    residual against that cell's shared PQ codebooks, so the table is
+    per-(query, cell) — (n_probe x m x n_codes) doubles per query,
+    shipped as a broadcast-joined DataFrame. Residual encoding is what
+    separates IVF-PQ from IVF+PQ bolted together: residuals concentrate
+    near zero, so the same code budget quantizes them far more finely
+    than raw vectors.
+
+    All training is driver-side numpy over a bounded sample (the pq_topk
+    round-3 lesson: MLlib micro-fits and plan-literal tables are
+    scheduler/codegen-bound); corpus assignment + residual encoding is
+    ONE Arrow pandas-UDF pass; scoring carries only (cell, m codes) per
+    corpus row — the full vector is dropped before the per-query top-k
+    window and re-joined for the exact-cosine rerank of the rerank*k
+    shortlist. Probe fan-out bounds compute: only probed cells' lists
+    are ever scored, so at corpus scale the scored fraction is
+    ~n_probe/n_cells regardless of corpus size. Rows-only; recall gate
+    in tests/test_quality_gates.py.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    dim = corpus.select(F.size(vec_col).alias("d")).first()["d"]
+    sub = dim // m
+    spark = corpus.sparkSession
+
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+
+    # --- train coarse quantizer + residual PQ codebooks (numpy Lloyd) ---
+    train_pdf = c.select("c_vec").limit(max_train_rows).toPandas()
+    X = np.asarray(train_pdf["c_vec"].tolist(), dtype=np.float64)
+    rng = np.random.default_rng(seed)
+
+    def lloyd(pts: np.ndarray, n_clusters: int, iters: int = 10) -> np.ndarray:
+        init = rng.choice(len(pts), size=n_clusters, replace=len(pts) < n_clusters)
+        C = pts[init].copy()
+        for _ in range(iters):
+            d = (pts * pts).sum(1)[:, None] + (C * C).sum(1)[None, :] - 2.0 * pts @ C.T
+            assign = d.argmin(1)
+            for i in range(n_clusters):
+                sel = pts[assign == i]
+                if len(sel):
+                    C[i] = sel.mean(0)
+        return C
+
+    coarse = lloyd(X, n_cells)
+    d_train = (X * X).sum(1)[:, None] + (coarse * coarse).sum(1)[None, :] - 2.0 * X @ coarse.T
+    resid = X - coarse[d_train.argmin(1)]
+    codebooks = np.stack([lloyd(resid[:, j * sub : (j + 1) * sub], n_codes) for j in range(m)])
+
+    coarse_bc = spark.sparkContext.broadcast(coarse)
+    cb_bc = spark.sparkContext.broadcast(codebooks)
+
+    # --- one Arrow pass: cell assignment + residual PQ codes ---
+    @F.pandas_udf("struct<cell:int, codes:array<int>>")
+    def _assign_encode(v: pd.Series) -> pd.DataFrame:
+        co, cbs = coarse_bc.value, cb_bc.value
+        Xb = np.asarray(v.tolist(), dtype=np.float64)
+        d = (Xb * Xb).sum(1)[:, None] + (co * co).sum(1)[None, :] - 2.0 * Xb @ co.T
+        cell = d.argmin(1)
+        R = Xb - co[cell]
+        codes = np.empty((len(Xb), len(cbs)), dtype=np.int32)
+        ns = R.shape[1] // len(cbs)
+        for j in range(len(cbs)):
+            Rj = R[:, j * ns : (j + 1) * ns]
+            Cj = cbs[j]
+            dj = (Rj * Rj).sum(1)[:, None] + (Cj * Cj).sum(1)[None, :] - 2.0 * Rj @ Cj.T
+            codes[:, j] = dj.argmin(1)
+        return pd.DataFrame({"cell": cell.astype("int32"), "codes": list(codes.tolist())})
+
+    encoded = c.select(
+        "neighbor_id", _assign_encode(F.col("c_vec")).alias("_e")
+    ).select("neighbor_id", F.col("_e.cell").alias("cell"), F.col("_e.codes").alias("_codes"))
+
+    # --- per-(query, probed cell) ADC tables from the query residual ---
+    q_rows = q.collect()
+    id_type = queries.schema[id_col].dataType
+    dtab_schema = T.StructType(
+        [
+            T.StructField("query_id", id_type),
+            T.StructField("cell", T.IntegerType()),
+            T.StructField("_dtab", T.ArrayType(T.ArrayType(T.DoubleType()))),
+        ]
+    )
+    dtab_rows = []
+    for r in q_rows:
+        qv = np.asarray(r["q_vec"], dtype=np.float64)
+        d = ((coarse - qv) ** 2).sum(1)
+        for cell in np.argsort(d, kind="stable")[:n_probe]:
+            qr = qv - coarse[cell]
+            tabs = [
+                ((codebooks[j] - qr[j * sub : (j + 1) * sub]) ** 2).sum(1).tolist()
+                for j in range(m)
+            ]
+            dtab_rows.append((r["query_id"], int(cell), tabs))
+    dtab = spark.createDataFrame(dtab_rows, dtab_schema)
+
+    # equi-join on cell: a corpus row is scored ONLY against queries that
+    # probed its cell — the probe fan-out bound, and the reason this is
+    # not the pq_topk crossJoin.
+    scored = encoded.join(F.broadcast(dtab), "cell").filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    adc = sum(
+        F.element_at(F.element_at("_dtab", j + 1), F.element_at("_codes", j + 1) + 1)
+        for j in range(m)
+    )
+    w_adc = Window.partitionBy("query_id").orderBy(F.col("_adc"), F.col("neighbor_id"))
+    shortlist = (
+        scored.withColumn("_adc", adc)
+        .withColumn("_rn", F.row_number().over(w_adc))
+        .filter(F.col("_rn") <= rerank * k)
+        .select("query_id", "neighbor_id")
+    )
+    rer = (
+        shortlist.join(F.broadcast(q), "query_id")
+        .join(c, "neighbor_id")
+        .withColumn("cosine_sim", cosine(F.col("q_vec"), F.col("c_vec")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), F.col("neighbor_id"))
+    return (
+        rer.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rn")
+    )

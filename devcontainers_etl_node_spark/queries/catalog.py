@@ -6529,6 +6529,26 @@ def phrase_search(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@query("ann_ivfpq")  # approximate by construction — rows-only check
+def ann_ivfpq(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF-PQ combined ANN (operators/similarity.py:ivfpq_topk) — the
+    billion-scale recipe the standalone IVF and PQ entries build toward:
+    coarse inverted lists bound WHICH corpus rows are scored
+    (~n_probe/n_cells of the corpus), residual product quantization
+    bounds what each scored row COSTS (m bytes + m table lookups), and
+    the exact-cosine rerank restores precision on the shortlist.
+    n_cells=16, n_probe=10, m=16 subspaces x 32 codes: measured
+    recall@5 = 0.88 at sf0.01, pinned >= 0.8 in
+    tests/test_quality_gates.py."""
+    from devcontainers_etl_node_spark.operators import similarity
+
+    emb = table(spark, sf, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    return similarity.ivfpq_topk(
+        emb, q, k=5, n_cells=16, n_probe=10, m=16, n_codes=32, rerank=8
+    ).select("query_id", "neighbor_id", "rn")
+
+
 @query("ann_pq")  # approximate by construction — rows-only check
 def ann_pq(spark: SparkSession, sf: str) -> DataFrame:
     """Product-quantization ANN (operators/similarity.py:pq_topk): m=4

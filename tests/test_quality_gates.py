@@ -45,6 +45,11 @@ def test_ann_pq_recall_at_5(spark, knn_truth):
     assert _recall(spark, "ann_pq", knn_truth) >= 0.8
 
 
+def test_ann_ivfpq_recall_at_5(spark, knn_truth):
+    # measured 0.88 at n_cells=16/n_probe=10/m=16/codes=32 (seeded)
+    assert _recall(spark, "ann_ivfpq", knn_truth) >= 0.8
+
+
 def test_hll_mergeable_within_5pct_of_exact(spark):
     est = {r.day: r.est_users for r in QUERIES["hll_mergeable"](spark, SF).collect()}
     exact = {

@@ -134,6 +134,7 @@ def test_every_query_has_callable_and_oracle_consistency():
         "countmin_userid",
         "pretrain_prep",
         "ann_pq",
+        "ann_ivfpq",
     }
 
 
