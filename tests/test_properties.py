@@ -61,3 +61,50 @@ def test_jaccard_invariants(spark, a, b):
         assert abs(row.ab - expected) < 1e-12
     else:
         assert row.ab == 0.0
+
+
+# small word pool → real shingle collisions across docs; short docs hit the
+# n<k degenerate path (single truncated shingle) often
+_words = st.lists(
+    st.sampled_from(["alpha", "beta", "gamma", "delta", "eps", "zeta"]),
+    min_size=0,
+    max_size=8,
+)
+_corpus = st.lists(_words, min_size=2, max_size=8)
+
+
+@settings(max_examples=8, deadline=None)
+@given(_corpus)
+def test_ngram_jaccard_inverted_matches_bruteforce(spark, docs_words):
+    """The inverted-index plan (group count = |A∩B|) and the AllPairs
+    prefix-filtered plan must both equal a brute-force Python reference
+    (explicit shingle sets, explicit pairwise Jaccard) on arbitrary small
+    corpora — including empty docs, single-token docs, and all-identical
+    corpora."""
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs_words)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    def shingles(text: str, k: int = 3) -> set[str]:
+        toks = text.strip().lower().split()
+        if not toks:
+            toks = [""]  # F.split of "" yields [""], same as the engine
+        if len(toks) <= k:
+            return {" ".join(toks[:k])}
+        return {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+
+    expected = set()
+    for i, (ia, ta) in enumerate(rows):
+        for ib, tb in rows[i + 1 :]:
+            sa, sb = shingles(ta), shingles(tb)
+            j = len(sa & sb) / len(sa | sb)
+            if j >= 0.2:
+                expected.add((ia, ib, round(j, 12)))
+
+    for pf in (False, True):
+        got = {
+            (r.id_a, r.id_b, round(r.jaccard_sim, 12))
+            for r in dedup.ngram_jaccard_pairs(
+                df, ngram=3, threshold=0.2, prefix_filter=pf
+            ).collect()
+        }
+        assert got == expected, (pf, got, expected)
