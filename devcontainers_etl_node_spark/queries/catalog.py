@@ -6044,6 +6044,192 @@ def line_dedup(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "ecdf_normalize",
+    """
+    WITH ranked AS (
+        SELECT o_orderkey, o_orderpriority, o_totalprice,
+               row_number() OVER (PARTITION BY o_orderpriority
+                                  ORDER BY o_totalprice, o_orderkey) AS rn,
+               COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+        FROM orders)
+    SELECT o_orderkey, o_orderpriority,
+           CAST(rn AS DOUBLE) / n AS qnorm
+    FROM ranked
+    """,
+)
+def ecdf_normalize(spark: SparkSession, sf: str) -> DataFrame:
+    """Empirical-CDF normalization — the feature-engineering transform
+    that maps every value to its within-group quantile rank in (0, 1].
+    Fully tie-broken (value, then key) so the rank is deterministic and
+    the rn/n division is exact rational → double, bit-identical across
+    engines (the group_quantiles stance: element selection and integer
+    arithmetic, never interpolation). Plan: one window per group — the
+    same single sort-shuffle an exact rank needs anyway; at 100 TB the
+    sketch-based alternative is percentile_approx bucketing."""
+    o = table(spark, sf, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    wn = Window.partitionBy("o_orderpriority")
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        (
+            F.row_number().over(w).cast("double") / F.count(F.lit(1)).over(wn)
+        ).alias("qnorm"),
+    )
+
+
+@query(
+    "mad_outliers",
+    """
+    WITH ranked AS (
+        SELECT l_returnflag, l_extendedprice,
+               row_number() OVER (PARTITION BY l_returnflag
+                                  ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rn,
+               COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+        FROM lineitem),
+    med AS (
+        SELECT l_returnflag,
+               MAX(CASE WHEN rn = greatest(1, CAST(ceil(0.5 * n) AS BIGINT))
+                        THEN l_extendedprice END) AS med
+        FROM ranked GROUP BY l_returnflag),
+    dev AS (
+        SELECT r.l_returnflag, r.l_extendedprice, m.med,
+               abs(r.l_extendedprice - m.med) AS adev,
+               row_number() OVER (PARTITION BY r.l_returnflag
+                                  ORDER BY abs(r.l_extendedprice - m.med),
+                                           r.l_extendedprice, r.rn) AS drn,
+               COUNT(*) OVER (PARTITION BY r.l_returnflag) AS n
+        FROM ranked r JOIN med m USING (l_returnflag)),
+    mad AS (
+        SELECT l_returnflag, MAX(med) AS med,
+               MAX(CASE WHEN drn = greatest(1, CAST(ceil(0.5 * n) AS BIGINT))
+                        THEN adev END) AS mad
+        FROM dev GROUP BY l_returnflag)
+    SELECT d.l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(CASE WHEN d.adev > 3 * m.mad THEN 1 END) AS BIGINT) AS n_outliers,
+           CAST(m.med AS DOUBLE) AS med,
+           CAST(m.mad AS DOUBLE) AS mad
+    FROM dev d JOIN mad m USING (l_returnflag)
+    GROUP BY d.l_returnflag, m.med, m.mad
+    """,
+)
+def mad_outliers(spark: SparkSession, sf: str) -> DataFrame:
+    """Robust outlier screen: median / MAD (median absolute deviation)
+    with the 3-MAD fence — the estimator that survives the very outliers
+    it hunts (mean/stddev get dragged; Tukey fences are already in the
+    catalog as iqr_outliers). Both medians are nearest-rank ELEMENTS of
+    decimal columns, the deviation is exact decimal subtraction, and the
+    fence compare is decimal-exact — the only doubles are the final
+    display casts. Plan: two window passes over the same group
+    partitioning (value rank, then deviation rank) + a broadcast of the
+    per-group medians — the per-group sort is the cost an exact median
+    implies; approximate MAD at 100 TB = percentile_approx on the
+    deviation column."""
+    li = table(spark, sf, "lineitem")
+    w = Window.partitionBy("l_returnflag").orderBy(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    wn = Window.partitionBy("l_returnflag")
+    ranked = li.select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    med_target = F.greatest(F.lit(1), F.ceil(0.5 * F.col("n")).cast("long"))
+    med = ranked.groupBy("l_returnflag").agg(
+        F.max(F.when(F.col("rn") == med_target, F.col("l_extendedprice"))).alias("med")
+    )
+    dev = ranked.join(F.broadcast(med), "l_returnflag").withColumn(
+        "adev", F.abs(F.col("l_extendedprice") - F.col("med"))
+    )
+    wd = Window.partitionBy("l_returnflag").orderBy("adev", "l_extendedprice", "rn")
+    dev = dev.withColumn("drn", F.row_number().over(wd))
+    mad = dev.groupBy("l_returnflag").agg(
+        F.max("med").alias("med"),
+        F.max(F.when(F.col("drn") == med_target, F.col("adev"))).alias("mad"),
+    )
+    return (
+        dev.select("l_returnflag", "adev")
+        .join(F.broadcast(mad), "l_returnflag")
+        .groupBy("l_returnflag", "med", "mad")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count(F.when(F.col("adev") > 3 * F.col("mad"), 1)).alias("n_outliers"),
+        )
+        .select(
+            "l_returnflag",
+            "n_rows",
+            "n_outliers",
+            F.col("med").cast("double").alias("med"),
+            F.col("mad").cast("double").alias("mad"),
+        )
+    )
+
+
+@query(
+    "bloom_prefilter_join",
+    """
+    SELECT o.o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+    FROM orders o
+    WHERE EXISTS (SELECT 1 FROM customer c
+                  WHERE c.c_custkey = o.o_custkey
+                    AND c.c_mktsegment = 'BUILDING')
+    GROUP BY o.o_orderpriority
+    """,
+)
+def bloom_prefilter_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Explicit bloom-prefiltered semi-join — the runtime-bloom-filter
+    pattern (tests/test_plans.py pins Catalyst's automatic injection)
+    spelled as a reusable relational construction, the countmin_userid
+    stance: the filter is DATA, not an opaque JVM sketch
+    (bloom_filter_agg is not SQL-resolvable in Spark 4). Build side: the
+    BUILDING customer keys hash through k=3 seeded functions into a
+    16384-bit position table (distinct positions only — mergeable across
+    shards by UNION, like any bitmap). Probe side: an order survives the
+    prefilter iff all 3 of its positions are set (groupBy count = k over
+    a broadcast position join). False positives then die in the exact
+    semi-join, so the result — and the oracle — is exactly the plain
+    semi-join; the bloom's job at 100 TB is shrinking the rows that
+    reach the shuffle when the dim is too big to broadcast but its
+    BITMAP isn't."""
+    k_seeds, m_bits = 3, 16384
+    c = table(spark, sf, "customer")
+    o = table(spark, sf, "orders")
+    keys = c.filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("key")
+    )
+    seeds = F.array(*[F.lit(s) for s in range(k_seeds)])
+    bits = (
+        keys.select(F.explode(seeds).alias("s"), "key")
+        .select(F.pmod(F.xxhash64("s", "key"), F.lit(m_bits)).alias("pos"))
+        .distinct()
+    )
+    probe = (
+        o.select("o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice")
+        .select("*", F.explode(seeds).alias("s"))
+        .withColumn("pos", F.pmod(F.xxhash64("s", "o_custkey"), F.lit(m_bits)))
+    )
+    candidates = (
+        probe.join(F.broadcast(bits), "pos")
+        .groupBy("o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice")
+        .agg(F.count(F.lit(1)).alias("_hits"))
+        .filter(F.col("_hits") == k_seeds)
+    )
+    return (
+        candidates.join(keys, candidates.o_custkey == keys.key, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("revenue"),
+        )
+    )
+
+
+@query(
     "collated_group",
     """
     WITH mixed AS (
