@@ -6044,6 +6044,61 @@ def line_dedup(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "table_fingerprint",
+    """
+    WITH canon AS (
+        SELECT substr(CAST(o_orderdate AS VARCHAR), 1, 7) AS month,
+               CAST(('0x' || substr(md5(
+                   concat_ws('|', CAST(o_orderkey AS VARCHAR),
+                                  CAST(o_custkey AS VARCHAR),
+                                  o_orderstatus,
+                                  CAST(o_totalprice AS VARCHAR),
+                                  CAST(o_orderdate AS VARCHAR),
+                                  o_orderpriority)
+               ), 1, 15)) AS BIGINT) AS rh
+        FROM orders)
+    SELECT month,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           bit_xor(rh) AS fingerprint
+    FROM canon GROUP BY month
+    """,
+)
+def table_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    """Partition-level content fingerprints — the migration/copy
+    verification primitive at 100 TB: after moving a table between
+    clusters/formats, compare (n_rows, fingerprint) per partition
+    instead of re-reading both sides row-by-row. Each row canonicalizes
+    to a '|'-joined string of explicitly-cast columns, hashes through
+    md5 (cross-engine stable, unlike xxhash64 whose seeds DuckDB does
+    not share) truncated to 60 bits, and the per-partition digest is the
+    bit_xor — ORDER-INDEPENDENT (xor commutes), so two copies match
+    regardless of row order, file layout, or cluster size. xor is also
+    MERGEABLE: shard fingerprints xor into partition fingerprints, the
+    HLL/count-min stance. Duplicate-row pairs cancel under xor — the
+    row count alongside catches that case. Plan: pure map-side hashing
+    + one partial-agg'd shuffle on the partition key; no sort anywhere."""
+    o = table(spark, sf, "orders")
+    canon = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        F.col("o_orderstatus"),
+        F.col("o_totalprice").cast("string"),
+        F.col("o_orderdate").cast("string"),
+        F.col("o_orderpriority"),
+    )
+    rh = F.conv(F.substring(F.md5(canon), 1, 15), 16, 10).cast("long")
+    return (
+        o.select(
+            F.substring(F.col("o_orderdate").cast("string"), 1, 7).alias("month"),
+            rh.alias("rh"),
+        )
+        .groupBy("month")
+        .agg(F.count(F.lit(1)).alias("n_rows"), F.bit_xor("rh").alias("fingerprint"))
+    )
+
+
+@query(
     "ecdf_normalize",
     """
     WITH ranked AS (
