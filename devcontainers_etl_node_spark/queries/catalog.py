@@ -3579,6 +3579,107 @@ def gapfill_locf(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "gapfill_linear",
+    """
+    WITH ev AS (
+        SELECT event_type, date_trunc('hour', ts) AS h, value FROM events),
+    agg AS (
+        SELECT event_type, h, COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        FROM ev GROUP BY event_type, h),
+    bounds AS (SELECT MIN(h) AS h0, MAX(h) AS h1 FROM ev),
+    types AS (SELECT DISTINCT event_type FROM ev),
+    slots AS (
+        SELECT t.event_type, unnest(generate_series(b.h0, b.h1, INTERVAL 1 HOUR)) AS h
+        FROM types t, bounds b),
+    ctx AS (
+        SELECT s.event_type, s.h, epoch(s.h) AS t, a.n, a.sum_value,
+               last_value(a.sum_value IGNORE NULLS) OVER (
+                   PARTITION BY s.event_type ORDER BY s.h
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS vp,
+               last_value(CASE WHEN a.sum_value IS NOT NULL THEN epoch(s.h) END IGNORE NULLS) OVER (
+                   PARTITION BY s.event_type ORDER BY s.h
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tp,
+               first_value(a.sum_value IGNORE NULLS) OVER (
+                   PARTITION BY s.event_type ORDER BY s.h
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS vn,
+               first_value(CASE WHEN a.sum_value IS NOT NULL THEN epoch(s.h) END IGNORE NULLS) OVER (
+                   PARTITION BY s.event_type ORDER BY s.h
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS tn
+        FROM slots s LEFT JOIN agg a ON a.event_type = s.event_type AND a.h = s.h)
+    SELECT event_type, strftime(h, '%Y-%m-%d %H:%M:%S') AS slot_ts,
+           COALESCE(n, 0) AS n_events,
+           CASE WHEN n IS NOT NULL THEN sum_value
+                WHEN tp IS NULL OR tn IS NULL THEN NULL
+                ELSE vp + (vn - vp) * (CAST(t - tp AS DOUBLE) / CAST(tn - tp AS DOUBLE))
+           END AS interp_value
+    FROM ctx
+    """,
+)
+def gapfill_linear(spark: SparkSession, sf: str) -> DataFrame:
+    """Gap-fill with LINEAR interpolation — the time_bucket_gapfill +
+    interpolate() combination (gapfill_locf's companion): interior empty
+    slots get vp + (vn-vp)·(t-tp)/(tn-tp) between the surrounding
+    observations; leading/trailing gaps stay NULL (there is nothing to
+    interpolate toward). The arithmetic is engine-exact: slot epochs are
+    integers, the ratio is one double division, and BOTH engines run the
+    IDENTICAL expression shape, so IEEE semantics give bit-equal
+    results with no libm in sight. Plan identical to gapfill_locf (tiny
+    broadcast slot grid, fact touched once, windows ride the grid
+    partitioning) with two extra null-aware window columns."""
+    ev = table(spark, sf, "events").select(
+        "event_type", F.date_trunc("hour", "ts").alias("h"), "value"
+    )
+    agg = ev.groupBy("event_type", "h").agg(
+        F.count(F.lit(1)).alias("n"), F.sum(_dec("value")).cast("double").alias("sum_value")
+    )
+    bounds = ev.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    types = ev.select("event_type").distinct()
+    slots = types.join(F.broadcast(bounds)).select(
+        "event_type",
+        F.explode(F.expr("sequence(h0, h1, INTERVAL 1 HOUR)")).alias("h"),
+    )
+    wb = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    t = F.col("h").cast("long")
+    t_obs = F.when(F.col("sum_value").isNotNull(), t)
+    ctx = (
+        slots.join(agg, ["event_type", "h"], "left")
+        .withColumn("t", t)
+        .withColumn("vp", F.last("sum_value", ignorenulls=True).over(wb))
+        .withColumn("tp", F.last(t_obs, ignorenulls=True).over(wb))
+        .withColumn("vn", F.first("sum_value", ignorenulls=True).over(wf))
+        .withColumn("tn", F.first(t_obs, ignorenulls=True).over(wf))
+    )
+    interp = (
+        F.when(F.col("n").isNotNull(), F.col("sum_value"))
+        .when(F.col("tp").isNull() | F.col("tn").isNull(), F.lit(None).cast("double"))
+        .otherwise(
+            F.col("vp")
+            + (F.col("vn") - F.col("vp"))
+            * (
+                (F.col("t") - F.col("tp")).cast("double")
+                / (F.col("tn") - F.col("tp")).cast("double")
+            )
+        )
+    )
+    return ctx.select(
+        "event_type",
+        F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("slot_ts"),
+        F.coalesce("n", F.lit(0)).alias("n_events"),
+        interp.alias("interp_value"),
+    )
+
+
+@query(
     "profile_columns",
     """
     SELECT col_name, COUNT(*) AS n, COUNT(*) - COUNT(v) AS n_null,
