@@ -2,6 +2,7 @@ from devcontainers_etl_node_spark.streaming.pipeline import (
     click_purchase_join,
     deduped_events,
     enriched_stream,
+    fingerprint_sink,
     hourly_event_counts,
     session_windows,
     upsert_sink,
@@ -12,6 +13,7 @@ from devcontainers_etl_node_spark.streaming.pipeline import (
 __all__ = [
     "click_purchase_join",
     "enriched_stream",
+    "fingerprint_sink",
     "hourly_event_counts",
     "deduped_events",
     "session_windows",

@@ -243,3 +243,71 @@ def upsert_sink_partitioned(
         overwrite_partitions(latest, target_path, [partition_col])
 
     return apply
+
+
+def fingerprint_sink(target_path: str, partition_col: str, canon_cols: list[str]):
+    """foreachBatch body maintaining per-partition content fingerprints
+    incrementally — the streaming twin of the batch ``table_fingerprint``
+    query, and a demonstration that an xor digest is MERGEABLE state: each
+    micro-batch's (n_rows, bit_xor of 60-bit md5 row hashes) digest folds
+    into the running table with one full-outer join on the partition key
+    (xor for the digest, addition for the count). The running table stays
+    partition-cardinality-sized however much data streams through.
+
+    Idempotence: foreachBatch replays a batch after a failure, and xor
+    would CANCEL a double-applied digest — so every target row carries
+    the last applied batch_id and a replayed (<= max recorded) batch is
+    skipped. That is the standard foreachBatch exactly-once recipe:
+    transactional sinks key on batch_id; here the guard is explicit.
+    """
+
+    def digest(df: DataFrame) -> DataFrame:
+        canon = F.concat_ws("|", *[F.col(c).cast("string") for c in canon_cols])
+        rh = F.conv(F.substring(F.md5(canon), 1, 15), 16, 10).cast("long")
+        return (
+            df.select(F.col(partition_col).alias("part"), rh.alias("rh"))
+            .groupBy("part")
+            .agg(F.count(F.lit(1)).alias("n_rows"), F.bit_xor("rh").alias("fingerprint"))
+        )
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.errors import AnalysisException
+
+        spark = batch_df.sparkSession
+        try:
+            base = spark.read.parquet(target_path)
+        except AnalysisException as e:
+            if "PATH_NOT_FOUND" not in str(e) and "Path does not exist" not in str(e):
+                raise
+            base = None
+        if base is not None:
+            applied = base.agg(F.max("last_batch_id")).first()[0]
+            if applied is not None and batch_id <= applied:
+                return  # replayed batch — already folded in
+        d = digest(batch_df)
+        if base is None:
+            merged = d.withColumn("last_batch_id", F.lit(batch_id))
+        else:
+            b = base.select(
+                "part",
+                F.col("n_rows").alias("_bn"),
+                F.col("fingerprint").alias("_bf"),
+            )
+            merged = (
+                d.join(b, "part", "full_outer")
+                .select(
+                    "part",
+                    (F.coalesce("n_rows", F.lit(0)) + F.coalesce("_bn", F.lit(0))).alias(
+                        "n_rows"
+                    ),
+                    F.coalesce("fingerprint", F.lit(0))
+                    .bitwiseXOR(F.coalesce("_bf", F.lit(0)))
+                    .alias("fingerprint"),
+                    F.lit(batch_id).alias("last_batch_id"),
+                )
+            )
+        # the plan reads the files the write replaces — materialize first
+        merged = merged.localCheckpoint(eager=True)
+        merged.write.mode("overwrite").parquet(target_path)
+
+    return apply

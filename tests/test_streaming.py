@@ -484,3 +484,65 @@ def test_streaming_neardup_simhash_dedup(spark, tmp_path):
     out = spark.sql("SELECT doc_id FROM neardup_out").collect()
     kept = sorted(r.doc_id for r in out)
     assert len(kept) == 2 and 3 in kept  # one of the near-dup pair + the distinct doc
+
+
+def test_streaming_fingerprint_sink_matches_batch_digest(spark, tmp_path):
+    """Incremental xor fingerprints: after streaming the corpus in two
+    micro-batches, the running per-partition digests equal the ONE-SHOT
+    batch digest of everything streamed (xor + count are mergeable), and
+    a replayed batch_id is skipped (xor would cancel a double-apply)."""
+    from devcontainers_etl_node_spark.streaming import fingerprint_sink
+
+    t0 = datetime.datetime(2024, 1, 1, 10, 0, 0)
+    src, ckpt, tgt = tmp_path / "fp_src", tmp_path / "fp_ckpt", tmp_path / "fp_tgt"
+    canon_cols = ["event_id", "user_id", "event_type", "value"]
+    sink = fingerprint_sink(str(tgt), "event_type", canon_cols)
+
+    def run_until_drained():
+        q = (
+            spark.readStream.schema(EVENTS_SCHEMA)
+            .parquet(str(src))
+            .writeStream.option("checkpointLocation", str(ckpt))
+            .outputMode("append")
+            .foreachBatch(sink)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    batch1 = [(1, t0, 1, "click", 1.0, "{}"), (2, t0, 2, "view", 2.0, "{}")]
+    batch2 = [
+        (3, t0, 1, "click", 9.0, "{}"),
+        (4, t0, 3, "view", 4.0, "{}"),
+        (5, t0, 3, "purchase", 7.0, "{}"),
+    ]
+    spark.createDataFrame(batch1, EVENTS_SCHEMA).write.mode("overwrite").parquet(str(src))
+    run_until_drained()
+    spark.createDataFrame(batch2, EVENTS_SCHEMA).write.mode("append").parquet(str(src))
+    run_until_drained()
+
+    got = {
+        r.part: (r.n_rows, r.fingerprint) for r in spark.read.parquet(str(tgt)).collect()
+    }
+
+    # one-shot digest of the full dataset, same canonicalization
+    full = spark.createDataFrame(batch1 + batch2, EVENTS_SCHEMA)
+    canon = F.concat_ws("|", *[F.col(c).cast("string") for c in canon_cols])
+    rh = F.conv(F.substring(F.md5(canon), 1, 15), 16, 10).cast("long")
+    expected = {
+        r.part: (r.n_rows, r.fingerprint)
+        for r in full.select(F.col("event_type").alias("part"), rh.alias("rh"))
+        .groupBy("part")
+        .agg(F.count(F.lit(1)).alias("n_rows"), F.bit_xor("rh").alias("fingerprint"))
+        .collect()
+    }
+    assert got == expected
+    assert set(got) == {"click", "view", "purchase"}
+
+    # replay: applying an already-folded batch_id again must be a no-op
+    max_applied = spark.read.parquet(str(tgt)).agg(F.max("last_batch_id")).first()[0]
+    sink(spark.createDataFrame(batch1, EVENTS_SCHEMA), max_applied)
+    got_after = {
+        r.part: (r.n_rows, r.fingerprint) for r in spark.read.parquet(str(tgt)).collect()
+    }
+    assert got_after == expected
