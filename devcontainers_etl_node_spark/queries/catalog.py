@@ -4583,6 +4583,112 @@ def event_transitions(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "event_trigrams",
+    """
+    WITH ordered AS (
+        SELECT user_id, event_type,
+               lead(event_type, 1) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS t2,
+               lead(event_type, 2) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS t3
+        FROM events)
+    SELECT event_type AS e1, t2 AS e2, t3 AS e3,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM ordered WHERE t3 IS NOT NULL
+    GROUP BY event_type, t2, t3
+    ORDER BY n DESC, e1, e2, e3
+    LIMIT 20
+    """,
+)
+def event_trigrams(spark: SparkSession, sf: str) -> DataFrame:
+    """Top length-3 behavioral sequences — event_transitions' higher-order
+    companion ("what do users do in threes"), the path-mining primitive
+    behind journey analysis. Two lead() offsets over the same user-ordered
+    window (one shuffle, one sort, constant per-user window state), then a
+    rollup on the |event_type|³-bounded trigram space; the global top-20
+    is TakeOrderedAndProject. Fully tie-broken by (ts, event_id) so
+    adjacency is engine-identical."""
+    ev = table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.select(
+            F.col("event_type").alias("e1"),
+            F.lead("event_type", 1).over(w).alias("e2"),
+            F.lead("event_type", 2).over(w).alias("e3"),
+        )
+        .filter(F.col("e3").isNotNull())
+        .groupBy("e1", "e2", "e3")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "e1", "e2", "e3")
+        .limit(20)
+    )
+
+
+@query(
+    "time_to_convert",
+    """
+    WITH firsts AS (
+        SELECT user_id,
+               MIN(CASE WHEN event_type = 'click' THEN ts END) AS first_click,
+               MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase
+        FROM events GROUP BY user_id),
+    conv AS (
+        SELECT user_id,
+               date_diff('second', first_click, first_purchase) AS secs
+        FROM firsts
+        WHERE first_click IS NOT NULL AND first_purchase IS NOT NULL
+          AND first_purchase >= first_click),
+    ranked AS (
+        SELECT secs,
+               row_number() OVER (ORDER BY secs, user_id) AS rn,
+               COUNT(*) OVER () AS n
+        FROM conv)
+    SELECT CAST(MAX(n) AS BIGINT) AS n_converters,
+           CAST(MIN(secs) AS BIGINT) AS min_secs,
+           MAX(CASE WHEN rn = greatest(1, CAST(ceil(0.5 * n) AS BIGINT))
+                    THEN secs END) AS median_secs,
+           CAST(MAX(secs) AS BIGINT) AS max_secs
+    FROM ranked
+    """,
+)
+def time_to_convert(spark: SparkSession, sf: str) -> DataFrame:
+    """Time-to-convert distribution: per user, the gap between FIRST
+    click and FIRST purchase (converters only, purchase not before the
+    click), summarized as exact min / nearest-rank median / max seconds.
+    One conditional-MIN groupBy over the fact (the funnel_conversion
+    shape — no self-joins), then a single global window for the median
+    rank. Everything is integer seconds — engine-exact."""
+    ev = table(spark, sf, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("first_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("first_purchase"),
+    )
+    conv = firsts.filter(
+        F.col("first_click").isNotNull()
+        & F.col("first_purchase").isNotNull()
+        & (F.col("first_purchase") >= F.col("first_click"))
+    ).select(
+        "user_id",
+        (
+            F.unix_timestamp("first_purchase") - F.unix_timestamp("first_click")
+        ).alias("secs"),
+    )
+    w = Window.orderBy("secs", "user_id")
+    ranked = conv.select(
+        "secs",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    med_target = F.greatest(F.lit(1), F.ceil(0.5 * F.col("n")).cast("long"))
+    return ranked.agg(
+        F.max("n").cast("long").alias("n_converters"),
+        F.min("secs").cast("long").alias("min_secs"),
+        F.max(F.when(F.col("rn") == med_target, F.col("secs"))).alias("median_secs"),
+        F.max("secs").cast("long").alias("max_secs"),
+    )
+
+
+@query(
     "rfm_segments",
     """
     WITH anchor AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS d0 FROM orders),
