@@ -523,3 +523,86 @@ def ivfpq_topk(
         .filter(F.col("rn") <= k)
         .select("query_id", "neighbor_id", "cosine_sim", "rn")
     )
+
+
+def pca_whiten(
+    embeddings: DataFrame,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    eps: float = 1e-9,
+) -> DataFrame:
+    """PCA whitening of an embedding column — the preprocessing step
+    semantic-dedup and retrieval pipelines run before clustering
+    (decorrelate + unit-variance the top-k principal directions, so
+    euclidean structure is not dominated by a few high-variance axes).
+
+    Distributed design: the d×d covariance is assembled from ONE
+    mapInArrow pass emitting per-batch moment partials (n, Σx, XᵀX —
+    d² doubles per batch, corpus-size-free); the partials sum on the
+    driver (they are a handful of tiny rows), numpy's symmetric eigh
+    factorizes the d×d matrix, and the projection back over the corpus
+    is a second map-side Arrow pass against the broadcast (mean, W)
+    pair. No shuffle anywhere — both passes are map-only, which is the
+    whole point at 100 TB: PCA state is O(d²), never O(n).
+
+    Determinism: eigh of a fixed matrix is deterministic; eigenvector
+    SIGN is a convention, fixed here by forcing each component's
+    largest-|weight| entry positive. Components are ordered by
+    descending eigenvalue. Output: (id, whitened array<double> of k).
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    spark = embeddings.sparkSession
+    src = embeddings.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+
+    def moment_batches(it):
+        for batch in it:
+            X = np.asarray(batch.column("_v").to_pylist(), dtype=np.float64)
+            if len(X) == 0:
+                continue
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array([len(X)], type=pa.int64()),
+                    pa.array([X.sum(0).tolist()], type=pa.list_(pa.float64())),
+                    pa.array([(X.T @ X).ravel().tolist()], type=pa.list_(pa.float64())),
+                ],
+                names=["n", "s", "xtx"],
+            )
+
+    parts = src.mapInArrow(
+        moment_batches, schema="n long, s array<double>, xtx array<double>"
+    ).collect()
+    n = sum(p["n"] for p in parts)
+    d = len(parts[0]["s"])
+    s = np.sum([np.asarray(p["s"]) for p in parts], axis=0)
+    xtx = np.sum([np.asarray(p["xtx"]).reshape(d, d) for p in parts], axis=0)
+    mean = s / n
+    cov = (xtx - n * np.outer(mean, mean)) / max(n - 1, 1)
+    evals, evecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(evals, kind="stable")[::-1][:k]
+    lam, W = evals[order], evecs[:, order]
+    # sign convention: largest-|weight| entry of each component positive
+    for j in range(W.shape[1]):
+        i = int(np.abs(W[:, j]).argmax())
+        if W[i, j] < 0:
+            W[:, j] = -W[:, j]
+    Wh = W / np.sqrt(np.maximum(lam, eps))  # whitening: project then unit-variance
+
+    mean_bc = spark.sparkContext.broadcast(mean)
+    w_bc = spark.sparkContext.broadcast(Wh)
+
+    def project_batches(it):
+        for batch in it:
+            X = np.asarray(batch.column("_v").to_pylist(), dtype=np.float64)
+            ids = batch.column("_id")
+            Y = (X - mean_bc.value) @ w_bc.value
+            yield pa.RecordBatch.from_arrays(
+                [ids, pa.array([row.tolist() for row in Y], type=pa.list_(pa.float64()))],
+                names=["_id", "whitened"],
+            )
+
+    return src.mapInArrow(project_batches, schema="_id long, whitened array<double>").select(
+        F.col("_id").alias(id_col), "whitened"
+    )

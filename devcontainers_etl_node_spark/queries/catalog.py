@@ -6977,6 +6977,27 @@ def phrase_search(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@query("pca_whiten")  # float eigendecomposition — rows-only; gates in tests
+def pca_whiten_q(spark: SparkSession, sf: str) -> DataFrame:
+    """PCA whitening of the embedding corpus to 8 components
+    (operators/similarity.py:pca_whiten) — the decorrelation step
+    SemDeDup-style pipelines run before clustering. Two map-only Arrow
+    passes (moment partials up, broadcast projection down), PCA state
+    O(d²) never O(n). Output signature: per-vector first-4 whitened
+    components rounded to 6 decimals as one string (driver-hashable);
+    whitened-covariance≈identity + determinism pinned in
+    tests/test_quality_gates.py."""
+    from devcontainers_etl_node_spark.operators import similarity
+
+    emb = table(spark, sf, "embeddings")
+    wh = similarity.pca_whiten(emb, k=8)
+    sig = F.concat_ws(
+        ",",
+        *[F.format_number(F.col("whitened")[i], 6) for i in range(4)],
+    )
+    return wh.select("vec_id", F.size("whitened").alias("k"), sig.alias("head4"))
+
+
 @query("ann_ivfpq")  # approximate by construction — rows-only check
 def ann_ivfpq(spark: SparkSession, sf: str) -> DataFrame:
     """IVF-PQ combined ANN (operators/similarity.py:ivfpq_topk) — the

@@ -236,3 +236,25 @@ def test_vocab_tokenize_invariants(spark):
         assert len(ids) == min(12, r.n_tokens)
         assert all(i == "-1" or 0 <= int(i) <= 255 for i in ids)
         assert out2[doc_id].ids_prefix == r.ids_prefix
+
+
+def test_pca_whiten_properties(spark):
+    """Whitening contract: the output's empirical covariance is the
+    identity on k dims (decorrelated, unit variance), the transform is
+    deterministic across runs (eigenvector sign convention pinned), and
+    the projection preserves row identity."""
+    import numpy as np
+
+    from devcontainers_etl_node_spark.catalog import table as _t
+    from devcontainers_etl_node_spark.operators.similarity import pca_whiten
+
+    emb = _t(spark, SF, "embeddings")
+    out1 = {r.vec_id: r.whitened for r in pca_whiten(emb, k=8).collect()}
+    out2 = {r.vec_id: r.whitened for r in pca_whiten(emb, k=8).collect()}
+    assert out1.keys() == out2.keys() and len(out1) == emb.count()
+    assert all(out1[i] == out2[i] for i in out1)  # deterministic
+
+    Y = np.asarray([out1[i] for i in sorted(out1)])
+    assert Y.shape[1] == 8
+    cov = np.cov(Y, rowvar=False)
+    assert np.abs(cov - np.eye(8)).max() < 1e-6  # identity covariance

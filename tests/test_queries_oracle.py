@@ -135,6 +135,7 @@ def test_every_query_has_callable_and_oracle_consistency():
         "pretrain_prep",
         "ann_pq",
         "ann_ivfpq",
+        "pca_whiten",
     }
 
 
