@@ -273,3 +273,53 @@ def pagerank(
             )
         )
     return ranks
+
+
+def bfs_distances(
+    edges: DataFrame,
+    sources: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_hops: int = 10,
+) -> DataFrame:
+    """Multi-source BFS hop distances over the undirected (src, dst)
+    graph: every node reachable from `sources` (a one-column DataFrame
+    of node ids) within `max_hops` comes back as (node, dist) with its
+    MINIMUM hop count. Unreachable nodes are absent.
+
+    Per hop: one equi-join (frontier onto the symmetric edge list) + one
+    anti-join (drop already-visited nodes) + a distinct — the frontier
+    shuffle is hop-local, so cost follows the frontier size, never the
+    graph. Lineage truncates per hop exactly as in connected_components
+    (module docstring); the loop stops early when a frontier empties (a
+    one-scalar count — iteration control, not data movement). `max_hops`
+    bounds pathological chains AND mirrors the recursive-CTE oracle's
+    cap, so both engines compute the identical bounded-BFS semantics.
+    """
+    _truncate = _make_truncate(edges)
+
+    both = _truncate(
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .distinct()
+    )
+    visited = _truncate(
+        sources.select(F.col(sources.columns[0]).alias("node")).distinct().withColumn(
+            "dist", F.lit(0)
+        )
+    )
+    frontier = visited
+    for hop in range(1, max_hops + 1):
+        nxt = (
+            both.join(frontier.withColumnRenamed("node", "u"), "u")
+            .select(F.col("v").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .withColumn("dist", F.lit(hop))
+        )
+        nxt = _truncate(nxt)
+        if nxt.limit(1).count() == 0:
+            break
+        visited = _truncate(visited.unionByName(nxt))
+        frontier = nxt
+    return visited

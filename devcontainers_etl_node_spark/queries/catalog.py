@@ -1550,6 +1550,59 @@ def dup_canonical(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "dup_bfs_depth",
+    """
+    WITH RECURSIVE sh AS (
+        SELECT doc_id, lang,
+               list_distinct(list_transform(
+                   generate_series(1, greatest(len(string_split_regex(lower(trim(text)), '\\s+')) - 2, 1)),
+                   i -> array_to_string(string_split_regex(lower(trim(text)), '\\s+')[i:i+2], ' ')
+               )) AS grams
+        FROM documents),
+    pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.2),
+    edges AS (
+        SELECT id_a AS u, id_b AS v FROM pairs
+        UNION
+        SELECT id_b, id_a FROM pairs),
+    src AS (SELECT MIN(u) AS s FROM edges),
+    walk AS (
+        SELECT s AS node, 0 AS d FROM src
+        UNION
+        SELECT e.v, w.d + 1
+        FROM walk w JOIN edges e ON e.u = w.node
+        WHERE w.d < 10)
+    SELECT node, CAST(MIN(d) AS BIGINT) AS dist
+    FROM walk GROUP BY node
+    """,
+)
+def dup_bfs_depth(spark: SparkSession, sf: str) -> DataFrame:
+    """BFS hop distances from the lowest-id node of the near-duplicate
+    pair graph (operators/graph.py:bfs_distances) — the "how far does
+    this contamination spread" probe: dist 1 is the node's direct
+    near-dups, dist 2 the dups-of-dups, and the max observed distance is
+    the cluster's diameter from that root. Per hop one frontier join +
+    one visited anti-join, cost tracking the frontier rather than the
+    graph; both engines run the same 10-hop cap (the oracle's recursive
+    CTE needs it to terminate on cycles, the engine matches it), and dup
+    clusters are far shallower than 10."""
+    from devcontainers_etl_node_spark.operators import graph
+
+    docs = table(spark, sf, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, ngram=3, threshold=0.2, block_col="lang").select(
+        "id_a", "id_b"
+    )
+    nodes = pairs.select(F.col("id_a").alias("n")).union(pairs.select("id_b"))
+    source = nodes.agg(F.min("n").alias("node"))
+    return graph.bfs_distances(pairs, source, src="id_a", dst="id_b", max_hops=10).select(
+        "node", F.col("dist").cast("long").alias("dist")
+    )
+
+
+@query(
     "salted_join_revenue",
     """
     SELECT c.c_mktsegment AS segment,
