@@ -531,3 +531,31 @@ def test_ngram_jaccard_prefix_filter_identical_pairs(spark):
     assert (4, 5, 1.0) in si            # exact dup found
     assert (7, 8, 1.0) in si            # empty docs share the single "" shingle
     assert all(a_id != 4 or b_id != 1 for a_id, b_id, _ in si)  # blocks respected
+
+
+def test_bfs_distances_hand_computed(spark):
+    """Chain + branch + cycle + disconnected node: distances must be the
+    true minimum hop counts, the cycle must not inflate them, and the
+    disconnected component must be absent."""
+    from devcontainers_etl_node_spark.operators.graph import bfs_distances
+
+    #   1-2-3-4 (chain), 2-5 (branch), 3-5 (cycle closing), 8-9 (separate)
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (2, 5), (3, 5), (8, 9)], ["id_a", "id_b"]
+    )
+    src = spark.createDataFrame([(1,)], ["node"])
+    got = {r.node: r.dist for r in bfs_distances(edges, src).collect()}
+    assert got == {1: 0, 2: 1, 3: 2, 4: 3, 5: 2}
+
+
+def test_bfs_distances_multi_source_and_cap(spark):
+    """Multi-source: distance is to the NEAREST source; the hop cap
+    truncates deeper nodes rather than looping forever."""
+    from devcontainers_etl_node_spark.operators.graph import bfs_distances
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 8)], ["id_a", "id_b"]  # 1-2-...-8
+    )
+    src = spark.createDataFrame([(1,), (8,)], ["node"])
+    got = {r.node: r.dist for r in bfs_distances(chain, src, max_hops=2).collect()}
+    assert got == {1: 0, 8: 0, 2: 1, 7: 1, 3: 2, 6: 2}  # 4,5 beyond the cap
