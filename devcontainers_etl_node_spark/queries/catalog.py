@@ -4636,6 +4636,65 @@ def event_transitions(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "abtest_lift",
+    """
+    WITH assigned AS (
+        SELECT user_id,
+               CASE WHEN CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) % 2 = 0
+                    THEN 'control' ELSE 'treatment' END AS arm,
+               MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS clicked,
+               MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchased
+        FROM events GROUP BY user_id),
+    arms AS (
+        SELECT arm,
+               CAST(COUNT(*) AS BIGINT) AS n_users,
+               CAST(SUM(clicked) AS BIGINT) AS n_clicked,
+               CAST(SUM(purchased) AS BIGINT) AS n_purchased
+        FROM assigned GROUP BY arm)
+    SELECT arm, n_users, n_clicked, n_purchased,
+           CAST(n_purchased AS DOUBLE) / n_users AS conversion
+    FROM arms
+    """,
+)
+def abtest_lift(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic A/B experiment readout: users assign to arms by the
+    hash_split recipe (md5 bucket parity — stable across engines, runs,
+    and cluster sizes; adding users never reassigns existing ones), and
+    each arm reports exact user/click/purchase counts plus the
+    conversion rate as an exact rational double. One conditional-MAX
+    groupBy per user (the funnel shape, no self-joins) then a 2-row arm
+    rollup; significance testing belongs downstream of these counts and
+    needs no additional scan."""
+    ev = table(spark, sf, "events")
+    arm = F.when(
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 2
+        == 0,
+        "control",
+    ).otherwise("treatment")
+    assigned = ev.groupBy("user_id").agg(
+        F.max(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("clicked"),
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("purchased"),
+    ).withColumn("arm", arm)
+    return (
+        assigned.groupBy("arm")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("clicked").alias("n_clicked"),
+            F.sum("purchased").alias("n_purchased"),
+        )
+        .select(
+            "arm",
+            "n_users",
+            "n_clicked",
+            "n_purchased",
+            (F.col("n_purchased").cast("double") / F.col("n_users")).alias("conversion"),
+        )
+    )
+
+
+@query(
     "event_trigrams",
     """
     WITH ordered AS (
