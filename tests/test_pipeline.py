@@ -154,3 +154,46 @@ def test_cli_list_and_run(spark, capsys):
         == 0
     )
     assert "row" in capsys.readouterr().out.lower()
+
+
+def test_pandas_api_migration_parity(spark):
+    """Migration bridge: the reference's literal pandas call shape
+    (rename + two chained left merges, src/etl/etl.py:20-54) runs
+    UNCHANGED on pyspark.pandas and produces exactly the engine's
+    DataFrame-path enrichment — the path a reference user takes on day
+    one, before rewriting anything, with Catalyst underneath either way."""
+    import pyspark.pandas as ps
+    from pyspark.sql import functions as F
+
+    prods = gen_products(spark, 25)
+    custs = gen_customers(spark, 15)
+    events = gen_sales_events(spark, 40, prods, custs)
+
+    # --- reference call shape, pandas API on Spark --------------------
+    p = prods.pandas_api().rename(columns={"product_id": "id", "product_name": "name"})
+    c = custs.pandas_api().rename(columns={"customer_id": "id"})
+    ev = events.pandas_api()
+    dim_c = c.rename(columns={"id": "customer_id", "name": "customer_name"})[
+        ["customer_id", "external_id", "customer_name", "segment"]
+    ]
+    dim_p = p.rename(columns={"id": "product_id", "name": "product_name"})[
+        ["product_id", "sku", "product_name", "category"]
+    ]
+    with ps.option_context("compute.ops_on_diff_frames", True):
+        fact_ps = ev.merge(dim_c, on="customer_id", how="left").merge(
+            dim_p, on="product_id", how="left"
+        )
+
+    # --- engine DataFrame path ---------------------------------------
+    tables = transform_star_schema(
+        prods.withColumnRenamed("product_id", "id").withColumnRenamed("product_name", "name"),
+        custs.withColumnRenamed("customer_id", "id"),
+        events,
+        gen_inventory_snapshots(spark, prods, warehouses=1, days=1).withColumn(
+            "object", F.lit("x")
+        ),
+    )
+    cols = ["event_id", "customer_name", "segment", "sku", "product_name", "category"]
+    got = sorted(map(tuple, fact_ps.to_pandas()[cols].itertuples(index=False)))
+    expected = sorted(map(tuple, tables["fact_sales"].select(*cols).toPandas().itertuples(index=False)))
+    assert got == expected
