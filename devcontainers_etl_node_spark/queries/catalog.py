@@ -611,6 +611,65 @@ def sessionize(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@query(
+    "session_bounce_rate",
+    """
+    WITH gaps AS (
+        SELECT user_id, ts,
+               CASE WHEN epoch_ms(ts) - LAG(epoch_ms(ts)) OVER w > 1800000
+                    OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+        SELECT user_id,
+               SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM gaps
+    ), per_session AS (
+        SELECT user_id, session_id, COUNT(*) AS n_events
+        FROM sess GROUP BY user_id, session_id)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(COUNT(CASE WHEN n_events = 1 THEN 1 END) AS BIGINT) AS n_bounces,
+           CAST(COUNT(CASE WHEN n_events = 1 THEN 1 END) AS DOUBLE) / COUNT(*) AS bounce_rate,
+           CAST(SUM(n_events) AS DOUBLE) / COUNT(*) AS events_per_session
+    FROM per_session
+    """,
+)
+def session_bounce_rate(spark: SparkSession, sf: str) -> DataFrame:
+    """Bounce rate over 30-min-gap sessions — the engagement KPI on top
+    of the sessionize construction: a bounce is a single-event session,
+    and the ratios are exact-rational count divisions. Same single
+    user_id shuffle serves the gap window, the running session id, and
+    the per-session rollup; the final global aggregate is 4 scalars."""
+    ev = table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = Window.partitionBy("user_id").orderBy("ts").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    gaps = ev.withColumn(
+        "new_sess",
+        F.when(
+            (F.unix_millis("ts") - F.lag(F.unix_millis("ts")).over(w) > 1_800_000)
+            | F.lag("ts").over(w).isNull(),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    per_session = (
+        gaps.withColumn("session_id", F.sum("new_sess").over(run))
+        .groupBy("user_id", "session_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    return per_session.agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.count(F.when(F.col("n_events") == 1, 1)).alias("n_bounces"),
+        (
+            F.count(F.when(F.col("n_events") == 1, 1)).cast("double")
+            / F.count(F.lit(1))
+        ).alias("bounce_rate"),
+        (F.sum("n_events").cast("double") / F.count(F.lit(1))).alias("events_per_session"),
+    )
+
+
 # =========================================================================
 # Scalar-function surface
 # =========================================================================
@@ -3628,6 +3687,49 @@ def gapfill_locf(spark: SparkSession, sf: str) -> DataFrame:
             F.coalesce("n", F.lit(0)).alias("n_events"),
             F.last("sum_value", ignorenulls=True).over(w).alias("locf_value"),
         )
+    )
+
+
+@query(
+    "seasonal_decompose",
+    """
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n
+        FROM events GROUP BY event_type, CAST(ts AS DATE))
+    SELECT event_type, CAST(day AS VARCHAR) AS day,
+           CAST(n AS BIGINT) AS n,
+           CAST(SUM(n) OVER w AS DOUBLE) / COUNT(*) OVER w AS trend,
+           n - CAST(SUM(n) OVER w AS DOUBLE) / COUNT(*) OVER w AS residual
+    FROM daily
+    WINDOW w AS (PARTITION BY event_type ORDER BY day
+                 ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    """,
+)
+def seasonal_decompose(spark: SparkSession, sf: str) -> DataFrame:
+    """Trend/residual decomposition of daily event volume — the STL-lite
+    shape: trend is the 7-day CENTERED moving average (dividing by the
+    frame's ACTUAL row count so series edges use the rows that exist —
+    no edge bias, and the division is exact-rational integers → double,
+    engine-identical), residual is what seasonality/anomaly analysis
+    consumes. One pre-aggregation collapses the fact to (type, day)
+    before any window runs — the window slides over the day grid, never
+    over events, so its cost is calendar-sized at any fact scale."""
+    ev = table(spark, sf, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-3, 3)
+    )
+    trend = F.sum("n").over(w).cast("double") / F.count(F.lit(1)).over(w)
+    return daily.select(
+        "event_type",
+        F.col("day").cast("string").alias("day"),
+        F.col("n").cast("long").alias("n"),
+        trend.alias("trend"),
+        (F.col("n") - trend).alias("residual"),
     )
 
 
