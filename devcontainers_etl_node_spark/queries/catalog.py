@@ -4738,6 +4738,64 @@ def event_transitions(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "audience_overlap",
+    """
+    WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+    totals AS (SELECT event_type, COUNT(*) AS n FROM ut GROUP BY event_type),
+    pairs AS (
+        SELECT a.event_type AS t1, b.event_type AS t2, COUNT(*) AS n_both
+        FROM ut a JOIN ut b ON a.user_id = b.user_id AND a.event_type < b.event_type
+        GROUP BY a.event_type, b.event_type)
+    SELECT p.t1, p.t2,
+           CAST(p.n_both AS BIGINT) AS n_both,
+           CAST(x.n AS BIGINT) AS n1,
+           CAST(y.n AS BIGINT) AS n2,
+           CAST(p.n_both AS DOUBLE) / (x.n + y.n - p.n_both) AS jaccard_sim
+    FROM pairs p
+    JOIN totals x ON x.event_type = p.t1
+    JOIN totals y ON y.event_type = p.t2
+    """,
+)
+def audience_overlap(spark: SparkSession, sf: str) -> DataFrame:
+    """Audience-overlap matrix: for every pair of event types, the exact
+    count of users doing BOTH plus the Jaccard of the two user sets —
+    the segment-overlap readout marketing/analytics dashboards sit on.
+    The set intersection is the inverted-index count shape (distinct
+    (user, type) rows self-join on user; the per-pair group count IS
+    |A∩B|, same stance as ngram_jaccard — no set is ever materialized),
+    union size comes from |A|+|B|-|A∩B|, and the pair space is bounded
+    by |event_type|² however many users exist."""
+    ev = table(spark, sf, "events")
+    ut = ev.select("user_id", "event_type").distinct()
+    totals = ut.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    pairs = (
+        ut.alias("a")
+        .join(
+            ut.alias("b"),
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(F.col("a.event_type").alias("t1"), F.col("b.event_type").alias("t2"))
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    return (
+        pairs.join(F.broadcast(totals.select(F.col("event_type").alias("t1"), F.col("n").alias("n1"))), "t1")
+        .join(F.broadcast(totals.select(F.col("event_type").alias("t2"), F.col("n").alias("n2"))), "t2")
+        .select(
+            "t1",
+            "t2",
+            F.col("n_both").cast("long").alias("n_both"),
+            F.col("n1").cast("long").alias("n1"),
+            F.col("n2").cast("long").alias("n2"),
+            (
+                F.col("n_both").cast("double")
+                / (F.col("n1") + F.col("n2") - F.col("n_both"))
+            ).alias("jaccard_sim"),
+        )
+    )
+
+
+@query(
     "abtest_lift",
     """
     WITH assigned AS (
