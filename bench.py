@@ -8,9 +8,13 @@ Timing methodology: each query is materialized with a noop-style action
 (count of the final plan for row-heavy outputs, collect for small
 aggregates) so we measure engine compute, not driver transfer. One warmup
 action first so JVM/codegen startup isn't attributed to the first query;
-each query runs twice and reports the best — single runs on this host
-swing up to 2x from page-cache/writeback noise after heavy jobs, and the
-warm number is what a long-lived cluster session sees.
+each query runs three times and reports the best — this host exhibits
+intermittent multi-second stalls (measured round 4: identical warm funnel
+runs of 10.9 s and 52.4 s back to back with an idle system), so best-of-2
+regularly caught two stalled runs for the heavy entries; best-of-3 with
+both a Python gc.collect() AND a JVM System.gc() between runs (checkpoint
+blocks are freed only after BOTH collectors run) recovers the true warm
+number. The warm number is what a long-lived cluster session sees.
 """
 
 from __future__ import annotations
@@ -82,11 +86,14 @@ def main() -> None:
     for name in HEADLINE + HEAVY:
         fn = QUERIES[name]
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             # release localCheckpoint blocks from prior constructions: the
-            # JVM frees them only after Python GC drops the DataFrame refs,
-            # and carried-over blocks showed up as 4 s -> 30 s spikes.
+            # JVM frees them only after Python GC drops the DataFrame refs
+            # AND the JVM's own GC runs its reference queue — without the
+            # explicit System.gc() carried-over blocks showed up as
+            # 4 s -> 30 s spikes (NOTES.md round 3, re-measured round 4).
             gc.collect()
+            spark.sparkContext._jvm.System.gc()
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
             if name in SMALL_OUTPUT:

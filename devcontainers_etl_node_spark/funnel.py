@@ -11,8 +11,10 @@ is that production shape, runnable and tested here:
 - every stage writes ``<workdir>/NN_name/`` as parquet and is READ BACK
   for the next stage (the read is the lineage barrier — same plan-size
   bound as the checkpoint, plus durability);
-- a completed stage (parquet ``_SUCCESS`` marker present) is skipped on
-  re-run and its table reused — crash-resume semantics;
+- a completed stage (parquet ``_SUCCESS`` marker present AND a matching
+  ``_MANIFEST.json`` recording the input fingerprint + stage parameters)
+  is skipped on re-run and its table reused — crash-resume semantics
+  that also invalidate on changed input data or changed parameters;
 - once any stage recomputes, every LATER stage recomputes too (a resumed
   run can never mix a new upstream with stale downstream outputs);
 - the funnel report (stage → surviving docs + token mass) is derived
@@ -27,6 +29,7 @@ benchmark decontamination (doc_id%10==0 stand-in slice, 3-gram overlap)
 
 from __future__ import annotations
 
+import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -42,8 +45,40 @@ def _stage_dir(workdir: str, idx: int, name: str) -> str:
     return os.path.join(workdir, f"{idx:02d}_{name}")
 
 
-def _is_complete(path: str) -> bool:
-    return os.path.exists(os.path.join(path, "_SUCCESS"))
+_MANIFEST = "_MANIFEST.json"
+
+
+def _manifest_path(path: str) -> str:
+    return os.path.join(path, _MANIFEST)
+
+
+def _read_manifest(path: str) -> dict | None:
+    try:
+        with open(_manifest_path(path)) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return None
+
+
+def _write_manifest(path: str, manifest: dict) -> None:
+    # written AFTER the parquet commit (_SUCCESS): a crash between the two
+    # leaves a stage with data but no manifest, which _is_complete treats
+    # as incomplete — fail-safe, the stage reruns.
+    tmp = _manifest_path(path) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, sort_keys=True)
+    os.replace(tmp, _manifest_path(path))
+
+
+def _is_complete(path: str, expected_manifest: dict) -> bool:
+    """Complete = parquet committed AND the recorded manifest (input
+    fingerprint + stage parameters) matches this run's. A stage staged
+    from different input data or different parameters is STALE, not
+    complete — reusing it would silently mix runs (round-3 advisory)."""
+    return (
+        os.path.exists(os.path.join(path, "_SUCCESS"))
+        and _read_manifest(path) == expected_manifest
+    )
 
 
 def _quality_gate(docs: DataFrame) -> DataFrame:
@@ -55,12 +90,20 @@ def _exact_dedup(gated: DataFrame) -> DataFrame:
 
 
 def _near_dedup(exact: DataFrame) -> DataFrame:
+    # The drop list is corpus-proportional (billions of ids at 100 TB) —
+    # never force-broadcast it; AQE broadcasts while it fits and degrades
+    # gracefully to a shuffled left-anti beyond that.
     pairs = dd.minhash_lsh_pairs(exact, threshold=0.5, num_hashes=16, bands=4)
-    near_drop = pairs.select(F.col("id_b").alias("doc_id")).distinct()
-    return exact.join(F.broadcast(near_drop), "doc_id", "left_anti")
+    # no distinct: anti joins are set-semantics on the right side, and a
+    # dropped id repeats only once per extra near-dup partner
+    near_drop = pairs.select(F.col("id_b").alias("doc_id"))
+    return exact.join(near_drop, "doc_id", "left_anti")
 
 
 def _decontaminate(neardeduped: DataFrame, docs: DataFrame) -> DataFrame:
+    # bench_grams IS bounded (by the benchmark suite, not the corpus) —
+    # its broadcast hint is safe; the contaminated-id list is not, so its
+    # anti-join strategy stays AQE-decided.
     bench_grams = (
         docs.filter(F.col("doc_id") % 10 == 0)
         .select(F.explode(dd.word_shingles("text", 3)).alias("gram"))
@@ -75,7 +118,7 @@ def _decontaminate(neardeduped: DataFrame, docs: DataFrame) -> DataFrame:
         .distinct()
     )
     return neardeduped.filter(F.col("doc_id") % 10 != 0).join(
-        F.broadcast(contaminated), "doc_id", "left_anti"
+        contaminated, "doc_id", "left_anti"
     )
 
 
@@ -94,33 +137,59 @@ def run_staged_funnel(
     docs: DataFrame,
     workdir: str,
     max_tokens: int = 512,
+    input_fingerprint: str | None = None,
 ) -> dict:
     """Run (or resume) the staged funnel under `workdir`.
 
     Returns {"tables": {stage: DataFrame}, "report": DataFrame,
     "computed": [stage names actually recomputed this run]} — `report`
     has the same (stage_no, stage, docs, tokens) rows as pretrain_prep.
+
+    Resume safety: every stage directory carries a ``_MANIFEST.json``
+    recording the input fingerprint and the stage's parameters. A stage
+    is reused only when its parquet is committed AND its manifest matches
+    the current run — so re-running with different input data or a
+    different ``max_tokens`` invalidates the affected stage and
+    everything downstream instead of silently reusing stale outputs.
+
+    ``input_fingerprint`` identifies the input corpus; it defaults to
+    ``docs.semanticHash()``, which fingerprints the PLAN (source paths,
+    filters, schema) — enough to catch pointing the funnel at a
+    different table/path, but NOT an in-place overwrite of the same
+    files. A production run should pass an explicit snapshot id (e.g.
+    the source table's version or a manifest digest) for that case.
     """
     docs = spread(docs)
+    if input_fingerprint is None:
+        input_fingerprint = str(docs.semanticHash())
     computed: list[str] = []
     tables: dict[str, DataFrame] = {}
     upstream_recomputed = False
 
-    def materialize(idx: int, name: str, build) -> DataFrame:
+    def materialize(idx: int, name: str, build, params: dict | None = None) -> DataFrame:
         nonlocal upstream_recomputed
         path = _stage_dir(workdir, idx, name)
-        if _is_complete(path) and not upstream_recomputed:
+        manifest = {
+            "input": input_fingerprint,
+            "stage": name,
+            "params": params or {},
+        }
+        if _is_complete(path, manifest) and not upstream_recomputed:
             return spark.read.parquet(path)
         build().write.mode("overwrite").parquet(path)
+        _write_manifest(path, manifest)
         computed.append(name)
         upstream_recomputed = True
         return spark.read.parquet(path)
 
+    near_params = {"num_hashes": 16, "bands": 4, "threshold": 0.5}
     gated = materialize(1, "quality_gate", lambda: _quality_gate(docs))
     exact = materialize(2, "exact_dedup", lambda: _exact_dedup(gated))
-    neardeduped = materialize(3, "near_dedup", lambda: _near_dedup(exact))
+    neardeduped = materialize(3, "near_dedup", lambda: _near_dedup(exact), near_params)
     clean = materialize(4, "decontaminated", lambda: _decontaminate(neardeduped, docs))
-    packed = materialize(5, "packed", lambda: _pack(clean, max_tokens))
+    packed = materialize(
+        5, "packed", lambda: _pack(clean, max_tokens), {"max_tokens": max_tokens}
+    )
     tables.update(
         quality_gate=gated, exact_dedup=exact, near_dedup=neardeduped,
         decontaminated=clean, packed=packed,

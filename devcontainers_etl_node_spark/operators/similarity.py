@@ -392,7 +392,9 @@ def ivfpq_topk(
     seed: int = 42,
     max_train_rows: int = 16384,
 ) -> DataFrame:
-    """IVF-PQ — the billion-scale ANN recipe (FAISS IndexIVFPQ): a coarse
+    """IVF-PQ (requires ``dim % m == 0`` — asserted, since a remainder
+    would silently degrade the shortlist) — the billion-scale ANN recipe
+    (FAISS IndexIVFPQ): a coarse
     KMeans quantizer splits the corpus into `n_cells` inverted lists, and
     each vector's RESIDUAL (x - centroid) is product-quantized to m
     one-byte codes. A query probes its `n_probe` nearest cells; within a
@@ -420,6 +422,13 @@ def ivfpq_topk(
     from pyspark.sql import types as T
 
     dim = corpus.select(F.size(vec_col).alias("d")).first()["d"]
+    if dim % m != 0:
+        raise ValueError(
+            f"ivfpq_topk: embedding dim {dim} is not divisible by m={m} "
+            "subquantizers — trailing dimensions would be silently dropped "
+            "from both PQ training and ADC scoring. Pick m dividing dim "
+            "(or pad the vectors)."
+        )
     sub = dim // m
     spark = corpus.sparkSession
 
@@ -555,6 +564,9 @@ def pca_whiten(
     import pyarrow as pa
 
     spark = embeddings.sparkSession
+    # the id flows through both Arrow passes untouched — carry its real
+    # type (long, string, ...) instead of hardcoding long
+    id_sql_type = embeddings.schema[id_col].dataType.simpleString()
     src = embeddings.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
 
     def moment_batches(it):
@@ -574,6 +586,12 @@ def pca_whiten(
     parts = src.mapInArrow(
         moment_batches, schema="n long, s array<double>, xtx array<double>"
     ).collect()
+    if not parts:
+        # no moment partials = empty input; return an empty, correctly-typed
+        # result instead of IndexError-ing on parts[0]
+        return spark.createDataFrame(
+            [], schema=f"{id_col} {id_sql_type}, whitened array<double>"
+        )
     n = sum(p["n"] for p in parts)
     d = len(parts[0]["s"])
     s = np.sum([np.asarray(p["s"]) for p in parts], axis=0)
@@ -603,6 +621,8 @@ def pca_whiten(
                 names=["_id", "whitened"],
             )
 
-    return src.mapInArrow(project_batches, schema="_id long, whitened array<double>").select(
+    return src.mapInArrow(
+        project_batches, schema=f"_id {id_sql_type}, whitened array<double>"
+    ).select(
         F.col("_id").alias(id_col), "whitened"
     )

@@ -615,14 +615,14 @@ def sessionize(spark: SparkSession, sf: str) -> DataFrame:
     "session_bounce_rate",
     """
     WITH gaps AS (
-        SELECT user_id, ts,
+        SELECT user_id, ts, event_id,
                CASE WHEN epoch_ms(ts) - LAG(epoch_ms(ts)) OVER w > 1800000
                     OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), sess AS (
         SELECT user_id,
-               SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+               SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
         FROM gaps
     ), per_session AS (
@@ -640,10 +640,13 @@ def session_bounce_rate(spark: SparkSession, sf: str) -> DataFrame:
     of the sessionize construction: a bounce is a single-event session,
     and the ratios are exact-rational count divisions. Same single
     user_id shuffle serves the gap window, the running session id, and
-    the per-session rollup; the final global aggregate is 4 scalars."""
+    the per-session rollup; the final global aggregate is 4 scalars.
+    Both windows tiebreak on event_id (not just ts): with tied
+    timestamps the session membership of a boundary event would
+    otherwise be nondeterministic and could diverge between engines."""
     ev = table(spark, sf, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    run = Window.partitionBy("user_id").orderBy("ts").rowsBetween(
+    run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     gaps = ev.withColumn(
@@ -1473,7 +1476,7 @@ def ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     engines. At 100 TB the blocked cross product is the verify stage only;
     candidate generation is minhash_lsh_pairs."""
     docs = table(spark, sf, "documents")
-    return dedup.ngram_jaccard_pairs(docs, ngram=3, threshold=0.2, block_col="lang")
+    return dedup.shared_ngram_pairs(docs, sf, ngram=3, threshold=0.2, block_col="lang")
 
 
 @query(
@@ -1514,7 +1517,7 @@ def dup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     from devcontainers_etl_node_spark.operators import graph
 
     docs = table(spark, sf, "documents")
-    pairs = dedup.ngram_jaccard_pairs(docs, ngram=3, threshold=0.2, block_col="lang").select(
+    pairs = dedup.shared_ngram_pairs(docs, sf, ngram=3, threshold=0.2, block_col="lang").select(
         "id_a", "id_b"
     )
     return graph.connected_components(pairs, src="id_a", dst="id_b")
@@ -1582,7 +1585,7 @@ def dup_canonical(spark: SparkSession, sf: str) -> DataFrame:
     from devcontainers_etl_node_spark.operators import graph
 
     docs = table(spark, sf, "documents")
-    pairs = dedup.ngram_jaccard_pairs(docs, ngram=3, threshold=0.2, block_col="lang").select(
+    pairs = dedup.shared_ngram_pairs(docs, sf, ngram=3, threshold=0.2, block_col="lang").select(
         "id_a", "id_b"
     )
     labels = graph.connected_components(pairs, src="id_a", dst="id_b")
@@ -1651,7 +1654,7 @@ def dup_bfs_depth(spark: SparkSession, sf: str) -> DataFrame:
     from devcontainers_etl_node_spark.operators import graph
 
     docs = table(spark, sf, "documents")
-    pairs = dedup.ngram_jaccard_pairs(docs, ngram=3, threshold=0.2, block_col="lang").select(
+    pairs = dedup.shared_ngram_pairs(docs, sf, ngram=3, threshold=0.2, block_col="lang").select(
         "id_a", "id_b"
     )
     nodes = pairs.select(F.col("id_a").alias("n")).union(pairs.select("id_b"))
@@ -3915,7 +3918,7 @@ def dup_pagerank(spark: SparkSession, sf: str) -> DataFrame:
     from devcontainers_etl_node_spark.operators.graph import pagerank
 
     docs = table(spark, sf, "documents")
-    pairs = dedup.ngram_jaccard_pairs(docs, ngram=3, threshold=0.2, block_col="lang")
+    pairs = dedup.shared_ngram_pairs(docs, sf, ngram=3, threshold=0.2, block_col="lang")
     edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")).union(
         pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
     )
@@ -4478,7 +4481,7 @@ def editdist_verify(spark: SparkSession, sf: str) -> DataFrame:
     whose division is bit-identical across engines. The candidate texts
     join back via two broadcast-able id lookups."""
     docs = table(spark, sf, "documents")
-    pairs = dedup.ngram_jaccard_pairs(docs, ngram=3, threshold=0.2, block_col="lang").select(
+    pairs = dedup.shared_ngram_pairs(docs, sf, ngram=3, threshold=0.2, block_col="lang").select(
         "id_a", "id_b"
     )
     da = docs.select(F.col("doc_id").alias("id_a"), F.col("text").alias("text_a"))
@@ -5033,21 +5036,29 @@ def rfm_segments(spark: SparkSession, sf: str) -> DataFrame:
 )
 def rolling_active_users(spark: SparkSession, sf: str) -> DataFrame:
     """Exact DAU + trailing-7-day WAU per day. COUNT(DISTINCT) over a
-    trailing window isn't expressible as a window frame, so the classic
-    exact formulation is a bounded range join: the distinct (user, day)
-    activity set against the (tiny, broadcastable) day grid, each
-    activity row landing in ≤7 grid days. The fact is first collapsed
-    to distinct user-days (one shuffle), bounding the join blow-up at
-    7 × |user-days| regardless of raw event volume; the grid side is
-    #days rows and is broadcast, so no second full shuffle. Date
-    arithmetic is integer-exact on both engines."""
+    trailing window isn't expressible as a window frame; the scale-safe
+    formulation is EXPLODE, not a theta join: each distinct (user, day)
+    activity row covers exactly the 7 grid days [day, day+6], so
+    ``explode(sequence(day, day+6))`` emits those rows directly and the
+    rest is pure equi-shuffle — groupBy(grid_day) with a conditional
+    distinct count for DAU. The round-3 form (activity theta-joined to
+    the day grid via BETWEEN) was a BroadcastNestedLoopJoin doing
+    |user-days| x |grid| comparisons — 500x the needed work at 10 years
+    of days; the explode emits the <= 7 covered rows per activity row at
+    any scale, with no NLJ and no broadcast. Grid days that never appear
+    in the data are dropped by the equi-join against the observed-day
+    set (matching the oracle, whose grid is the observed days); that
+    join side is #days rows — bounded by the calendar, AQE broadcasts
+    it. Date arithmetic is integer-exact on both engines."""
     ev = table(spark, sf, "events")
     activity = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
     days = activity.select(F.col("day").alias("grid_day")).distinct()
-    joined = activity.join(
-        F.broadcast(days),
-        (F.col("day") >= F.date_sub(F.col("grid_day"), 6)) & (F.col("day") <= F.col("grid_day")),
+    covered = activity.select(
+        "user_id",
+        "day",
+        F.explode(F.sequence(F.col("day"), F.date_add("day", 6))).alias("grid_day"),
     )
+    joined = covered.join(days, "grid_day")
     return joined.groupBy("grid_day").agg(
         F.count_distinct(F.when(F.col("day") == F.col("grid_day"), F.col("user_id"))).alias("dau"),
         F.count_distinct("user_id").alias("wau"),
@@ -5523,13 +5534,21 @@ def quantile_buckets(spark: SparkSession, sf: str) -> DataFrame:
 def copurchase_triangles(spark: SparkSession, sf: str) -> DataFrame:
     """Triangle count over the co-purchase graph (same edge definition as
     copurchase_pairs: >= 2 shared orders, basket-size-capped): the
-    standard cohesion metric for recommendation graphs. The canonical
-    relational formulation — edges ordered a<b, two joins closing the
-    wedge — counts each triangle exactly once. Plan: the expensive step
-    is the pair build, bounded by the basket-size cap (<= C(20,2) pairs
-    per order); the edge list after the >= 2-support filter is small, so
-    both closing joins broadcast. At web scale you'd pre-filter edges by
-    degree (count per node) before the wedge join — same contract."""
+    standard cohesion metric for recommendation graphs. Round-4 re-plan:
+    DEGREE-ORDERED wedge join (the Cohen / Suri-Vassilvitskii recipe) —
+    each undirected edge is oriented from its (degree, id)-smaller
+    endpoint to the larger, wedges are pairs of out-edges at a common
+    source, and a wedge closes iff its (dst1 -> dst2) oriented edge
+    exists. Each triangle is counted exactly once (at its order-minimal
+    vertex), and the wedge count is sum_v C(outdeg(v), 2) with out-
+    degrees bounded ~O(sqrt(|E|)) under degree orientation — the
+    web-scale-safe shape, vs the naive formulation whose hub vertices
+    generate deg^2 wedges. No forced broadcast hints: every join is an
+    equi-join and AQE picks broadcast vs shuffle from the measured edge-
+    list size. The apex reported per triangle is its least part id,
+    matching the oracle's id-ordered (a < b < c) closure, so the output
+    hash is identical. The expensive upstream stage is still the pair
+    build, bounded by the basket-size cap (<= C(20,2) pairs per order)."""
     li = table(spark, sf, "lineitem")
     basket = li.select("l_orderkey", "l_partkey").distinct()
     sized = basket.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("bsz")).filter(
@@ -5551,17 +5570,38 @@ def copurchase_triangles(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("support") >= 2)
         .select("part_a", "part_b")
     )
-    e1 = edges.alias("e1")
-    e2 = edges.alias("e2")
-    e3 = edges.alias("e3")
+    deg = (
+        edges.select(F.col("part_a").alias("node"))
+        .union(edges.select(F.col("part_b")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    with_deg = (
+        edges.join(deg.select(F.col("node").alias("part_a"), F.col("deg").alias("deg_a")), "part_a")
+        .join(deg.select(F.col("node").alias("part_b"), F.col("deg").alias("deg_b")), "part_b")
+    )
+    fwd = (F.col("deg_a") < F.col("deg_b")) | (
+        (F.col("deg_a") == F.col("deg_b")) & (F.col("part_a") < F.col("part_b"))
+    )
+    oriented = with_deg.select(
+        F.when(fwd, F.col("part_a")).otherwise(F.col("part_b")).alias("src"),
+        F.when(fwd, F.col("part_b")).otherwise(F.col("part_a")).alias("dst"),
+        F.when(fwd, F.col("deg_b")).otherwise(F.col("deg_a")).alias("ddeg"),
+    )
+    e1 = oriented.alias("e1")
+    e2 = oriented.alias("e2")
+    e3 = oriented.select("src", "dst").alias("e3")
+    wedge_order = (F.col("e1.ddeg") < F.col("e2.ddeg")) | (
+        (F.col("e1.ddeg") == F.col("e2.ddeg")) & (F.col("e1.dst") < F.col("e2.dst"))
+    )
     tri = (
-        e1.join(F.broadcast(e2), F.col("e2.part_a") == F.col("e1.part_b"))
+        e1.join(e2, (F.col("e1.src") == F.col("e2.src")) & wedge_order)
         .join(
-            F.broadcast(e3),
-            (F.col("e3.part_a") == F.col("e1.part_a"))
-            & (F.col("e3.part_b") == F.col("e2.part_b")),
+            e3,
+            (F.col("e3.src") == F.col("e1.dst")) & (F.col("e3.dst") == F.col("e2.dst")),
+            "left_semi",
         )
-        .select(F.col("e1.part_a").alias("a"))
+        .select(F.least(F.col("e1.src"), F.col("e1.dst"), F.col("e2.dst")).alias("a"))
     )
     return tri.agg(
         F.count(F.lit(1)).alias("n_triangles"),
@@ -6141,15 +6181,17 @@ def semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
     LOWER-id neighbor above the cosine threshold; survivors are the
     deterministic one-pass representatives. Plan: blocked pair join on
     the cluster key (the SemDeDup trick — the quadratic term is bounded
-    per cluster, never corpus-wide) + a broadcast anti-join of the drop
-    list. At 100 TB: cluster with ~sqrt(n) centroids so each block is
-    executor-sized; the anti-join side is only the dropped ids."""
+    per cluster, never corpus-wide) + an anti-join of the drop list. At
+    100 TB: cluster with ~sqrt(n) centroids so each block is
+    executor-sized; the drop list is corpus-proportional (every near-dup
+    id), so its join strategy is left to AQE — broadcast while small,
+    shuffled left-anti at scale — never force-hinted."""
     from devcontainers_etl_node_spark.operators import similarity
 
     emb = table(spark, sf, "embeddings")
     pairs = similarity.neardup_pairs(emb, threshold=0.35, block_col="label")
     dropped = pairs.select(F.col("id_b").alias("vec_id")).distinct()
-    return emb.join(F.broadcast(dropped), "vec_id", "left_anti").select("vec_id", "label")
+    return emb.join(dropped, "vec_id", "left_anti").select("vec_id", "label")
 
 
 @query(
@@ -7113,7 +7155,8 @@ def pretrain_prep(spark: SparkSession, sf: str) -> DataFrame:
       3. near-dup removal — MinHash LSH pairs, higher id dropped
       4. contamination    — docs sharing any 3-gram with the benchmark
                             slice (doc_id%10==0 stand-in) are removed via
-                            broadcast anti-join
+                            an AQE-decided anti-join (drop lists are
+                            corpus-proportional — never force-broadcast)
       5. sequence packing — greedy per-language context-window fill
                             (applyInPandas, 512-token budget)
 
@@ -7145,27 +7188,50 @@ def pretrain_prep(spark: SparkSession, sf: str) -> DataFrame:
     # spread once up front: every funnel stage (quality HOFs, shingling,
     # stage_row token sums) is CPU-bound, and the small-SF scan is a
     # single split — see operators/skew.py:spread (no-op at real scale)
-    docs = spread(table(spark, sf, "documents"))
-    tok = tx.token_count("text")
+    #
+    # Round-4 fusion: token_count and the quality gate are the funnel's
+    # hottest map-only expressions, and the round-3 form recomputed the
+    # token HOF in EVERY stage_row (6 passes) and the quality HOFs twice.
+    # One pass now annotates each doc with (n_tokens, gate flag) and
+    # checkpoints that; every later stage carries n_tokens along and each
+    # stage row is a plain column sum over an already-materialized table.
+    docs = spread(table(spark, sf, "documents")).select(
+        "doc_id",
+        "text",
+        "lang",  # column-pruned before the checkpoint: only what the
+        tx.token_count("text").alias("n_tokens"),  # funnel actually reads
+        ((F.length("text") >= 50) & (tx.quality_score("text") >= 0.2)).alias("_gate"),
+    ).localCheckpoint(eager=True)
 
     def stage_row(name: str, order: int, df: DataFrame) -> DataFrame:
         return df.agg(
             F.lit(order).alias("stage_no"),
             F.lit(name).alias("stage"),
             F.count(F.lit(1)).alias("docs"),
-            F.coalesce(F.sum(tx.token_count("text")), F.lit(0)).alias("tokens"),
+            F.coalesce(F.sum("n_tokens"), F.lit(0)).alias("tokens"),
         )
 
     raw = docs
-    gated = docs.filter((F.length("text") >= 50) & (tx.quality_score("text") >= 0.2))
+    gated = docs.filter("_gate")
     # stage boundaries: materialize + truncate lineage (see docstring).
     exact = dd.exact_dedup(gated).localCheckpoint(eager=True)
     # minhash_lsh_pairs localCheckpoints its own (small) pair output.
     pairs = dd.minhash_lsh_pairs(exact, threshold=0.5, num_hashes=16, bands=4)
-    near_drop = pairs.select(F.col("id_b").alias("doc_id")).distinct()
-    neardeduped = exact.join(
-        F.broadcast(near_drop), "doc_id", "left_anti"
-    ).localCheckpoint(eager=True)
+    # Drop lists (near-dup ids, contaminated ids) are CORPUS-PROPORTIONAL:
+    # at 100 TB a near-dup drop list can be billions of ids, and a forced
+    # F.broadcast would OOM the driver. No hint — AQE broadcasts while the
+    # list fits (it does at any test sf) and falls back to a shuffled
+    # left-anti at scale. The benchmark gram set keeps its hint: it is
+    # bounded by the BENCHMARK size, not the corpus.
+    # near_drop skips distinct(): anti joins have set semantics on the
+    # right side, and a doc id repeats only once per extra near-dup
+    # partner (low dup factor — the dedup shuffle costs more than it
+    # saves). bench_grams and contaminated KEEP their distinct(): those
+    # dup factors are ~grams-per-doc (dozens), and the distinct's
+    # map-side partial aggregation is what shrinks the broadcast/shuffle
+    # volume at corpus scale.
+    near_drop = pairs.select(F.col("id_b").alias("doc_id"))
+    neardeduped = exact.join(near_drop, "doc_id", "left_anti").localCheckpoint(eager=True)
     bench_grams = (
         docs.filter(F.col("doc_id") % 10 == 0)
         .select(F.explode(dd.word_shingles("text", 3)).alias("gram"))
@@ -7181,13 +7247,11 @@ def pretrain_prep(spark: SparkSession, sf: str) -> DataFrame:
     )
     clean = (
         neardeduped.filter(F.col("doc_id") % 10 != 0)
-        .join(F.broadcast(contaminated), "doc_id", "left_anti")
+        .join(contaminated, "doc_id", "left_anti")
         .localCheckpoint(eager=True)
     )
 
-    packed = packing.pack_sequences(
-        clean.withColumn("n_tokens", tok), "n_tokens", "lang", "doc_id", max_tokens=512
-    )
+    packed = packing.pack_sequences(clean, "n_tokens", "lang", "doc_id", max_tokens=512)
     packed_summary = packed.agg(
         F.lit(5).alias("stage_no"),
         F.lit("packed").alias("stage"),

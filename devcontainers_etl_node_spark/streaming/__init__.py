@@ -3,6 +3,7 @@ from devcontainers_etl_node_spark.streaming.pipeline import (
     deduped_events,
     enriched_stream,
     fingerprint_sink,
+    read_fingerprint_state,
     hourly_event_counts,
     session_windows,
     upsert_sink,
@@ -14,6 +15,7 @@ __all__ = [
     "click_purchase_join",
     "enriched_stream",
     "fingerprint_sink",
+    "read_fingerprint_state",
     "hourly_event_counts",
     "deduped_events",
     "session_windows",

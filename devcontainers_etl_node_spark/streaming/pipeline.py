@@ -245,7 +245,33 @@ def upsert_sink_partitioned(
     return apply
 
 
-def fingerprint_sink(target_path: str, partition_col: str, canon_cols: list[str]):
+_FP_CURRENT = "_CURRENT"
+
+
+def _fp_current_state_dir(target_path: str) -> str | None:
+    """Resolve the committed state directory, or None before first commit."""
+    import os
+
+    ptr = os.path.join(target_path, _FP_CURRENT)
+    try:
+        with open(ptr) as f:
+            name = f.read().strip()
+    except OSError:
+        return None
+    path = os.path.join(target_path, name)
+    return path if name and os.path.isdir(path) else None
+
+
+def read_fingerprint_state(spark, target_path: str) -> DataFrame | None:
+    """Read the committed fingerprint table written by ``fingerprint_sink``
+    (columns: part, n_rows, fingerprint, last_batch_id, run_id), or None
+    if no state has been committed yet."""
+    current = _fp_current_state_dir(target_path)
+    return None if current is None else spark.read.parquet(current)
+
+
+def fingerprint_sink(target_path: str, partition_col: str, canon_cols: list[str],
+                     run_id: str = "default"):
     """foreachBatch body maintaining per-partition content fingerprints
     incrementally — the streaming twin of the batch ``table_fingerprint``
     query, and a demonstration that an xor digest is MERGEABLE state: each
@@ -254,11 +280,24 @@ def fingerprint_sink(target_path: str, partition_col: str, canon_cols: list[str]
     (xor for the digest, addition for the count). The running table stays
     partition-cardinality-sized however much data streams through.
 
+    Durability (round-3 advisory fix): state commits are ATOMIC — each
+    applied batch writes a fresh versioned directory under
+    ``target_path`` and then swaps the ``_CURRENT`` pointer file with an
+    atomic rename. A crash mid-write leaves the pointer (and therefore
+    the previous state) intact; the replayed batch simply rewrites the
+    orphaned directory. Read the state back with
+    ``read_fingerprint_state``. On an object store the same contract
+    comes from a transactional table format (Delta/Iceberg); the pointer
+    file is the filesystem-native equivalent, kept hermetic for tests.
+
     Idempotence: foreachBatch replays a batch after a failure, and xor
-    would CANCEL a double-applied digest — so every target row carries
-    the last applied batch_id and a replayed (<= max recorded) batch is
-    skipped. That is the standard foreachBatch exactly-once recipe:
-    transactional sinks key on batch_id; here the guard is explicit.
+    would CANCEL a double-applied digest — so the state carries the last
+    applied (run_id, batch_id) and a replayed batch (same ``run_id``,
+    batch_id <= recorded) is skipped. The guard is SCOPED to ``run_id``
+    (pass the checkpoint location or query name): a query restarted with
+    a fresh checkpoint restarts batch numbering at 0, and an unscoped
+    ``batch_id <= applied`` guard would then silently drop every
+    subsequent batch — with a new run_id the fold proceeds instead.
     """
 
     def digest(df: DataFrame) -> DataFrame:
@@ -271,22 +310,24 @@ def fingerprint_sink(target_path: str, partition_col: str, canon_cols: list[str]
         )
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:
-        from pyspark.errors import AnalysisException
+        import os
+        import shutil
 
         spark = batch_df.sparkSession
-        try:
-            base = spark.read.parquet(target_path)
-        except AnalysisException as e:
-            if "PATH_NOT_FOUND" not in str(e) and "Path does not exist" not in str(e):
-                raise
-            base = None
+        current = _fp_current_state_dir(target_path)
+        base = spark.read.parquet(current) if current is not None else None
         if base is not None:
-            applied = base.agg(F.max("last_batch_id")).first()[0]
-            if applied is not None and batch_id <= applied:
-                return  # replayed batch — already folded in
+            head = base.select(F.max("last_batch_id"), F.first("run_id")).first()
+            applied, applied_run = head[0], head[1]
+            if applied is not None and applied_run == run_id and batch_id <= applied:
+                return  # replayed batch within THIS stream run — already folded
         d = digest(batch_df)
         if base is None:
-            merged = d.withColumn("last_batch_id", F.lit(batch_id))
+            merged = d.select(
+                "part", "n_rows", "fingerprint",
+                F.lit(batch_id).alias("last_batch_id"),
+                F.lit(run_id).alias("run_id"),
+            )
         else:
             b = base.select(
                 "part",
@@ -304,10 +345,20 @@ def fingerprint_sink(target_path: str, partition_col: str, canon_cols: list[str]
                     .bitwiseXOR(F.coalesce("_bf", F.lit(0)))
                     .alias("fingerprint"),
                     F.lit(batch_id).alias("last_batch_id"),
+                    F.lit(run_id).alias("run_id"),
                 )
             )
-        # the plan reads the files the write replaces — materialize first
-        merged = merged.localCheckpoint(eager=True)
-        merged.write.mode("overwrite").parquet(target_path)
+        # write the new version FULLY, then swap the pointer atomically —
+        # the previous state dir is untouched until the commit point
+        new_name = f"state-{run_id}-{batch_id}"
+        new_dir = os.path.join(target_path, new_name)
+        merged.write.mode("overwrite").parquet(new_dir)
+        ptr = os.path.join(target_path, _FP_CURRENT)
+        tmp = ptr + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(new_name)
+        os.replace(tmp, ptr)  # atomic commit
+        if current is not None and os.path.abspath(current) != os.path.abspath(new_dir):
+            shutil.rmtree(current, ignore_errors=True)  # best-effort GC
 
     return apply

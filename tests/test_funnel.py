@@ -58,3 +58,35 @@ def test_staged_funnel_recomputes_downstream_of_stale_stage(spark, tmp_path):
     os.remove(os.path.join(funnel._stage_dir(str(tmp_path), 2, "exact_dedup"), "_SUCCESS"))
     rerun = funnel.run_staged_funnel(spark, docs, str(tmp_path))
     assert rerun["computed"] == ["exact_dedup", "near_dedup", "decontaminated", "packed"]
+
+
+def test_staged_funnel_invalidates_on_changed_params(spark, tmp_path):
+    """Changed max_tokens must invalidate the packed stage (its manifest
+    records the parameter) instead of silently reusing stale output."""
+    docs = table(spark, SF_SMALL, "documents")
+    funnel.run_staged_funnel(spark, docs, str(tmp_path), max_tokens=512)
+    rerun = funnel.run_staged_funnel(spark, docs, str(tmp_path), max_tokens=256)
+    assert rerun["computed"] == ["packed"]  # only the parameter-bearing stage
+    # and re-running with the original params again recomputes again (the
+    # manifest now records 256)
+    third = funnel.run_staged_funnel(spark, docs, str(tmp_path), max_tokens=512)
+    assert third["computed"] == ["packed"]
+
+
+def test_staged_funnel_invalidates_on_changed_input(spark, tmp_path):
+    """A different input corpus (different fingerprint) invalidates every
+    stage — a resumed run can never mix corpora."""
+    docs = table(spark, SF_SMALL, "documents")
+    funnel.run_staged_funnel(spark, docs, str(tmp_path))
+    halved = docs.filter("doc_id % 2 = 0")
+    rerun = funnel.run_staged_funnel(spark, halved, str(tmp_path))
+    assert rerun["computed"] == list(funnel.STAGES)
+    # explicit fingerprints drive the same mechanism (production snapshot ids)
+    rerun2 = funnel.run_staged_funnel(
+        spark, halved, str(tmp_path), input_fingerprint="snapshot-v2"
+    )
+    assert rerun2["computed"] == list(funnel.STAGES)
+    rerun3 = funnel.run_staged_funnel(
+        spark, halved, str(tmp_path), input_fingerprint="snapshot-v2"
+    )
+    assert rerun3["computed"] == []

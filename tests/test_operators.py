@@ -533,6 +533,93 @@ def test_ngram_jaccard_prefix_filter_identical_pairs(spark):
     assert all(a_id != 4 or b_id != 1 for a_id, b_id, _ in si)  # blocks respected
 
 
+def test_ivfpq_rejects_indivisible_dim(spark):
+    """m must divide the embedding dim — a remainder would silently drop
+    trailing dimensions from PQ training AND ADC scoring (round-3
+    advisory). The failure must be loud and immediate."""
+    import pytest as _pytest
+
+    from devcontainers_etl_node_spark.operators.similarity import ivfpq_topk
+
+    rows = [(i, [float(i), 0.0, 1.0]) for i in range(4)]  # dim 3, m=2
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    with _pytest.raises(ValueError, match="not divisible"):
+        ivfpq_topk(df, df, m=2)
+
+
+def test_pca_whiten_empty_input_and_typed_id(spark):
+    """Empty input returns an empty, correctly-typed frame (no
+    IndexError), and a non-long id column flows through both Arrow
+    passes with its real type (round-3 advisory)."""
+    from devcontainers_etl_node_spark.operators.similarity import pca_whiten
+
+    empty = spark.createDataFrame([], "vec_id string, embedding array<double>")
+    out = pca_whiten(empty, k=2, id_col="vec_id")
+    assert out.count() == 0
+    assert dict(out.dtypes)["vec_id"] == "string"
+
+    rows = [(f"id-{i}", [float(i), float(i % 3), 1.0, 0.5]) for i in range(12)]
+    df = spark.createDataFrame(rows, "vec_id string, embedding array<double>")
+    got = pca_whiten(df, k=2, id_col="vec_id")
+    assert got.count() == 12
+    assert dict(got.dtypes)["vec_id"] == "string"
+    assert {len(r.whitened) for r in got.collect()} == {2}
+
+
+def test_shared_ngram_pairs_memoized(spark):
+    """The dup-graph family consumes ONE candidate-pair graph per
+    (session, input, params): the second call must return the SAME
+    materialized DataFrame (no rebuild), and a different input token or
+    different params must rebuild."""
+    rows = [
+        (1, "a", "alpha beta gamma delta epsilon zeta"),
+        (2, "a", "alpha beta gamma delta epsilon eta"),
+        (3, "a", "totally different words here indeed folks"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "lang", "text"])
+    first = dedup.shared_ngram_pairs(df, "tok-A", ngram=3, threshold=0.2, block_col="lang")
+    again = dedup.shared_ngram_pairs(df, "tok-A", ngram=3, threshold=0.2, block_col="lang")
+    assert again is first  # memo hit — the checkpointed table is reused
+    other_input = dedup.shared_ngram_pairs(df, "tok-B", ngram=3, threshold=0.2, block_col="lang")
+    assert other_input is not first
+    other_params = dedup.shared_ngram_pairs(df, "tok-A", ngram=2, threshold=0.2, block_col="lang")
+    assert other_params is not first
+    # and the memoized result is the real pair set
+    assert {(r.id_a, r.id_b) for r in first.collect()} == {(1, 2)}
+
+
+def test_funnel_drop_list_anti_joins_unhinted(spark):
+    """100 TB guard: the funnel's near-dup and contamination drop lists
+    are corpus-proportional, so their anti-joins must NOT carry a forced
+    broadcast hint (AQE picks the strategy); the benchmark-gram semi-join
+    keeps its hint (benchmark-bounded side). The anti-joins themselves
+    must still be present and produce the expected survivors."""
+    from devcontainers_etl_node_spark import funnel as fn
+
+    rows = [
+        (i, "a", t)
+        for i, t in enumerate(
+            [
+                "the quick brown fox jumps over the lazy dog again and again " * 3,
+                "the quick brown fox jumps over the lazy dog again and again " * 3 + "x",
+                "completely different text about distributed query engines today " * 3,
+                "yet another unrelated document discussing benchmark contamination " * 3,
+            ],
+            start=1,
+        )
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "lang", "text"])
+    nd = fn._near_dedup(docs)
+    nd_plan = nd._jdf.queryExecution().analyzed().toString()
+    assert "LeftAnti" in nd_plan
+    assert "ResolvedHint" not in nd_plan  # strategy unpinned → AQE decides
+    dc = fn._decontaminate(docs, docs)
+    dc_plan = dc._jdf.queryExecution().analyzed().toString()
+    assert "LeftAnti" in dc_plan
+    # exactly the bench-gram hint survives, nothing on the drop lists
+    assert dc_plan.count("ResolvedHint") == 1
+
+
 def test_bfs_distances_hand_computed(spark):
     """Chain + branch + cycle + disconnected node: distances must be the
     true minimum hop counts, the cycle must not inflate them, and the

@@ -83,6 +83,32 @@ def test_asof_join_is_linear_window_no_join(spark):
     assert p.count("Exchange hashpartitioning") == 1
 
 
+def test_rolling_active_users_no_nested_loop(spark):
+    # round-4 re-plan: each activity row explodes into its <= 7 covered
+    # grid days and everything downstream is equi-keyed. A nested-loop
+    # node here means the |user-days| x |grid| theta join is back — 500x
+    # the needed comparisons at 10 years of days.
+    p = plan(spark, "rolling_active_users")
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+    assert "Generate explode" in p  # the sequence() coverage explode
+
+
+def test_copurchase_triangles_degree_ordered_no_forced_broadcast(spark):
+    # round-4 re-plan: degree-ordered wedge join. The only hint allowed
+    # is the basket-size keep list (bounded by the order-size cap); the
+    # edge list must NOT be force-broadcast — at web scale it exceeds any
+    # executor, and the strategy belongs to AQE.
+    df = QUERIES["copurchase_triangles"](spark, SF_SMALL)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    lines = analyzed.splitlines()
+    hint_lines = [i for i, l in enumerate(lines) if "ResolvedHint" in l]
+    assert hint_lines  # the keep list IS hinted (bounded side)
+    for i in hint_lines:  # ... and nothing else is (the subtree under every
+        assert "sized_orderkey" in lines[i + 1]  # hint is the keep list)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
 def test_value_stats_partial_aggregation(spark):
     p = plan(spark, "value_stats")
     assert p.count("HashAggregate") >= 2  # map-side partial before exchange

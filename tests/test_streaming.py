@@ -491,12 +491,16 @@ def test_streaming_fingerprint_sink_matches_batch_digest(spark, tmp_path):
     micro-batches, the running per-partition digests equal the ONE-SHOT
     batch digest of everything streamed (xor + count are mergeable), and
     a replayed batch_id is skipped (xor would cancel a double-apply)."""
-    from devcontainers_etl_node_spark.streaming import fingerprint_sink
+    from devcontainers_etl_node_spark.streaming import (
+        fingerprint_sink,
+        read_fingerprint_state,
+    )
 
     t0 = datetime.datetime(2024, 1, 1, 10, 0, 0)
     src, ckpt, tgt = tmp_path / "fp_src", tmp_path / "fp_ckpt", tmp_path / "fp_tgt"
+    tgt.mkdir()
     canon_cols = ["event_id", "user_id", "event_type", "value"]
-    sink = fingerprint_sink(str(tgt), "event_type", canon_cols)
+    sink = fingerprint_sink(str(tgt), "event_type", canon_cols, run_id=str(ckpt))
 
     def run_until_drained():
         q = (
@@ -522,7 +526,8 @@ def test_streaming_fingerprint_sink_matches_batch_digest(spark, tmp_path):
     run_until_drained()
 
     got = {
-        r.part: (r.n_rows, r.fingerprint) for r in spark.read.parquet(str(tgt)).collect()
+        r.part: (r.n_rows, r.fingerprint)
+        for r in read_fingerprint_state(spark, str(tgt)).collect()
     }
 
     # one-shot digest of the full dataset, same canonicalization
@@ -540,9 +545,30 @@ def test_streaming_fingerprint_sink_matches_batch_digest(spark, tmp_path):
     assert set(got) == {"click", "view", "purchase"}
 
     # replay: applying an already-folded batch_id again must be a no-op
-    max_applied = spark.read.parquet(str(tgt)).agg(F.max("last_batch_id")).first()[0]
+    state = read_fingerprint_state(spark, str(tgt))
+    max_applied = state.agg(F.max("last_batch_id")).first()[0]
     sink(spark.createDataFrame(batch1, EVENTS_SCHEMA), max_applied)
     got_after = {
-        r.part: (r.n_rows, r.fingerprint) for r in spark.read.parquet(str(tgt)).collect()
+        r.part: (r.n_rows, r.fingerprint)
+        for r in read_fingerprint_state(spark, str(tgt)).collect()
     }
     assert got_after == expected
+
+    # the replay guard is SCOPED to run_id: a query restarted with a fresh
+    # checkpoint restarts batch numbering at 0 — with a NEW run_id the fold
+    # must proceed (an unscoped guard would silently drop every batch)
+    extra = [(6, t0, 9, "click", 5.0, "{}")]
+    sink2 = fingerprint_sink(str(tgt), "event_type", canon_cols, run_id="restarted")
+    sink2(spark.createDataFrame(extra, EVENTS_SCHEMA), 0)
+    after_restart = {
+        r.part: r.n_rows for r in read_fingerprint_state(spark, str(tgt)).collect()
+    }
+    assert after_restart["click"] == expected["click"][0] + 1
+
+    # atomic commit: exactly one committed state dir is referenced, and a
+    # crash can never observe a half-written current state (pointer file
+    # swaps only after the full parquet write)
+    import os
+
+    current = (tgt / "_CURRENT").read_text().strip()
+    assert os.path.exists(str(tgt / current / "_SUCCESS"))
