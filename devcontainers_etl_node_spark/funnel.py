@@ -104,16 +104,20 @@ def _decontaminate(neardeduped: DataFrame, docs: DataFrame) -> DataFrame:
     # bench_grams IS bounded (by the benchmark suite, not the corpus) —
     # its broadcast hint is safe; the contaminated-id list is not, so its
     # anti-join strategy stays AQE-decided.
+    # Grams meet as 8-byte xxhash64 longs, not strings (see pretrain_prep):
+    # smaller broadcast set, cheaper comparisons; a ~1e-9 hash collision
+    # only ever drops an extra doc (conservative for decontamination).
     bench_grams = (
         docs.filter(F.col("doc_id") % 10 == 0)
         .select(F.explode(dd.word_shingles("text", 3)).alias("gram"))
+        .select(F.xxhash64("gram").alias("gram_h"))
         .distinct()
     )
     doc_grams = neardeduped.filter(F.col("doc_id") % 10 != 0).select(
         "doc_id", F.explode(dd.word_shingles("text", 3)).alias("gram")
-    )
+    ).select("doc_id", F.xxhash64("gram").alias("gram_h"))
     contaminated = (
-        doc_grams.join(F.broadcast(bench_grams), "gram", "left_semi")
+        doc_grams.join(F.broadcast(bench_grams), "gram_h", "left_semi")
         .select("doc_id")
         .distinct()
     )

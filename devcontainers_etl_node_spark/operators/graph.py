@@ -218,6 +218,47 @@ def connected_components_star(
     )
 
 
+# Session-memoized component labels, the downstream twin of
+# dedup.shared_ngram_pairs: dup_clusters and dup_canonical both run the
+# SAME connected-components fixpoint over the SAME shared pair graph —
+# the labels are edge-scale (tiny) and already lineage-truncated, so
+# holding the final DataFrame for the session costs nothing and saves an
+# O(diameter)-iteration recompute per consumer. Keyed by applicationId so
+# a new session never sees dead checkpoint blocks.
+_CC_MEMO: dict = {}
+_CC_MEMO_MAX = 64
+
+
+def shared_components(
+    edges: DataFrame,
+    input_token: str,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """``connected_components`` memoized per (session, input, params).
+
+    ``input_token`` identifies the edge set; callers MUST change it when
+    the underlying pairs change (the dup-graph catalog family passes the
+    sf directory, the same token it hands ``shared_ngram_pairs``).
+    """
+    key = (
+        edges.sparkSession.sparkContext.applicationId,
+        input_token,
+        src,
+        dst,
+        max_iter,
+    )
+    hit = _CC_MEMO.get(key)
+    if hit is not None:
+        return hit
+    out = connected_components(edges, src=src, dst=dst, max_iter=max_iter)
+    if len(_CC_MEMO) >= _CC_MEMO_MAX:
+        _CC_MEMO.clear()  # bounded: stale sessions' entries are dead weight
+    _CC_MEMO[key] = out
+    return out
+
+
 def pagerank(
     edges: DataFrame,
     src: str = "src",

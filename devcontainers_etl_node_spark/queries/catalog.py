@@ -1520,7 +1520,7 @@ def dup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     pairs = dedup.shared_ngram_pairs(docs, sf, ngram=3, threshold=0.2, block_col="lang").select(
         "id_a", "id_b"
     )
-    return graph.connected_components(pairs, src="id_a", dst="id_b")
+    return graph.shared_components(pairs, sf, src="id_a", dst="id_b")
 
 
 @query(
@@ -1588,7 +1588,7 @@ def dup_canonical(spark: SparkSession, sf: str) -> DataFrame:
     pairs = dedup.shared_ngram_pairs(docs, sf, ngram=3, threshold=0.2, block_col="lang").select(
         "id_a", "id_b"
     )
-    labels = graph.connected_components(pairs, src="id_a", dst="id_b")
+    labels = graph.shared_components(pairs, sf, src="id_a", dst="id_b")
     members = labels.join(
         docs.select(
             F.col("doc_id").alias("node"),
@@ -7232,16 +7232,22 @@ def pretrain_prep(spark: SparkSession, sf: str) -> DataFrame:
     # volume at corpus scale.
     near_drop = pairs.select(F.col("id_b").alias("doc_id"))
     neardeduped = exact.join(near_drop, "doc_id", "left_anti").localCheckpoint(eager=True)
+    # Grams meet as 8-byte xxhash64 longs, not strings (the
+    # substring_dup_stats trick): the broadcast set and every comparison
+    # shrink from ~avg-gram-length bytes to 8, at a ~1e-9 collision rate
+    # whose only effect is an extra dropped doc (conservative for
+    # decontamination).
     bench_grams = (
         docs.filter(F.col("doc_id") % 10 == 0)
         .select(F.explode(dd.word_shingles("text", 3)).alias("gram"))
+        .select(F.xxhash64("gram").alias("gram_h"))
         .distinct()
     )
     doc_grams = neardeduped.filter(F.col("doc_id") % 10 != 0).select(
         "doc_id", F.explode(dd.word_shingles("text", 3)).alias("gram")
-    )
+    ).select("doc_id", F.xxhash64("gram").alias("gram_h"))
     contaminated = (
-        doc_grams.join(F.broadcast(bench_grams), "gram", "left_semi")
+        doc_grams.join(F.broadcast(bench_grams), "gram_h", "left_semi")
         .select("doc_id")
         .distinct()
     )

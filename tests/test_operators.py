@@ -588,6 +588,27 @@ def test_shared_ngram_pairs_memoized(spark):
     assert {(r.id_a, r.id_b) for r in first.collect()} == {(1, 2)}
 
 
+def test_shared_components_memoized(spark):
+    """dup_clusters and dup_canonical consume ONE component labeling per
+    (session, input): the second call returns the SAME materialized
+    labels; a different input token rebuilds. Labels must equal a fresh
+    connected_components run."""
+    from devcontainers_etl_node_spark.operators import graph
+
+    edges = spark.createDataFrame([(1, 2), (2, 3), (7, 8)], ["id_a", "id_b"])
+    first = graph.shared_components(edges, "cc-tok-A")
+    again = graph.shared_components(edges, "cc-tok-A")
+    assert again is first
+    other = graph.shared_components(edges, "cc-tok-B")
+    assert other is not first
+    got = {(r.node, r.component) for r in first.collect()}
+    want = {
+        (r.node, r.component)
+        for r in graph.connected_components(edges, src="id_a", dst="id_b").collect()
+    }
+    assert got == want == {(1, 1), (2, 1), (3, 1), (7, 7), (8, 7)}
+
+
 def test_funnel_drop_list_anti_joins_unhinted(spark):
     """100 TB guard: the funnel's near-dup and contamination drop lists
     are corpus-proportional, so their anti-joins must NOT carry a forced
