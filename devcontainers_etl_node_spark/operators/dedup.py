@@ -160,7 +160,11 @@ def minhash_lsh_pairs(
     corpus the emitted pair set happened to be byte-identical at sf0.1
     and sf0.01, but that is corpus luck, not a guarantee. The library
     default stays 32/8 (recall-first); latency-sensitive callers opt
-    into 16/4 explicitly.
+    into 16/4 explicitly. Round-4 A/B (per-variant codegen warmup,
+    3 reps): 16/4 3.9 s vs 32/8 4.6 s warm at sf0.1 — the doubled
+    signature cost and the tighter est-prune cutoff (0.19 → 0.28,
+    fewer false candidates reaching the exact verify) roughly cancel,
+    so the recall choice, not latency, should pick the setting.
 
     Scale: only colliding docs ever meet (no O(n²) stage); AQE skew-join
     splits pathological buckets (boilerplate-heavy crawl shards).

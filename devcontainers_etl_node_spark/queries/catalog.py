@@ -1065,7 +1065,10 @@ def minhash_neardup(spark: SparkSession, sf: str) -> DataFrame:
     docs = table(spark, sf, "documents")
     # latency-tuned 16/4 (same per-band s^4 curve, halved OR-amplification
     # vs the recall-first 32/8 library default; pair set identical on this
-    # corpus — pinned by tests/test_operators.py).
+    # corpus — pinned by tests/test_operators.py). Round-4 A/B with per-
+    # variant codegen warmup: 16/4 3.9s vs 32/8 4.6s warm — close; the
+    # first measurement that showed 32/8 2x faster was a cold-compile
+    # artifact, not a real effect.
     return dedup.minhash_lsh_pairs(docs, threshold=0.5, num_hashes=16, bands=4)
 
 
@@ -7165,10 +7168,12 @@ def pretrain_prep(spark: SparkSession, sf: str) -> DataFrame:
     stage is the already-tested operator (dedup.py / similarity / packing
     .py).
 
-    Plan-size control (round-3 change): each funnel stage is
-    ``localCheckpoint(eager=True)``-materialized at its boundary, so a
-    downstream stage references a truncated lineage instead of the full
-    upstream DAG. Without this the single lazy DAG re-referenced the
+    Plan-size control (round-3 change; round-4 fuses the first three
+    stages into one materialization job whose ``observe`` aggregates
+    produce the raw/gated report rows for free): each remaining funnel
+    stage is ``localCheckpoint(eager=True)``-materialized at its
+    boundary, so a downstream stage references a truncated lineage
+    instead of the full upstream DAG. Without this the single lazy DAG re-referenced the
     whole upstream lineage per stage (PLANS.md recorded 2 257 printed
     exchanges; 57.7 s at sf0.01, all analysis/codegen) — and plan size
     grew multiplicatively in funnel DEPTH, the real scale axis of a
@@ -7182,6 +7187,9 @@ def pretrain_prep(spark: SparkSession, sf: str) -> DataFrame:
     (executor-local storage, no lineage).
     Deterministic but not SQL-expressible (MinHash) → rows-only;
     tests/test_quality_gates.py pins funnel monotonicity + packing budget."""
+    from pyspark.sql import Window
+    from pyspark.sql.observation import Observation
+
     from devcontainers_etl_node_spark.operators import dedup as dd, packing, text as tx
     from devcontainers_etl_node_spark.operators.skew import spread
 
@@ -7189,32 +7197,48 @@ def pretrain_prep(spark: SparkSession, sf: str) -> DataFrame:
     # stage_row token sums) is CPU-bound, and the small-SF scan is a
     # single split — see operators/skew.py:spread (no-op at real scale)
     #
-    # Round-4 fusion: token_count and the quality gate are the funnel's
-    # hottest map-only expressions, and the round-3 form recomputed the
-    # token HOF in EVERY stage_row (6 passes) and the quality HOFs twice.
-    # One pass now annotates each doc with (n_tokens, gate flag) and
-    # checkpoints that; every later stage carries n_tokens along and each
-    # stage row is a plain column sum over an already-materialized table.
-    docs = spread(table(spark, sf, "documents")).select(
+    # Round-4 fusion, take 2: the annotate pass (token_count + quality
+    # HOFs), the gate filter, and the exact-dedup window now run inside
+    # ONE materialization job ending at a single checkpoint. The raw and
+    # gated stage rows fall out of the SAME job via ``observe`` — the
+    # aggregates ride along with the rows as they stream past, so the
+    # funnel never materializes (or re-reads) the pre-gate corpus: two
+    # checkpoints and two report jobs collapse into zero extra passes.
+    # At 100 TB that is one full-corpus write (the dominated cost of a
+    # curation pass) saved outright.
+    obs = Observation()
+    ann = spread(table(spark, sf, "documents")).select(
         "doc_id",
         "text",
         "lang",  # column-pruned before the checkpoint: only what the
         tx.token_count("text").alias("n_tokens"),  # funnel actually reads
         ((F.length("text") >= 50) & (tx.quality_score("text") >= 0.2)).alias("_gate"),
-    ).localCheckpoint(eager=True)
-
-    def stage_row(name: str, order: int, df: DataFrame) -> DataFrame:
-        return df.agg(
-            F.lit(order).alias("stage_no"),
-            F.lit(name).alias("stage"),
+    ).observe(
+        obs,
+        F.count(F.lit(1)).alias("raw_docs"),
+        F.coalesce(F.sum("n_tokens"), F.lit(0)).alias("raw_tokens"),
+        F.count_if(F.col("_gate")).alias("gated_docs"),
+        F.coalesce(F.sum(F.when(F.col("_gate"), F.col("n_tokens"))), F.lit(0)).alias("gated_tokens"),
+    )
+    def _stage_obs() -> tuple[Observation, list]:
+        o = Observation()
+        return o, [
             F.count(F.lit(1)).alias("docs"),
             F.coalesce(F.sum("n_tokens"), F.lit(0)).alias("tokens"),
-        )
+        ]
 
-    raw = docs
-    gated = docs.filter("_gate")
-    # stage boundaries: materialize + truncate lineage (see docstring).
-    exact = dd.exact_dedup(gated).localCheckpoint(eager=True)
+    obs_exact, m_exact = _stage_obs()
+    _h = F.sha2(F.col("text"), 256)
+    _w = Window.partitionBy(_h).orderBy(F.col("doc_id"))
+    exact = (
+        ann.filter("_gate")
+        .withColumn("_rn", F.row_number().over(_w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_gate")
+        .observe(obs_exact, *m_exact)
+        .localCheckpoint(eager=True)
+    )
+    got = obs.get  # both observations populated by the checkpoint job above
     # minhash_lsh_pairs localCheckpoints its own (small) pair output.
     pairs = dd.minhash_lsh_pairs(exact, threshold=0.5, num_hashes=16, bands=4)
     # Drop lists (near-dup ids, contaminated ids) are CORPUS-PROPORTIONAL:
@@ -7231,29 +7255,59 @@ def pretrain_prep(spark: SparkSession, sf: str) -> DataFrame:
     # map-side partial aggregation is what shrinks the broadcast/shuffle
     # volume at corpus scale.
     near_drop = pairs.select(F.col("id_b").alias("doc_id"))
-    neardeduped = exact.join(near_drop, "doc_id", "left_anti").localCheckpoint(eager=True)
+    obs_near, m_near = _stage_obs()
+    neardeduped = (
+        exact.join(near_drop, "doc_id", "left_anti")
+        .observe(obs_near, *m_near)
+        .localCheckpoint(eager=True)
+    )
     # Grams meet as 8-byte xxhash64 longs, not strings (the
     # substring_dup_stats trick): the broadcast set and every comparison
     # shrink from ~avg-gram-length bytes to 8, at a ~1e-9 collision rate
     # whose only effect is an extra dropped doc (conservative for
     # decontamination).
+    # The benchmark slice reads a FRESH column-pruned scan (doc_id, text
+    # only), not the checkpointed funnel table: the checkpoint now holds
+    # only gate+dedup survivors, and the benchmark membership must come
+    # from the raw corpus. Grams are generated by the codegen'd
+    # position-explode (split once, explode start offsets, concat_ws a
+    # slice) rather than the interpreted word_shingles HOF — identical
+    # gram multiset; the downstream distinct/semi-join dedups it.
+    def _gram_rows(src: DataFrame, with_id: bool) -> DataFrame:
+        toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+        exploded = src.select(
+            *(["doc_id"] if with_id else []),
+            toks.alias("_t"),
+        ).select(
+            *(["doc_id"] if with_id else []),
+            "_t",
+            F.explode(
+                F.sequence(F.lit(0), F.greatest(F.size("_t") - 3, F.lit(0)))
+            ).alias("_i"),
+        )
+        gram_h = F.xxhash64(F.concat_ws(" ", F.slice("_t", F.col("_i") + 1, 3))).alias("gram_h")
+        return exploded.select(*(["doc_id"] if with_id else []), gram_h)
+
     bench_grams = (
-        docs.filter(F.col("doc_id") % 10 == 0)
-        .select(F.explode(dd.word_shingles("text", 3)).alias("gram"))
-        .select(F.xxhash64("gram").alias("gram_h"))
+        _gram_rows(
+            table(spark, sf, "documents")
+            .filter(F.col("doc_id") % 10 == 0)
+            .select("doc_id", "text"),
+            with_id=False,
+        )
         .distinct()
     )
-    doc_grams = neardeduped.filter(F.col("doc_id") % 10 != 0).select(
-        "doc_id", F.explode(dd.word_shingles("text", 3)).alias("gram")
-    ).select("doc_id", F.xxhash64("gram").alias("gram_h"))
+    doc_grams = _gram_rows(neardeduped.filter(F.col("doc_id") % 10 != 0), with_id=True)
     contaminated = (
         doc_grams.join(F.broadcast(bench_grams), "gram_h", "left_semi")
         .select("doc_id")
         .distinct()
     )
+    obs_clean, m_clean = _stage_obs()
     clean = (
         neardeduped.filter(F.col("doc_id") % 10 != 0)
         .join(contaminated, "doc_id", "left_anti")
+        .observe(obs_clean, *m_clean)
         .localCheckpoint(eager=True)
     )
 
@@ -7265,15 +7319,19 @@ def pretrain_prep(spark: SparkSession, sf: str) -> DataFrame:
         F.sum("n_tokens").alias("tokens"),
     )
 
-    funnel = (
-        stage_row("raw", 0, raw)
-        .unionByName(stage_row("quality_gate", 1, gated))
-        .unionByName(stage_row("exact_dedup", 2, exact))
-        .unionByName(stage_row("near_dedup", 3, neardeduped))
-        .unionByName(stage_row("decontaminated", 4, clean))
-        .unionByName(packed_summary)
+    # Every report row except "packed" was observed during its stage's own
+    # materialization job — zero extra passes over any stage table.
+    observed_rows = spark.createDataFrame(
+        [
+            (0, "raw", got["raw_docs"], got["raw_tokens"]),
+            (1, "quality_gate", got["gated_docs"], got["gated_tokens"]),
+            (2, "exact_dedup", obs_exact.get["docs"], obs_exact.get["tokens"]),
+            (3, "near_dedup", obs_near.get["docs"], obs_near.get["tokens"]),
+            (4, "decontaminated", obs_clean.get["docs"], obs_clean.get["tokens"]),
+        ],
+        "stage_no INT, stage STRING, docs BIGINT, tokens BIGINT",
     )
-    return funnel.orderBy("stage_no")
+    return observed_rows.unionByName(packed_summary).orderBy("stage_no")
 
 
 @query(
