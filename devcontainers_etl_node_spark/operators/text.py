@@ -111,3 +111,51 @@ def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
         lang_id(c).alias("lang_pred"),
         fingerprint(c).alias("fingerprint"),
     )
+
+
+def phonetic_blocking(
+    df: DataFrame,
+    name_col: str = "p_name",
+    id_col: str = "p_partkey",
+    max_dist: int = 4,
+    max_block: int = 1000,
+) -> DataFrame:
+    """Entity-resolution candidate pairs via phonetic (Soundex) blocking.
+
+    The classic record-linkage shape (reference has no equivalent; this
+    is an engine addition for large-scale entity dedup): rather than an
+    O(n²) all-pairs fuzzy match, records are BLOCKED by the Soundex code
+    of the last word of the name (the head noun for adjective-noun
+    names), the self-join runs only within a block, and surviving pairs
+    are verified with an exact Levenshtein distance. Both soundex() and
+    levenshtein() are JVM built-ins — whole-stage codegen, no Python.
+
+    Scale: the only shuffle keys on the (4-char) block code. Block skew
+    is the known failure mode (a mega-block of phonetically identical
+    names goes quadratic), so blocks larger than ``max_block`` members
+    are dropped with the same rationale as LSH band caps — a block that
+    big has no discriminating power anyway; the cap is a count-window,
+    not a collect. Pairs are ordered (id_a < id_b) and verified exact,
+    so output is deterministic.
+    """
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        F.lower(F.trim(F.col(name_col))).alias("_nm"),
+    ).withColumn("_blk", F.soundex(F.element_at(F.split(F.col("_nm"), r"\s+"), -1)))
+    counts = base.groupBy("_blk").agg(F.count(F.lit(1)).alias("_bn"))
+    bounded = base.join(counts.filter(F.col("_bn") <= max_block), "_blk", "left_semi")
+    a, b = bounded.alias("a"), bounded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a._blk") == F.col("b._blk")) & (F.col("a._id") < F.col("b._id")),
+        )
+        .withColumn("lev_dist", F.levenshtein(F.col("a._nm"), F.col("b._nm")))
+        .filter(F.col("lev_dist") <= max_dist)
+        .select(
+            F.col("a._blk").alias("block_key"),
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.col("lev_dist").cast("int").alias("lev_dist"),
+        )
+    )

@@ -7537,3 +7537,136 @@ def group_by_all_topk(spark: SparkSession, sf: str) -> DataFrame:
         WHERE rn <= 2
         """
     )
+
+
+@query(
+    "unigram_doc_likelihood",
+    """
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+        FROM documents WHERE length(trim(text)) > 0),
+    cnt AS (SELECT tok, COUNT(*) AS c FROM tok GROUP BY tok)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(c) AS BIGINT) AS sum_freq,
+           CAST(MIN(c) AS BIGINT) AS min_freq
+    FROM tok JOIN cnt USING (tok)
+    GROUP BY doc_id
+    """,
+)
+def unigram_doc_likelihood(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus-unigram familiarity score per document — the cheap LM-based
+    quality signal every pretraining pipeline runs before a real model
+    scores anything: documents whose tokens are globally rare (low
+    sum_freq / n_tokens, low min_freq) are OOD/noise/gibberish
+    candidates; documents of pure boilerplate max the ratio. The score
+    is left as INTEGER-EXACT components (token count, summed corpus
+    frequency, rarest-token frequency) rather than a log-probability:
+    ln/exp diverge in the last ulp between libm and the JVM (NOTES.md),
+    and the consumer's threshold can divide two exact integers itself.
+
+    Plan: one explode pass → token-count aggregate (vocabulary-sized,
+    shuffle on the token) → join back to the exploded rows → per-doc
+    aggregate. The count table is vocabulary-scale, not corpus-scale —
+    AQE broadcasts it while it fits; at web scale it shuffles on the
+    token, which is exactly the partial-aggregate-friendly key (map-side
+    combine collapses each split to its distinct tokens first)."""
+    docs = table(spark, sf, "documents").filter(F.length(F.trim("text")) > 0)
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("tok")
+    )
+    cnt = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        tok.join(cnt, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("c").alias("sum_freq"),
+            F.min("c").alias("min_freq"),
+        )
+    )
+
+
+@query(
+    "vocab_growth",
+    """
+    WITH t AS (
+        SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+        FROM documents WHERE length(trim(text)) > 0),
+    big AS (
+        SELECT doc_id, toks[i] || ' ' || toks[i+1] AS bg
+        FROM t, unnest(generate_series(1, len(toks)-1)) AS u(i)),
+    first AS (SELECT bg, MIN(doc_id) AS first_doc FROM big GROUP BY bg),
+    b AS (SELECT first_doc // 50 AS bucket, COUNT(*) AS new_grams
+          FROM first GROUP BY 1)
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(new_grams AS BIGINT) AS new_grams,
+           CAST(SUM(new_grams) OVER (ORDER BY bucket) AS BIGINT) AS cum_vocab
+    FROM b
+    """,
+)
+def vocab_growth(spark: SparkSession, sf: str) -> DataFrame:
+    """Vocabulary-growth (Heaps-law) curve: cumulative distinct-BIGRAM
+    count as the corpus is consumed in doc_id order, bucketed per 50
+    documents. The curve is how a data team sizes a tokenizer vocab and
+    detects corpus staleness (a flattening curve means new data adds no
+    new language); bigrams rather than unigrams because the unit must be
+    sparse enough to keep arriving (this corpus's 31-token unigram vocab
+    saturates inside the first bucket — a degenerate one-row curve).
+    A naive cumulative COUNT(DISTINCT) window is quadratic; the linear
+    re-expression is gram → MIN(doc_id) (its first occurrence — one
+    shuffle on the gram, partial-agg friendly), then a bucket count and
+    a tiny running-sum window over ~|corpus|/50 rows. The window sees
+    bucket-count rows, not grams, so the unbounded ORDER BY frame is
+    safe at any corpus size. Docs shorter than 2 tokens emit no bigram
+    on either engine (Spark's sequence() would step BACKWARD from 1 to
+    0 — the size>=2 filter, not greatest(), is the correct guard)."""
+    docs = table(spark, sf, "documents").filter(F.length(F.trim("text")) > 0)
+    toks = F.split(F.lower(F.trim("text")), r"\s+")
+    big = (
+        docs.select("doc_id", toks.alias("toks"))
+        .filter(F.size("toks") >= 2)
+        .select(
+            "doc_id",
+            "toks",
+            F.explode(F.sequence(F.lit(1), F.size("toks") - 1)).alias("i"),
+        )
+        .select("doc_id", F.concat_ws(" ", F.slice("toks", F.col("i"), 2)).alias("bg"))
+    )
+    first = big.groupBy("bg").agg(F.min("doc_id").alias("first_doc"))
+    b = first.groupBy(F.expr("first_doc DIV 50").alias("bucket")).agg(
+        F.count(F.lit(1)).alias("new_grams")
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return b.select(
+        F.col("bucket").cast("long").alias("bucket"),
+        F.col("new_grams").cast("long").alias("new_grams"),
+        F.sum("new_grams").over(w).cast("long").alias("cum_vocab"),
+    )
+
+
+@query("phonetic_blocking")  # Soundex has no DuckDB twin — rows-only; gate in tests
+def phonetic_blocking(spark: SparkSession, sf: str) -> DataFrame:
+    """Entity-resolution candidate pairs over part names: Soundex-block
+    on the head noun, within-block self-join, exact Levenshtein verify
+    (operators/text.py:phonetic_blocking — block-size-capped, both
+    functions JVM built-ins). The catalog entry reports the BLOCK-level
+    summary (pair volumes per phonetic block, exact-dup vs near-dup
+    split) — the table a linkage engineer reads to tune the block key —
+    rather than the raw pair list, which is quadratic-in-block-size
+    bulk (~177k rows even at sf0.01). Rows-only: DuckDB has no
+    soundex(); tests/test_operators.py pins the blocking invariant
+    (every pair shares the block key), the verify bound (lev_dist <=
+    max_dist, cross-checked against a Python reference), and a planted
+    near-duplicate name pair being found."""
+    from devcontainers_etl_node_spark.operators import text as textops
+
+    part = table(spark, sf, "part")
+    pairs = textops.phonetic_blocking(part, "p_name", "p_partkey", max_dist=4)
+    return pairs.groupBy("block_key").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.count_if(F.col("lev_dist") == 0).alias("n_exact"),
+        F.count_if(F.col("lev_dist") > 0).alias("n_near"),
+        F.min("lev_dist").alias("min_dist"),
+        F.max("lev_dist").alias("max_dist"),
+    )

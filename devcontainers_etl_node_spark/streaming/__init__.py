@@ -1,6 +1,7 @@
 from devcontainers_etl_node_spark.streaming.pipeline import (
     click_purchase_join,
     deduped_events,
+    streaming_content_dedup,
     enriched_stream,
     fingerprint_sink,
     read_fingerprint_state,
@@ -18,6 +19,7 @@ __all__ = [
     "read_fingerprint_state",
     "hourly_event_counts",
     "deduped_events",
+    "streaming_content_dedup",
     "session_windows",
     "upsert_sink",
     "upsert_sink_partitioned",

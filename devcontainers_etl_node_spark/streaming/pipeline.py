@@ -33,6 +33,36 @@ def deduped_events(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     return events.withWatermark("ts", watermark).dropDuplicates(["event_id"])
 
 
+def streaming_content_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming twin of ``operators.dedup.exact_dedup``: content-hash
+    dedup over a document stream. The dedup key is sha2(text) — 32 fixed
+    bytes of state per distinct document regardless of document size, the
+    same never-shuffle-raw-text discipline as the batch operator — and
+    ``dropDuplicatesWithinWatermark`` (not plain dropDuplicates) so a
+    re-crawled/re-delivered document re-stamped with a slightly later
+    event time is still recognized as the same content, and key state is
+    EVICTED once the watermark passes it. Plain streaming dropDuplicates
+    would pin every content hash forever — unbounded state on an
+    unbounded crawl is the classic streaming-dedup OOM; within-watermark
+    eviction bounds state to the dedup horizon (exactly the guarantee an
+    ingest pipeline wants: "no dupes within N minutes of each other",
+    with global dedup left to the batch pass downstream).
+
+    The content hash is exposed as ``content_sha`` so a downstream batch
+    reconciliation can join on it without rehashing.
+    """
+    return (
+        docs.withColumn("content_sha", F.sha2(F.col(text_col), 256))
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["content_sha"])
+    )
+
+
 def hourly_event_counts(events: DataFrame, watermark: str = "30 minutes") -> DataFrame:
     """Tumbling 1h window × event_type counts + value sum; late rows beyond
     the watermark are dropped (documented Spark semantics)."""

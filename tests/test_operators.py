@@ -667,3 +667,62 @@ def test_bfs_distances_multi_source_and_cap(spark):
     src = spark.createDataFrame([(1,), (8,)], ["node"])
     got = {r.node: r.dist for r in bfs_distances(chain, src, max_hops=2).collect()}
     assert got == {1: 0, 8: 0, 2: 1, 7: 1, 3: 2, 6: 2}  # 4,5 beyond the cap
+
+
+# ---------------------------------------------------------------------------
+# phonetic blocking
+# ---------------------------------------------------------------------------
+
+
+def _py_levenshtein(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def test_phonetic_blocking_planted_pair_and_invariants(spark):
+    rows = [
+        (1, "red widget"),
+        (2, "red widgett"),     # planted near-dup: same soundex noun, dist 1
+        (3, "blue widget"),     # same block, dist 3 vs id 1
+        (4, "green sprocket"),  # different block entirely
+        (5, "small ring"),
+        (6, "small wring"),     # wring/ring share soundex R52 -> different? both R52
+    ]
+    df = spark.createDataFrame(rows, ["p_partkey", "p_name"])
+    out = textops.phonetic_blocking(df, "p_name", "p_partkey", max_dist=3).collect()
+    pairs = {(r.id_a, r.id_b): r for r in out}
+    # the planted near-duplicate is found with the right distance
+    assert (1, 2) in pairs and pairs[(1, 2)].lev_dist == 1
+    # "red widget" -> "blue widget" is 4 edits: same block, over the bound
+    assert (1, 3) not in pairs
+    # cross-block pairs never appear
+    assert all(4 not in (a, b) for a, b in pairs)
+    # every reported distance matches a Python reference and the bound
+    names = dict(rows)
+    for (a, b), r in pairs.items():
+        d = _py_levenshtein(names[a].lower(), names[b].lower())
+        assert r.lev_dist == d and d <= 3
+    # blocking invariant: both members share the soundex of their head noun
+    sdx = {
+        r.p_partkey: r.s
+        for r in df.select(
+            "p_partkey", F.soundex(F.element_at(F.split(F.lower("p_name"), r"\s+"), -1)).alias("s")
+        ).collect()
+    }
+    for (a, b), r in pairs.items():
+        assert sdx[a] == sdx[b] == r.block_key
+
+
+def test_phonetic_blocking_block_cap_drops_megablocks(spark):
+    # 30 members of one phonetic block with cap 10: the block is dropped
+    # entirely (no quadratic blowup); a small block elsewhere survives.
+    rows = [(i, f"{'x' * (i % 3)}red gear") for i in range(30)]
+    rows += [(100, "tiny bolt"), (101, "tiny bolt")]
+    df = spark.createDataFrame(rows, ["p_partkey", "p_name"])
+    out = textops.phonetic_blocking(df, "p_name", "p_partkey", max_dist=4, max_block=10).collect()
+    assert {(r.id_a, r.id_b) for r in out} == {(100, 101)}

@@ -136,6 +136,7 @@ def test_every_query_has_callable_and_oracle_consistency():
         "ann_pq",
         "ann_ivfpq",
         "pca_whiten",
+        "phonetic_blocking",
     }
 
 

@@ -572,3 +572,35 @@ def test_streaming_fingerprint_sink_matches_batch_digest(spark, tmp_path):
 
     current = (tgt / "_CURRENT").read_text().strip()
     assert os.path.exists(str(tgt / current / "_SUCCESS"))
+
+
+def test_streaming_content_dedup_batch_parity(spark, tmp_path):
+    """streaming_content_dedup suppresses re-delivered content whose
+    event time was re-stamped within the watermark (the at-least-once
+    crawler case), and its surviving content-hash set equals the batch
+    exact_dedup's on the same data — the parity a lambda-architecture
+    pipeline needs between its speed and batch layers."""
+    import datetime
+
+    from devcontainers_etl_node_spark.operators import dedup as dd
+    from devcontainers_etl_node_spark.streaming import streaming_content_dedup
+
+    t0 = datetime.datetime(2024, 1, 1, 10, 0, 0)
+    rows = [
+        (1, t0, "the exact same document body"),
+        (2, t0 + datetime.timedelta(seconds=3), "the exact same document body"),  # re-crawl
+        (3, t0 + datetime.timedelta(minutes=1), "a different document entirely"),
+        (4, t0 + datetime.timedelta(minutes=2), "the exact same document body"),  # still inside watermark
+        (5, t0 + datetime.timedelta(minutes=3), "third unique text"),
+    ]
+    schema = "doc_id LONG, ts TIMESTAMP, text STRING"
+    src = tmp_path / "scd_src"
+    spark.createDataFrame(rows, schema).write.mode("overwrite").parquet(str(src))
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    _run(streaming_content_dedup(stream, watermark="10 minutes"), "scd_out")
+    out = spark.sql("SELECT doc_id, content_sha FROM scd_out").collect()
+    # one survivor per distinct content, duplicates within watermark gone
+    assert len(out) == 3
+    batch = dd.exact_dedup(spark.createDataFrame(rows, schema))
+    batch_shas = {r.s for r in batch.select(F.sha2("text", 256).alias("s")).collect()}
+    assert {r.content_sha for r in out} == batch_shas
