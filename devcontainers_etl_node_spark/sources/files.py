@@ -73,3 +73,47 @@ def read_inventory_csv_tree(
         F.coalesce(F.col("stock_units").try_cast("int"), F.lit(0)).alias("stock_units"),
         F.col("object"),
     )
+
+
+def read_binary_tree(
+    spark: SparkSession,
+    root: str,
+    glob: str = "*",
+    max_bytes: int | None = None,
+) -> DataFrame:
+    """Raw media ingest: read a directory tree of opaque blobs (images,
+    audio, video segments) as one row per file via Spark's built-in
+    ``binaryFile`` source — (path, modificationTime, length, content).
+    This is how multimodal payloads LAND in the engine before the
+    operators in operators/multimodal.py (decode / resize / frame-sample)
+    take over; the parquet `media` columns those operators consume are
+    this scan's persisted form.
+
+    Scale notes: the source is splittable BY FILE (one file = one task
+    unit — fine for media corpora of many small-to-medium objects; a
+    single 1 TB file would not parallelize, but media files never look
+    like that). ``pathGlobFilter`` prunes at LISTING time — non-matching
+    objects are never opened — and ``modifiedAfter``/``modifiedBefore``
+    options compose for incremental loads. ``max_bytes`` guards executor
+    memory against a rogue giant object: content is NULLed (metadata
+    kept) rather than the row dropped, so the audit trail survives.
+    Works on any Hadoop-compatible FS (local in tests, ``s3a://`` in
+    production — same code path).
+    """
+    raw = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", glob)
+        .option("recursiveFileLookup", True)
+        .load(root)
+    )
+    if max_bytes is not None:
+        raw = raw.withColumn(
+            "content",
+            F.when(F.col("length") <= max_bytes, F.col("content")),
+        )
+    return raw.select(
+        F.col("path").alias("object"),
+        F.col("modificationTime").alias("modified_at"),
+        F.col("length").cast("long").alias("n_bytes"),
+        "content",
+    )

@@ -392,3 +392,38 @@ def fingerprint_sink(target_path: str, partition_col: str, canon_cols: list[str]
             shutil.rmtree(current, ignore_errors=True)  # best-effort GC
 
     return apply
+
+
+def read_stream_state(
+    spark,
+    checkpoint_path: str,
+    operator_id: int = 0,
+    store_name: str = "default",
+    batch_id: int | None = None,
+):
+    """Offline introspection of a streaming query's state store (Spark 4
+    ``statestore`` data source): read the keyed state a stateful operator
+    (dropDuplicates*/aggregation/join) has committed in ``checkpoint_path``
+    WITHOUT touching the running query. This is the on-call debugging
+    surface at scale — "why is this key still held / why did state grow
+    10x" is answered by querying the store like a table (key, value,
+    partition_id columns) instead of attaching a debugger to the cluster.
+    ``batch_id`` pins a specific committed micro-batch (time travel
+    across the retained history); default reads the latest commit.
+    """
+    r = (
+        spark.read.format("statestore")
+        .option("operatorId", operator_id)
+        .option("storeName", store_name)
+    )
+    if batch_id is not None:
+        r = r.option("batchId", batch_id)
+    return r.load(checkpoint_path)
+
+
+def read_state_metadata(spark, checkpoint_path: str):
+    """Companion ``state-metadata`` source: one row per stateful operator
+    in the checkpoint (operator id/name, partition count, min/max
+    committed batch) — the map you read FIRST to know which operatorId /
+    batch range ``read_stream_state`` can address."""
+    return spark.read.format("state-metadata").load(checkpoint_path)

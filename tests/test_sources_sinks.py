@@ -274,3 +274,29 @@ def test_csv_schema_drift_columns_union(spark, tmp_path):
     rows = {r.id: r for r in df.collect()}
     assert rows[1].channel is None
     assert rows[2].channel == "web"
+
+
+def test_binary_tree_media_ingest(spark, tmp_path):
+    """read_binary_tree: the raw media landing path — one row per blob
+    with provenance, listing-time glob pruning (non-matching files never
+    opened), recursive layout, and the max_bytes guard NULLing content
+    (metadata kept) instead of dropping the row."""
+    from devcontainers_etl_node_spark.sources.files import read_binary_tree
+
+    root = tmp_path / "media"
+    (root / "batch=1").mkdir(parents=True)
+    (root / "batch=2").mkdir()
+    (root / "batch=1" / "a.jpg").write_bytes(b"\xff\xd8\xff" + b"x" * 10)
+    (root / "batch=2" / "b.jpg").write_bytes(b"\xff\xd8\xff" + b"y" * 500)
+    (root / "batch=2" / "notes.txt").write_bytes(b"not media")
+
+    df = read_binary_tree(spark, str(root), glob="*.jpg")
+    rows = {r.object.rsplit("/", 1)[-1]: r for r in df.collect()}
+    assert set(rows) == {"a.jpg", "b.jpg"}  # txt pruned at listing
+    assert rows["a.jpg"].n_bytes == 13 and bytes(rows["a.jpg"].content)[:3] == b"\xff\xd8\xff"
+    assert rows["b.jpg"].modified_at is not None
+
+    guarded = read_binary_tree(spark, str(root), glob="*.jpg", max_bytes=100)
+    g = {r.object.rsplit("/", 1)[-1]: r for r in guarded.collect()}
+    assert g["a.jpg"].content is not None
+    assert g["b.jpg"].content is None and g["b.jpg"].n_bytes == 503  # audit row survives

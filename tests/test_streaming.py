@@ -604,3 +604,52 @@ def test_streaming_content_dedup_batch_parity(spark, tmp_path):
     batch = dd.exact_dedup(spark.createDataFrame(rows, schema))
     batch_shas = {r.s for r in batch.select(F.sha2("text", 256).alias("s")).collect()}
     assert {r.content_sha for r in out} == batch_shas
+
+
+def test_state_store_introspection(spark, tmp_path):
+    """Spark 4 statestore / state-metadata sources: after a checkpointed
+    run of streaming_content_dedup, the operator's keyed state is
+    queryable OFFLINE like a table — the on-call surface for "what is
+    this query holding and why" at scale. Asserts the metadata maps the
+    dedup operator, and that the committed keys are exactly the distinct
+    content hashes of the input (32-byte state per doc, never the text)."""
+    import datetime
+
+    from devcontainers_etl_node_spark.streaming import (
+        read_state_metadata,
+        read_stream_state,
+        streaming_content_dedup,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1, 10, 0, 0)
+    rows = [
+        (1, t0, "alpha body"),
+        (2, t0 + datetime.timedelta(seconds=5), "alpha body"),
+        (3, t0 + datetime.timedelta(minutes=1), "beta body"),
+    ]
+    schema = "doc_id LONG, ts TIMESTAMP, text STRING"
+    src = tmp_path / "sst_src"
+    ckpt = tmp_path / "sst_ckpt"
+    out = tmp_path / "sst_out"
+    spark.createDataFrame(rows, schema).write.mode("overwrite").parquet(str(src))
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    q = (
+        streaming_content_dedup(stream, watermark="10 minutes")
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", str(out))
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    meta = read_state_metadata(spark, str(ckpt)).collect()
+    assert len(meta) == 1
+    assert "dedupe" in meta[0].operatorName.lower()
+    op_id = meta[0].operatorId
+
+    state = read_stream_state(spark, str(ckpt), operator_id=op_id).collect()
+    expected = {r.content_sha for r in spark.read.parquet(str(out)).collect()}
+    assert len(expected) == 2  # alpha deduped
+    assert {r.key.content_sha for r in state} == expected
