@@ -78,6 +78,69 @@ def jaccard(a: Column, b: Column) -> Column:
     return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
 
 
+def shingle_hash_rows(base: DataFrame, shingle_k: int = 5) -> DataFrame:
+    """Exploded (`_id`, `_h`) rows: one xxhash64 per character shingle of
+    the whitespace-normalized text. `base` must carry (_id, _text).
+    Whole-stage codegen end to end (position explode + substr + hash) —
+    the shared front half of batch and incremental MinHash."""
+    norm = F.lower(F.regexp_replace(F.trim(F.col("_text")), r"\s+", " "))
+    return (
+        base.withColumn("_norm", norm)
+        .select(
+            "_id",
+            "_norm",
+            F.explode(
+                F.sequence(F.lit(1), F.greatest(F.length("_norm") - (shingle_k - 1), F.lit(1)))
+            ).alias("_pos"),
+        )
+        .select(
+            "_id",
+            F.xxhash64(F.col("_norm").substr(F.col("_pos"), F.lit(shingle_k))).alias("_h"),
+        )
+    )
+
+
+def minhash_signature_table(shingle_rows: DataFrame, num_hashes: int = 32) -> DataFrame:
+    """(`_id`, `_sig`: array<long>[num_hashes]) from exploded shingle-hash
+    rows: one groupBy computing every seeded min as a codegen'd aggregate,
+    seeds spread into the input bits (xxhash64(seed<<48 XOR h) — the
+    seed-chained form is degenerate, see PERF.md), then packed into ONE
+    array column so downstream joins stay 2 columns wide. This is the
+    table an incremental dedup run PERSISTS between runs (~num_hashes
+    longs per doc): re-signing the historical corpus is the cost
+    ``minhash_incremental_pairs`` exists to avoid."""
+    return (
+        shingle_rows.groupBy("_id")
+        .agg(
+            *[
+                F.min(F.xxhash64(F.shiftleft(F.lit(i + 1), 48).bitwiseXOR(F.col("_h")))).alias(f"h{i}")
+                for i in range(num_hashes)
+            ]
+        )
+        .select("_id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("_sig"))
+    )
+
+
+def banded_signatures(sig: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+    """(_id, band, bh) rows: each signature cut into `bands` bands whose
+    bucket key is xxhash64(band, rows...) — the join side of LSH."""
+    rows = num_hashes // bands
+    return sig.select(
+        "_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(F.lit(b), *[F.col("_sig")[b * rows + i] for i in range(rows)]).alias("bh"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("_id", F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh"))
+
+
 def band_candidate_pairs(sig: DataFrame, num_hashes: int, bands: int) -> DataFrame:
     """LSH banding + bucket self-join over a signature table.
 
@@ -95,21 +158,7 @@ def band_candidate_pairs(sig: DataFrame, num_hashes: int, bands: int) -> DataFra
     the measured effect. Exposed as its own function so the skewed-input
     plan can be asserted without running the full text pipeline.
     """
-    rows = num_hashes // bands
-    banded = sig.select(
-        "_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(F.lit(b), *[F.col("_sig")[b * rows + i] for i in range(rows)]).alias("bh"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bk"),
-    ).select("_id", F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh"))
+    banded = banded_signatures(sig, num_hashes, bands)
 
     return (
         banded.alias("a")
@@ -192,36 +241,12 @@ def minhash_lsh_pairs(
     # through the hash state. See PERF.md.)
     # Persisted: read twice (signature agg + the verify-stage semi-join);
     # 16 B/row hashed longs, disk-backed, strictly cheaper than recompute.
-    norm = F.lower(F.regexp_replace(F.trim(F.col("_text")), r"\s+", " "))
-    shingle_rows = (
-        base.withColumn("_norm", norm)
-        .select(
-            "_id",
-            "_norm",
-            F.explode(
-                F.sequence(F.lit(1), F.greatest(F.length("_norm") - (shingle_k - 1), F.lit(1)))
-            ).alias("_pos"),
-        )
-        .select(
-            "_id",
-            F.xxhash64(F.col("_norm").substr(F.col("_pos"), F.lit(shingle_k))).alias("_h"),
-        )
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    shingle_rows = shingle_hash_rows(base, shingle_k).persist(StorageLevel.MEMORY_AND_DISK)
     # The signature table is read 3x downstream (band self-join x2, est-
     # prune). It is tiny — num_hashes longs per doc (~128 B/doc, ~1.3 GB
     # per 10M docs) — so persist it instead of recomputing the explode+agg
     # lineage each time; disk-backed so it spills, never OOMs.
-    sig = (
-        shingle_rows.groupBy("_id")
-        .agg(
-            *[
-                F.min(F.xxhash64(F.shiftleft(F.lit(i + 1), 48).bitwiseXOR(F.col("_h")))).alias(f"h{i}")
-                for i in range(num_hashes)
-            ]
-        )
-        .select("_id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("_sig"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    sig = minhash_signature_table(shingle_rows, num_hashes).persist(StorageLevel.MEMORY_AND_DISK)
     # eager materialization: the self-join scans sig concurrently, and two
     # stages racing on a cold cache each compute the full lineage. One
     # count() pins the cache before fan-out (this op is terminal anyway).
@@ -297,6 +322,125 @@ def minhash_lsh_pairs(
     for cached in (shingle_rows, sig, cand):
         cached.unpersist()
     return out
+
+
+def minhash_incremental_pairs(
+    existing_docs: DataFrame,
+    existing_sigs: DataFrame,
+    new_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 5,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+) -> tuple[DataFrame, DataFrame]:
+    """Incremental MinHash dedup: near-dup pairs INVOLVING newly arrived
+    docs, reusing the persisted signature table of the historical corpus.
+
+    The production cadence at 100 TB is not "re-dedup the world nightly":
+    signatures are computed once per document ever (the dominant cost —
+    a full corpus scan + shingle pass), persisted (~num_hashes longs/doc,
+    built by ``minhash_signature_table``), and each ingest batch only
+    (a) signs ITS OWN docs, (b) band-joins new against old∪new, and
+    (c) exact-verifies the candidates — re-shingling OLD text only for
+    the (tiny) candidate set via a semi-join, never corpus-wide.
+    Old×old pairs were already reported by earlier runs and are excluded
+    by construction (the band join keeps pairs with ≥1 new side).
+
+    Returns ``(pairs, merged_sigs)``: `pairs` is checkpointed (safe to
+    consume after the persisted intermediates are released); `merged_sigs`
+    is the signature table for the NEXT run — lazy, the caller persists
+    it (parquet) as the new snapshot. Parity is pinned in tests: pairs ==
+    the full-batch pair set restricted to pairs touching a new id, and
+    merged_sigs == a from-scratch rebuild.
+
+    `existing_sigs` must have been built with the SAME (shingle_k,
+    num_hashes) — signatures from different parameters never collide
+    correctly; like every LSH index, parameters are part of the snapshot
+    contract (callers should store them alongside the parquet).
+    """
+    from pyspark import StorageLevel
+
+    from devcontainers_etl_node_spark.operators.skew import spread
+
+    new_base = spread(
+        new_docs.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_text"))
+    )
+    new_shingles = shingle_hash_rows(new_base, shingle_k).persist(StorageLevel.MEMORY_AND_DISK)
+    new_sigs = minhash_signature_table(new_shingles, num_hashes).persist(StorageLevel.MEMORY_AND_DISK)
+    new_sigs.count()
+
+    all_sigs = existing_sigs.select("_id", "_sig").unionByName(new_sigs)
+    # band join: ALL (old∪new) against NEW only — old×old pairs never form.
+    # Pair order is normalized (least, greatest) because an old id may be
+    # larger or smaller than a new id; new×new pairs arise twice (once per
+    # orientation) and collapse in the dropDuplicates.
+    banded_all = banded_signatures(all_sigs, num_hashes, bands)
+    banded_new = banded_signatures(new_sigs, num_hashes, bands)
+    cand = (
+        banded_all.alias("a")
+        .join(
+            banded_new.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a._id") != F.col("b._id")),
+        )
+        .select(
+            F.least(F.col("a._id"), F.col("b._id")).alias("id_a"),
+            F.greatest(F.col("a._id"), F.col("b._id")).alias("id_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    est = (
+        F.size(
+            F.filter(F.zip_with(F.col("_sa"), F.col("_sb"), lambda a, b: a == b), lambda x: x)
+        ).cast("double")
+        / F.lit(float(num_hashes))
+    )
+    est_cut = max(0.0, threshold - 2.5 * (threshold * (1 - threshold) / num_hashes) ** 0.5)
+    cand = (
+        cand.join(all_sigs.select(F.col("_id").alias("id_a"), F.col("_sig").alias("_sa")), "id_a")
+        .join(all_sigs.select(F.col("_id").alias("id_b"), F.col("_sig").alias("_sb")), "id_b")
+        .filter(est >= est_cut)
+        .select("id_a", "id_b")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    cand.count()
+
+    # exact verify: shingle sets for candidate docs only — new side from
+    # the already-persisted new shingle rows, old side re-shingled from
+    # existing_docs AFTER a semi-join down to candidate members (the only
+    # touch of historical text, proportional to candidates, not corpus).
+    cand_ids = cand.select(F.col("id_a").alias("_id")).union(cand.select(F.col("id_b"))).distinct()
+    old_base = existing_docs.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_text"))
+    old_cand_shingles = shingle_hash_rows(old_base.join(cand_ids, "_id", "left_semi"), shingle_k)
+    sh = (
+        new_shingles.join(cand_ids, "_id", "left_semi")
+        .unionByName(old_cand_shingles)
+        .groupBy("_id")
+        .agg(F.collect_set("_h").alias("_sh"))
+        .select("_id", "_sh", F.size("_sh").alias("_n"))
+    )
+    n_int = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b"))).cast("double")
+    verified = (
+        cand.join(
+            sh.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a"), F.col("_n").alias("na")),
+            "id_a",
+        )
+        .join(
+            sh.select(F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b"), F.col("_n").alias("nb")),
+            "id_b",
+        )
+        .withColumn("jaccard_sim", n_int / (F.col("na") + F.col("nb") - n_int))
+        .filter(F.col("jaccard_sim") >= threshold)
+    )
+    pairs = verified.select("id_a", "id_b", "jaccard_sim").localCheckpoint(eager=True)
+    merged_sigs = existing_sigs.select("_id", "_sig").unionByName(
+        minhash_signature_table(shingle_hash_rows(new_base, shingle_k), num_hashes)
+    )
+    for cached in (new_shingles, new_sigs, cand):
+        cached.unpersist()
+    return pairs, merged_sigs
 
 
 def ngram_jaccard_pairs(

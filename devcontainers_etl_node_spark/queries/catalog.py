@@ -7670,3 +7670,32 @@ def phonetic_blocking(spark: SparkSession, sf: str) -> DataFrame:
         F.min("lev_dist").alias("min_dist"),
         F.max("lev_dist").alias("max_dist"),
     )
+
+
+@query("minhash_incremental")  # MinHash is non-SQL — rows-only; parity gate in tests
+def minhash_incremental(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental MinHash dedup (operators/dedup.py:
+    minhash_incremental_pairs): the corpus is split into a historical
+    half (doc_id below the median) whose signature table is REUSED, and
+    an arriving half that alone is signed — the band join then reports
+    only pairs touching a new doc. This is the production dedup cadence
+    at 100 TB: signatures are computed once per document ever and
+    persisted; each ingest batch pays only its own signing plus a
+    candidate-bounded verify that re-shingles historical TEXT only for
+    semi-joined candidate members. tests/test_operators.py pins full-
+    batch parity (incremental pairs == batch pairs touching a new id;
+    merged signature snapshot == from-scratch rebuild)."""
+    docs = table(spark, sf, "documents")
+    mid = docs.agg(F.expr("percentile_approx(doc_id, 0.5)")).collect()[0][0]
+    old_docs = docs.filter(F.col("doc_id") <= mid)
+    new_docs = docs.filter(F.col("doc_id") > mid)
+    old_sigs = dedup.minhash_signature_table(
+        dedup.shingle_hash_rows(
+            old_docs.select(F.col("doc_id").alias("_id"), F.col("text").alias("_text"))
+        ),
+        num_hashes=16,
+    )
+    pairs, _ = dedup.minhash_incremental_pairs(
+        old_docs, old_sigs, new_docs, threshold=0.5, num_hashes=16, bands=4
+    )
+    return pairs

@@ -726,3 +726,57 @@ def test_phonetic_blocking_block_cap_drops_megablocks(spark):
     df = spark.createDataFrame(rows, ["p_partkey", "p_name"])
     out = textops.phonetic_blocking(df, "p_name", "p_partkey", max_dist=4, max_block=10).collect()
     assert {(r.id_a, r.id_b) for r in out} == {(100, 101)}
+
+
+# ---------------------------------------------------------------------------
+# incremental minhash
+# ---------------------------------------------------------------------------
+
+
+def test_minhash_incremental_parity(spark):
+    """Incremental run (reusing the historical signature table) must find
+    exactly the full-batch pairs that touch a new doc — old×old pairs are
+    earlier runs' output and must not reappear — and the merged signature
+    snapshot must equal a from-scratch rebuild."""
+    base = "the quick brown fox jumps over the lazy dog and runs far away into the woods tonight"
+    old_rows = [
+        (1, base),
+        (2, base.replace("lazy", "sleepy")),  # old x old near-dup
+        (3, "an old standalone document about completely different topics and themes"),
+    ] + [(10 + i, f"historical filler number {i} with distinct vocabulary items {i * 31}") for i in range(10)]
+    new_rows = [
+        (101, base.replace("tonight", "today")),  # new x old near-dup (vs 1)
+        (102, "fresh arrival text that is almost a twin of the next document body here"),
+        (103, "fresh arrival text that is almost a twin of the next document body there"),  # new x new
+        (110, "an unrelated brand-new document with nothing shared at all whatsoever"),
+    ]
+    old_df = spark.createDataFrame(old_rows, ["doc_id", "text"])
+    new_df = spark.createDataFrame(new_rows, ["doc_id", "text"])
+    full_df = old_df.unionByName(new_df)
+
+    full_pairs = {
+        (r.id_a, r.id_b) for r in dedup.minhash_lsh_pairs(full_df, threshold=0.5).collect()
+    }
+    new_ids = {r[0] for r in new_rows}
+    expected = {(a, b) for a, b in full_pairs if a in new_ids or b in new_ids}
+    assert any(a in new_ids and b in new_ids for a, b in expected)  # new x new planted
+    assert any((a in new_ids) != (b in new_ids) for a, b in expected)  # new x old planted
+
+    old_sigs = dedup.minhash_signature_table(
+        dedup.shingle_hash_rows(
+            old_df.select(F.col("doc_id").alias("_id"), F.col("text").alias("_text"))
+        )
+    )
+    pairs, merged = dedup.minhash_incremental_pairs(old_df, old_sigs, new_df, threshold=0.5)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert got == expected
+    assert (1, 2) not in got  # old x old excluded by construction
+
+    rebuilt = dedup.minhash_signature_table(
+        dedup.shingle_hash_rows(
+            full_df.select(F.col("doc_id").alias("_id"), F.col("text").alias("_text"))
+        )
+    )
+    m = {r._id: list(r._sig) for r in merged.collect()}
+    r = {r._id: list(r._sig) for r in rebuilt.collect()}
+    assert m == r

@@ -137,6 +137,7 @@ def test_every_query_has_callable_and_oracle_consistency():
         "ann_ivfpq",
         "pca_whiten",
         "phonetic_blocking",
+        "minhash_incremental",
     }
 
 
