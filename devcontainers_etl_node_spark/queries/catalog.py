@@ -7699,3 +7699,116 @@ def minhash_incremental(spark: SparkSession, sf: str) -> DataFrame:
         old_docs, old_sigs, new_docs, threshold=0.5, num_hashes=16, bands=4
     )
     return pairs
+
+
+@query(
+    "corpus_drift",
+    """
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+        FROM documents WHERE length(trim(text)) > 0),
+    half AS (
+        SELECT tok, CASE WHEN doc_id < (SELECT MAX(doc_id)/2 FROM documents)
+                         THEN 'old' ELSE 'new' END AS half
+        FROM tok),
+    c AS (
+        SELECT tok,
+               COUNT(*) FILTER (half = 'old') AS n_old,
+               COUNT(*) FILTER (half = 'new') AS n_new
+        FROM half GROUP BY tok),
+    t AS (SELECT SUM(n_old) AS t_old, SUM(n_new) AS t_new FROM c)
+    SELECT tok,
+           CAST(n_old AS BIGINT) AS n_old,
+           CAST(n_new AS BIGINT) AS n_new,
+           CAST(abs(n_old * t_new - n_new * t_old) AS BIGINT) AS drift_x
+    FROM c, t
+    ORDER BY drift_x DESC, tok
+    LIMIT 20
+    """,
+)
+def corpus_drift(spark: SparkSession, sf: str) -> DataFrame:
+    """Token-distribution drift between two corpus snapshots (here: the
+    lower- and upper-doc_id halves standing in for last month's and this
+    month's crawl) — the monitoring query a data team runs before mixing
+    a new snapshot into training: which tokens changed share the most?
+    Share difference |n_old/t_old - n_new/t_new| is ranked by the
+    INTEGER cross-multiplication |n_old*t_new - n_new*t_old| — identical
+    ordering, zero floats, so both engines agree bit-for-bit (the same
+    ln-free trick as pmi_cooccurrence). Plan: one explode pass → one
+    conditional-count aggregate per token (map-side partial combine on
+    the token key) → a 1-row total joined back as a broadcast scalar →
+    top-20 window-free ORDER BY LIMIT (TakeOrdered, no full sort at
+    scale)."""
+    docs = table(spark, sf, "documents").filter(F.length(F.trim("text")) > 0)
+    mid = table(spark, sf, "documents").agg((F.max("doc_id") / 2).alias("m"))
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("tok")
+    )
+    c = (
+        tok.join(F.broadcast(mid))
+        .withColumn("half", F.when(F.col("doc_id") < F.col("m"), "old").otherwise("new"))
+        .groupBy("tok")
+        .agg(
+            F.count_if(F.col("half") == "old").alias("n_old"),
+            F.count_if(F.col("half") == "new").alias("n_new"),
+        )
+    )
+    t = c.agg(F.sum("n_old").alias("t_old"), F.sum("n_new").alias("t_new"))
+    return (
+        c.join(F.broadcast(t))
+        .select(
+            "tok",
+            F.col("n_old").cast("long").alias("n_old"),
+            F.col("n_new").cast("long").alias("n_new"),
+            F.abs(F.col("n_old") * F.col("t_new") - F.col("n_new") * F.col("t_old"))
+            .cast("long")
+            .alias("drift_x"),
+        )
+        .orderBy(F.desc("drift_x"), "tok")
+        .limit(20)
+    )
+
+
+@query(
+    "length_buckets",
+    """
+    WITH t AS (
+        SELECT doc_id,
+               len(string_split_regex(lower(trim(text)), '\\s+')) AS n_tokens
+        FROM documents WHERE length(trim(text)) > 0),
+    b AS (
+        SELECT doc_id, n_tokens,
+               CAST(POW(2, CEIL(LOG2(GREATEST(n_tokens, 1)))) AS BIGINT) AS bucket
+        FROM t)
+    SELECT bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+           CAST(SUM(bucket - n_tokens) AS BIGINT) AS padding_waste
+    FROM b GROUP BY bucket
+    """,
+)
+def length_buckets(spark: SparkSession, sf: str) -> DataFrame:
+    """Power-of-2 length bucketing — the batching-prep op of every
+    training pipeline: documents padded to the next 2^k token boundary
+    batch together without ragged tensors, and the per-bucket
+    padding_waste column is the exact token cost of that choice (the
+    number a team compares against sequence-packing's zero waste —
+    catalog twin `sequence_pack`). The Spark bucket boundary is a
+    generated 31-arm CASE over power-of-2 thresholds — integer
+    comparisons end to end, no pow/log2 float round-trip (the
+    cross-engine float trap NOTES.md bans); DuckDB's LOG2/CEIL on an
+    integer argument is exact for these magnitudes, so both engines
+    produce the identical bigint bucket. One explode-free map pass +
+    one aggregate on ~30 bucket keys."""
+    docs = table(spark, sf, "documents").filter(F.length(F.trim("text")) > 0)
+    n = F.size(F.split(F.lower(F.trim("text")), r"\s+"))
+    bucket = F.when(n <= 1, F.lit(1).cast("long"))
+    for k in range(1, 31):
+        bucket = bucket.when(n <= (1 << k), F.lit(1 << k).cast("long"))
+    bucket = bucket.otherwise(F.lit(1 << 31).cast("long"))
+    b = docs.select(n.alias("n_tokens"), bucket.alias("bucket"))
+    return b.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("sum_tokens"),
+        F.sum(F.col("bucket") - F.col("n_tokens")).cast("long").alias("padding_waste"),
+    )
