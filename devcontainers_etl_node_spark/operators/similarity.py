@@ -626,3 +626,67 @@ def pca_whiten(
     ).select(
         F.col("_id").alias(id_col), "whitened"
     )
+
+
+def train_ivf_centroids(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_iter: int = 10,
+    train_fraction: float | None = None,
+) -> DataFrame:
+    """Train the IVF coarse quantizer once and hand back its centroids as
+    a (centroid: int, ctr_vec: array<double>) DataFrame — the artifact an
+    incremental index PERSISTS between ingest batches (O(n_centroids x
+    dim), driver-tiny). Same KMeans discipline as ivf_topk: bounded Lloyd
+    iterations, optional training sample."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    c = corpus.select(array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"))
+    train = c.sample(fraction=train_fraction, seed=seed) if train_fraction else c
+    model = KMeans(k=n_centroids, seed=seed, maxIter=max_iter, featuresCol="features").fit(train)
+    centers = [(i, [float(x) for x in ctr]) for i, ctr in enumerate(model.clusterCenters())]
+    return corpus.sparkSession.createDataFrame(centers, "centroid INT, ctr_vec ARRAY<DOUBLE>")
+
+
+def ivf_assign(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign vectors to their nearest centroid of a FROZEN coarse
+    quantizer — the incremental half of IVF index maintenance: ingest
+    batches do NOT retrain KMeans (that would re-list the whole corpus);
+    they assign new vectors against the persisted centroid table from
+    ``train_ivf_centroids`` and append to the inverted lists. Retraining
+    happens only when drift (e.g. `corpus_drift`-style monitoring on
+    list sizes) says the quantizer is stale.
+
+    Plan: centroid table broadcast, cross join + squared-euclidean fold
+    (the metric KMeans assigns with), then one min_by groupBy per vector.
+    The cross-join rows stay co-partitioned with their input vector, so
+    the partial aggregation collapses them MAP-SIDE; the shuffle moves
+    one row per vector, not n_centroids. Ties break to the lowest
+    centroid id (struct ordering), so assignment is deterministic.
+    Returns (id, centroid).
+    """
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col(vec_col),
+            F.col("ctr_vec"),
+            lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        vectors.select(F.col(id_col).alias("_id"), F.col(vec_col).alias(vec_col))
+        .crossJoin(F.broadcast(centroids))
+        .withColumn("_d2", d2)
+        .groupBy("_id")
+        .agg(F.min_by("centroid", F.struct("_d2", "centroid")).alias("centroid"))
+        .select(F.col("_id").alias(id_col), "centroid")
+    )

@@ -7812,3 +7812,96 @@ def length_buckets(spark: SparkSession, sf: str) -> DataFrame:
         F.sum("n_tokens").cast("long").alias("sum_tokens"),
         F.sum(F.col("bucket") - F.col("n_tokens")).cast("long").alias("padding_waste"),
     )
+
+
+@query(
+    "rolling_anomaly",
+    """
+    WITH d AS (
+        SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+               CAST(COUNT(*) AS BIGINT) AS x
+        FROM events GROUP BY 1),
+    w AS (
+        SELECT day, x,
+               CAST(COUNT(x)  OVER win AS BIGINT) AS n,
+               CAST(SUM(x)    OVER win AS BIGINT) AS s1,
+               CAST(SUM(x*x)  OVER win AS BIGINT) AS s2
+        FROM d
+        WINDOW win AS (ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+    SELECT day, x, n, s1, s2,
+           CASE WHEN n >= 3
+                 AND (n*x - s1)*(n*x - s1) > 9 * (n*s2 - s1*s1)
+                 AND n*s2 - s1*s1 > 0
+                THEN 1 ELSE 0 END AS is_anomaly
+    FROM w
+    """,
+)
+def rolling_anomaly(spark: SparkSession, sf: str) -> DataFrame:
+    """Rolling z-score anomaly flags on daily event volume — the ops
+    monitor every ingest pipeline runs ("did yesterday's crawl volume
+    spike 3σ against the trailing week?"). The trailing window covers
+    the 7 PRIOR days (never the current one — self-inclusion shrinks
+    the deviation it is testing), needs ≥3 observations, and the 3σ
+    test is INTEGER-EXACT: z > k ⟺ (n·x − Σx)² > k²·(n·Σx² − (Σx)²),
+    the cross-multiplied form with no mean, no sqrt, no float — so both
+    engines agree bit-for-bit (the ln-free discipline of corpus_drift /
+    pmi_cooccurrence applied to variance). The zero-variance guard
+    (flat weeks) is explicit rather than a division blowing up. Plan:
+    one groupBy day (map-side combine on ~day-count keys) + one tiny
+    window over days — at 100 TB the window input is #days rows, not
+    events."""
+    ev = table(spark, sf, "events")
+    d = ev.groupBy(
+        F.date_format(F.col("ts").cast("date"), "yyyy-MM-dd").alias("day")
+    ).agg(F.count(F.lit(1)).alias("x"))
+    win = Window.orderBy("day").rowsBetween(-7, -1)
+    w = d.select(
+        "day",
+        "x",
+        F.count("x").over(win).alias("n"),
+        F.sum("x").over(win).alias("s1"),
+        F.sum(F.col("x") * F.col("x")).over(win).alias("s2"),
+    )
+    dev = F.col("n") * F.col("x") - F.col("s1")
+    var_n2 = F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")
+    return w.select(
+        "day",
+        "x",
+        F.col("n").cast("long").alias("n"),
+        F.col("s1").cast("long").alias("s1"),
+        F.col("s2").cast("long").alias("s2"),
+        F.when((F.col("n") >= 3) & (dev * dev > 9 * var_n2) & (var_n2 > 0), 1)
+        .otherwise(0)
+        .alias("is_anomaly"),
+    )
+
+
+@query("ivf_incremental")  # KMeans quantizer is non-SQL — rows-only; parity gate in tests
+def ivf_incremental(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental IVF index maintenance (operators/similarity.py:
+    train_ivf_centroids + ivf_assign): the coarse quantizer is trained
+    ONCE on the historical half of the embeddings (vec_id below the
+    median) and frozen; the arriving half is assigned against the
+    persisted centroid table without any retrain — the ingest cadence of
+    a production vector index. Output is the per-centroid list-growth
+    report (old vs new member counts), i.e. the drift monitor that
+    decides when the quantizer is stale enough to retrain.
+    tests/test_operators.py pins assignment parity against a numpy
+    argmin over the same centroids."""
+    from devcontainers_etl_node_spark.operators import similarity as sim
+
+    emb = table(spark, sf, "embeddings")
+    mid = emb.agg(F.expr("percentile_approx(vec_id, 0.5)")).collect()[0][0]
+    old = emb.filter(F.col("vec_id") <= mid)
+    new = emb.filter(F.col("vec_id") > mid)
+    cent = sim.train_ivf_centroids(old, n_centroids=8)
+    a_old = sim.ivf_assign(old, cent).withColumn("half", F.lit("old"))
+    a_new = sim.ivf_assign(new, cent).withColumn("half", F.lit("new"))
+    return (
+        a_old.unionByName(a_new)
+        .groupBy("centroid")
+        .agg(
+            F.count_if(F.col("half") == "old").alias("n_old"),
+            F.count_if(F.col("half") == "new").alias("n_new"),
+        )
+    )

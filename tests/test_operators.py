@@ -780,3 +780,34 @@ def test_minhash_incremental_parity(spark):
     m = {r._id: list(r._sig) for r in merged.collect()}
     r = {r._id: list(r._sig) for r in rebuilt.collect()}
     assert m == r
+
+
+# ---------------------------------------------------------------------------
+# incremental IVF assignment
+# ---------------------------------------------------------------------------
+
+
+def test_ivf_assign_matches_numpy_argmin(spark):
+    """Frozen-quantizer assignment must equal the numpy argmin over the
+    same centroid table — and assigning NEW vectors against centroids
+    trained only on OLD data (the incremental cadence) still routes each
+    planted vector to its own cluster's centroid."""
+    rng = np.random.default_rng(5)
+    centers = rng.normal(size=(4, 8)) * 10
+    old = [(i, (centers[i % 4] + rng.normal(size=8) * 0.05).tolist()) for i in range(40)]
+    new = [(100 + i, (centers[i % 4] + rng.normal(size=8) * 0.05).tolist()) for i in range(12)]
+    old_df = spark.createDataFrame(old, ["vec_id", "embedding"])
+    new_df = spark.createDataFrame(new, ["vec_id", "embedding"])
+
+    cent = similarity.train_ivf_centroids(old_df, n_centroids=4, seed=7)
+    ctr = {r.centroid: np.array(r.ctr_vec) for r in cent.collect()}
+    got = {r.vec_id: r.centroid for r in similarity.ivf_assign(new_df, cent).collect()}
+    assert set(got) == {100 + i for i in range(12)}
+    for vid, emb in new:
+        d2 = {c: float(((np.array(emb) - v) ** 2).sum()) for c, v in ctr.items()}
+        assert got[vid] == min(d2, key=lambda c: (d2[c], c))
+    # planted-cluster consistency: vectors from the same cluster agree
+    by_cluster = {}
+    for vid, _ in new:
+        by_cluster.setdefault(vid % 4, set()).add(got[vid])
+    assert all(len(v) == 1 for v in by_cluster.values())

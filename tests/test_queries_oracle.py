@@ -138,6 +138,7 @@ def test_every_query_has_callable_and_oracle_consistency():
         "pca_whiten",
         "phonetic_blocking",
         "minhash_incremental",
+        "ivf_incremental",
     }
 
 
