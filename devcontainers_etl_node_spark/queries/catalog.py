@@ -7905,3 +7905,219 @@ def ivf_incremental(spark: SparkSession, sf: str) -> DataFrame:
             F.count_if(F.col("half") == "new").alias("n_new"),
         )
     )
+
+
+@query(
+    "dataset_card",
+    """
+    WITH t AS (
+        SELECT source, lang,
+               len(string_split_regex(lower(trim(text)), '\\s+')) AS n_tokens,
+               length(text) AS n_chars
+        FROM documents WHERE length(trim(text)) > 0)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(MIN(n_tokens) AS BIGINT) AS min_tokens,
+           CAST(MAX(n_tokens) AS BIGINT) AS max_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM t GROUP BY source
+    """,
+)
+def dataset_card(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source datasheet — the governance summary (Gebru et al.'s
+    "Datasheets for Datasets" reduced to its quantitative core) every
+    corpus snapshot ships with: how many documents and tokens each
+    source contributes, its language spread, and its length envelope.
+    All counts integer-exact; one aggregate with map-side combine on the
+    handful of source keys. At 100 TB this is the query that runs LAST
+    in a curation pass and gets pasted into the release notes — cheap by
+    construction because it touches only (source, lang, two lengths) per
+    doc, never the text twice."""
+    docs = table(spark, sf, "documents").filter(F.length(F.trim("text")) > 0)
+    t = docs.select(
+        "source",
+        "lang",
+        F.size(F.split(F.lower(F.trim("text")), r"\s+")).alias("n_tokens"),
+        F.length("text").alias("n_chars"),
+    )
+    return t.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.min("n_tokens").cast("long").alias("min_tokens"),
+        F.max("n_tokens").cast("long").alias("max_tokens"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )
+
+
+@query(
+    "partition_skew_audit",
+    """
+    WITH c AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY user_id),
+    t AS (SELECT CAST(SUM(n) AS BIGINT) AS total, CAST(COUNT(*) AS BIGINT) AS n_keys,
+                 CAST(MAX(n) AS BIGINT) AS max_n FROM c)
+    SELECT user_id, n, total, n_keys,
+           CAST(n * n_keys AS BIGINT) AS hot_x
+    FROM c, t
+    ORDER BY n DESC, user_id
+    LIMIT 20
+    """,
+)
+def partition_skew_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """Pre-join skew reconnaissance: the top-20 heaviest join keys with
+    the exact numbers a planner (human or AQE) needs — per-key row count
+    n, the table total, the key cardinality, and the integer-exact
+    hot-ness cross-product n·n_keys (key is "hot" when this exceeds the
+    total, i.e. n > mean — comparable across engines without a float
+    mean). This is the query you run BEFORE shipping a join on user_id
+    at 100 TB: it decides between a plain shuffle, `salted_join`
+    (operators/skew.py), or a broadcast. One partial-agg groupBy + a
+    1-row broadcast total + TakeOrdered(20) — no full sort."""
+    ev = table(spark, sf, "events")
+    c = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    t = c.agg(
+        F.sum("n").cast("long").alias("total"),
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.max("n").cast("long").alias("max_n"),
+    )
+    return (
+        c.join(F.broadcast(t.select("total", "n_keys")))
+        .select(
+            "user_id",
+            F.col("n").cast("long").alias("n"),
+            "total",
+            "n_keys",
+            (F.col("n") * F.col("n_keys")).cast("long").alias("hot_x"),
+        )
+        .orderBy(F.desc("n"), "user_id")
+        .limit(20)
+    )
+
+
+@query(
+    "winsorize_stats",
+    """
+    WITH q AS (
+        SELECT event_type,
+               CAST(MIN(value) AS DOUBLE) AS vmin,
+               CAST(MAX(value) AS DOUBLE) AS vmax,
+               (SELECT v FROM (SELECT value AS v, row_number() OVER (ORDER BY value, event_id) AS rn,
+                                      COUNT(*) OVER () AS cnt
+                               FROM events e2 WHERE e2.event_type = e1.event_type) s
+                WHERE rn = GREATEST(CAST(CEIL(cnt * 0.05) AS BIGINT), 1)) AS p05,
+               (SELECT v FROM (SELECT value AS v, row_number() OVER (ORDER BY value, event_id) AS rn,
+                                      COUNT(*) OVER () AS cnt
+                               FROM events e2 WHERE e2.event_type = e1.event_type) s
+                WHERE rn = GREATEST(CAST(CEIL(cnt * 0.95) AS BIGINT), 1)) AS p95
+        FROM events e1 GROUP BY event_type)
+    SELECT e.event_type,
+           CAST(COUNT(*) FILTER (e.value < q.p05) AS BIGINT) AS n_clipped_low,
+           CAST(COUNT(*) FILTER (e.value > q.p95) AS BIGINT) AS n_clipped_high,
+           CAST(SUM(CAST(LEAST(GREATEST(e.value, q.p05), q.p95) AS DECIMAL(18,4))) AS DOUBLE)
+               AS sum_winsorized
+    FROM events e JOIN q ON e.event_type = q.event_type
+    GROUP BY e.event_type
+    """,
+)
+def winsorize_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Winsorization audit per event type: clip values to the exact
+    nearest-rank [p05, p95] fence and report how many rows each tail
+    clipped plus the winsorized sum — the outlier treatment a feature
+    pipeline applies before normalization (clipping beats dropping when
+    volume itself is signal). Fences are NEAREST-RANK elements (actual
+    data values, fully tie-broken by event_id) — interpolation-free, so
+    both engines pick the identical element (the group_quantiles
+    discipline); the sum goes through decimal before the final double
+    (the money-math rule). Plan: one window pass ranks within each type
+    (shuffle on the type key), fences reduce to a 6-row broadcast, and
+    the clip+sum is a map-side conditional aggregate."""
+    ev = table(spark, sf, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    ranked = ev.select(
+        "event_type",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("event_type")).alias("cnt"),
+    )
+    fences = (
+        ranked.groupBy("event_type", "cnt")
+        .agg(
+            F.min(F.when(F.col("rn") == F.greatest(F.ceil(F.col("cnt") * 0.05), F.lit(1)), F.col("value"))).alias("p05"),
+            F.min(F.when(F.col("rn") == F.greatest(F.ceil(F.col("cnt") * 0.95), F.lit(1)), F.col("value"))).alias("p95"),
+        )
+        .select("event_type", "p05", "p95")
+    )
+    clipped = ev.join(F.broadcast(fences), "event_type").select(
+        "event_type",
+        "value",
+        "p05",
+        "p95",
+        F.least(F.greatest(F.col("value"), F.col("p05")), F.col("p95")).alias("wv"),
+    )
+    return clipped.groupBy("event_type").agg(
+        F.count_if(F.col("value") < F.col("p05")).alias("n_clipped_low"),
+        F.count_if(F.col("value") > F.col("p95")).alias("n_clipped_high"),
+        F.sum(F.col("wv").cast("decimal(18,4)")).cast("double").alias("sum_winsorized"),
+    )
+
+
+@query(
+    "contamination_threshold",
+    """
+    WITH bench_grams AS (
+        SELECT DISTINCT t.toks[i] || ' ' || t.toks[i+1] || ' ' || t.toks[i+2] AS gram
+        FROM (SELECT string_split_regex(lower(trim(text)), '\\s+') AS toks
+              FROM documents WHERE doc_id % 10 = 0 AND length(trim(text)) > 0) t,
+             unnest(generate_series(1, len(t.toks)-2)) AS u(i)),
+    doc_grams AS (
+        SELECT d.doc_id, d.toks[i] || ' ' || d.toks[i+1] || ' ' || d.toks[i+2] AS gram
+        FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+              FROM documents WHERE doc_id % 10 != 0 AND length(trim(text)) > 0) d,
+             unnest(generate_series(1, len(d.toks)-2)) AS u(i)),
+    hits AS (
+        SELECT doc_id, COUNT(DISTINCT g.gram) AS n_shared
+        FROM doc_grams g JOIN bench_grams b ON g.gram = b.gram
+        GROUP BY doc_id)
+    SELECT doc_id, CAST(n_shared AS BIGINT) AS n_shared,
+           CASE WHEN n_shared >= 3 THEN 1 ELSE 0 END AS contaminated
+    FROM hits
+    """,
+)
+def contamination_threshold(spark: SparkSession, sf: str) -> DataFrame:
+    """Threshold decontamination: a doc is contaminated only when it
+    shares >= 3 DISTINCT 3-grams with the benchmark slice — the robust
+    form of `contamination_check`'s any-gram rule (one shared gram is
+    noise on short n-grams; the published decontamination recipes count
+    overlapping grams or spans). Output keeps the exact shared-gram
+    count so the threshold is auditable after the fact. Plan: benchmark
+    grams distinct + broadcast (bounded by the BENCHMARK, not the
+    corpus); doc grams stream map-side into the semi-equi-join; one
+    groupBy(doc) countDistinct. Same 8-byte-hash trick as the funnel is
+    available at scale; here grams join as strings because the oracle
+    must see identical values."""
+    docs = table(spark, sf, "documents").filter(F.length(F.trim("text")) > 0)
+    toks = F.split(F.lower(F.trim("text")), r"\s+")
+
+    def grams(src: DataFrame, with_id: bool) -> DataFrame:
+        cols = ["doc_id"] if with_id else []
+        return (
+            src.select(*cols, toks.alias("t"))
+            .filter(F.size("t") >= 3)
+            .select(*cols, "t", F.explode(F.sequence(F.lit(1), F.size("t") - 2)).alias("i"))
+            .select(*cols, F.concat_ws(" ", F.slice("t", F.col("i"), 3)).alias("gram"))
+        )
+
+    bench = grams(docs.filter(F.col("doc_id") % 10 == 0), with_id=False).distinct()
+    dg = grams(docs.filter(F.col("doc_id") % 10 != 0), with_id=True)
+    hits = (
+        dg.join(F.broadcast(bench), "gram")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("gram").alias("n_shared"))
+    )
+    return hits.select(
+        "doc_id",
+        F.col("n_shared").cast("long").alias("n_shared"),
+        F.when(F.col("n_shared") >= 3, 1).otherwise(0).alias("contaminated"),
+    )
