@@ -126,6 +126,25 @@ def cmd_curate(args) -> int:
     return 0
 
 
+def cmd_dedup(args) -> int:
+    """Snapshot-backed incremental MinHash dedup (incremental.py): each
+    invocation dedups the --new batch against the committed signature
+    snapshot under --work (first run = whole batch, one code path),
+    appends the verified pair list under --work/pairs/run_N, and commits
+    the merged snapshot for the next run. --old must name the corpus the
+    current snapshot covers (text read only for candidate verify)."""
+    from devcontainers_etl_node_spark.catalog import table
+    from devcontainers_etl_node_spark.incremental import run_incremental_dedup
+
+    spark = _spark()
+    new_docs = table(spark, args.new, "documents")
+    old_docs = table(spark, args.old, "documents") if args.old else None
+    out = run_incremental_dedup(spark, new_docs, args.work, old_docs=old_docs)
+    print(f"snapshot v{out['version']} committed: {out['n_pairs']} near-dup pairs", file=sys.stderr)
+    out["pairs"].show(20, truncate=False)
+    return 0
+
+
 def cmd_generate(args) -> int:
     """G6 continuous generator fleet twin (reference data_chargers/load.py)."""
     from devcontainers_etl_node_spark.config import EngineConfig
@@ -169,6 +188,11 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--work", required=True, help="staging directory for per-stage parquet")
     c.add_argument("--max-tokens", type=int, default=512, help="packing budget")
 
+    d = sub.add_parser("dedup", help="snapshot-backed incremental MinHash dedup")
+    d.add_argument("--new", required=True, help="corpus directory of the arriving batch")
+    d.add_argument("--old", default=None, help="corpus directory the snapshot covers")
+    d.add_argument("--work", required=True, help="snapshot directory (sigs + pairs)")
+
     g = sub.add_parser("generate", help="continuous generator fleet (G6 twin)")
     g.add_argument("--out", required=True, help="lakehouse root for the three sinks")
     g.add_argument("--cycles", type=int, default=0, help="cycles to run (0 = forever)")
@@ -182,6 +206,7 @@ def main(argv: list[str] | None = None) -> int:
         "sql": cmd_sql,
         "pipeline": cmd_pipeline,
         "curate": cmd_curate,
+        "dedup": cmd_dedup,
         "generate": cmd_generate,
     }[args.cmd](args)
 

@@ -1,0 +1,123 @@
+"""Snapshot-backed incremental dedup — the production wrapper around
+``operators.dedup.minhash_incremental_pairs``.
+
+A 100 TB corpus is deduped ONCE; after that, every ingest batch should
+pay only for itself. The costly artifact is the MinHash signature table
+(one full corpus scan + shingle pass to build); this module persists it
+as a versioned parquet snapshot under a workdir and replays the
+incremental contract across runs:
+
+- ``<workdir>/sigs_v<N>/``   — immutable signature snapshots (parquet);
+- ``<workdir>/CURRENT``      — pointer file naming the committed snapshot,
+  swapped atomically (``os.replace``) AFTER the new snapshot is fully
+  written, so a crash mid-run leaves the previous snapshot committed and
+  intact (the same versioned-dir + pointer discipline as
+  streaming/pipeline.py's fingerprint sink);
+- ``<workdir>/_MANIFEST.json`` — the LSH parameters (shingle_k,
+  num_hashes, bands, threshold) the snapshot was built with. Signatures
+  from different parameters never collide correctly, so a run with
+  mismatched parameters fails loudly instead of silently emitting
+  garbage pairs (the funnel.py stage-manifest lesson applied to an
+  index artifact);
+- ``<workdir>/pairs/run_<N>/`` — each run's verified pair output, kept
+  per-run so the full pair history is the union of committed runs.
+
+The FIRST run is just the incremental run with empty history (new×new
+band collisions cover the whole batch), so there is one code path.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from devcontainers_etl_node_spark.operators import dedup as dd
+
+_MANIFEST = "_MANIFEST.json"
+_CURRENT = "CURRENT"
+
+
+def _read_current(workdir: str) -> int | None:
+    try:
+        with open(os.path.join(workdir, _CURRENT)) as f:
+            return int(f.read().strip())
+    except (OSError, ValueError):
+        return None
+
+
+def _commit_current(workdir: str, version: int) -> None:
+    tmp = os.path.join(workdir, _CURRENT + ".tmp")
+    with open(tmp, "w") as f:
+        f.write(str(version))
+    os.replace(tmp, os.path.join(workdir, _CURRENT))
+
+
+def run_incremental_dedup(
+    spark: SparkSession,
+    new_docs: DataFrame,
+    workdir: str,
+    old_docs: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 5,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+) -> dict:
+    """Dedup one ingest batch against the committed signature snapshot.
+
+    ``old_docs`` must be the corpus the committed snapshot was built
+    over (text is touched only for semi-joined verify candidates); it is
+    required whenever a snapshot exists. Returns ``{"pairs": DataFrame,
+    "version": int, "n_pairs": int}`` with the NEW snapshot committed.
+    """
+    os.makedirs(workdir, exist_ok=True)
+    params = {
+        "shingle_k": shingle_k,
+        "num_hashes": num_hashes,
+        "bands": bands,
+        "threshold": threshold,
+    }
+    mpath = os.path.join(workdir, _MANIFEST)
+    cur = _read_current(workdir)
+    if cur is not None:
+        try:
+            with open(mpath) as f:
+                committed = json.load(f)
+        except (OSError, ValueError):
+            raise ValueError(f"snapshot v{cur} exists but {_MANIFEST} is unreadable")
+        if committed != params:
+            raise ValueError(
+                f"snapshot v{cur} was built with {committed}; rerun with those "
+                f"parameters or a fresh workdir (got {params})"
+            )
+        if old_docs is None:
+            raise ValueError("old_docs is required when a snapshot exists (candidate verify)")
+        existing_sigs = spark.read.parquet(os.path.join(workdir, f"sigs_v{cur}"))
+        existing_docs = old_docs
+    else:
+        existing_sigs = spark.createDataFrame([], "_id LONG, _sig ARRAY<BIGINT>")
+        existing_docs = new_docs.select(id_col, text_col).limit(0)
+
+    pairs, merged_sigs = dd.minhash_incremental_pairs(
+        existing_docs,
+        existing_sigs,
+        new_docs,
+        text_col=text_col,
+        id_col=id_col,
+        shingle_k=shingle_k,
+        num_hashes=num_hashes,
+        bands=bands,
+        threshold=threshold,
+    )
+    version = (cur or 0) + 1
+    # write the new snapshot fully, THEN commit the pointer — a crash
+    # between the two leaves the previous snapshot current and intact.
+    merged_sigs.write.mode("overwrite").parquet(os.path.join(workdir, f"sigs_v{version}"))
+    pairs.write.mode("overwrite").parquet(os.path.join(workdir, "pairs", f"run_{version}"))
+    with open(mpath, "w") as f:
+        json.dump(params, f)
+    _commit_current(workdir, version)
+    return {"pairs": pairs, "version": version, "n_pairs": pairs.count()}
