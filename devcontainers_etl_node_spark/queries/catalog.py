@@ -5586,11 +5586,18 @@ def copurchase_triangles(spark: SparkSession, sf: str) -> DataFrame:
     fwd = (F.col("deg_a") < F.col("deg_b")) | (
         (F.col("deg_a") == F.col("deg_b")) & (F.col("part_a") < F.col("part_b"))
     )
+    # materialized once: e1/e2/e3 below reference this table THREE times,
+    # and without the barrier each reference re-plans (and without
+    # exchange reuse, re-executes) the whole basket→pairs→edges→degree
+    # chain — the plan census showed 123 printed exchanges for what is
+    # logically a 6-exchange query. The oriented edge list is the small
+    # artifact of the build (support>=2-filtered), exactly what a
+    # production triangle count would stage.
     oriented = with_deg.select(
         F.when(fwd, F.col("part_a")).otherwise(F.col("part_b")).alias("src"),
         F.when(fwd, F.col("part_b")).otherwise(F.col("part_a")).alias("dst"),
         F.when(fwd, F.col("deg_b")).otherwise(F.col("deg_a")).alias("ddeg"),
-    )
+    ).localCheckpoint(eager=True)
     e1 = oriented.alias("e1")
     e2 = oriented.alias("e2")
     e3 = oriented.select("src", "dst").alias("e3")
