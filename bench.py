@@ -61,6 +61,17 @@ HEAVY = [
     "pretrain_prep",       # 6-stage curation funnel (gate→dedup→pack)
 ]
 
+# Round-4 additions: one representative per new operator family (kept
+# cheap — the heavy incremental paths are sweep/test-covered). Prior
+# subtotals stay comparable: `headline_r2_total` = original 13,
+# r3 total = that + HEAVY, `value` = everything.
+ADDED_R4 = [
+    "contamination_threshold",  # robust >=3-shared-grams decontamination
+    "rolling_anomaly",          # integer-exact trailing 3-sigma volume flags
+    "dataset_card",             # per-source governance datasheet
+    "unigram_doc_likelihood",   # corpus-unigram familiarity scoring
+]
+
 SMALL_OUTPUT = {
     "pricing_summary",
     "revenue_by_nation",
@@ -83,7 +94,7 @@ def main() -> None:
     QUERIES["row_counts"](spark, sf_dir).collect()
 
     timings: dict[str, float] = {}
-    for name in HEADLINE + HEAVY:
+    for name in HEADLINE + HEAVY + ADDED_R4:
         fn = QUERIES[name]
         best = float("inf")
         for _ in range(3):
@@ -108,6 +119,7 @@ def main() -> None:
 
     total = round(sum(timings.values()), 4)
     r2_total = round(sum(timings[n] for n in HEADLINE), 4)
+    r3_total = round(sum(timings[n] for n in HEADLINE + HEAVY), 4)
     print(
         json.dumps(
             {
@@ -119,7 +131,9 @@ def main() -> None:
                 # round-over-round: BENCH_r01/r02 covered only the original
                 # 13 queries — compare their `value` to this subtotal.
                 "headline_r2_total": r2_total,
+                "headline_r3_total": r3_total,
                 "added_r3": HEAVY,
+                "added_r4": ADDED_R4,
             }
         )
     )
