@@ -5507,6 +5507,52 @@ def quantile_buckets(spark: SparkSession, sf: str) -> DataFrame:
 # =========================================================================
 
 
+def _copurchase_oriented_edges(spark: SparkSession, sf: str) -> DataFrame:
+    """Lazy degree-oriented co-purchase edge list (the pre-barrier half of
+    copurchase_triangles). The ONLY broadcast hint is the basket-size
+    keep list (bounded by the order-size cap); the edge list itself is
+    never hinted — tests/test_plans.py pins both."""
+    li = table(spark, sf, "lineitem")
+    basket = li.select("l_orderkey", "l_partkey").distinct()
+    sized = basket.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("bsz")).filter(
+        F.col("bsz") <= 20
+    )
+    a = basket.alias("a")
+    b = basket.alias("b")
+    keep = sized.select(F.col("l_orderkey").alias("sized_orderkey"))
+    pairs = (
+        a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+               & (F.col("a.l_partkey") < F.col("b.l_partkey")))
+        .join(F.broadcast(keep), F.col("a.l_orderkey") == F.col("sized_orderkey"),
+              "left_semi")
+        .select(F.col("a.l_partkey").alias("part_a"), F.col("b.l_partkey").alias("part_b"))
+    )
+    edges = (
+        pairs.groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= 2)
+        .select("part_a", "part_b")
+    )
+    deg = (
+        edges.select(F.col("part_a").alias("node"))
+        .union(edges.select(F.col("part_b")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    with_deg = (
+        edges.join(deg.select(F.col("node").alias("part_a"), F.col("deg").alias("deg_a")), "part_a")
+        .join(deg.select(F.col("node").alias("part_b"), F.col("deg").alias("deg_b")), "part_b")
+    )
+    fwd = (F.col("deg_a") < F.col("deg_b")) | (
+        (F.col("deg_a") == F.col("deg_b")) & (F.col("part_a") < F.col("part_b"))
+    )
+    return with_deg.select(
+        F.when(fwd, F.col("part_a")).otherwise(F.col("part_b")).alias("src"),
+        F.when(fwd, F.col("part_b")).otherwise(F.col("part_a")).alias("dst"),
+        F.when(fwd, F.col("deg_b")).otherwise(F.col("deg_a")).alias("ddeg"),
+    )
+
+
 @query(
     "copurchase_triangles",
     """
@@ -5552,52 +5598,16 @@ def copurchase_triangles(spark: SparkSession, sf: str) -> DataFrame:
     matching the oracle's id-ordered (a < b < c) closure, so the output
     hash is identical. The expensive upstream stage is still the pair
     build, bounded by the basket-size cap (<= C(20,2) pairs per order)."""
-    li = table(spark, sf, "lineitem")
-    basket = li.select("l_orderkey", "l_partkey").distinct()
-    sized = basket.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("bsz")).filter(
-        F.col("bsz") <= 20
-    )
-    a = basket.alias("a")
-    b = basket.alias("b")
-    keep = sized.select(F.col("l_orderkey").alias("sized_orderkey"))
-    pairs = (
-        a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-               & (F.col("a.l_partkey") < F.col("b.l_partkey")))
-        .join(F.broadcast(keep), F.col("a.l_orderkey") == F.col("sized_orderkey"),
-              "left_semi")
-        .select(F.col("a.l_partkey").alias("part_a"), F.col("b.l_partkey").alias("part_b"))
-    )
-    edges = (
-        pairs.groupBy("part_a", "part_b")
-        .agg(F.count(F.lit(1)).alias("support"))
-        .filter(F.col("support") >= 2)
-        .select("part_a", "part_b")
-    )
-    deg = (
-        edges.select(F.col("part_a").alias("node"))
-        .union(edges.select(F.col("part_b")))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("deg"))
-    )
-    with_deg = (
-        edges.join(deg.select(F.col("node").alias("part_a"), F.col("deg").alias("deg_a")), "part_a")
-        .join(deg.select(F.col("node").alias("part_b"), F.col("deg").alias("deg_b")), "part_b")
-    )
-    fwd = (F.col("deg_a") < F.col("deg_b")) | (
-        (F.col("deg_a") == F.col("deg_b")) & (F.col("part_a") < F.col("part_b"))
-    )
-    # materialized once: e1/e2/e3 below reference this table THREE times,
-    # and without the barrier each reference re-plans (and without
-    # exchange reuse, re-executes) the whole basket→pairs→edges→degree
-    # chain — the plan census showed 123 printed exchanges for what is
-    # logically a 6-exchange query. The oriented edge list is the small
-    # artifact of the build (support>=2-filtered), exactly what a
-    # production triangle count would stage.
-    oriented = with_deg.select(
-        F.when(fwd, F.col("part_a")).otherwise(F.col("part_b")).alias("src"),
-        F.when(fwd, F.col("part_b")).otherwise(F.col("part_a")).alias("dst"),
-        F.when(fwd, F.col("deg_b")).otherwise(F.col("deg_a")).alias("ddeg"),
-    ).localCheckpoint(eager=True)
+    # materialized once: e1/e2/e3 below reference the oriented edge list
+    # THREE times, and without the barrier each reference re-plans (and,
+    # where exchange reuse can't kick in, re-executes) the whole
+    # basket→pairs→edges→degree chain — the plan census showed 123
+    # printed exchanges for what is logically a 6-exchange query. The
+    # oriented edge list is the small artifact of the build
+    # (support>=2-filtered), exactly what a production triangle count
+    # would stage. The lazy build lives in _copurchase_oriented_edges so
+    # tests can assert its hint discipline pre-barrier.
+    oriented = _copurchase_oriented_edges(spark, sf).localCheckpoint(eager=True)
     e1 = oriented.alias("e1")
     e2 = oriented.alias("e2")
     e3 = oriented.select("src", "dst").alias("e3")

@@ -98,13 +98,19 @@ def test_copurchase_triangles_degree_ordered_no_forced_broadcast(spark):
     # is the basket-size keep list (bounded by the order-size cap); the
     # edge list must NOT be force-broadcast — at web scale it exceeds any
     # executor, and the strategy belongs to AQE.
-    df = QUERIES["copurchase_triangles"](spark, SF_SMALL)
-    analyzed = df._jdf.queryExecution().analyzed().toString()
+    # hint discipline is asserted on the PRE-barrier edge build (the
+    # query itself checkpoints the oriented edge list, which hides the
+    # upstream plan from its analyzed tree)
+    from devcontainers_etl_node_spark.queries.catalog import _copurchase_oriented_edges
+
+    edges = _copurchase_oriented_edges(spark, SF_SMALL)
+    analyzed = edges._jdf.queryExecution().analyzed().toString()
     lines = analyzed.splitlines()
     hint_lines = [i for i, l in enumerate(lines) if "ResolvedHint" in l]
     assert hint_lines  # the keep list IS hinted (bounded side)
     for i in hint_lines:  # ... and nothing else is (the subtree under every
         assert "sized_orderkey" in lines[i + 1]  # hint is the keep list)
+    df = QUERIES["copurchase_triangles"](spark, SF_SMALL)
     p = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
 
