@@ -8138,3 +8138,47 @@ def contamination_threshold(spark: SparkSession, sf: str) -> DataFrame:
         F.col("n_shared").cast("long").alias("n_shared"),
         F.when(F.col("n_shared") >= 3, 1).otherwise(0).alias("contaminated"),
     )
+
+
+@query("entity_clusters")  # Soundex blocking is non-SQL — rows-only; gates in tests
+def entity_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    """Entity resolution END-TO-END over part names — the composition a
+    master-data team actually ships, each stage an already-tested
+    operator: phonetic blocking + Levenshtein verify (lev <= 2 ⇒ same
+    entity, operators/text.py) → connected components over the match
+    pairs (operators/graph.py, transitive closure so A~B~C merge even
+    when A!~C) → survivorship (canonical spelling = longest name, tie to
+    the lexicographically-first; the dup_canonical rule applied to
+    entities). Output: one row per resolved entity with its canonical
+    name, member count, and distinct-spelling count — the dedup report
+    for a product master. Rows-only (Soundex has no DuckDB twin);
+    tests/test_operators.py pins a planted multi-spelling entity
+    resolving to one cluster with the right canonical."""
+    from devcontainers_etl_node_spark.operators import graph
+    from devcontainers_etl_node_spark.operators import text as textops
+
+    part = table(spark, sf, "part")
+    pairs = textops.phonetic_blocking(part, "p_name", "p_partkey", max_dist=2)
+    labels = graph.connected_components(
+        pairs.select("id_a", "id_b"), src="id_a", dst="id_b"
+    )
+    members = labels.join(
+        part.select(
+            F.col("p_partkey").alias("node"),
+            F.lower(F.trim("p_name")).alias("nm"),
+        ),
+        "node",
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.length("nm").desc(), F.asc("nm"), F.asc("node")
+    )
+    return (
+        members.withColumn("_rn", F.row_number().over(w))
+        .groupBy("component")
+        .agg(
+            F.min(F.when(F.col("_rn") == 1, F.col("nm"))).alias("canonical_name"),
+            F.count(F.lit(1)).alias("n_members"),
+            F.countDistinct("nm").alias("n_spellings"),
+        )
+        .select("canonical_name", "n_members", "n_spellings")
+    )

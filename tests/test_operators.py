@@ -811,3 +811,24 @@ def test_ivf_assign_matches_numpy_argmin(spark):
     for vid, _ in new:
         by_cluster.setdefault(vid % 4, set()).add(got[vid])
     assert all(len(v) == 1 for v in by_cluster.values())
+
+
+def test_entity_resolution_composition(spark):
+    """Blocking -> verify -> components -> survivorship: a planted
+    three-spelling entity resolves to ONE cluster with the longest
+    spelling as canonical, transitively (A~B~C even though A!~C)."""
+    from devcontainers_etl_node_spark.operators import graph
+
+    rows = [
+        (1, "acme widget"),
+        (2, "acme widgett"),    # dist 1 to #1
+        (3, "acme widgettt"),   # dist 1 to #2, dist 2 to #1
+        (4, "zenith sprocket"), # unrelated entity
+        (5, "zenith sprocket"), # exact dup of #4
+    ]
+    df = spark.createDataFrame(rows, ["p_partkey", "p_name"])
+    pairs = textops.phonetic_blocking(df, "p_name", "p_partkey", max_dist=2)
+    labels = graph.connected_components(pairs.select("id_a", "id_b"), src="id_a", dst="id_b")
+    comp = {r.node: r.component for r in labels.collect()}
+    assert comp[1] == comp[2] == comp[3]
+    assert comp[4] == comp[5] != comp[1]

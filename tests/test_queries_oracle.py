@@ -139,6 +139,7 @@ def test_every_query_has_callable_and_oracle_consistency():
         "phonetic_blocking",
         "minhash_incremental",
         "ivf_incremental",
+        "entity_clusters",
     }
 
 
