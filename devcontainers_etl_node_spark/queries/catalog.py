@@ -1485,19 +1485,19 @@ def ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
 @query(
     "dup_clusters",
     """
-    WITH RECURSIVE sh AS (
+    WITH RECURSIVE sh AS MATERIALIZED (
         SELECT doc_id, lang,
                list_distinct(list_transform(
                    generate_series(1, greatest(len(string_split_regex(lower(trim(text)), '\\s+')) - 2, 1)),
                    i -> array_to_string(string_split_regex(lower(trim(text)), '\\s+')[i:i+2], ' ')
                )) AS grams
         FROM documents),
-    pairs AS (
+    pairs AS MATERIALIZED (
         SELECT a.doc_id AS id_a, b.doc_id AS id_b
         FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
         WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
                  / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.2),
-    edges AS (
+    edges AS MATERIALIZED (
         SELECT id_a AS u, id_b AS v FROM pairs
         UNION
         SELECT id_b, id_a FROM pairs),
@@ -1529,19 +1529,19 @@ def dup_clusters(spark: SparkSession, sf: str) -> DataFrame:
 @query(
     "dup_canonical",
     """
-    WITH RECURSIVE sh AS (
+    WITH RECURSIVE sh AS MATERIALIZED (
         SELECT doc_id, lang,
                list_distinct(list_transform(
                    generate_series(1, greatest(len(string_split_regex(lower(trim(text)), '\\s+')) - 2, 1)),
                    i -> array_to_string(string_split_regex(lower(trim(text)), '\\s+')[i:i+2], ' ')
                )) AS grams
         FROM documents),
-    pairs AS (
+    pairs AS MATERIALIZED (
         SELECT a.doc_id AS id_a, b.doc_id AS id_b
         FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
         WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
                  / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.2),
-    edges AS (
+    edges AS MATERIALIZED (
         SELECT id_a AS u, id_b AS v FROM pairs
         UNION
         SELECT id_b, id_a FROM pairs),
@@ -1617,19 +1617,19 @@ def dup_canonical(spark: SparkSession, sf: str) -> DataFrame:
 @query(
     "dup_bfs_depth",
     """
-    WITH RECURSIVE sh AS (
+    WITH RECURSIVE sh AS MATERIALIZED (
         SELECT doc_id, lang,
                list_distinct(list_transform(
                    generate_series(1, greatest(len(string_split_regex(lower(trim(text)), '\\s+')) - 2, 1)),
                    i -> array_to_string(string_split_regex(lower(trim(text)), '\\s+')[i:i+2], ' ')
                )) AS grams
         FROM documents),
-    pairs AS (
+    pairs AS MATERIALIZED (
         SELECT a.doc_id AS id_a, b.doc_id AS id_b
         FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
         WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
                  / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.2),
-    edges AS (
+    edges AS MATERIALIZED (
         SELECT id_a AS u, id_b AS v FROM pairs
         UNION
         SELECT id_b, id_a FROM pairs),
