@@ -174,8 +174,64 @@ def main_dedup() -> None:
         print(f"| {base * n:,} | {p:.2f}s | {s:.2f}s | {p / s:.2f}x |")
 
 
+
+
+# ---------------------------------------------------------------------------
+# Workload 3: time-bucketed aggregation (the hourly-rollup shape)
+# ---------------------------------------------------------------------------
+
+
+def pandas_rollup(sf_dir: str, replicate: int = 1):
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"])
+    if replicate > 1:
+        ev = pd.concat([ev] * replicate, ignore_index=True)
+    ev["hour"] = pd.to_datetime(ev["ts"]).dt.floor("h")
+    return ev.groupby(["hour", "event_type"]).agg(
+        n_events=("value", "size"), sum_value=("value", "sum")
+    ).reset_index()
+
+
+def spark_rollup(spark, sf_dir: str, replicate: int = 1) -> int:
+    from pyspark.sql import functions as F
+
+    ev = table(spark, sf_dir, "events").select("ts", "event_type", "value")
+    if replicate > 1:
+        factor = spark.range(replicate).select(F.col("id").alias("_r"))
+        ev = ev.crossJoin(F.broadcast(factor))
+    out = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("hour"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+    return out.count()
+
+
+def main_rollup() -> None:
+    sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    n_runs = int(sys.argv[3]) if len(sys.argv) > 3 else 3
+    factors = [int(x) for x in sys.argv[4].split(",")] if len(sys.argv) > 4 else [1, 8, 64]
+
+    spark = get_spark()
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    print("| event rows | pandas groupby | engine rollup | ratio |")
+    print("|---|---|---|---|")
+    base = len(pd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type"]))
+    for n in factors:
+        pd_times, sp_times = [], []
+        for _ in range(n_runs):
+            t0 = time.perf_counter()
+            pandas_rollup(sf_dir, n)
+            pd_times.append(time.perf_counter() - t0)
+        for _ in range(n_runs):
+            t0 = time.perf_counter()
+            spark_rollup(spark, sf_dir, n)
+            sp_times.append(time.perf_counter() - t0)
+        p, sx = min(pd_times), min(sp_times)
+        print(f"| {base * n:,} | {p:.2f}s | {sx:.2f}s | {p / sx:.2f}x |")
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "dedup":
         main_dedup()
+    elif len(sys.argv) > 1 and sys.argv[1] == "rollup":
+        main_rollup()
     else:
         main()
