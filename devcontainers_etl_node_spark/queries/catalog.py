@@ -8182,3 +8182,36 @@ def entity_clusters(spark: SparkSession, sf: str) -> DataFrame:
         )
         .select("canonical_name", "n_members", "n_spellings")
     )
+
+
+@query(
+    "user_growth",
+    """
+    WITH first AS (
+        SELECT user_id, MIN(CAST(ts AS DATE)) AS first_day
+        FROM events GROUP BY user_id),
+    d AS (SELECT first_day, CAST(COUNT(*) AS BIGINT) AS new_users
+          FROM first GROUP BY first_day)
+    SELECT strftime(first_day, '%Y-%m-%d') AS day,
+           new_users,
+           CAST(SUM(new_users) OVER (ORDER BY first_day) AS BIGINT) AS cum_users
+    FROM d
+    """,
+)
+def user_growth(spark: SparkSession, sf: str) -> DataFrame:
+    """Cumulative distinct-user growth curve per day — the acquisition
+    chart on every product dashboard, and the same linear re-expression
+    as vocab_growth: a naive cumulative COUNT(DISTINCT) window is
+    quadratic and holds every user id in window state, while
+    user → MIN(first day) is one partial-agg-friendly shuffle on the
+    user key, after which the running sum windows over #days rows. At
+    100 TB the window input is calendar-sized, never event-sized."""
+    ev = table(spark, sf, "events")
+    first = ev.groupBy("user_id").agg(F.min(F.col("ts").cast("date")).alias("first_day"))
+    d = first.groupBy("first_day").agg(F.count(F.lit(1)).alias("new_users"))
+    w = Window.orderBy("first_day").rowsBetween(Window.unboundedPreceding, 0)
+    return d.select(
+        F.date_format("first_day", "yyyy-MM-dd").alias("day"),
+        F.col("new_users").cast("long").alias("new_users"),
+        F.sum("new_users").over(w).cast("long").alias("cum_users"),
+    )
