@@ -8,13 +8,17 @@ Timing methodology: each query is materialized with a noop-style action
 (count of the final plan for row-heavy outputs, collect for small
 aggregates) so we measure engine compute, not driver transfer. One warmup
 action first so JVM/codegen startup isn't attributed to the first query;
-each query runs three times and reports the best — this host exhibits
-intermittent multi-second stalls (measured round 4: identical warm funnel
-runs of 10.9 s and 52.4 s back to back with an idle system), so best-of-2
-regularly caught two stalled runs for the heavy entries; best-of-3 with
-both a Python gc.collect() AND a JVM System.gc() between runs (checkpoint
-blocks are freed only after BOTH collectors run) recovers the true warm
-number. The warm number is what a long-lived cluster session sees.
+each query runs three times (five when the best is under 2 s — a host
+stall is proportionally largest there) and reports the best — this host
+exhibits intermittent multi-second stalls (measured round 4: identical
+warm funnel runs of 10.9 s and 52.4 s back to back with an idle system),
+so best-of-2 regularly caught two stalled runs for the heavy entries;
+best-of-N with both a Python gc.collect() AND a JVM System.gc() between
+runs (checkpoint blocks are freed only after BOTH collectors run)
+recovers the true warm number. The warm number is what a long-lived
+cluster session sees; every rep is recorded in the JSON (`reps`) so a
+stall is visible evidence, not a guess, and memo-backed entries are
+flagged in `session_warm` (the committed SWEEP file is the cold record).
 """
 
 from __future__ import annotations
@@ -82,6 +86,14 @@ SMALL_OUTPUT = {
     "pretrain_prep",
 }
 
+# Entries whose best time rides a session-scoped memo (the shared
+# candidate-pair graph): rep 1 builds it cold, later reps hit it, so the
+# reported number is what a long-lived session sees. The committed
+# SWEEP_r{N}.txt (cold session per entry) is the cold record.
+MEMO_BACKED = {
+    "dup_clusters": "session-warm shared ngram pair-graph memo; cold standalone cost in SWEEP",
+}
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -94,10 +106,11 @@ def main() -> None:
     QUERIES["row_counts"](spark, sf_dir).collect()
 
     timings: dict[str, float] = {}
+    all_reps: dict[str, list[float]] = {}
     for name in HEADLINE + HEAVY + ADDED_R4:
         fn = QUERIES[name]
-        best = float("inf")
-        for _ in range(3):
+
+        def one_rep() -> float:
             # release localCheckpoint blocks from prior constructions: the
             # JVM frees them only after Python GC drops the DataFrame refs
             # AND the JVM's own GC runs its reference queue — without the
@@ -114,8 +127,17 @@ def main() -> None:
                 # (count() would let Catalyst prune cardinality-preserving
                 # operators like Window) without pulling rows to the driver.
                 df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 4)
+            return time.perf_counter() - t0
+
+        reps = [one_rep() for _ in range(3)]
+        # sub-2s queries are where a single multi-second host stall is
+        # proportionally largest (r4: pricing_summary +51% with an
+        # unchanged plan) — two extra reps make the min robust to a
+        # stall landing on 2 of 3 runs.
+        if min(reps) < 2.0:
+            reps += [one_rep() for _ in range(2)]
+        all_reps[name] = [round(t, 4) for t in reps]
+        timings[name] = round(min(reps), 4)
 
     total = round(sum(timings.values()), 4)
     r2_total = round(sum(timings[n] for n in HEADLINE), 4)
@@ -134,6 +156,12 @@ def main() -> None:
                 "headline_r3_total": r3_total,
                 "added_r3": HEAVY,
                 "added_r4": ADDED_R4,
+                # per-rep evidence: `queries` reports min(reps); a spike in
+                # one rep with a flat min is a host stall, not a plan change
+                "reps": all_reps,
+                # these minima are session-warm memo hits, not cold plans —
+                # the committed SWEEP file is the cold per-entry record
+                "session_warm": {k: v for k, v in MEMO_BACKED.items() if k in timings},
             }
         )
     )

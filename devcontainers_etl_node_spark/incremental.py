@@ -40,11 +40,23 @@ _CURRENT = "CURRENT"
 
 
 def _read_current(workdir: str) -> int | None:
+    # Only a MISSING pointer means "no snapshot". A CURRENT file that
+    # exists but does not parse is corruption: treating it as absent would
+    # silently restart at v1, overwrite sigs_v1, and dedup against empty
+    # history — fail loudly instead (same contract as a corrupt manifest).
+    path = os.path.join(workdir, _CURRENT)
     try:
-        with open(os.path.join(workdir, _CURRENT)) as f:
-            return int(f.read().strip())
-    except (OSError, ValueError):
+        with open(path) as f:
+            raw = f.read()
+    except FileNotFoundError:
         return None
+    try:
+        return int(raw.strip())
+    except ValueError:
+        raise ValueError(
+            f"{path} exists but is not a snapshot version ({raw!r}); the "
+            "workdir is corrupt — restore the pointer or start a fresh workdir"
+        )
 
 
 def _commit_current(workdir: str, version: int) -> None:
@@ -101,7 +113,7 @@ def run_incremental_dedup(
         existing_sigs = spark.createDataFrame([], "_id LONG, _sig ARRAY<BIGINT>")
         existing_docs = new_docs.select(id_col, text_col).limit(0)
 
-    pairs, merged_sigs = dd.minhash_incremental_pairs(
+    pairs, merged_sigs, release = dd.minhash_incremental_pairs(
         existing_docs,
         existing_sigs,
         new_docs,
@@ -115,7 +127,10 @@ def run_incremental_dedup(
     version = (cur or 0) + 1
     # write the new snapshot fully, THEN commit the pointer — a crash
     # between the two leaves the previous snapshot current and intact.
+    # The write replays the batch signatures from cache (signed once);
+    # release() drops that cache only after the snapshot is on disk.
     merged_sigs.write.mode("overwrite").parquet(os.path.join(workdir, f"sigs_v{version}"))
+    release()
     pairs.write.mode("overwrite").parquet(os.path.join(workdir, "pairs", f"run_{version}"))
     with open(mpath, "w") as f:
         json.dump(params, f)

@@ -348,12 +348,20 @@ def minhash_incremental_pairs(
     Old×old pairs were already reported by earlier runs and are excluded
     by construction (the band join keeps pairs with ≥1 new side).
 
-    Returns ``(pairs, merged_sigs)``: `pairs` is checkpointed (safe to
-    consume after the persisted intermediates are released); `merged_sigs`
-    is the signature table for the NEXT run — lazy, the caller persists
-    it (parquet) as the new snapshot. Parity is pinned in tests: pairs ==
-    the full-batch pair set restricted to pairs touching a new id, and
-    merged_sigs == a from-scratch rebuild.
+    Returns ``(pairs, merged_sigs, release)``: `pairs` is checkpointed
+    (safe to consume after the persisted intermediates are released);
+    `merged_sigs` is the signature table for the NEXT run and rides the
+    batch signatures STILL CACHED from this run — writing it as the new
+    snapshot re-signs nothing (each doc is shingled+signed once, ever).
+    Call ``release()`` after that write (or after discarding merged_sigs)
+    to drop the cache. Parity is pinned in tests: pairs == the full-batch
+    pair set restricted to pairs touching a new id, and merged_sigs == a
+    from-scratch rebuild.
+
+    ``new_docs`` ids must be disjoint from ``existing_sigs`` ids —
+    re-submitting a committed batch would union duplicate signature rows
+    into the snapshot and permanently inflate every later run's candidate
+    set, so an overlap raises instead of proceeding.
 
     `existing_sigs` must have been built with the SAME (shingle_k,
     num_hashes) — signatures from different parameters never collide
@@ -370,6 +378,22 @@ def minhash_incremental_pairs(
     new_shingles = shingle_hash_rows(new_base, shingle_k).persist(StorageLevel.MEMORY_AND_DISK)
     new_sigs = minhash_signature_table(new_shingles, num_hashes).persist(StorageLevel.MEMORY_AND_DISK)
     new_sigs.count()
+
+    # id-disjointness gate (one semi-join over the compact sig table —
+    # ~num_hashes longs/doc, far cheaper than the corruption it prevents):
+    # a re-submitted batch must fail loudly, not silently double-sign.
+    dup_ids = [
+        r._id
+        for r in new_sigs.join(existing_sigs.select("_id"), "_id", "left_semi").limit(5).collect()
+    ]
+    if dup_ids:
+        new_sigs.unpersist()
+        new_shingles.unpersist()
+        raise ValueError(
+            f"new_docs ids already present in the committed snapshot (e.g. {dup_ids}); "
+            "re-submitting a committed batch would duplicate signature rows — "
+            "dedup against a fresh id range or rebuild the snapshot"
+        )
 
     all_sigs = existing_sigs.select("_id", "_sig").unionByName(new_sigs)
     # band join: ALL (old∪new) against NEW only — old×old pairs never form.
@@ -435,12 +459,16 @@ def minhash_incremental_pairs(
         .filter(F.col("jaccard_sim") >= threshold)
     )
     pairs = verified.select("id_a", "id_b", "jaccard_sim").localCheckpoint(eager=True)
-    merged_sigs = existing_sigs.select("_id", "_sig").unionByName(
-        minhash_signature_table(shingle_hash_rows(new_base, shingle_k), num_hashes)
-    )
-    for cached in (new_shingles, new_sigs, cand):
+    # merged_sigs reuses the CACHED batch signatures — the snapshot write
+    # replays the cache, not the shingle+sign pipeline (sign once, ever).
+    merged_sigs = existing_sigs.select("_id", "_sig").unionByName(new_sigs)
+    for cached in (new_shingles, cand):
         cached.unpersist()
-    return pairs, merged_sigs
+
+    def release() -> None:
+        new_sigs.unpersist()
+
+    return pairs, merged_sigs, release
 
 
 def ngram_jaccard_pairs(

@@ -16,7 +16,9 @@ order-insensitive value hash at sf0.01):
 - **All computed columns are aliased identically** in Spark and SQL.
 
 Spark side is the DataFrame API throughout — scans stay lazy, Catalyst
-prunes/pushes down; dimension joins are explicitly broadcast.
+prunes/pushes down; join strategy is AQE-chosen — broadcast hints appear
+only on provably bounded sides (nation/region, one-row aggregates, capped
+vocabularies), never on sf-proportional tables (customer/part/supplier).
 """
 
 from __future__ import annotations
@@ -96,15 +98,19 @@ def row_counts(spark: SparkSession, sf: str) -> DataFrame:
 )
 def star_enrich(spark: SparkSession, sf: str) -> DataFrame:
     """The reference's flagship transform — fact enriched by chained left
-    joins against pre-projected dims (J1+J2, src/etl/etl.py:39-45), with
-    both dims broadcast (map-side join; the fact never shuffles)."""
+    joins against pre-projected dims (J1+J2, src/etl/etl.py:39-45).
+    Strategy is AQE-chosen: nation is hint-broadcast (25 rows, constant);
+    customer is sf-proportional (150k rows PER sf unit — TBs at the 100 TB
+    design point) so it carries NO hint — AQE picks a broadcast join while
+    it fits the threshold and a shuffled join at scale, instead of OOMing
+    on a forced build side."""
     orders = table(spark, sf, "orders")
     customer = table(spark, sf, "customer").select(
         F.col("c_custkey"), F.col("c_name").alias("customer_name"), F.col("c_mktsegment").alias("segment"), "c_nationkey"
     )
     nation = table(spark, sf, "nation").select("n_nationkey", F.col("n_name").alias("nation_name"))
     return (
-        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey, "left")
+        orders.join(customer, orders.o_custkey == customer.c_custkey, "left")
         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey, "left")
         .select(
             "o_orderkey",
@@ -283,13 +289,15 @@ def pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
     """,
 )
 def revenue_by_nation(spark: SparkSession, sf: str) -> DataFrame:
-    """Join + aggregate: fact joins broadcast dims, then one shuffle on the
-    (tiny) group key."""
+    """Join + aggregate, then one shuffle on the (tiny) group key. nation
+    is hint-broadcast (constant 25 rows); customer is sf-proportional so
+    its join strategy is AQE-chosen — BHJ under threshold, shuffle at
+    scale."""
     o = table(spark, sf, "orders")
     c = table(spark, sf, "customer").select("c_custkey", "c_nationkey")
     n = table(spark, sf, "nation").select("n_nationkey", F.col("n_name").alias("nation_name"))
     return (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("nation_name")
         .agg(_dsum("o_totalprice").alias("revenue"), F.count(F.lit(1)).alias("n_orders"))
@@ -908,8 +916,9 @@ def window_time_range(spark: SparkSession, sf: str) -> DataFrame:
 )
 def top_unshipped_orders(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H Q3 shape: the classic 3-way join + filtered agg + top-k
-    composite. The segment filter prunes customer BEFORE the join (it is
-    the broadcast side); lineitem's shipdate predicate is pushed to the
+    composite. The segment filter prunes customer BEFORE the join (AQE
+    broadcasts the filtered side while it fits; customer is
+    sf-proportional, so no forced hint); lineitem's shipdate predicate is pushed to the
     scan. Revenue is the exact-decimal product-sum; the LIMIT is fully
     tie-broken by orderkey."""
     c = table(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
@@ -919,7 +928,7 @@ def top_unshipped_orders(spark: SparkSession, sf: str) -> DataFrame:
         (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(19,6)")
     ).cast("double")
     return (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(c, o.o_custkey == c.c_custkey)
         .join(li, li.l_orderkey == o.o_orderkey)
         .groupBy("o_orderkey", "o_orderdate")
         .agg(revenue.alias("revenue"))
@@ -1107,12 +1116,18 @@ def knn_cosine(spark: SparkSession, sf: str) -> DataFrame:
 
 @query("ann_lsh")  # approximate by construction — rows-only check
 def ann_lsh(spark: SparkSession, sf: str) -> DataFrame:
-    """SRP-LSH ANN. 16 tables x 4 planes: measured recall@5 = 0.88 vs
-    knn_cosine ground truth at sf0.01 (tests/test_quality_gates.py pins
-    >= 0.8; the knob sweep is recorded there). operators/similarity.py."""
+    """SRP-LSH ANN with multi-probe (Lv et al., VLDB'07): 6 tables x 4
+    planes, each query also probing its Hamming-1 buckets — the corpus
+    pays 24 bucket dot products per row instead of the 64 that 16
+    exact-probe tables cost, at equal-or-better measured recall
+    (tests/test_quality_gates.py pins recall@5 >= 0.8 vs knn_cosine
+    ground truth; the knob sweep is recorded there).
+    operators/similarity.py:lsh_topk."""
     emb = table(spark, sf, "embeddings")
     q = emb.filter(F.col("vec_id") < 5)
-    return similarity.lsh_topk(emb, q, k=5, num_tables=16).select("query_id", "neighbor_id", "rn")
+    return similarity.lsh_topk(emb, q, k=5, num_tables=6, probe_hamming=1).select(
+        "query_id", "neighbor_id", "rn"
+    )
 
 
 @query("ann_ivf")  # approximate by construction — rows-only check
@@ -2846,9 +2861,11 @@ def stack_inline(spark: SparkSession, sf: str) -> DataFrame:
 def volume_shipping(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H Q7 shape: bilateral trade volume between two nations by ship
     year. Scale design: the nation filter lands on the two *dimension*
-    copies first, so the broadcast joins against supplier/customer act as
-    map-side semi-filters on the fact — lineitem rows for other nation
-    pairs never reach the (only) aggregation shuffle. The shipdate range
+    copies first, so the nation-filtered supplier/customer joins act as
+    semi-filters on the fact — lineitem rows for other nation pairs never
+    reach the (only) aggregation shuffle. supplier/customer are
+    sf-proportional: strategy is AQE-chosen (map-side broadcast under
+    threshold, shuffle at scale), only the nation dims carry hints. The shipdate range
     predicate is pushed to the parquet scan."""
     nations = ("NATION_1", "NATION_2")
     n = table(spark, sf, "nation")
@@ -2873,9 +2890,9 @@ def volume_shipping(spark: SparkSession, sf: str) -> DataFrame:
     )
     o = table(spark, sf, "orders").select("o_orderkey", "o_custkey")
     return (
-        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        li.join(s, li.l_suppkey == s.s_suppkey)
         .join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .filter(F.col("supp_nation") != F.col("cust_nation"))
         .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
         .agg(
@@ -2906,8 +2923,9 @@ def volume_shipping(spark: SparkSession, sf: str) -> DataFrame:
 def returned_items(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H Q10 shape: lost-revenue-per-customer from returned items in a
     quarter, top 20. The quarter filter prunes orders at the scan; the
-    returnflag filter prunes lineitem at the scan; customer/nation ride in
-    as broadcasts AFTER the fact-side aggregation input is minimized. The
+    returnflag filter prunes lineitem at the scan; customer/nation join
+    in AFTER the fact-side aggregation input is minimized (nation hinted —
+    constant 25 rows; customer unhinted — sf-proportional, AQE decides). The
     top-k is tie-broken by c_custkey."""
     c = table(spark, sf, "customer").select("c_custkey", "c_name", "c_nationkey")
     n = table(spark, sf, "nation").select("n_nationkey", F.col("n_name").alias("nation_name"))
@@ -2921,7 +2939,7 @@ def returned_items(spark: SparkSession, sf: str) -> DataFrame:
     ).cast("double")
     return (
         li.join(o.select("o_orderkey", "o_custkey"), li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), F.col("o_custkey") == c.c_custkey)
+        .join(c, F.col("o_custkey") == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "nation_name")
         .agg(rev.alias("revenue"))
@@ -3002,7 +3020,7 @@ def large_orders(spark: SparkSession, sf: str) -> DataFrame:
     c = table(spark, sf, "customer").select("c_custkey", "c_name")
     return (
         big.join(o, big.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .select(
             "c_name",
             "c_custkey",
@@ -3041,7 +3059,9 @@ def small_qty_revenue(spark: SparkSession, sf: str) -> DataFrame:
     the plan Catalyst's decorrelation would produce, stated explicitly.
     The avg threshold compare is cross-multiplied (5*qty*n < sum) so both
     engines decide membership in exact decimal — no float-division
-    boundary skew. The per-part agg is dimension-sized → broadcast."""
+    boundary skew. The per-part agg and the filtered part keys are both
+    part-proportional, so neither carries a hint — AQE broadcasts them
+    while small and shuffles at corpus scale."""
     li = table(spark, sf, "lineitem")
     p = table(spark, sf, "part").filter(F.col("p_brand") == "Brand#4").select("p_partkey")
     per_part = li.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
@@ -3049,8 +3069,8 @@ def small_qty_revenue(spark: SparkSession, sf: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_li"),
     )
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .join(F.broadcast(per_part), li.l_partkey == F.col("t_partkey"))
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(per_part, li.l_partkey == F.col("t_partkey"))
         .filter(F.col("l_quantity").cast("decimal(19,4)") * 5 * F.col("n_li") < F.col("qty_sum"))
         .agg(
             (F.sum(F.col("l_extendedprice").cast("decimal(19,6)")).cast("double") / 7.0).alias(
@@ -3097,7 +3117,7 @@ def top_supplier(spark: SparkSession, sf: str) -> DataFrame:
     s = table(spark, sf, "supplier").select("s_suppkey", "s_name")
     return (
         rev.join(F.broadcast(mx), rev.rev_dec == F.col("mx"))
-        .join(F.broadcast(s), F.col("supplier_no") == s.s_suppkey)
+        .join(s, F.col("supplier_no") == s.s_suppkey)
         .select("s_suppkey", "s_name", F.col("rev_dec").cast("double").alias("total_revenue"))
     )
 
@@ -3123,7 +3143,8 @@ def promo_revenue(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H Q14 shape: share of monthly revenue from promo parts — a
     conditional aggregate ratio. Both legs are exact decimal sums; the
     ratio is computed with the identical (div, then mul) float expression
-    on both engines. part rides in as a broadcast; the month filter is
+    on both engines. part is sf-proportional — its join is AQE-chosen
+    (broadcast under threshold, shuffle at scale); the month filter is
     pushed to the lineitem scan."""
     li = table(spark, sf, "lineitem").filter(
         (F.col("l_shipdate").cast("date") >= F.lit("1996-03-01"))
@@ -3133,7 +3154,7 @@ def promo_revenue(spark: SparkSession, sf: str) -> DataFrame:
     vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(19,6)")
     zero = F.lit(0).cast("decimal(19,6)")
     agg = (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .agg(
             F.sum(F.when(F.col("p_type") == "PROMO", vol).otherwise(zero)).alias("promo_dec"),
             F.sum(vol).alias("total_dec"),
@@ -3172,11 +3193,12 @@ def promo_revenue(spark: SparkSession, sf: str) -> DataFrame:
 )
 def local_supplier_volume(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H Q5 shape: revenue from orders where customer and supplier sit
-    in the same ASIA nation. Scale design: region→nation is folded into the
-    supplier dim (broadcast), so the fact picks up s_nationkey map-side;
-    the only big shuffle is lineitem⋈orders on orderkey; the
-    same-nation constraint is a post-broadcast filter, never a join
-    condition on the fact shuffle key."""
+    in the same ASIA nation. Scale design: region→nation folds into the
+    supplier dim (nation/region hinted — constant rows; the supplier and
+    customer joins are AQE-chosen, both sf-proportional), so the fact
+    picks up s_nationkey before the big shuffle; the only big shuffle is
+    lineitem⋈orders on orderkey; the same-nation constraint is a
+    post-join filter, never a join condition on the fact shuffle key."""
     r = table(spark, sf, "region").filter(F.col("r_name") == "ASIA").select("r_regionkey")
     nr = (
         table(spark, sf, "nation")
@@ -3195,9 +3217,9 @@ def local_supplier_volume(spark: SparkSession, sf: str) -> DataFrame:
     c = table(spark, sf, "customer").select("c_custkey", "c_nationkey")
     li = table(spark, sf, "lineitem")
     return (
-        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        li.join(s, li.l_suppkey == s.s_suppkey)
         .join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .filter(F.col("c_nationkey") == F.col("s_nationkey"))
         .groupBy("nation_name")
         .agg(
@@ -3237,9 +3259,10 @@ def local_supplier_volume(spark: SparkSession, sf: str) -> DataFrame:
 def market_share(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H Q8 shape: NATION_2's share of ECONOMY-part volume sold into
     the AMERICA market, by order year. The region restriction folds into
-    customer (broadcast), the part-type filter into a broadcast of the
-    filtered part keys — both act as map-side semi-filters on lineitem
-    before the single orderkey shuffle. The share is a conditional
+    customer, the part-type filter into the part keys — both act as
+    semi-filters on lineitem before the single orderkey shuffle. Hints
+    stay on nation/region only; customer/part/supplier joins are
+    AQE-chosen (sf-proportional sides). The share is a conditional
     aggregate over one pass, not two scans."""
     r = table(spark, sf, "region").filter(F.col("r_name") == "AMERICA").select("r_regionkey")
     n1 = (
@@ -3264,15 +3287,15 @@ def market_share(spark: SparkSession, sf: str) -> DataFrame:
     o = (
         table(spark, sf, "orders")
         .filter(F.col("o_orderdate").cast("date").between("1995-01-01", "1996-12-31"))
-        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
         .select("o_orderkey", F.year("o_orderdate").alias("o_year"))
     )
     li = table(spark, sf, "lineitem")
     vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(19,6)")
     zero = F.lit(0).cast("decimal(19,6)")
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(o, li.l_orderkey == o.o_orderkey)
         .groupBy("o_year")
         .agg(
@@ -3303,8 +3326,9 @@ def market_share(spark: SparkSession, sf: str) -> DataFrame:
 def product_profit(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H Q9 shape: profit on 'red' parts by supplier nation and order
     year (adapted: the corpus has no partsupp, so unit cost is modeled as
-    0.5×p_retailprice). The LIKE filter shrinks the part broadcast before
-    it reaches the fact; supplier+nation fold into one broadcast; the only
+    0.5×p_retailprice). The LIKE filter shrinks part before it reaches
+    the fact; supplier folds nation in via a hinted 25-row join. part and
+    supplier are sf-proportional → AQE-chosen strategy; the only
     shuffle is lineitem⋈orders then the group-by exchange. The profit
     expression is one double-arithmetic chain evaluated identically on
     both engines, cast to decimal once before the sum."""
@@ -3328,8 +3352,8 @@ def product_profit(spark: SparkSession, sf: str) -> DataFrame:
         - F.lit(0.5) * F.col("p_retailprice") * F.col("l_quantity")
     ).cast("decimal(19,6)")
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(o, li.l_orderkey == o.o_orderkey)
         .groupBy("nation_name", "o_year")
         .agg(F.sum(profit).cast("double").alias("profit"))
@@ -3351,8 +3375,8 @@ def product_profit(spark: SparkSession, sf: str) -> DataFrame:
 def disjunctive_predicates(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H Q19 shape: OR-of-ANDs mixing build-side (brand/size) and
     probe-side (quantity) predicates. The union of the three brand/size
-    boxes is pushed into the part broadcast (build-side prefilter shrinks
-    the hash table); the full disjunction is evaluated after the join,
+    boxes is pushed into the part side (build-side prefilter shrinks the
+    hash table; part is sf-proportional so the strategy is AQE-chosen); the full disjunction is evaluated after the join,
     where Catalyst keeps it one codegen'd predicate — no union-of-three-
     joins blowup, one pass over lineitem."""
     p_pre = (
@@ -3374,7 +3398,7 @@ def disjunctive_predicates(spark: SparkSession, sf: str) -> DataFrame:
         & F.col("l_quantity").between(20, 30)
     )
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .filter(full)
         .agg(
             F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(19,6)"))
@@ -3582,8 +3606,9 @@ def tfidf_keywords(spark: SparkSession, sf: str) -> DataFrame:
     ranks identically but last-ulp log differences between libm and the
     JVM could flip near-ties and break cross-engine hashing, so the score
     stays out of the output. Plan: per-doc term counts (partial agg before
-    the doc shuffle), document frequencies as a vocabulary-sized broadcast
-    joined back map-side, then a WindowGroupLimit top-k per doc — the
+    the doc shuffle), document frequencies joined back on term (the vocab
+    grows with the corpus — Heaps' law — so no forced hint: AQE broadcasts
+    while it fits, shuffles at scale), then a WindowGroupLimit top-k per doc — the
     corpus text itself is never shuffled."""
     docs = table(spark, sf, "documents")
     toks = docs.select(
@@ -3595,7 +3620,7 @@ def tfidf_keywords(spark: SparkSession, sf: str) -> DataFrame:
         F.col("tf").desc(), F.col("df").asc(), F.col("term").asc()
     )
     return (
-        tf.join(F.broadcast(idf), "term")
+        tf.join(idf, "term")
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 3)
         .select("doc_id", "term", "tf", "df", "rn")
@@ -4183,18 +4208,18 @@ def funnel_conversion(spark: SparkSession, sf: str) -> DataFrame:
 def cohort_retention(spark: SparkSession, sf: str) -> DataFrame:
     """Cohort retention triangle: users grouped by first-seen date, then
     for each cohort the count of users still active N weeks later. Plan:
-    one groupBy(user_id) for cohort dates (small: one row per user →
-    broadcast back onto the fact), a distinct over (user, cohort, week)
-    — the only full-fact shuffle — and a final small aggregate. The
-    cohort side is always user-cardinality-sized, so the join back is a
-    broadcast at any fact scale; day arithmetic is integer-exact on both
+    one groupBy(user_id) for cohort dates (one row per user) joined back
+    onto the fact, a distinct over (user, cohort, week) — the only
+    full-fact shuffle — and a final small aggregate. The cohort side is
+    user-cardinality-sized, which GROWS with the corpus, so the join back
+    carries no hint — AQE broadcasts it while it fits; day arithmetic is integer-exact on both
     engines (datediff/date_diff on DATEs)."""
     ev = table(spark, sf, "events")
     firsts = ev.groupBy("user_id").agg(
         F.min(F.to_date("ts")).alias("cohort_date")
     )
     activity = (
-        ev.join(F.broadcast(firsts), "user_id")
+        ev.join(firsts, "user_id")
         .select(
             "user_id",
             F.col("cohort_date").cast("string").alias("cohort_date"),
@@ -5248,8 +5273,9 @@ def important_part_value(spark: SparkSession, sf: str) -> DataFrame:
     corpus has no partsupp, so "stock value" is modeled as discounted
     revenue per part restricted to one nation's suppliers; parts whose
     value exceeds 1/1000 of the nation total qualify. Plan: the supplier
-    filter is a broadcast semi-join (supplier x nation is dim-sized at
-    any scale); one shuffle groups by partkey; the nation total is a
+    filter is a semi-join against the nation-filtered supplier keys
+    (supplier is sf-proportional → AQE-chosen strategy); one shuffle
+    groups by partkey; the nation total is a
     single-row aggregate broadcast back, and the threshold compare is
     exact decimal cross-multiplication (value*1000 > total) — no
     division, no float drift. Reference analogue: none (SURVEY §2.7, no
@@ -5259,7 +5285,7 @@ def important_part_value(spark: SparkSession, sf: str) -> DataFrame:
     n = table(spark, sf, "nation").filter(F.col("n_name") == "GERMANY").select("n_nationkey")
     nation_supp = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select("s_suppkey")
     part_value = (
-        li.join(F.broadcast(nation_supp), li.l_suppkey == nation_supp.s_suppkey, "left_semi")
+        li.join(nation_supp, li.l_suppkey == nation_supp.s_suppkey, "left_semi")
         .groupBy("l_partkey")
         .agg(
             F.sum(
@@ -5301,8 +5327,9 @@ def parts_supplier_counts(spark: SparkSession, sf: str) -> DataFrame:
     a denylisted supplier set (complaint suppliers in stock Q16; a
     deterministic name-suffix stand-in here — the corpus supplier table
     has no comment column). Plan: the part predicate trio prunes on the
-    broadcast dim side before the join; the denylist is a broadcast
-    anti-join (safe for NOT IN here because s_suppkey is never null);
+    dim side before the join; the denylist is an anti-join (safe for NOT
+    IN here because s_suppkey is never null); part/supplier are
+    sf-proportional so both strategies are AQE-chosen;
     the only fact-sized shuffle is the distinct over (partkey, suppkey)
     pairs. Distinct-count then shuffles only the qualifying pair set."""
     li = table(spark, sf, "lineitem")
@@ -5316,8 +5343,8 @@ def parts_supplier_counts(spark: SparkSession, sf: str) -> DataFrame:
     )
     pairs = li.select("l_partkey", "l_suppkey").distinct()
     return (
-        pairs.join(F.broadcast(p), pairs.l_partkey == p.p_partkey)
-        .join(F.broadcast(excluded), pairs.l_suppkey == excluded.s_suppkey, "left_anti")
+        pairs.join(p, pairs.l_partkey == p.p_partkey)
+        .join(excluded, pairs.l_suppkey == excluded.s_suppkey, "left_anti")
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )
@@ -5351,8 +5378,9 @@ def dominant_suppliers(spark: SparkSession, sf: str) -> DataFrame:
     layout); one shuffle builds (part, supplier) partial sums; the
     per-part totals reuse the same data partitioned by partkey, and the
     majority test is exact decimal cross-multiplication (qty*2 >
-    total). The supplier lookup is a broadcast semi-join, so the big
-    side never re-shuffles for the final name attach."""
+    total). The supplier lookup is a semi-join (AQE-chosen — the dominant
+    set is supplier-proportional), so the big side never re-shuffles for
+    the final name attach."""
     li = table(spark, sf, "lineitem")
     shipped = (
         li.filter((F.col("l_shipdate") >= "1995-01-01") & (F.col("l_shipdate") < "1996-01-01"))
@@ -5367,7 +5395,7 @@ def dominant_suppliers(spark: SparkSession, sf: str) -> DataFrame:
         .distinct()
     )
     s = table(spark, sf, "supplier").select("s_suppkey", "s_name")
-    return s.join(F.broadcast(dominant), s.s_suppkey == dominant.l_suppkey, "left_semi")
+    return s.join(dominant, s.s_suppkey == dominant.l_suppkey, "left_semi")
 
 
 # =========================================================================
@@ -5794,17 +5822,17 @@ def lineitem_ext(spark: SparkSession, sf: str) -> DataFrame:
 def tpch_q2_mincost_supplier(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H Q2 (minimum-cost supplier), exact form over the synthetic
     partsupp: for every size-15 part, the EUROPE supplier(s) quoting the
-    minimum supply cost. Plan: supplier✕nation✕region is dim-sized and
-    broadcasts; the per-part minimum is a window over the partsupp side
-    partitioned by ps_partkey (no self-join); the part attach broadcasts
-    the filtered dim. All ties kept — output is deterministic without a
+    minimum supply cost. Plan: nation/region are hinted (constant rows);
+    supplier and part are sf-proportional so their joins are AQE-chosen;
+    the per-part minimum is a window over the partsupp side partitioned
+    by ps_partkey (no self-join). All ties kept — output is deterministic without a
     LIMIT. Cost stays integer cents end-to-end."""
     ps = synth_partsupp(spark, sf)
     s = table(spark, sf, "supplier")
     n = table(spark, sf, "nation")
     r = table(spark, sf, "region").filter(F.col("r_name") == "EUROPE")
     eu = (
-        ps.join(F.broadcast(s), ps.ps_suppkey == s.s_suppkey)
+        ps.join(s, ps.ps_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .select("ps_partkey", "ps_suppkey", "ps_supplycost_cents", "s_name", "s_acctbal", "n_name")
@@ -5814,7 +5842,7 @@ def tpch_q2_mincost_supplier(spark: SparkSession, sf: str) -> DataFrame:
     p = table(spark, sf, "part").filter(F.col("p_size") == 15).select("p_partkey")
     return (
         m.filter(F.col("ps_supplycost_cents") == F.col("min_cost"))
-        .join(F.broadcast(p), m.ps_partkey == p.p_partkey)
+        .join(p, m.ps_partkey == p.p_partkey)
         .select(
             "p_partkey",
             F.col("ps_suppkey").alias("s_suppkey"),
@@ -5846,8 +5874,9 @@ def tpch_q2_mincost_supplier(spark: SparkSession, sf: str) -> DataFrame:
 def tpch_q11_partsupp(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H Q11 (important stock identification), exact form: parts whose
     NATION_7 stock value (cost×qty, exact int64 cents) exceeds 1/1250 of
-    that nation's total. Plan: nation-filtered supplier set broadcasts
-    into partsupp; one shuffle groups by partkey; the grand total is a
+    that nation's total. Plan: the nation-filtered supplier set
+    semi-joins into partsupp (AQE-chosen — supplier-proportional); one
+    shuffle groups by partkey; the grand total is a
     1-row aggregate broadcast back; the threshold is exact integer
     cross-multiplication (value*1250 > total) — no division, no float."""
     ps = synth_partsupp(spark, sf)
@@ -5855,7 +5884,7 @@ def tpch_q11_partsupp(spark: SparkSession, sf: str) -> DataFrame:
     n = table(spark, sf, "nation").filter(F.col("n_name") == "NATION_7").select("n_nationkey")
     nsupp = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select("s_suppkey")
     pv = (
-        ps.join(F.broadcast(nsupp), ps.ps_suppkey == nsupp.s_suppkey, "left_semi")
+        ps.join(nsupp, ps.ps_suppkey == nsupp.s_suppkey, "left_semi")
         .groupBy("ps_partkey")
         .agg(F.sum(F.col("ps_supplycost_cents") * F.col("ps_availqty")).alias("value_cents"))
     )
@@ -5884,9 +5913,9 @@ def tpch_q11_partsupp(spark: SparkSession, sf: str) -> DataFrame:
 def tpch_q16_partsupp(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H Q16 (parts/supplier relationship), exact form over synthetic
     partsupp: distinct qualifying suppliers per (brand, type, size),
-    minus a denylisted supplier set. Plan: part predicates prune the
-    broadcast dim BEFORE the join; the denylist is a broadcast anti-join
-    (NOT IN is safe — s_suppkey is never null); the only shuffle is the
+    minus a denylisted supplier set. Plan: part predicates prune the dim
+    BEFORE the join; the denylist is an anti-join (NOT IN is safe —
+    s_suppkey is never null); both sides sf-proportional → AQE-chosen; the only shuffle is the
     distinct-count over qualifying partsupp rows."""
     ps = synth_partsupp(spark, sf)
     p = table(spark, sf, "part").filter(
@@ -5896,8 +5925,8 @@ def tpch_q16_partsupp(spark: SparkSession, sf: str) -> DataFrame:
     )
     excl = table(spark, sf, "supplier").filter(F.col("s_name").endswith("7")).select("s_suppkey")
     return (
-        ps.join(F.broadcast(p), ps.ps_partkey == p.p_partkey)
-        .join(F.broadcast(excl), ps.ps_suppkey == excl.s_suppkey, "left_anti")
+        ps.join(p, ps.ps_partkey == p.p_partkey)
+        .join(excl, ps.ps_suppkey == excl.s_suppkey, "left_anti")
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("ps_suppkey").alias("supplier_cnt"))
     )
@@ -5933,7 +5962,8 @@ def tpch_q20_partsupp(spark: SparkSession, sf: str) -> DataFrame:
     they actually shipped of it in 1995. Plan: the year filter reaches the
     lineitem scan; one shuffle builds (part, supplier) shipped sums; the
     partsupp side joins on the composite key (both sides already keyed);
-    part-name and nation filters ride broadcast dims; the stock test is a
+    part-name and nation filters ride the dims (nation hinted; part and
+    the qualifying supplier set AQE-chosen); the stock test is a
     decimal comparison (availqty*2 > qty) — exact on both engines."""
     ps = synth_partsupp(spark, sf)
     li = table(spark, sf, "lineitem")
@@ -5948,7 +5978,7 @@ def tpch_q20_partsupp(spark: SparkSession, sf: str) -> DataFrame:
             shipped,
             (ps.ps_partkey == shipped.l_partkey) & (ps.ps_suppkey == shipped.l_suppkey),
         )
-        .join(F.broadcast(p), ps.ps_partkey == p.p_partkey, "left_semi")
+        .join(p, ps.ps_partkey == p.p_partkey, "left_semi")
         .filter(F.col("ps_availqty").cast("decimal(18,4)") * 2 > F.col("qty"))
         .select("ps_suppkey")
         .distinct()
@@ -5957,7 +5987,7 @@ def tpch_q20_partsupp(spark: SparkSession, sf: str) -> DataFrame:
     n = table(spark, sf, "nation").filter(F.col("n_name").isin("NATION_0", "NATION_1", "NATION_2", "NATION_3", "NATION_4"))
     return (
         s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
-        .join(F.broadcast(qualifying), s.s_suppkey == qualifying.ps_suppkey, "left_semi")
+        .join(qualifying, s.s_suppkey == qualifying.ps_suppkey, "left_semi")
         .select("s_suppkey", "s_name")
     )
 
@@ -7712,9 +7742,10 @@ def minhash_incremental(spark: SparkSession, sf: str) -> DataFrame:
         ),
         num_hashes=16,
     )
-    pairs, _ = dedup.minhash_incremental_pairs(
+    pairs, _sigs, release = dedup.minhash_incremental_pairs(
         old_docs, old_sigs, new_docs, threshold=0.5, num_hashes=16, bands=4
     )
+    release()  # pairs is eagerly checkpointed; the sig cache can go now
     return pairs
 
 

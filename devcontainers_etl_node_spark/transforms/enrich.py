@@ -2,10 +2,12 @@
 
 The reference enriches the sales fact with two chained left merges against
 pre-projected dimensions (``src/etl/etl.py:39-45``, J1+J2 in SURVEY §2.5).
-Here the dims are explicitly broadcast: dimensions are small relative to the
-fact, so at 100 TB the fact table never shuffles — each executor holds the
-dim hash maps and the join is map-side. If a dim outgrows the broadcast
-threshold, drop the hint and let AQE pick sort-merge.
+The join strategy is left to AQE by default: dims under the broadcast
+threshold become map-side broadcast joins (the fact never shuffles), and a
+dim that is corpus-proportional (e.g. TPC-H customer = sf x 150k rows — TBs
+at the 100 TB design point) falls back to a shuffled join instead of OOMing
+the executors on a forced hint. Pass ``broadcast_dims=True`` only for a dim
+you KNOW is bounded (nation/region-class constants).
 """
 
 from __future__ import annotations
@@ -17,7 +19,7 @@ def enrich_star(
     fact: DataFrame,
     dims: dict[str, tuple[DataFrame, list[str]]],
     how: str = "left",
-    broadcast_dims: bool = True,
+    broadcast_dims: bool = False,
 ) -> DataFrame:
     """Left-join ``fact`` against each dim on its key.
 

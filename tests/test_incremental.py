@@ -86,3 +86,34 @@ def test_old_docs_required_once_snapshot_exists(spark, tmp_path):
     run_incremental_dedup(spark, a, wd)
     with pytest.raises(ValueError, match="old_docs"):
         run_incremental_dedup(spark, _corpus_b(spark), wd)
+
+
+def test_corrupt_current_pointer_fails_loudly(spark, tmp_path):
+    """A CURRENT file that exists but doesn't parse is corruption, not
+    'no snapshot' — silently restarting at v1 would overwrite sigs_v1 and
+    dedup the batch against empty history (ADVICE r4)."""
+    wd = str(tmp_path / "dedup_snap4")
+    a = _corpus_a(spark)
+    run_incremental_dedup(spark, a, wd)
+    with open(os.path.join(wd, "CURRENT"), "w") as f:
+        f.write("not-a-version")
+    with pytest.raises(ValueError, match="corrupt"):
+        run_incremental_dedup(spark, _corpus_b(spark), wd, old_docs=a)
+    # sigs_v1 untouched by the failed run
+    assert os.path.exists(os.path.join(wd, "sigs_v1", "_SUCCESS"))
+
+
+def test_resubmitted_batch_rejected(spark, tmp_path):
+    """Committing the same batch twice would merge duplicate _id signature
+    rows into the snapshot and inflate every later run (ADVICE r4) — the
+    overlap gate raises before any state is written."""
+    wd = str(tmp_path / "dedup_snap5")
+    a, b = _corpus_a(spark), _corpus_b(spark)
+    run_incremental_dedup(spark, a, wd)
+    run_incremental_dedup(spark, b, wd, old_docs=a)
+    with pytest.raises(ValueError, match="already present"):
+        run_incremental_dedup(spark, b, wd, old_docs=a.unionByName(b))
+    # the failed run committed nothing: pointer still v2, no v3 snapshot
+    with open(os.path.join(wd, "CURRENT")) as f:
+        assert f.read().strip() == "2"
+    assert not os.path.exists(os.path.join(wd, "sigs_v3"))

@@ -767,7 +767,7 @@ def test_minhash_incremental_parity(spark):
             old_df.select(F.col("doc_id").alias("_id"), F.col("text").alias("_text"))
         )
     )
-    pairs, merged = dedup.minhash_incremental_pairs(old_df, old_sigs, new_df, threshold=0.5)
+    pairs, merged, release = dedup.minhash_incremental_pairs(old_df, old_sigs, new_df, threshold=0.5)
     got = {(r.id_a, r.id_b) for r in pairs.collect()}
     assert got == expected
     assert (1, 2) not in got  # old x old excluded by construction
@@ -780,6 +780,13 @@ def test_minhash_incremental_parity(spark):
     m = {r._id: list(r._sig) for r in merged.collect()}
     r = {r._id: list(r._sig) for r in rebuilt.collect()}
     assert m == r
+    release()
+
+    # re-submitting a committed batch (overlapping ids) must fail loudly,
+    # not silently double-sign the snapshot (ADVICE r4): `merged` is the
+    # post-commit snapshot, which already contains new_df's ids
+    with pytest.raises(ValueError, match="already present"):
+        dedup.minhash_incremental_pairs(full_df, merged, new_df, threshold=0.5)
 
 
 # ---------------------------------------------------------------------------

@@ -36,10 +36,22 @@ def test_column_pruning_reaches_scan(spark):
     assert "o_orderpriority" not in read  # untouched column not read
 
 
-def test_star_enrich_broadcasts_dims(spark):
-    p = plan(spark, "star_enrich")
-    assert p.count("BroadcastHashJoin") == 2
-    assert "SortMergeJoin" not in p  # the fact side never shuffles
+def test_star_enrich_broadcasts_dims_aqe_chosen(spark):
+    # Hint discipline: only the constant-row nation dim may carry a hint.
+    # customer is sf-proportional (TBs at the 100 TB design point) — a
+    # forced build side there OOMs at scale, so the strategy must belong
+    # to AQE (BHJ at this sf because the dim fits the threshold, shuffle
+    # join at scale) — the same treatment the funnel drop lists got in r4.
+    df = QUERIES["star_enrich"](spark, SF_SMALL)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    lines = analyzed.splitlines()
+    hint_lines = [i for i, l in enumerate(lines) if "ResolvedHint" in l]
+    assert len(hint_lines) == 1  # exactly one hint survives...
+    assert "nation" in lines[hint_lines[0] + 1]  # ...and it is the 25-row dim
+    p = plan(spark, "star_enrich", final=True)  # AQE's chosen strategy
+    final = p.split("== Initial Plan ==")[0]  # executed section only
+    assert final.count("BroadcastHashJoin") == 2  # both dims fit → both BHJ
+    assert "SortMergeJoin" not in final  # the fact side never shuffles here
 
 
 def test_global_topk_avoids_full_sort(spark):
@@ -67,8 +79,18 @@ def test_semi_join_stays_semi(spark):
 
 
 @pytest.mark.parametrize("name", ["revenue_by_nation", "above_avg_orders"])
-def test_dim_joins_broadcast(spark, name):
-    p = plan(spark, name)
+def test_dim_joins_broadcast_aqe_chosen(spark, name):
+    # The customer join must NOT be hint-forced (sf-proportional side);
+    # at this sf the dim fits the threshold so the FINAL adaptive plan
+    # still picks a broadcast strategy — chosen by size, not by hint.
+    df = QUERIES[name](spark, SF_SMALL)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    lines = analyzed.splitlines()
+    for i in [j for j, l in enumerate(lines) if "ResolvedHint" in l]:
+        # any surviving hint covers a bounded side: nation or a 1-row agg
+        block = "\n".join(lines[i + 1 : i + 4])
+        assert "customer" not in block and "c_custkey" not in block
+    p = plan(spark, name, final=True)
     assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p
 
 
