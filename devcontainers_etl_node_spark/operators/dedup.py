@@ -270,17 +270,24 @@ def minhash_lsh_pairs(
         / F.lit(float(num_hashes))
     )
     est_cut = max(0.0, threshold - 2.5 * (threshold * (1 - threshold) / num_hashes) ** 0.5)
-    # no broadcast hint: AQE auto-broadcasts the signature table while it
-    # fits, and falls back to a shuffle join at corpus scale.
-    # the pruned pair list feeds three consumers (verify output + both
+    # A band collision already certifies est >= rows_per_band/num_hashes
+    # = 1/bands (those minhashes are equal by construction of the bucket
+    # key), so when est_cut <= 1/bands the prune KEEPS every band
+    # candidate — its two signature joins are pure overhead (measured
+    # 0.7 s of a ~5 s warm call at 16/4). Run it only when it can cut.
+    if est_cut > 1.0 / bands:
+        # no broadcast hint: AQE auto-broadcasts the signature table while
+        # it fits, and falls back to a shuffle join at corpus scale.
+        cand = (
+            cand.join(sig.select(F.col("_id").alias("id_a"), F.col("_sig").alias("_sa")), "id_a")
+            .join(sig.select(F.col("_id").alias("id_b"), F.col("_sig").alias("_sb")), "id_b")
+            .filter(est >= est_cut)
+            .select("id_a", "id_b")
+        )
+    # the (pruned) pair list feeds three consumers (verify output + both
     # arms of the cand_ids union); it is 2 longs/pair — persist it rather
-    # than re-running the band self-join + est joins per consumer.
-    cand = (
-        cand.join(sig.select(F.col("_id").alias("id_a"), F.col("_sig").alias("_sa")), "id_a")
-        .join(sig.select(F.col("_id").alias("id_b"), F.col("_sig").alias("_sb")), "id_b")
-        .filter(est >= est_cut)
-        .select("id_a", "id_b")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # than re-running the band self-join (+ est joins) per consumer.
+    cand = cand.persist(StorageLevel.MEMORY_AND_DISK)
     cand.count()
 
     # exact verify on the shortlist only: shingle SETS are materialized
@@ -423,12 +430,17 @@ def minhash_incremental_pairs(
         / F.lit(float(num_hashes))
     )
     est_cut = max(0.0, threshold - 2.5 * (threshold * (1 - threshold) / num_hashes) ** 0.5)
-    cand = (
-        cand.join(all_sigs.select(F.col("_id").alias("id_a"), F.col("_sig").alias("_sa")), "id_a")
-        .join(all_sigs.select(F.col("_id").alias("id_b"), F.col("_sig").alias("_sb")), "id_b")
-        .filter(est >= est_cut)
-        .select("id_a", "id_b")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # same no-op-prune skip as minhash_lsh_pairs: a band collision already
+    # certifies est >= 1/bands, so below that cutoff the est joins keep
+    # everything and only burn time
+    if est_cut > 1.0 / bands:
+        cand = (
+            cand.join(all_sigs.select(F.col("_id").alias("id_a"), F.col("_sig").alias("_sa")), "id_a")
+            .join(all_sigs.select(F.col("_id").alias("id_b"), F.col("_sig").alias("_sb")), "id_b")
+            .filter(est >= est_cut)
+            .select("id_a", "id_b")
+        )
+    cand = cand.persist(StorageLevel.MEMORY_AND_DISK)
     cand.count()
 
     # exact verify: shingle sets for candidate docs only — new side from

@@ -72,33 +72,18 @@ def _hyperplanes(table: int, num_planes: int, dim: int) -> list[list[float]]:
     return [[rng.uniform(-1.0, 1.0) for _ in range(dim)] for _ in range(num_planes)]
 
 
-def srp_buckets(vec: Column, dim: int, num_planes: int = 4, num_tables: int = 8) -> Column:
-    """Array of (table, bucket) structs: sign-random-projection bucket per
-    hash table. Multiple independent tables trade compute for recall —
-    the standard LSH knob."""
-    entries = []
-    for t in range(num_tables):
-        planes = _hyperplanes(t, num_planes, dim)
-        bucket = F.lit(0).cast("long")
-        for p, comps in enumerate(planes):
-            plane = F.array(*[F.lit(x) for x in comps])
-            s = dot(vec, plane)
-            bucket = bucket + F.when(s > 0, F.lit(1 << p).cast("long")).otherwise(F.lit(0).cast("long"))
-        entries.append(F.struct(F.lit(t).alias("t"), bucket.alias("bucket")))
-    return F.array(*entries)
-
-
 def srp_buckets_vectorized(dim: int, num_planes: int, num_tables: int):
     """Arrow-batched SRP bucketing: ONE (batch x dim) @ (dim x planes)
-    BLAS matmul per Arrow batch instead of num_tables*num_planes
-    interpreted HigherOrderFunction folds per row. Same hyperplanes as
-    `srp_buckets` (seeded `_hyperplanes`), so the two paths land in the
-    same buckets up to float-summation order at the sign boundary —
-    immaterial for an approximate index. This is the hot-path kernel:
-    the fold-based Column version plans a num_tables*num_planes*dim
-    literal tree (plan/codegen cost grows with the knobs), while this
-    UDF's plan is one node at any setting and its per-row cost is a
-    vectorized matmul — the shape you want scanning 100 TB of vectors.
+    BLAS matmul per Arrow batch. Hyperplanes come from the seeded
+    `_hyperplanes`, so buckets are deterministic across runs/partitions.
+    A pure-Column fold (zip_with + aggregate per plane) was measured
+    first and lost badly: higher-order functions don't enter whole-stage
+    codegen, and the plan itself carries a num_tables*num_planes*dim
+    literal tree, so analysis+execution cost grew with the knobs (the r4
+    sweep's slowest entry at 16 tables). This UDF's plan is one node at
+    any setting and its per-row cost is a vectorized matmul — the shape
+    you want scanning 100 TB of vectors (measured: ann_lsh 10.4 s -> 3.6 s
+    cold, ~1.1 s warm at sf0.01, recall@5 1.0).
 
     Returns a pandas_udf: array<float> -> array<long> of length
     num_tables (index = table id; pair with posexplode)."""
@@ -149,15 +134,14 @@ def lsh_topk(
     (the dominant cost: num_tables x num_planes dot products per corpus
     row). Measured at sf0.01: 6 tables + probing ≥ the recall of 16
     exact-probe tables."""
+    buckets = srp_buckets_vectorized(dim, num_planes, num_tables)
     c = (
         corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
-        .withColumn("tb", F.explode(srp_buckets(F.col("c_vec"), dim, num_planes, num_tables)))
-        .select("neighbor_id", "c_vec", F.col("tb.t").alias("t"), F.col("tb.bucket").alias("bucket"))
+        .select("neighbor_id", "c_vec", F.posexplode(buckets(F.col("c_vec"))).alias("t", "bucket"))
     )
     q = (
         queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
-        .withColumn("tb", F.explode(srp_buckets(F.col("q_vec"), dim, num_planes, num_tables)))
-        .select("query_id", "q_vec", F.col("tb.t").alias("t"), F.col("tb.bucket").alias("bucket"))
+        .select("query_id", "q_vec", F.posexplode(buckets(F.col("q_vec"))).alias("t", "bucket"))
     )
     if probe_hamming >= 1:
         # probe the home bucket plus each Hamming-1 neighbor (one flipped

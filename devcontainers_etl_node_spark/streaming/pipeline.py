@@ -153,17 +153,22 @@ def click_purchase_join(
     )
 
 
-def enriched_stream(events: DataFrame, dim: DataFrame, key: str = "user_id") -> DataFrame:
+def enriched_stream(
+    events: DataFrame, dim: DataFrame, key: str = "user_id", broadcast_dim: bool = False
+) -> DataFrame:
     """Stream-static join: each event enriched with a slowly-changing
     dimension — the continuous form of the reference's flagship transform
     (fact left-joined to dims, src/etl/etl.py:39-45). The static side is
     re-read per micro-batch (so dim updates between batches are picked
-    up) and broadcast: stream state stays empty — a stream-static join
-    keeps NO join state, unlike stream-stream. At 100 TB of stream the
-    dim broadcast is the whole cost; an un-broadcastable dim would force
+    up); stream state stays empty — a stream-static join keeps NO join
+    state, unlike stream-stream. The join strategy is AQE/size-chosen by
+    default: pass ``broadcast_dim=True`` only for a dim you KNOW is
+    bounded — a user-keyed dim GROWS with the corpus, and a forced hint
+    there OOMs the executors at scale. An un-broadcastable dim forces
     per-batch shuffles and should become a stream-stream join with
     watermarks or a foreachBatch lookup instead."""
-    return events.join(F.broadcast(dim), on=key, how="left")
+    side = F.broadcast(dim) if broadcast_dim else dim
+    return events.join(side, on=key, how="left")
 
 
 def session_windows(events: DataFrame, gap: str = "30 minutes", watermark: str = "30 minutes") -> DataFrame:

@@ -1,0 +1,36 @@
+"""Spill-not-OOM under memory pressure — the dedup family's 100 TB claim
+("disk-backed so it spills, never OOMs", operators/dedup.py) exercised
+for real: the MinHash band self-join runs in a 1 g-driver session whose
+execution memory (~35 MB/task) is far below the sort volume, and must
+COMPLETE with nonzero spill metrics instead of dying.
+
+The probe is a subprocess (tools/spill_probe.py) because driver heap and
+spark.memory.fraction are JVM-start settings — the test session's 48 g
+JVM cannot be shrunk in place. Measured numbers are recorded in PERF.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_band_join_spills_and_completes_under_memory_pressure():
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "spill_probe.py")],
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    assert proc.returncode == 0, f"probe died (OOM?):\n{proc.stderr[-2000:]}"
+    result = json.loads(proc.stdout.strip().splitlines()[-1])
+    # unique signatures -> no band collisions: the probe measures SORT
+    # pressure, not a pair blowup
+    assert result["rows"] == 0
+    # the join could not have fit: it must have spilled to finish
+    assert result["memory_spilled_bytes"] > 0
+    assert result["disk_spilled_bytes"] > 0

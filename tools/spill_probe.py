@@ -1,0 +1,86 @@
+"""Spill-not-OOM probe: run the MinHash band self-join under a memory-
+starved session and report the spill metrics.
+
+The 100 TB story for the dedup family says "disk-backed so it spills,
+never OOMs" (operators/dedup.py). That claim is only real if a shuffle
+that exceeds execution memory actually completes by spilling — so this
+probe builds a signature table whose banded sort-merge join must sort
+far more per task than the session's execution memory allows, runs it,
+and reads the per-stage memory/disk spill totals back through the UI
+REST API. It runs in its OWN process because driver memory and
+spark.memory.fraction are JVM-start settings — the test session's 48 g
+heap cannot be shrunk after the fact.
+
+Session: 1 g driver heap, memory.fraction 0.2 (~140 MB execution memory
+shared by 4 local cores => ~35 MB per task), broadcast joins disabled so
+the band join is a real sort-merge over the shuffle.
+
+Data: 1 M synthetic signatures x 16 longs. Banded (4 bands) that is
+~4 M rows per join side sorted in 4 partitions — hundreds of MB of sort
+data per task against a ~35 MB budget. Signatures are unique per id
+(xxhash64 of the id), so the join output is tiny: the probe measures
+SORT pressure, not a pathological pair blowup.
+
+Prints ONE JSON line:
+  {"rows": N, "memory_spilled_bytes": X, "disk_spilled_bytes": Y,
+   "peak_execution_memory": Z}
+Exit 0 iff the join completed. The caller asserts spill > 0.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import urllib.request
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import SparkSession, functions as F
+
+
+def main() -> None:
+    spark = (
+        SparkSession.builder.master("local[4]")
+        .appName("spill-probe")
+        .config("spark.driver.memory", "1g")
+        .config("spark.memory.fraction", "0.2")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.sql.autoBroadcastJoinThreshold", "-1")
+        .config("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        .config("spark.ui.enabled", "true")
+        .config("spark.ui.port", "0")  # pick a free port; read uiWebUrl back
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from devcontainers_etl_node_spark.operators import dedup
+
+    num_hashes, bands = 16, 4
+    sig = spark.range(1_000_000).select(
+        F.col("id").alias("_id"),
+        F.array(*[F.xxhash64(F.col("id"), F.lit(i)) for i in range(num_hashes)]).alias("_sig"),
+    )
+    pairs = dedup.band_candidate_pairs(sig, num_hashes=num_hashes, bands=bands)
+    n = pairs.count()  # completes by SPILLING, or dies with OOM (exit != 0)
+
+    ui = spark.sparkContext.uiWebUrl  # e.g. http://host:4041
+    with urllib.request.urlopen(f"{ui}/api/v1/applications") as r:
+        app_id = json.load(r)[0]["id"]
+    with urllib.request.urlopen(f"{ui}/api/v1/applications/{app_id}/stages") as r:
+        stages = json.load(r)
+
+    out = {
+        "rows": n,
+        "memory_spilled_bytes": sum(s.get("memoryBytesSpilled", 0) for s in stages),
+        "disk_spilled_bytes": sum(s.get("diskBytesSpilled", 0) for s in stages),
+        "peak_execution_memory": max(
+            (s.get("peakExecutionMemory", 0) for s in stages), default=0
+        ),
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())
