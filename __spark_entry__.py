@@ -1,7 +1,8 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
 - ``entry(spark)``: flagship query (the reference's star-join enrichment,
-  src/etl/etl.py:20-54, re-expressed as broadcast joins) on sf0.001.
+  src/etl/etl.py:20-54, re-expressed as AQE-planned dimension joins —
+  broadcast while the dim fits, shuffle at scale) on sf0.001.
 - ``queries()``: every implemented operator from SURVEY.md §2 —
   see devcontainers_etl_node_spark/queries/catalog.py.
 - ``oracle_sql()``: the DuckDB-equivalent SQL per query (omitted for

@@ -2,11 +2,14 @@
 
 All pure Column expressions (JVM-side, whole-stage codegen) — no Python
 UDFs in any hot path. Every operator is a narrow map over the documents
-table: no shuffle, scales linearly with input splits at 100 TB.
+table: no shuffle, scales linearly with input splits at 100 TB. The one
+Arrow UDF (BPE merge application) runs over the aggregated word-frequency
+vocabulary, never the corpus.
 """
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F
 
 # Tiny multilingual stopword lists for the n-gram/stopword language-ID
@@ -159,3 +162,133 @@ def phonetic_blocking(
             F.col("lev_dist").cast("int").alias("lev_dist"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer training (Sennrich et al., ACL 2016)
+# ---------------------------------------------------------------------------
+
+
+def word_freq_table(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, n) — the weighted vocabulary BPE trains over.
+
+    This is the ONLY corpus-sized pass of BPE training: one whitespace
+    explode + one count shuffle on the word. Everything after operates on
+    the aggregated vocabulary (sublinear in corpus size — Heaps' law), so
+    at 100 TB the merge loop never touches raw text again."""
+    return (
+        df.filter(F.length(F.trim(F.col(text_col))) > 0)
+        .select(F.explode(tokens(F.lower(F.col(text_col)))).alias("word"))
+        .filter(F.length("word") >= 2)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def bpe_pair_count_table(wf: DataFrame) -> DataFrame:
+    """(left_sym, right_sym, pair_count) over single characters: the
+    iteration-0 BPE pair statistic, weighted by word frequency. Pure
+    Column explode + sum — the exact aggregation each merge iteration
+    repeats over the evolving symbol sequences."""
+    pairs = wf.select(
+        "n",
+        F.explode(F.sequence(F.lit(1), F.length("word") - 1)).alias("i"),
+        F.col("word"),
+    ).select(
+        F.col("word").substr(F.col("i"), F.lit(1)).alias("left_sym"),
+        F.col("word").substr(F.col("i") + 1, F.lit(1)).alias("right_sym"),
+        "n",
+    )
+    return pairs.groupBy("left_sym", "right_sym").agg(
+        F.sum("n").cast("long").alias("pair_count")
+    )
+
+
+def bpe_train_merges(
+    df: DataFrame, text_col: str = "text", n_merges: int = 8, end_of_word: str = "</w>"
+) -> list[tuple[int, str, str, int]]:
+    """Byte-pair-encoding merge training (Sennrich et al., ACL 2016):
+    learn `n_merges` merges over the corpus, most-frequent-pair first.
+
+    Returns [(rank, left, right, freq), ...] — driver-tiny (n_merges
+    rows), like any trained-artifact handoff (cf. train_ivf_centroids).
+
+    Distributed shape: the corpus collapses ONCE into the weighted
+    word-frequency table (`word_freq_table` — the only corpus-sized
+    pass); each merge iteration then runs (a) a pair-count aggregation
+    over the exploded symbol sequences of the VOCABULARY (sublinear in
+    corpus size), (b) a 1-row argmax to the driver (the merge decision —
+    deterministic tiebreak: freq desc, left asc, right asc), and (c) a
+    map-only Arrow pass applying the merge left-to-right greedily to
+    each word's symbol array. The evolving vocab table is
+    localCheckpoint'ed per iteration so the iterative lineage stays
+    bounded (the same discipline as dup_bfs/star-contraction). Words
+    carry an end-of-word marker on the final symbol, per the paper, so
+    suffix units ("ing</w>") stay distinct from infix ones.
+
+    At 100 TB: the word explode + count is one shuffle over the corpus;
+    the loop's per-iteration cost is vocabulary-sized (hundreds of
+    millions of rows for web-scale text — still a distributed table, NOT
+    a driver collect), and n_merges passes over it. Production trainers
+    cap vocab (frequency floor) and run ~30k merges over a sampled
+    corpus; both knobs compose here (filter wf, raise n_merges)."""
+    from pyspark.sql.functions import pandas_udf
+
+    wf = word_freq_table(df, text_col)
+    # split(word, '') yields chars; mark the last char with the end-of-word
+    # suffix so final units are distinct (Sennrich fig. 2)
+    chars = F.split(F.col("word"), "")
+    marked = F.concat(
+        F.slice(chars, 1, F.size(chars) - 1),
+        F.array(F.concat(F.element_at(chars, -1), F.lit(end_of_word))),
+    )
+    vocab = wf.select(marked.alias("syms"), "n").localCheckpoint(eager=True)
+
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(n_merges):
+        pair_counts = (
+            # fully-merged single-symbol words contribute no pairs (and
+            # sequence(1, 0) would DESCEND, indexing past the array)
+            vocab.filter(F.size("syms") >= 2)
+            .select(
+                "n",
+                F.explode(F.sequence(F.lit(1), F.size("syms") - 1)).alias("i"),
+                F.col("syms"),
+            )
+            .select(
+                F.element_at("syms", F.col("i")).alias("left"),
+                F.element_at("syms", F.col("i") + 1).alias("right"),
+                "n",
+            )
+            .groupBy("left", "right")
+            .agg(F.sum("n").cast("long").alias("freq"))
+        )
+        top = pair_counts.orderBy(
+            F.col("freq").desc(), F.col("left").asc(), F.col("right").asc()
+        ).limit(1).collect()
+        if not top:
+            break
+        left, right, freq = top[0].left, top[0].right, top[0].freq
+
+        @pandas_udf("array<string>")
+        def _apply_merge(col: pd.Series) -> pd.Series:
+            out = []
+            for s in col:
+                s = list(s)
+                merged, i = [], 0
+                while i < len(s):
+                    if i + 1 < len(s) and s[i] == left and s[i + 1] == right:
+                        merged.append(left + right)
+                        i += 2
+                    else:
+                        merged.append(s[i])
+                        i += 1
+                out.append(merged)
+            return pd.Series(out)
+
+        nxt = vocab.select(_apply_merge("syms").alias("syms"), "n").localCheckpoint(
+            eager=True
+        )
+        vocab = nxt
+        merges.append((rank, left, right, int(freq)))
+    return merges

@@ -8246,3 +8246,58 @@ def user_growth(spark: SparkSession, sf: str) -> DataFrame:
         F.col("new_users").cast("long").alias("new_users"),
         F.sum("new_users").over(w).cast("long").alias("cum_users"),
     )
+
+
+@query(
+    "bpe_pair_counts",
+    """
+    WITH w AS (
+        SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word
+        FROM documents WHERE length(trim(text)) > 0),
+    wf AS (SELECT word, COUNT(*) AS n FROM w WHERE length(word) >= 2 GROUP BY word),
+    pos AS (
+        SELECT word, n,
+               unnest(generate_series(1, length(word) - 1)) AS i
+        FROM wf),
+    p AS (
+        SELECT substring(word, CAST(i AS INT), 1) AS left_sym,
+               substring(word, CAST(i AS INT) + 1, 1) AS right_sym,
+               n
+        FROM pos)
+    SELECT left_sym, right_sym, CAST(SUM(n) AS BIGINT) AS pair_count
+    FROM p GROUP BY left_sym, right_sym
+    """,
+)
+def bpe_pair_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """The iteration-0 BPE statistic (Sennrich et al., ACL 2016): adjacent
+    character-pair frequencies weighted by word frequency. Plan: ONE
+    corpus pass (word explode + count shuffle) collapses the text into
+    the weighted vocabulary — sublinear in corpus size (Heaps' law) —
+    and the pair explode + sum runs over THAT, so at 100 TB the
+    pair-counting cost is vocabulary-sized, not corpus-sized.
+    operators/text.py:word_freq_table / bpe_pair_count_table."""
+    from devcontainers_etl_node_spark.operators import text as textops
+
+    wf = textops.word_freq_table(table(spark, sf, "documents"))
+    return textops.bpe_pair_count_table(wf)
+
+
+@query("bpe_train")  # iterative driver-loop argmax — non-SQL; parity vs a
+def bpe_train(spark: SparkSession, sf: str) -> DataFrame:  # pure-Python BPE in tests
+    """BPE merge training, 8 merges (Sennrich et al., ACL 2016): the
+    tokenizer-training leg of a pretraining pipeline. Output is the
+    learned merge table (rank, left, right, freq) — driver-tiny by
+    construction (n_merges rows), like any trained artifact
+    (cf. ivf_incremental's frozen centroids). Each iteration: one
+    vocabulary-sized pair-count aggregation, a 1-row argmax (freq desc,
+    then lexicographic — fully deterministic), and a map-only Arrow pass
+    applying the merge; the evolving vocab is localCheckpoint'ed so the
+    iterative lineage stays bounded. Correctness is pinned by
+    tests/test_operators.py parity against an independent pure-Python
+    BPE over the same corpus. operators/text.py:bpe_train_merges."""
+    from devcontainers_etl_node_spark.operators import text as textops
+
+    merges = textops.bpe_train_merges(table(spark, sf, "documents"), n_merges=8)
+    return spark.createDataFrame(
+        merges, "rank INT, left_sym STRING, right_sym STRING, freq BIGINT"
+    )

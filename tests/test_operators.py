@@ -839,3 +839,70 @@ def test_entity_resolution_composition(spark):
     comp = {r.node: r.component for r in labels.collect()}
     assert comp[1] == comp[2] == comp[3]
     assert comp[4] == comp[5] != comp[1]
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer training
+# ---------------------------------------------------------------------------
+
+
+def _reference_bpe(word_freqs: dict[str, int], n_merges: int, eow: str = "</w>"):
+    """Independent pure-Python BPE (Sennrich et al., ACL 2016 fig. 2
+    shape): same tiebreak contract as the operator — freq desc, then
+    (left, right) lexicographic; merges applied left-to-right greedy."""
+    vocab = {}
+    for w, n in word_freqs.items():
+        syms = list(w)
+        syms[-1] = syms[-1] + eow
+        vocab[tuple(syms)] = vocab.get(tuple(syms), 0) + n
+    merges = []
+    for rank in range(n_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for syms, n in vocab.items():
+            for i in range(len(syms) - 1):
+                counts[(syms[i], syms[i + 1])] = counts.get((syms[i], syms[i + 1]), 0) + n
+        if not counts:
+            break
+        (left, right), freq = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        new_vocab = {}
+        for syms, n in vocab.items():
+            merged, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+                    merged.append(left + right)
+                    i += 2
+                else:
+                    merged.append(syms[i])
+                    i += 1
+            new_vocab[tuple(merged)] = new_vocab.get(tuple(merged), 0) + n
+        vocab = new_vocab
+        merges.append((rank, left, right, freq))
+    return merges
+
+
+def test_bpe_train_matches_pure_python_reference(spark):
+    """The distributed merge loop must reproduce an independently coded
+    BPE exactly — ranks, pairs, AND frequencies — on the real corpus."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    # reference word freqs computed the same way word_freq_table defines
+    # them (lowered, whitespace-split, length >= 2)
+    wf = {}
+    for r in docs.collect():
+        t = (r.text or "").strip().lower()
+        if not t:
+            continue
+        for w in t.split():
+            if len(w) >= 2:
+                wf[w] = wf.get(w, 0) + 1
+    expected = _reference_bpe(wf, n_merges=6)
+
+    got = [
+        (m[0], m[1], m[2], m[3])
+        for m in textops.bpe_train_merges(docs, n_merges=6)
+    ]
+    assert got == expected
+    # merge frequencies are monotone non-increasing ONLY within ties of
+    # structure — not guaranteed globally; what IS guaranteed: positive
+    # frequencies and distinct pairs
+    assert all(f > 0 for *_, f in got)
+    assert len({(l, r) for _, l, r, _ in got}) == len(got)
