@@ -5537,9 +5537,14 @@ def quantile_buckets(spark: SparkSession, sf: str) -> DataFrame:
 
 def _copurchase_oriented_edges(spark: SparkSession, sf: str) -> DataFrame:
     """Lazy degree-oriented co-purchase edge list (the pre-barrier half of
-    copurchase_triangles). The ONLY broadcast hint is the basket-size
-    keep list (bounded by the order-size cap); the edge list itself is
-    never hinted — tests/test_plans.py pins both."""
+    copurchase_triangles). NO join carries a hint: the basket-size keep
+    list caps basket SIZE, not list LENGTH — the list itself is one row
+    per qualifying order, i.e. corpus-proportional, exactly the class a
+    forced broadcast OOMs on at 100 TB. Its semi-join keys on l_orderkey,
+    the same key the basket self-join just shuffled on, so at scale AQE
+    plans a co-partitioned semi (zero extra fact movement) and at test sf
+    it broadcasts by size — tests/test_plans.py pins the no-hint
+    discipline and the NLJ-free plan."""
     li = table(spark, sf, "lineitem")
     basket = li.select("l_orderkey", "l_partkey").distinct()
     sized = basket.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("bsz")).filter(
@@ -5551,7 +5556,7 @@ def _copurchase_oriented_edges(spark: SparkSession, sf: str) -> DataFrame:
     pairs = (
         a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
                & (F.col("a.l_partkey") < F.col("b.l_partkey")))
-        .join(F.broadcast(keep), F.col("a.l_orderkey") == F.col("sized_orderkey"),
+        .join(keep, F.col("a.l_orderkey") == F.col("sized_orderkey"),
               "left_semi")
         .select(F.col("a.l_partkey").alias("part_a"), F.col("b.l_partkey").alias("part_b"))
     )

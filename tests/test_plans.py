@@ -116,10 +116,11 @@ def test_rolling_active_users_no_nested_loop(spark):
 
 
 def test_copurchase_triangles_degree_ordered_no_forced_broadcast(spark):
-    # round-4 re-plan: degree-ordered wedge join. The only hint allowed
-    # is the basket-size keep list (bounded by the order-size cap); the
-    # edge list must NOT be force-broadcast — at web scale it exceeds any
-    # executor, and the strategy belongs to AQE.
+    # round-5 tightening: NO hint anywhere in the edge build. The keep
+    # list is one row per qualifying ORDER — corpus-proportional, the
+    # forced-broadcast OOM class — and its semi-join keys on the same
+    # l_orderkey the basket self-join shuffles on, so the strategy
+    # belongs to AQE at every scale.
     # hint discipline is asserted on the PRE-barrier edge build (the
     # query itself checkpoints the oriented edge list, which hides the
     # upstream plan from its analyzed tree)
@@ -127,11 +128,7 @@ def test_copurchase_triangles_degree_ordered_no_forced_broadcast(spark):
 
     edges = _copurchase_oriented_edges(spark, SF_SMALL)
     analyzed = edges._jdf.queryExecution().analyzed().toString()
-    lines = analyzed.splitlines()
-    hint_lines = [i for i, l in enumerate(lines) if "ResolvedHint" in l]
-    assert hint_lines  # the keep list IS hinted (bounded side)
-    for i in hint_lines:  # ... and nothing else is (the subtree under every
-        assert "sized_orderkey" in lines[i + 1]  # hint is the keep list)
+    assert "ResolvedHint" not in analyzed
     df = QUERIES["copurchase_triangles"](spark, SF_SMALL)
     p = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
