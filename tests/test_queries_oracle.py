@@ -140,6 +140,7 @@ def test_every_query_has_callable_and_oracle_consistency():
         "minhash_incremental",
         "ivf_incremental",
         "entity_clusters",
+        "bpe_train",
     }
 
 
