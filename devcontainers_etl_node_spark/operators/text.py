@@ -2,9 +2,10 @@
 
 All pure Column expressions (JVM-side, whole-stage codegen) — no Python
 UDFs in any hot path. Every operator is a narrow map over the documents
-table: no shuffle, scales linearly with input splits at 100 TB. The one
-Arrow UDF (BPE merge application) runs over the aggregated word-frequency
-vocabulary, never the corpus.
+table: no shuffle, scales linearly with input splits at 100 TB. The two
+Arrow UDFs are BPE's: merge TRAINING runs over the aggregated
+word-frequency vocabulary (never the corpus), and merge ENCODING is by
+nature a corpus map — one vectorized Arrow pass, still shuffle-free.
 """
 
 from __future__ import annotations
@@ -292,3 +293,57 @@ def bpe_train_merges(
         vocab = nxt
         merges.append((rank, left, right, int(freq)))
     return merges
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges: list[tuple[int, str, str, int]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    end_of_word: str = "</w>",
+) -> DataFrame:
+    """Encode text with a learned BPE merge table — the inference half of
+    tokenizer support (`bpe_train_merges` is the training half).
+
+    Applies the merges IN RANK ORDER with the same left-to-right greedy
+    pass the trainer used, so a word seen in training reproduces its
+    final training segmentation exactly (parity pinned in tests against
+    the pure-Python reference). The merge table is driver-tiny
+    (n_merges rows) and ships to executors inside the UDF closure — the
+    corpus is encoded in ONE map-only Arrow pass, no shuffle, which is
+    the whole 100 TB story: tokenization cost is a linear scan that
+    parallelizes with input splits.
+
+    Returns (id_col, subwords: array<string>, n_subwords)."""
+    from pyspark.sql.functions import pandas_udf
+
+    ordered = [(left, right) for _, left, right, _ in sorted(merges)]
+
+    @pandas_udf("array<string>")
+    def _encode(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            subs: list[str] = []
+            for w in (t or "").strip().lower().split():
+                if len(w) < 2:
+                    continue
+                s = list(w)
+                s[-1] = s[-1] + end_of_word
+                for left, right in ordered:
+                    merged, i = [], 0
+                    while i < len(s):
+                        if i + 1 < len(s) and s[i] == left and s[i + 1] == right:
+                            merged.append(left + right)
+                            i += 2
+                        else:
+                            merged.append(s[i])
+                            i += 1
+                    s = merged
+                subs.extend(s)
+            out.append(subs)
+        return pd.Series(out)
+
+    return df.select(
+        F.col(id_col),
+        _encode(F.col(text_col)).alias("subwords"),
+    ).withColumn("n_subwords", F.size("subwords").cast("long"))

@@ -8306,3 +8306,24 @@ def bpe_train(spark: SparkSession, sf: str) -> DataFrame:  # pure-Python BPE in 
     return spark.createDataFrame(
         merges, "rank INT, left_sym STRING, right_sym STRING, freq BIGINT"
     )
+
+
+@query("bpe_encode")  # consumes the non-SQL trained merges — rows-only;
+def bpe_encode(spark: SparkSession, sf: str) -> DataFrame:  # parity in tests
+    """Tokenize the corpus with the learned BPE merges — the inference
+    half of tokenizer support (train 8 merges, then ONE map-only Arrow
+    pass over the documents; merges ship in the UDF closure, nothing
+    shuffles). Output: per-doc whitespace-word vs subword counts — the
+    fertility signal a tokenizer team reads after training. Per-word
+    segmentation parity vs the pure-Python reference encoder is pinned
+    in tests/test_operators.py. operators/text.py:bpe_encode."""
+    from devcontainers_etl_node_spark.operators import text as textops
+
+    docs = table(spark, sf, "documents")
+    merges = textops.bpe_train_merges(docs, n_merges=8)
+    enc = textops.bpe_encode(docs, merges)
+    return enc.select(
+        "doc_id",
+        F.col("n_subwords"),
+        F.size(F.array_distinct("subwords")).cast("long").alias("n_distinct_subwords"),
+    )

@@ -906,3 +906,38 @@ def test_bpe_train_matches_pure_python_reference(spark):
     # frequencies and distinct pairs
     assert all(f > 0 for *_, f in got)
     assert len({(l, r) for _, l, r, _ in got}) == len(got)
+
+
+def test_bpe_encode_matches_reference_segmentation(spark):
+    """Encoding with the trained merges must reproduce the reference
+    encoder's per-word segmentation exactly — merges applied in rank
+    order, same greedy left-to-right pass."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(50)
+    merges = textops.bpe_train_merges(docs, n_merges=6)
+
+    def ref_encode_word(w, ordered):
+        s = list(w)
+        s[-1] = s[-1] + "</w>"
+        for left, right in ordered:
+            merged, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == left and s[i + 1] == right:
+                    merged.append(left + right)
+                    i += 2
+                else:
+                    merged.append(s[i])
+                    i += 1
+            s = merged
+        return s
+
+    ordered = [(l, r) for _, l, r, _ in sorted(merges)]
+    got = {r.doc_id: list(r.subwords) for r in textops.bpe_encode(docs, merges).collect()}
+    for row in docs.collect():
+        expected = []
+        for w in (row.text or "").strip().lower().split():
+            if len(w) >= 2:
+                expected.extend(ref_encode_word(w, ordered))
+        assert got[row.doc_id] == expected
+    # a trained merge actually fires somewhere: some doc has fewer
+    # subwords than characters
+    assert any(len("".join(s).replace("</w>", "")) > len(s) for s in got.values())
