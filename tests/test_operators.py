@@ -941,3 +941,17 @@ def test_bpe_encode_matches_reference_segmentation(spark):
     # a trained merge actually fires somewhere: some doc has fewer
     # subwords than characters
     assert any(len("".join(s).replace("</w>", "")) > len(s) for s in got.values())
+
+
+def test_bpe_edge_cases(spark):
+    # empty corpus -> no merges; encode with no merges -> pure char+eow
+    empty = spark.createDataFrame([], "doc_id LONG, text STRING")
+    assert textops.bpe_train_merges(empty, n_merges=3) == []
+    df = spark.createDataFrame([(1, "ab a  ")], ["doc_id", "text"])
+    rows = textops.bpe_encode(df, []).collect()
+    # single-char word 'a' is filtered (matches word_freq_table's >=2 rule)
+    assert rows[0].subwords == ["a", "b</w>"] and rows[0].n_subwords == 2
+    # a corpus where every word fully merges within n_merges terminates
+    tiny = spark.createDataFrame([(1, "aa aa aa")], ["doc_id", "text"])
+    merges = textops.bpe_train_merges(tiny, n_merges=5)
+    assert [(m[1], m[2]) for m in merges] == [("a", "a</w>")]  # then dry -> stop
