@@ -98,7 +98,8 @@ def srp_buckets_vectorized(dim: int, num_planes: int, num_tables: int):
 
     @pandas_udf("array<long>")
     def _buckets(vecs: pd.Series) -> pd.Series:
-        m = np.array(vecs.tolist(), dtype=np.float64)  # (n, dim)
+        # reshape keeps a 0-row Arrow batch 2-D so the matmul is total
+        m = np.array(vecs.tolist(), dtype=np.float64).reshape(-1, dim)  # (n, dim)
         signs = (m @ planes) > 0  # (n, tables*planes)
         b = signs.reshape(len(m), num_tables, num_planes) @ weights  # (n, tables)
         return pd.Series(list(b))

@@ -955,3 +955,12 @@ def test_bpe_edge_cases(spark):
     tiny = spark.createDataFrame([(1, "aa aa aa")], ["doc_id", "text"])
     merges = textops.bpe_train_merges(tiny, n_merges=5)
     assert [(m[1], m[2]) for m in merges] == [("a", "a</w>")]  # then dry -> stop
+
+
+def test_lsh_topk_empty_inputs(spark):
+    """0-row sides must flow through the vectorized bucket UDF (a 0-row
+    Arrow batch is 2-D via the reshape) and yield 0 candidates."""
+    empty = spark.createDataFrame([], "vec_id LONG, embedding ARRAY<FLOAT>")
+    some = spark.createDataFrame([(1, [0.1] * 16), (2, [0.2] * 16)], ["vec_id", "embedding"])
+    assert similarity.lsh_topk(empty, some, k=3, dim=16, probe_hamming=1).count() == 0
+    assert similarity.lsh_topk(some, empty, k=3, dim=16, probe_hamming=1).count() == 0
