@@ -6,11 +6,14 @@ Recall knob sweep at sf0.01 (measured, deterministic — seeded hyperplanes
 and KMeans seed):
     lsh  tables=8  planes=4: 0.60   tables=16 planes=4: 0.88
     lsh  tables=12 planes=3: 0.96   tables=24 planes=4: 0.96
+    lsh  multi-probe (Hamming-1): tables=4: 0.88  tables=6: 1.00  tables=8: 1.00
     ivf  cent=16 probe=4: 0.72      cent=16 probe=6: 0.84
     ivf  cent=16 probe=8: 0.96
     pq   m=8 codes=32 rerank=8: 0.80   m=16 codes=32 rerank=8: 1.00
-The catalog entries use tables=16 / n_probe=6 — the cheapest settings
-clearing the 0.8 gate with margin.
+The catalog entries use lsh tables=6 + Hamming-1 multi-probe (r5: equals
+or beats 16 exact-probe tables at under half the corpus-side bucket
+compute) and ivf n_probe=6 — the cheapest settings clearing the 0.8 gate
+with margin.
 """
 
 import pyspark.sql.functions as F
