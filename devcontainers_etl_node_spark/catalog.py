@@ -14,6 +14,17 @@ from pyspark.sql import functions as F
 
 from devcontainers_etl_node_spark.schemas import CORPUS_TABLES
 
+# Schema memo: `spark.read.parquet` without a schema pays footer
+# reads + schema inference on EVERY call (measured 75-140 ms per table
+# at sf0.1); with an explicit schema the same call is ~20 ms. The corpus
+# files are immutable, so the inferred schema is cached per path and
+# passed explicitly on later reads. Caching the DATAFRAME instead would
+# be faster still (0.4 ms) but reuses attribute ids — two table() calls
+# in one query then form an ambiguous self-join (measured: the Q21-shape
+# queries break). Schemas are plain immutable Python values, so a module
+# dict is safe across sessions.
+_SCHEMA_MEMO: dict[str, object] = {}
+
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Lazy scan of one corpus table. Column pruning/filter pushdown apply.
@@ -32,16 +43,27 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     correct even when the caller built the SparkSession with a local tz.
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    path = f"{sf_dir}/{name}.parquet"
     if name == "events":
+        # set on every call: the legacy conf is consulted when the scan
+        # EXECUTES, not only when the schema was first inferred
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    schema = _SCHEMA_MEMO.get(path)
+    if schema is None:
+        schema = spark.read.parquet(path).schema
+        _SCHEMA_MEMO[path] = schema
+    # explicit schema skips footer reads/inference (~5x cheaper scan
+    # construction) while every call still gets FRESH attribute ids —
+    # self-joins across two table() calls stay unambiguous
+    df = spark.read.schema(schema).parquet(path)
+    if name == "events":
         ts_type = dict(df.dtypes)["ts"]
         if ts_type == "bigint":  # nanos-as-long: truncate to micros
             return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         # timestamp_ntz (or timestamp): wall clock interpreted in the UTC
         # session zone — bit-identical to DuckDB's naive read of the file
         return df.withColumn("ts", F.col("ts").cast("timestamp"))
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = CORPUS_TABLES) -> dict[str, DataFrame]:
