@@ -8327,3 +8327,110 @@ def bpe_encode(spark: SparkSession, sf: str) -> DataFrame:  # parity in tests
         F.col("n_subwords"),
         F.size(F.array_distinct("subwords")).cast("long").alias("n_distinct_subwords"),
     )
+
+
+@query(
+    "dup_span_merge",
+    """
+    WITH docs AS (
+        SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+        FROM documents WHERE length(trim(text)) > 0),
+    base AS (SELECT doc_id, t, len(t) AS n FROM docs),
+    pos AS (
+        SELECT doc_id, n,
+               unnest(generate_series(1, n - 7)) AS p
+        FROM base WHERE n >= 8),
+    grams AS (
+        SELECT doc_id, n, p,
+               array_to_string(list_slice(
+                   (SELECT t FROM base b WHERE b.doc_id = pos.doc_id), p, p + 7), ' ') AS g
+        FROM pos),
+    dup AS (
+        SELECT g FROM grams GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2),
+    hits AS (
+        SELECT doc_id, n, p AS s, p + 7 AS e
+        FROM grams WHERE g IN (SELECT g FROM dup)),
+    flagged AS (
+        SELECT doc_id, n, s, e,
+               CASE WHEN s <= COALESCE(MAX(e) OVER (
+                   PARTITION BY doc_id ORDER BY s
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
+                    THEN 0 ELSE 1 END AS new_island
+        FROM hits),
+    islands AS (
+        SELECT doc_id, n, s, e,
+               SUM(new_island) OVER (
+                   PARTITION BY doc_id ORDER BY s
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        FROM flagged),
+    spans AS (
+        SELECT doc_id, MAX(n) AS n, island,
+               MIN(s) AS span_start, MAX(e) AS span_end
+        FROM islands GROUP BY doc_id, island)
+    SELECT doc_id,
+           CAST(MAX(n) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_spans,
+           CAST(SUM(span_end - span_start + 1) AS BIGINT) AS covered_tokens,
+           CAST(MAX(span_end - span_start + 1) AS BIGINT) AS longest_span,
+           CAST(MAX(n) - SUM(span_end - span_start + 1) AS BIGINT) AS tokens_kept
+    FROM spans GROUP BY doc_id
+    """,
+)
+def dup_span_merge(spark: SparkSession, sf: str) -> DataFrame:
+    """ExactSubstr span merging (Lee et al. 2022, "Deduplicating Training
+    Data Makes Language Models Better"): substring_dup_stats counts
+    covered tokens; THIS emits the maximal merged duplicated spans — the
+    intervals the dedup pass actually cuts out of the text. Every 8-token
+    window shared by >= 2 docs is an interval [p, p+7]; overlapping or
+    adjacent intervals merge via the gaps-and-islands pattern (a running
+    MAX(end) over the per-doc position order marks island starts, a
+    running SUM numbers them). Output per doc: span count, covered
+    tokens (cross-checks substring_dup_stats), longest span, tokens kept
+    after removal.
+
+    Scale: positions and gram hashes are map-side codegen; ONE shuffle on
+    the 8-byte gram hash finds cross-doc grams; the island windows
+    partition by doc_id — per-partition state is one running max over
+    that doc's dup positions, bounded by document length, never corpus-
+    sized. Docs with zero duplicated spans are excluded by construction
+    (inner flow), so the result is dup-volume-sized, not corpus-sized.
+    The Spark side hashes grams to 64-bit (exact up to collisions —
+    identical stance to substring_dup_stats); the oracle groups by the
+    gram string."""
+    from devcontainers_etl_node_spark.operators.skew import spread
+
+    k = 8
+    docs = spread(table(spark, sf, "documents").filter(F.length(F.trim("text")) > 0))
+    t = F.split(F.lower(F.trim("text")), r"\s+")
+    base = docs.select("doc_id", t.alias("t")).withColumn("n", F.size("t"))
+    base = base.localCheckpoint(eager=True)
+    grams = (
+        base.filter(F.col("n") >= k)
+        .select("doc_id", "n", F.explode(F.sequence(F.lit(1), F.col("n") - (k - 1))).alias("p"), "t")
+        .select("doc_id", "n", "p", F.xxhash64(F.concat_ws(" ", F.slice("t", F.col("p"), k))).alias("g"))
+    )
+    dup = grams.groupBy("g").agg(F.countDistinct("doc_id").alias("nd")).filter(F.col("nd") >= 2)
+    hits = grams.join(dup.select("g"), "g").select(
+        "doc_id", "n", F.col("p").alias("s"), (F.col("p") + (k - 1)).alias("e")
+    )
+    w = Window.partitionBy("doc_id").orderBy("s")
+    prev_end = F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    flagged = hits.withColumn(
+        "new_island",
+        F.when(F.col("s") <= F.coalesce(prev_end, F.lit(-1)) + 1, F.lit(0)).otherwise(F.lit(1)),
+    )
+    islands = flagged.withColumn(
+        "island", F.sum("new_island").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    spans = islands.groupBy("doc_id", "island").agg(
+        F.max("n").alias("n"),
+        F.min("s").alias("span_start"),
+        F.max("e").alias("span_end"),
+    )
+    return spans.groupBy("doc_id").agg(
+        F.max("n").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_spans"),
+        F.sum(F.col("span_end") - F.col("span_start") + 1).cast("long").alias("covered_tokens"),
+        F.max(F.col("span_end") - F.col("span_start") + 1).cast("long").alias("longest_span"),
+        (F.max("n") - F.sum(F.col("span_end") - F.col("span_start") + 1)).cast("long").alias("tokens_kept"),
+    )

@@ -964,3 +964,22 @@ def test_lsh_topk_empty_inputs(spark):
     some = spark.createDataFrame([(1, [0.1] * 16), (2, [0.2] * 16)], ["vec_id", "embedding"])
     assert similarity.lsh_topk(empty, some, k=3, dim=16, probe_hamming=1).count() == 0
     assert similarity.lsh_topk(some, empty, k=3, dim=16, probe_hamming=1).count() == 0
+
+
+def test_dup_span_merge_coverage_equals_substring_stats(spark):
+    """The merged spans must cover EXACTLY the tokens substring_dup_stats
+    counts (same grams, same k) — interval merging may not lose or
+    double-count a position."""
+    from devcontainers_etl_node_spark.queries.catalog import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    spans = {r.doc_id: r.covered_tokens for r in QUERIES["dup_span_merge"](spark, sf).collect()}
+    stats = {
+        r.doc_id: r.covered_tokens
+        for r in QUERIES["substring_dup_stats"](spark, sf).collect()
+        if r.covered_tokens > 0
+    }
+    assert spans == stats
+    # and the merge is real: some doc has fewer spans than dup grams
+    rows = QUERIES["dup_span_merge"](spark, sf).collect()
+    assert rows and all(r.n_spans >= 1 and r.longest_span >= 8 for r in rows)
