@@ -8434,3 +8434,91 @@ def dup_span_merge(spark: SparkSession, sf: str) -> DataFrame:
         F.max(F.col("span_end") - F.col("span_start") + 1).cast("long").alias("longest_span"),
         (F.max("n") - F.sum(F.col("span_end") - F.col("span_start") + 1)).cast("long").alias("tokens_kept"),
     )
+
+
+@query(
+    "substring_dedup_clean",
+    """
+    WITH docs AS (
+        SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+        FROM documents WHERE length(trim(text)) > 0),
+    base AS (SELECT doc_id, t, len(t) AS n FROM docs),
+    pos AS (
+        SELECT doc_id, unnest(generate_series(1, n - 7)) AS p
+        FROM base WHERE n >= 8),
+    grams AS (
+        SELECT doc_id, p,
+               array_to_string(list_slice(
+                   (SELECT t FROM base b WHERE b.doc_id = pos.doc_id), p, p + 7), ' ') AS g
+        FROM pos),
+    dup AS (SELECT g FROM grams GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2),
+    covered AS (
+        SELECT DISTINCT doc_id, unnest(generate_series(p, p + 7)) AS j
+        FROM grams WHERE g IN (SELECT g FROM dup)),
+    toks AS (
+        SELECT doc_id, unnest(t) AS tok, generate_subscripts(t, 1) AS p, n
+        FROM base),
+    kept AS (
+        SELECT tk.doc_id, tk.tok, tk.p, tk.n
+        FROM toks tk LEFT JOIN covered c
+          ON c.doc_id = tk.doc_id AND c.j = tk.p
+        WHERE c.j IS NULL)
+    SELECT doc_id,
+           CAST(MAX(n) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_kept,
+           string_agg(tok, ' ' ORDER BY p) AS clean_text
+    FROM kept GROUP BY doc_id
+    """,
+)
+def substring_dedup_clean(spark: SparkSession, sf: str) -> DataFrame:
+    """The user-facing half of ExactSubstr dedup (Lee et al. 2022):
+    REBUILD each document with its cross-doc duplicated spans cut out —
+    dup_span_merge reports the intervals, this emits the cleaned corpus
+    a training run would actually consume. Docs whose every token is
+    duplicated drop out entirely (nothing kept); docs with no duplicated
+    span pass through verbatim (modulo the whitespace normalization both
+    engines share).
+
+    Plan: token positions posexplode map-side; covered positions are
+    dup-volume-sized (k-bounded explode of the hot-gram hits, distinct);
+    the left-anti join keys on (doc_id, pos) — both sides partition the
+    same way, AQE picks the strategy; reassembly is one groupBy(doc_id)
+    with an in-group sort bounded by document length (array_sort over
+    (pos, tok) structs, then a single concat_ws) — per-task state is one
+    document, never the corpus. Gram identity via xxhash64 like its
+    siblings; the oracle uses gram strings."""
+    from devcontainers_etl_node_spark.operators.skew import spread
+
+    k = 8
+    docs = spread(table(spark, sf, "documents").filter(F.length(F.trim("text")) > 0))
+    t = F.split(F.lower(F.trim("text")), r"\s+")
+    base = docs.select("doc_id", t.alias("t")).withColumn("n", F.size("t"))
+    base = base.localCheckpoint(eager=True)
+    grams = (
+        base.filter(F.col("n") >= k)
+        .select("doc_id", F.explode(F.sequence(F.lit(1), F.col("n") - (k - 1))).alias("p"), "t")
+        .select("doc_id", "p", F.xxhash64(F.concat_ws(" ", F.slice("t", F.col("p"), k))).alias("g"))
+    )
+    dup = grams.groupBy("g").agg(F.countDistinct("doc_id").alias("nd")).filter(F.col("nd") >= 2)
+    covered = (
+        grams.join(dup.select("g"), "g")
+        .select("doc_id", F.explode(F.sequence(F.col("p"), F.col("p") + (k - 1))).alias("j"))
+        .distinct()
+    )
+    toks = base.select(
+        "doc_id", "n", F.posexplode("t").alias("p0", "tok")
+    ).select("doc_id", "n", (F.col("p0") + 1).alias("p"), "tok")
+    kept = toks.join(
+        covered, (toks.doc_id == covered.doc_id) & (toks.p == covered.j), "left_anti"
+    )
+    assembled = kept.groupBy("doc_id").agg(
+        F.max("n").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("p", "tok"))), lambda x: x["tok"]
+            ),
+        ).alias("clean_text"),
+    )
+    return assembled

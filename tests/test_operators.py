@@ -983,3 +983,21 @@ def test_dup_span_merge_coverage_equals_substring_stats(spark):
     # and the merge is real: some doc has fewer spans than dup grams
     rows = QUERIES["dup_span_merge"](spark, sf).collect()
     assert rows and all(r.n_spans >= 1 and r.longest_span >= 8 for r in rows)
+
+
+def test_substring_dedup_clean_consistent_with_spans(spark):
+    """kept + covered must partition each doc's tokens, and the rebuilt
+    text must contain exactly n_kept tokens in original order."""
+    from devcontainers_etl_node_spark.queries.catalog import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    clean = {r.doc_id: r for r in QUERIES["substring_dedup_clean"](spark, sf).collect()}
+    spans = {r.doc_id: r for r in QUERIES["dup_span_merge"](spark, sf).collect()}
+    assert clean  # corpus has survivors
+    for doc_id, r in clean.items():
+        covered = spans[doc_id].covered_tokens if doc_id in spans else 0
+        assert r.n_kept == r.n_tokens - covered
+        assert len(r.clean_text.split()) == r.n_kept
+    # a doc with spans really lost text; an untouched doc passed verbatim
+    assert any(d in spans for d in clean)
+    assert any(d not in spans and clean[d].n_kept == clean[d].n_tokens for d in clean)
