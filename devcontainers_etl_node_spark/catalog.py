@@ -8,6 +8,8 @@ Catalyst prunes columns and pushes filters into the parquet reader.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 
 from pyspark.sql import functions as F
@@ -16,14 +18,34 @@ from devcontainers_etl_node_spark.schemas import CORPUS_TABLES
 
 # Schema memo: `spark.read.parquet` without a schema pays footer
 # reads + schema inference on EVERY call (measured 75-140 ms per table
-# at sf0.1); with an explicit schema the same call is ~20 ms. The corpus
-# files are immutable, so the inferred schema is cached per path and
-# passed explicitly on later reads. Caching the DATAFRAME instead would
-# be faster still (0.4 ms) but reuses attribute ids — two table() calls
-# in one query then form an ambiguous self-join (measured: the Q21-shape
-# queries break). Schemas are plain immutable Python values, so a module
-# dict is safe across sessions.
-_SCHEMA_MEMO: dict[str, object] = {}
+# at sf0.1); with an explicit schema the same call is ~20 ms. The memo
+# key includes the file's (mtime_ns, size) fingerprint, so a table
+# regenerated in place with a different schema re-infers instead of
+# silently misreading through a stale explicit schema (the stat call is
+# ~microseconds — noise next to the ~20 ms scan construction). Caching
+# the DATAFRAME instead would be faster still (0.4 ms) but reuses
+# attribute ids — two table() calls in one query then form an ambiguous
+# self-join (measured: the Q21-shape queries break). Schemas are plain
+# immutable Python values, so a module dict is safe across sessions.
+_SCHEMA_MEMO: dict[tuple[str, int, int], object] = {}
+
+
+def clear_schema_memo() -> None:
+    """Drop every memoized schema — for test/regeneration flows that
+    rewrite corpus files and want re-inference without a process bounce
+    (the stat fingerprint already handles the common rewrite case)."""
+    _SCHEMA_MEMO.clear()
+
+
+def _schema_key(path: str) -> tuple[str, int, int]:
+    try:
+        st = os.stat(path)
+        return (path, st.st_mtime_ns, st.st_size)
+    except OSError:
+        # non-local path (s3a:// etc.) or a directory-per-table layout a
+        # caller points at: fall back to path-only keying (the original
+        # immutable-corpus assumption)
+        return (path, 0, 0)
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -48,10 +70,11 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # set on every call: the legacy conf is consulted when the scan
         # EXECUTES, not only when the schema was first inferred
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = _SCHEMA_MEMO.get(path)
+    key = _schema_key(path)
+    schema = _SCHEMA_MEMO.get(key)
     if schema is None:
         schema = spark.read.parquet(path).schema
-        _SCHEMA_MEMO[path] = schema
+        _SCHEMA_MEMO[key] = schema
     # explicit schema skips footer reads/inference (~5x cheaper scan
     # construction) while every call still gets FRESH attribute ids —
     # self-joins across two table() calls stay unambiguous

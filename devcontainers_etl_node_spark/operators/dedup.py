@@ -14,6 +14,8 @@ no Python). No collect(), no driver-side loops.
 
 from __future__ import annotations
 
+from typing import Callable
+
 from pyspark.sql import DataFrame, Column, Window, functions as F
 
 # ---------------------------------------------------------------------------
@@ -341,7 +343,7 @@ def minhash_incremental_pairs(
     num_hashes: int = 32,
     bands: int = 8,
     threshold: float = 0.5,
-) -> tuple[DataFrame, DataFrame]:
+) -> tuple[DataFrame, DataFrame, Callable[[], None]]:
     """Incremental MinHash dedup: near-dup pairs INVOLVING newly arrived
     docs, reusing the persisted signature table of the historical corpus.
 

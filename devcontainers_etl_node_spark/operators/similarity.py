@@ -85,6 +85,13 @@ def srp_buckets_vectorized(dim: int, num_planes: int, num_tables: int):
     you want scanning 100 TB of vectors (measured: ann_lsh 10.4 s -> 3.6 s
     cold, ~1.1 s warm at sf0.01, recall@5 1.0).
 
+    Malformed rows (null vector, wrong dimension) get a NULL bucket
+    array instead of killing the stage — posexplode then emits zero
+    candidate rows for them, so one bad embedding degrades to "not
+    findable" rather than failing every ann_lsh/lsh_topk job (the
+    one-bad-row-must-not-kill-the-job stance the Column-fold
+    implementation had).
+
     Returns a pandas_udf: array<float> -> array<long> of length
     num_tables (index = table id; pair with posexplode)."""
     import numpy as np
@@ -98,11 +105,16 @@ def srp_buckets_vectorized(dim: int, num_planes: int, num_tables: int):
 
     @pandas_udf("array<long>")
     def _buckets(vecs: pd.Series) -> pd.Series:
+        lst = vecs.tolist()
+        valid = [i for i, v in enumerate(lst) if v is not None and len(v) == dim]
+        out: list = [None] * len(lst)
         # reshape keeps a 0-row Arrow batch 2-D so the matmul is total
-        m = np.array(vecs.tolist(), dtype=np.float64).reshape(-1, dim)  # (n, dim)
-        signs = (m @ planes) > 0  # (n, tables*planes)
-        b = signs.reshape(len(m), num_tables, num_planes) @ weights  # (n, tables)
-        return pd.Series(list(b))
+        m = np.array([lst[i] for i in valid], dtype=np.float64).reshape(-1, dim)
+        signs = (m @ planes) > 0  # (n_valid, tables*planes)
+        b = signs.reshape(len(m), num_tables, num_planes) @ weights  # (n_valid, tables)
+        for j, i in enumerate(valid):
+            out[i] = b[j]
+        return pd.Series(out)
 
     return _buckets
 

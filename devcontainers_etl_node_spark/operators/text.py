@@ -205,6 +205,37 @@ def bpe_pair_count_table(wf: DataFrame) -> DataFrame:
     )
 
 
+def _merge_udf(pairs: list[tuple[str, str]]):
+    """Arrow UDF applying a list of BPE merges to symbol arrays, each as a
+    greedy left-to-right pass, in order. Built by a FACTORY so the merge
+    pairs are bound at definition time — correctness does not depend on
+    the caller's evaluation timing (a closure over loop variables would
+    silently apply the last pair at every rank under lazy evaluation)."""
+    from pyspark.sql.functions import pandas_udf
+
+    bound = list(pairs)
+
+    @pandas_udf("array<string>")
+    def _apply(col: pd.Series) -> pd.Series:
+        out = []
+        for s in col:
+            s = list(s)
+            for left, right in bound:
+                merged, i = [], 0
+                while i < len(s):
+                    if i + 1 < len(s) and s[i] == left and s[i + 1] == right:
+                        merged.append(left + right)
+                        i += 2
+                    else:
+                        merged.append(s[i])
+                        i += 1
+                s = merged
+            out.append(s)
+        return pd.Series(out)
+
+    return _apply
+
+
 def bpe_train_merges(
     df: DataFrame, text_col: str = "text", n_merges: int = 8, end_of_word: str = "</w>"
 ) -> list[tuple[int, str, str, int]]:
@@ -232,66 +263,151 @@ def bpe_train_merges(
     millions of rows for web-scale text — still a distributed table, NOT
     a driver collect), and n_merges passes over it. Production trainers
     cap vocab (frequency floor) and run ~30k merges over a sampled
-    corpus; both knobs compose here (filter wf, raise n_merges)."""
-    from pyspark.sql.functions import pandas_udf
+    corpus; both knobs compose here (filter wf, raise n_merges); see
+    ``bpe_train_merges_batched`` for the merges-per-job optimization."""
+    vocab = _marked_vocab(df, text_col, end_of_word).localCheckpoint(eager=True)
 
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(n_merges):
+        top = (
+            _sym_pair_counts(vocab)
+            .orderBy(F.col("freq").desc(), F.col("left").asc(), F.col("right").asc())
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        left, right, freq = top[0].left, top[0].right, top[0].freq
+
+        nxt = vocab.select(
+            _merge_udf([(left, right)])("syms").alias("syms"), "n"
+        ).localCheckpoint(eager=True)
+        vocab = nxt
+        merges.append((rank, left, right, int(freq)))
+    return merges
+
+
+def _sym_pair_counts(vocab: DataFrame) -> DataFrame:
+    """(left, right, freq) over adjacent symbol pairs of the evolving
+    vocabulary, weighted by word frequency — the per-iteration BPE
+    statistic. Fully-merged single-symbol words contribute no pairs (and
+    sequence(1, 0) would DESCEND, indexing past the array)."""
+    return (
+        vocab.filter(F.size("syms") >= 2)
+        .select(
+            "n",
+            F.explode(F.sequence(F.lit(1), F.size("syms") - 1)).alias("i"),
+            F.col("syms"),
+        )
+        .select(
+            F.element_at("syms", F.col("i")).alias("left"),
+            F.element_at("syms", F.col("i") + 1).alias("right"),
+            "n",
+        )
+        .groupBy("left", "right")
+        .agg(F.sum("n").cast("long").alias("freq"))
+    )
+
+
+def _marked_vocab(df: DataFrame, text_col: str, end_of_word: str) -> DataFrame:
+    """(syms: array<string>, n) — the word-frequency table split to chars
+    with the end-of-word marker on the final symbol (Sennrich fig. 2)."""
     wf = word_freq_table(df, text_col)
-    # split(word, '') yields chars; mark the last char with the end-of-word
-    # suffix so final units are distinct (Sennrich fig. 2)
     chars = F.split(F.col("word"), "")
     marked = F.concat(
         F.slice(chars, 1, F.size(chars) - 1),
         F.array(F.concat(F.element_at(chars, -1), F.lit(end_of_word))),
     )
-    vocab = wf.select(marked.alias("syms"), "n").localCheckpoint(eager=True)
+    return wf.select(marked.alias("syms"), "n")
+
+
+def select_disjoint_pairs(
+    candidates: list[tuple[str, str, int]], batch_size: int
+) -> list[tuple[str, str, int]]:
+    """Greedy selection of up to ``batch_size`` symbol-disjoint pairs from
+    a (freq desc, left, right)-sorted candidate list — the batched-BPE
+    merge-selection rule. Two merges are CONFLICT-FREE when their symbol
+    sets are disjoint: applying (a,b) can only destroy adjacencies that
+    touch a or b and only create adjacencies that touch the new symbol
+    ab, so the counts of every disjoint pair are invariant under it —
+    the batch applies in rank order with each pair's selection-time
+    frequency still exact. Pure driver-side logic over a bounded
+    candidate window; exported so the parity test's pure-Python
+    reference can share the exact rule."""
+    selected: list[tuple[str, str, int]] = []
+    used: set[str] = set()
+    for left, right, freq in candidates:
+        if len(selected) == batch_size:
+            break
+        if left in used or right in used:
+            continue
+        selected.append((left, right, freq))
+        used.add(left)
+        used.add(right)
+    return selected
+
+
+def bpe_train_merges_batched(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 64,
+    batch_size: int = 8,
+    vocab_size: int | None = None,
+    end_of_word: str = "</w>",
+) -> list[tuple[int, str, str, int]]:
+    """Batched BPE training — the production-shape trainer: per round,
+    ONE pair-count aggregation selects up to ``batch_size``
+    symbol-disjoint merges (see ``select_disjoint_pairs``) and ONE Arrow
+    pass applies them all, so Spark jobs grow as n_merges / batch_size
+    instead of n_merges (the standard fast-trainer optimization — a 30k
+    merge production vocabulary becomes ~4k rounds at batch_size=8, not
+    30k sequential jobs; cf. the sequential trainer's honest caveat).
+
+    Algorithm contract (what the parity test pins): each round sorts all
+    pairs by (freq desc, left, right), takes the first
+    ``batch_size * 8`` as the candidate window (driver-tiny collect;
+    window membership is part of the deterministic contract), greedily
+    selects disjoint pairs, applies them in rank order. Disjointness
+    makes each recorded frequency exact at its selection point; the
+    batch as a whole is the documented approximation vs pure sequential
+    BPE — a pair MATERIALIZED by merge k can't be selected until the
+    next round, so batched and sequential merge lists can diverge after
+    rank batch_size (both remain valid BPE vocabularies; this is the
+    trade every batched trainer makes).
+
+    Stopping: after ``n_merges`` merges, when a round finds no pairs, or
+    when ``vocab_size`` (base alphabet + merge count, the standard vocab
+    accounting) is reached. Returns [(rank, left, right, freq), ...]."""
+    vocab = _marked_vocab(df, text_col, end_of_word).localCheckpoint(eager=True)
+    if vocab_size is not None:
+        # base alphabet: distinct single symbols of the initial vocab —
+        # a one-row agg (alphabet-sized distinct, bounded by charset)
+        n_alpha = (
+            vocab.select(F.explode("syms").alias("s")).agg(
+                F.countDistinct("s").alias("n")
+            ).collect()[0].n
+        )
+        n_merges = min(n_merges, max(0, vocab_size - n_alpha))
 
     merges: list[tuple[int, str, str, int]] = []
-    for rank in range(n_merges):
-        pair_counts = (
-            # fully-merged single-symbol words contribute no pairs (and
-            # sequence(1, 0) would DESCEND, indexing past the array)
-            vocab.filter(F.size("syms") >= 2)
-            .select(
-                "n",
-                F.explode(F.sequence(F.lit(1), F.size("syms") - 1)).alias("i"),
-                F.col("syms"),
-            )
-            .select(
-                F.element_at("syms", F.col("i")).alias("left"),
-                F.element_at("syms", F.col("i") + 1).alias("right"),
-                "n",
-            )
-            .groupBy("left", "right")
-            .agg(F.sum("n").cast("long").alias("freq"))
-        )
-        top = pair_counts.orderBy(
-            F.col("freq").desc(), F.col("left").asc(), F.col("right").asc()
-        ).limit(1).collect()
-        if not top:
+    while len(merges) < n_merges:
+        m = min(batch_size, n_merges - len(merges))
+        candidates = [
+            (r.left, r.right, int(r.freq))
+            for r in _sym_pair_counts(vocab)
+            .orderBy(F.col("freq").desc(), F.col("left").asc(), F.col("right").asc())
+            .limit(batch_size * 8)
+            .collect()
+        ]
+        selected = select_disjoint_pairs(candidates, m)
+        if not selected:
             break
-        left, right, freq = top[0].left, top[0].right, top[0].freq
-
-        @pandas_udf("array<string>")
-        def _apply_merge(col: pd.Series) -> pd.Series:
-            out = []
-            for s in col:
-                s = list(s)
-                merged, i = [], 0
-                while i < len(s):
-                    if i + 1 < len(s) and s[i] == left and s[i + 1] == right:
-                        merged.append(left + right)
-                        i += 2
-                    else:
-                        merged.append(s[i])
-                        i += 1
-                out.append(merged)
-            return pd.Series(out)
-
-        nxt = vocab.select(_apply_merge("syms").alias("syms"), "n").localCheckpoint(
-            eager=True
+        vocab = vocab.select(
+            _merge_udf([(l, r) for l, r, _ in selected])("syms").alias("syms"), "n"
+        ).localCheckpoint(eager=True)
+        merges.extend(
+            (len(merges) + j, l, r, f) for j, (l, r, f) in enumerate(selected)
         )
-        vocab = nxt
-        merges.append((rank, left, right, int(freq)))
     return merges
 
 
@@ -325,8 +441,11 @@ def bpe_encode(
         for t in texts:
             subs: list[str] = []
             for w in (t or "").strip().lower().split():
-                if len(w) < 2:
-                    continue
+                # single-char words ('a', 'I', digits) carry no pairs so no
+                # merge can ever apply — emit them directly as char+eow
+                # rather than dropping them (the corpus must stay lossless
+                # beyond subword splitting, even though training's vocab
+                # filter skips them: they contribute no pair statistics)
                 s = list(w)
                 s[-1] = s[-1] + end_of_word
                 for left, right in ordered:

@@ -935,8 +935,9 @@ def test_bpe_encode_matches_reference_segmentation(spark):
     for row in docs.collect():
         expected = []
         for w in (row.text or "").strip().lower().split():
-            if len(w) >= 2:
-                expected.extend(ref_encode_word(w, ordered))
+            # every word is emitted, including single-char ones (which
+            # encode as char+eow — no pair, so no merge can apply)
+            expected.extend(ref_encode_word(w, ordered))
         assert got[row.doc_id] == expected
     # a trained merge actually fires somewhere: some doc has fewer
     # subwords than characters
@@ -949,12 +950,96 @@ def test_bpe_edge_cases(spark):
     assert textops.bpe_train_merges(empty, n_merges=3) == []
     df = spark.createDataFrame([(1, "ab a  ")], ["doc_id", "text"])
     rows = textops.bpe_encode(df, []).collect()
-    # single-char word 'a' is filtered (matches word_freq_table's >=2 rule)
-    assert rows[0].subwords == ["a", "b</w>"] and rows[0].n_subwords == 2
+    # single-char word 'a' is EMITTED as char+eow (training's vocab filter
+    # skips it — no pair statistics — but encoding must stay lossless)
+    assert rows[0].subwords == ["a", "b</w>", "a</w>"] and rows[0].n_subwords == 3
     # a corpus where every word fully merges within n_merges terminates
     tiny = spark.createDataFrame([(1, "aa aa aa")], ["doc_id", "text"])
     merges = textops.bpe_train_merges(tiny, n_merges=5)
     assert [(m[1], m[2]) for m in merges] == [("a", "a</w>")]  # then dry -> stop
+
+
+def _reference_bpe_batched(
+    word_freqs: dict[str, int],
+    n_merges: int,
+    batch_size: int,
+    vocab_size: int | None = None,
+    eow: str = "</w>",
+):
+    """Independent pure-Python batched BPE mirroring the documented
+    contract: full pair counts per round, (freq desc, left, right) sort,
+    batch_size*8 candidate window, the operator's exported disjoint
+    selection rule, merges applied in rank order."""
+    vocab: dict[tuple[str, ...], int] = {}
+    for w, n in word_freqs.items():
+        syms = list(w)
+        syms[-1] = syms[-1] + eow
+        vocab[tuple(syms)] = vocab.get(tuple(syms), 0) + n
+    if vocab_size is not None:
+        alphabet = {s for syms in vocab for s in syms}
+        n_merges = min(n_merges, max(0, vocab_size - len(alphabet)))
+    merges = []
+    while len(merges) < n_merges:
+        m = min(batch_size, n_merges - len(merges))
+        counts: dict[tuple[str, str], int] = {}
+        for syms, n in vocab.items():
+            for i in range(len(syms) - 1):
+                counts[(syms[i], syms[i + 1])] = counts.get((syms[i], syms[i + 1]), 0) + n
+        window = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[: batch_size * 8]
+        selected = textops.select_disjoint_pairs(
+            [(l, r, f) for (l, r), f in window], m
+        )
+        if not selected:
+            break
+        new_vocab: dict[tuple[str, ...], int] = {}
+        for syms, n in vocab.items():
+            s = list(syms)
+            for left, right, _ in selected:
+                merged, i = [], 0
+                while i < len(s):
+                    if i + 1 < len(s) and s[i] == left and s[i + 1] == right:
+                        merged.append(left + right)
+                        i += 2
+                    else:
+                        merged.append(s[i])
+                        i += 1
+                s = merged
+            new_vocab[tuple(s)] = new_vocab.get(tuple(s), 0) + n
+        vocab = new_vocab
+        merges.extend(
+            (len(merges) + j, l, r, f) for j, (l, r, f) in enumerate(selected)
+        )
+    return merges
+
+
+def test_bpe_batched_matches_pure_python_reference(spark):
+    """The batched trainer (one pair count + one merge pass per ROUND,
+    not per merge) must reproduce an independently coded batched BPE
+    exactly on the real corpus — including the vocab_size stopping rule."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    wf = {}
+    for r in docs.collect():
+        for w in (r.text or "").strip().lower().split():
+            if len(w) >= 2:
+                wf[w] = wf.get(w, 0) + 1
+
+    got = textops.bpe_train_merges_batched(docs, n_merges=12, batch_size=4)
+    assert [tuple(m) for m in got] == _reference_bpe_batched(wf, 12, 4)
+    assert len(got) == 12
+    # batch rank 0 must agree with sequential BPE's first merge (the
+    # argmax is shared before any batch divergence can occur)
+    seq = _reference_bpe(wf, n_merges=1)
+    assert got[0][1:3] == seq[0][1:3]
+
+    # vocab_size stopping: alphabet + merges is capped
+    alphabet = {s for w in wf for s in list(w[:-1]) + [w[-1] + "</w>"]}
+    capped = textops.bpe_train_merges_batched(
+        docs, n_merges=12, batch_size=4, vocab_size=len(alphabet) + 5
+    )
+    assert len(capped) == 5
+    assert [tuple(m) for m in capped] == _reference_bpe_batched(
+        wf, 12, 4, vocab_size=len(alphabet) + 5
+    )
 
 
 def test_lsh_topk_empty_inputs(spark):
@@ -964,6 +1049,42 @@ def test_lsh_topk_empty_inputs(spark):
     some = spark.createDataFrame([(1, [0.1] * 16), (2, [0.2] * 16)], ["vec_id", "embedding"])
     assert similarity.lsh_topk(empty, some, k=3, dim=16, probe_hamming=1).count() == 0
     assert similarity.lsh_topk(some, empty, k=3, dim=16, probe_hamming=1).count() == 0
+
+
+def test_schema_memo_invalidates_on_rewrite(spark, tmp_path):
+    """A table regenerated in place with a DIFFERENT schema must re-infer
+    (the memo key carries the file fingerprint) — not silently misread
+    through the stale explicit schema."""
+    from devcontainers_etl_node_spark import catalog as cat
+
+    spark.createDataFrame([(1, "a")], ["id", "name"]).write.mode("overwrite").parquet(
+        str(tmp_path / "t.parquet")
+    )
+    first = cat.table(spark, str(tmp_path), "t")
+    assert set(first.columns) == {"id", "name"}
+    spark.createDataFrame([(1, 2.5)], ["id", "score"]).write.mode("overwrite").parquet(
+        str(tmp_path / "t.parquet")
+    )
+    second = cat.table(spark, str(tmp_path), "t")
+    assert set(second.columns) == {"id", "score"}
+    assert second.collect()[0].score == 2.5
+    cat.clear_schema_memo()  # the explicit hook also exists for test flows
+
+
+def test_lsh_topk_tolerates_malformed_embeddings(spark):
+    """One null or wrong-dimension vector must NOT kill the stage: the
+    bucket UDF emits a NULL bucket array for it (posexplode drops it) and
+    every well-formed row still gets its neighbors."""
+    corpus = spark.createDataFrame(
+        [(1, [0.1] * 16), (2, [0.2] * 16), (3, None), (4, [0.3] * 7)],
+        "vec_id LONG, embedding ARRAY<FLOAT>",
+    )
+    queries = spark.createDataFrame([(9, [0.1] * 16)], "vec_id LONG, embedding ARRAY<FLOAT>")
+    got = similarity.lsh_topk(corpus, queries, k=3, dim=16, probe_hamming=1).collect()
+    assert {r.neighbor_id for r in got} <= {1, 2}  # malformed rows unreachable
+    # well-formed corpus rows are still found ([0.1]*16 and [0.2]*16 are
+    # parallel -> identical SRP buckets as the query)
+    assert {r.neighbor_id for r in got} == {1, 2}
 
 
 def test_dup_span_merge_coverage_equals_substring_stats(spark):
