@@ -41,6 +41,33 @@ def plan_profile(df: DataFrame | str) -> dict:
     }
 
 
+def unpartitioned_windows(df: DataFrame) -> list[str]:
+    """Window nodes whose PARTITION BY is empty — each one is a
+    corpus-wide single-reducer sort at execution (Spark's `WindowExec:
+    No Partition Defined` warning).  Walks the pre-AQE physical plan via
+    py4j; returns one descriptive string per offending node.  Queries
+    over unbounded inputs must keep this empty — a bounded-input global
+    window (calendar/vocab-sized) should be restructured through the
+    collect_list + fold idiom (operators/rankselect.py) instead, because
+    plan text cannot tell the two apart."""
+    out: list[str] = []
+
+    def walk(node) -> None:
+        name = node.getClass().getSimpleName()
+        if name in ("WindowExec", "WindowGroupLimitExec", "WindowInPandasExec"):
+            if node.partitionSpec().isEmpty():
+                out.append(f"{name}: {node.simpleStringWithNodeId()}")
+        if name == "AdaptiveSparkPlanExec":
+            # AQE wraps the real tree as a FIELD, not a child
+            walk(node.initialPlan())
+        it = node.children().iterator()
+        while it.hasNext():
+            walk(it.next())
+
+    walk(df._jdf.queryExecution().sparkPlan())
+    return out
+
+
 def assert_no_nested_loop(df: DataFrame, context: str = "") -> None:
     """Raise if the plan contains a nested-loop/cartesian join — the
     guardrail for operators whose cost model assumes an equi-keyed plan."""

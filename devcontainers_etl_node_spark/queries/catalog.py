@@ -4959,8 +4959,14 @@ def time_to_convert(spark: SparkSession, sf: str) -> DataFrame:
     click and FIRST purchase (converters only, purchase not before the
     click), summarized as exact min / nearest-rank median / max seconds.
     One conditional-MIN groupBy over the fact (the funnel_conversion
-    shape — no self-joins), then a single global window for the median
-    rank. Everything is integer seconds — engine-exact."""
+    shape — no self-joins). The median is NOT a global row_number window
+    (rn == target never gets the WindowGroupLimit rescue, so that sorts
+    every converter on one reducer at scale): `exact_rank_select` finds
+    the rank-⌈n/2⌉ element through a bounded histogram + within-bin
+    ranking — the only corpus-wide passes are hash aggregations.
+    Everything is integer seconds — engine-exact."""
+    from devcontainers_etl_node_spark.operators import rankselect
+
     ev = table(spark, sf, "events")
     firsts = ev.groupBy("user_id").agg(
         F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("first_click"),
@@ -4976,18 +4982,20 @@ def time_to_convert(spark: SparkSession, sf: str) -> DataFrame:
             F.unix_timestamp("first_purchase") - F.unix_timestamp("first_click")
         ).alias("secs"),
     )
-    w = Window.orderBy("secs", "user_id")
-    ranked = conv.select(
-        "secs",
-        F.row_number().over(w).alias("rn"),
-        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
-    )
-    med_target = F.greatest(F.lit(1), F.ceil(0.5 * F.col("n")).cast("long"))
-    return ranked.agg(
-        F.max("n").cast("long").alias("n_converters"),
+    med = rankselect.exact_rank_select(
+        conv, ["secs", "user_id"], rankselect.quantile_rank_rule([0.5])
+    ).agg(F.max("secs").alias("median_secs"))  # 1 row always (null when empty)
+    summary = conv.agg(
+        F.count(F.lit(1)).alias("__cnt"),
         F.min("secs").cast("long").alias("min_secs"),
-        F.max(F.when(F.col("rn") == med_target, F.col("secs"))).alias("median_secs"),
         F.max("secs").cast("long").alias("max_secs"),
+    )
+    return summary.crossJoin(F.broadcast(med)).select(
+        # the oracle's MAX(n) over an empty input is NULL, not 0
+        F.when(F.col("__cnt") > 0, F.col("__cnt")).cast("long").alias("n_converters"),
+        "min_secs",
+        "median_secs",
+        "max_secs",
     )
 
 
@@ -5015,15 +5023,21 @@ def time_to_convert(spark: SparkSession, sf: str) -> DataFrame:
 )
 def rfm_segments(spark: SparkSession, sf: str) -> DataFrame:
     """RFM segmentation: per-customer recency / frequency / monetary,
-    each quartiled by ntile(4), rolled up to segment counts. ntile has
-    the identical earlier-buckets-get-extras definition on both engines
-    and every ORDER BY is fully tie-broken by custkey, so bucket
-    assignment is deterministic. Monetary goes through exact decimal
-    before its one cast to double. The three unpartitioned ntile windows
-    run over the customer-cardinality aggregate, not the fact — fine at
-    sf0.01; at 100 TB you'd replace global ntile with percentile
-    thresholds from a first aggregate pass (documented trade-off, same
-    output contract)."""
+    each quartiled by ntile(4) SEMANTICS, rolled up to segment counts.
+    The physical plan carries no global ntile window (a global ntile is
+    a customer-cardinality single-partition sort — the 100 TB killer):
+    `ntile_boundary_targets` derives the three boundary RANKS from
+    ntile's earlier-buckets-get-extras fill rule, `exact_rank_select`
+    fetches the (value, custkey) element at each rank through a bounded
+    histogram, and bucket assignment becomes a broadcast struct-compare
+    — `rank > B_i  ⟺  (value, custkey) > boundary_i` because custkey
+    fully tie-breaks every ORDER BY, making the total order (and thus
+    ntile's bucket of every row) unique and reproducing it exactly.
+    DESC metrics (frequency, monetary) rank on the negated value with
+    the same custkey tie-break. Monetary goes through exact decimal
+    before its one cast to double."""
+    from devcontainers_etl_node_spark.operators import rankselect
+
     o = table(spark, sf, "orders")
     anchor = o.agg(F.max(F.to_date("o_orderdate")).alias("d0"))
     rfm = (
@@ -5035,12 +5049,57 @@ def rfm_segments(spark: SparkSession, sf: str) -> DataFrame:
             F.sum(_dec("o_totalprice")).cast("double").alias("monetary"),
         )
     )
-    scored = rfm.select(
+    # LONG format: one scan fans each customer into 3 (metric, val) rows,
+    # so all three metrics share a single grouped rank-select (bounds,
+    # histogram, candidate ranking each touch the aggregate once instead
+    # of three times).  The double cast is order-exact here: recency is
+    # an int, frequency a row count, monetary already double.
+    long = rfm.select(
+        "o_custkey",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(1).alias("metric"),
+                    F.col("recency_days").cast("double").alias("val"),
+                ),
+                F.struct(
+                    F.lit(2).alias("metric"),
+                    (-F.col("frequency")).cast("double").alias("val"),
+                ),
+                F.struct(F.lit(3).alias("metric"), (-F.col("monetary")).alias("val")),
+            )
+        ).alias("mv"),
+    ).select("o_custkey", "mv.metric", "mv.val")
+    bnd = rankselect.exact_rank_select_by(
+        long, ["metric"], ["val", "o_custkey"], rankselect.ntile_rank_rule(4)
+    )
+    # pivot the ≤ 9 boundary elements into ONE broadcastable row
+    brow = bnd.agg(
+        *[
+            F.max(
+                F.when(
+                    (F.col("metric") == m) & (F.col("target_id") == i),
+                    F.struct(F.col("val").alias("v"), F.col("o_custkey").alias("c")),
+                )
+            ).alias(f"b_{m}_{i}")
+            for m in (1, 2, 3)
+            for i in (1, 2, 3)
+        ]
+    )
+
+    def bucket(val: F.Column, m: int) -> F.Column:
+        key = F.struct(val.alias("v"), F.col("o_custkey").alias("c"))
+        q = F.lit(1)
+        for i in (1, 2, 3):
+            q = q + (key > F.col(f"b_{m}_{i}")).cast("int")
+        return q
+
+    scored = rfm.crossJoin(F.broadcast(brow)).select(
         "o_custkey",
         "monetary",
-        F.ntile(4).over(Window.orderBy("recency_days", "o_custkey")).alias("r_q"),
-        F.ntile(4).over(Window.orderBy(F.col("frequency").desc(), "o_custkey")).alias("f_q"),
-        F.ntile(4).over(Window.orderBy(F.col("monetary").desc(), "o_custkey")).alias("m_q"),
+        bucket(F.col("recency_days").cast("double"), 1).alias("r_q"),
+        bucket((-F.col("frequency")).cast("double"), 2).alias("f_q"),
+        bucket(-F.col("monetary"), 3).alias("m_q"),
     )
     return scored.groupBy("r_q", "f_q", "m_q").agg(
         F.count(F.lit(1)).alias("n_customers"),
@@ -5495,22 +5554,26 @@ def quantile_buckets(spark: SparkSession, sf: str) -> DataFrame:
     parallel map with no global sort and no window state. Unlike ntile,
     ties land deterministically on threshold compare (<=), so the bucket
     populations differ from ntile's equal-fill by design; the contract is
-    value-based bucketing. Threshold extraction here uses one global-sort
-    window at orders cardinality; at extreme scale you'd swap in a
-    two-pass count-then-select-at-rank or percentile_approx — same
-    broadcast contract downstream."""
+    value-based bucketing. Threshold extraction is the two-pass
+    count-then-select-at-rank (`exact_rank_select`: bounded histogram +
+    within-bin ranking) — no orders-cardinality global-sort window
+    anywhere in the plan; percentile_approx remains the sketch-based
+    alternative when exactness can be traded."""
+    from devcontainers_etl_node_spark.operators import rankselect
+
     o = table(spark, sf, "orders")
-    ranked = o.select(
-        _dec("o_totalprice").alias("price"),
-        F.row_number().over(Window.orderBy(_dec("o_totalprice"), "o_orderkey")).alias("rn"),
-        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    priced = o.select(_dec("o_totalprice").alias("price"), "o_orderkey")
+    # the element at a rank boundary shares its price with every tied
+    # row, so the o_orderkey tie-break only fixes WHICH row is selected,
+    # never the threshold value — identical to the oracle's row_number
+    thresholds = rankselect.exact_rank_select(
+        priced, ["price", "o_orderkey"], rankselect.quantile_rank_rule([0.25, 0.50, 0.75])
+    ).agg(
+        *[
+            F.max(F.when(F.col("target_id") == i, F.col("price"))).alias(f"t{i}")
+            for i in (1, 2, 3)
+        ]
     )
-
-    def at(p: float, name: str) -> F.Column:
-        target = F.greatest(F.lit(1), F.ceil(p * F.col("n")).cast("long"))
-        return F.max(F.when(F.col("rn") == target, F.col("price"))).alias(name)
-
-    thresholds = ranked.agg(at(0.25, "t1"), at(0.50, "t2"), at(0.75, "t3"))
     prices = o.select(_dec("o_totalprice").alias("price"))
     return (
         prices.crossJoin(F.broadcast(thresholds))
@@ -8500,16 +8563,27 @@ def substring_dedup_clean(spark: SparkSession, sf: str) -> DataFrame:
         .select("doc_id", "p", F.xxhash64(F.concat_ws(" ", F.slice("t", F.col("p"), k))).alias("g"))
     )
     dup = grams.groupBy("g").agg(F.countDistinct("doc_id").alias("nd")).filter(F.col("nd") >= 2)
+    # `covered` and `toks` descend from the same localCheckpoint'ed
+    # `base`, so joining on doc_id == doc_id resolves BOTH sides to one
+    # attribute (Spark's "trivially true equals predicate" warning — it
+    # happens to execute correctly, but an analyzer change could turn it
+    # into a cross product).  Re-aliasing the covered side mints fresh
+    # expression ids, making the anti-join keys unambiguous.
     covered = (
         grams.join(dup.select("g"), "g")
-        .select("doc_id", F.explode(F.sequence(F.col("p"), F.col("p") + (k - 1))).alias("j"))
+        .select(
+            F.col("doc_id").alias("c_doc"),
+            F.explode(F.sequence(F.col("p"), F.col("p") + (k - 1))).alias("j"),
+        )
         .distinct()
     )
     toks = base.select(
         "doc_id", "n", F.posexplode("t").alias("p0", "tok")
     ).select("doc_id", "n", (F.col("p0") + 1).alias("p"), "tok")
     kept = toks.join(
-        covered, (toks.doc_id == covered.doc_id) & (toks.p == covered.j), "left_anti"
+        covered,
+        (F.col("doc_id") == F.col("c_doc")) & (F.col("p") == F.col("j")),
+        "left_anti",
     )
     assembled = kept.groupBy("doc_id").agg(
         F.max("n").cast("long").alias("n_tokens"),

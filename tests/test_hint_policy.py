@@ -35,6 +35,10 @@ ALLOWED = {
     "sinks/files.py": {"bounds": 1},                     # one-row min/max
     "streaming/pipeline.py": {"dim": 1},                 # opt-in (broadcast_dim flag)
     "transforms/enrich.py": {"side": 1},                 # opt-in (broadcast_dims flag)
+    "operators/rankselect.py": {
+        "bounds": 2,    # per-group min/max: one row per (bounded) group
+        "hits": 2,      # boundary bins: <= groups x targets rows
+    },
     "operators/similarity.py": {                         # query sets / capped artifacts
         "q": 4,         # the (small, by-contract) query side
         "cent": 1,      # n_centroids rows
@@ -50,7 +54,8 @@ ALLOWED = {
         "nd": 1, "anchor": 1, "avg_pos": 1, "avg_df": 1, "thresholds": 1,
         "ns": 1, "b": 2,
         # per-bounded-group fences / stats
-        "fences": 2, "med": 1, "mad": 1,
+        "fences": 2, "med": 2, "mad": 1,   # med: +1-row median (time_to_convert)
+        "brow": 1,  # rfm boundary pivot: one row of <= 9 structs
         # capped sets
         "vocab": 1, "top": 1, "bits": 1, "sel": 1, "tgt": 1,
         "bounds": 2,

@@ -325,3 +325,34 @@ def test_lakehouse_layout_partition_prunes(spark, tmp_path):
     # the pruned read equals a direct read of that one partition directory
     direct = spark.read.parquet(path + "/ym=199506").count()
     assert direct > 0 and df.count() == direct
+
+
+@pytest.mark.parametrize(
+    "name", ["rfm_segments", "time_to_convert", "quantile_buckets"]
+)
+def test_rank_queries_carry_no_global_single_partition_sort(spark, name):
+    """The round-5 perf-weak class: these three used to rank/ntile a
+    corpus-proportional table in ONE unpartitioned window (rn == target
+    and ntile get no WindowGroupLimit rescue — a single-reducer sort at
+    100 TB).  They now go through operators/rankselect.py; pin that no
+    Window node in the plan has an empty PARTITION BY, and that the
+    within-bin ranking window (partitioned) is still there doing the
+    real work."""
+    from devcontainers_etl_node_spark.plans import unpartitioned_windows
+
+    df = QUERIES[name](spark, SF_SMALL)
+    offenders = unpartitioned_windows(df)
+    assert offenders == [], f"{name} still global-sorts: {offenders}"
+    assert "Window" in df._jdf.queryExecution().sparkPlan().toString()
+
+
+def test_unpartitioned_window_detector_fires_on_global_window(spark):
+    """The detector itself must flag the pattern it guards against."""
+    from pyspark.sql import Window, functions as F
+
+    from devcontainers_etl_node_spark.plans import unpartitioned_windows
+
+    df = spark.range(10).select(
+        F.row_number().over(Window.orderBy("id")).alias("rn")
+    )
+    assert unpartitioned_windows(df) != []
