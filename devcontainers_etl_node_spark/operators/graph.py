@@ -80,23 +80,30 @@ def connected_components(
     )
 
     for _ in range(max_iter):
-        # each node's new label: min over its own and all neighbors' labels
+        # each node's new label: min over its own and all neighbors'
+        # labels.  The self row is marked so the OLD label rides the
+        # same aggregation — the convergence check is then a join-free
+        # filter-count over the just-checkpointed result (one cheap job
+        # reading cached blocks) instead of a second shuffle join per
+        # iteration.
+        self_rows = labels.select(
+            "node", "component", F.lit(True).alias("is_self")
+        )
         neighbor_labels = (
             both.join(labels.withColumnRenamed("node", "v"), "v")
-            .select(F.col("u").alias("node"), "component")
+            .select(F.col("u").alias("node"), "component", F.lit(False).alias("is_self"))
         )
         new_labels = _truncate(
-            labels.unionByName(neighbor_labels)
+            self_rows.unionByName(neighbor_labels)
             .groupBy("node")
-            .agg(F.min("component").alias("component"))
+            .agg(
+                F.min("component").alias("component"),
+                # every node has exactly ONE self row, so this is its old label
+                F.min(F.when(F.col("is_self"), F.col("component"))).alias("old_comp"),
+            )
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(F.col("component") != F.col("old_comp")).count()
+        labels = new_labels.select("node", "component")
         if changed == 0:
             return labels
     raise RuntimeError(
