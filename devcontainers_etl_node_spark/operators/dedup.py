@@ -639,6 +639,9 @@ def ngram_jaccard_pairs(
 # cheap, and the checkpoint blocks die with the SparkContext the appId names.
 _PAIR_MEMO: dict = {}
 _PAIR_MEMO_MAX = 64
+# monotone hit counter — the sweep (tools/verify_oracle.py) snapshots it
+# around each entry to label memo-warm timings in the audit trail
+MEMO_HITS = 0
 
 
 def shared_ngram_pairs(
@@ -678,6 +681,8 @@ def shared_ngram_pairs(
     )
     hit = _PAIR_MEMO.get(key)
     if hit is not None:
+        global MEMO_HITS
+        MEMO_HITS += 1
         return hit
     out = ngram_jaccard_pairs(
         df,

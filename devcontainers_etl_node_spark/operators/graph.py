@@ -234,6 +234,9 @@ def connected_components_star(
 # a new session never sees dead checkpoint blocks.
 _CC_MEMO: dict = {}
 _CC_MEMO_MAX = 64
+# monotone hit counter — the sweep (tools/verify_oracle.py) snapshots it
+# around each entry to label memo-warm timings in the audit trail
+MEMO_HITS = 0
 
 
 def shared_components(
@@ -258,6 +261,8 @@ def shared_components(
     )
     hit = _CC_MEMO.get(key)
     if hit is not None:
+        global MEMO_HITS
+        MEMO_HITS += 1
         return hit
     out = connected_components(edges, src=src, dst=dst, max_iter=max_iter)
     if len(_CC_MEMO) >= _CC_MEMO_MAX:
