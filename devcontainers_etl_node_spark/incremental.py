@@ -31,7 +31,7 @@ from __future__ import annotations
 import json
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from devcontainers_etl_node_spark.operators import dedup as dd
 
@@ -136,3 +136,84 @@ def run_incremental_dedup(
         json.dump(params, f)
     _commit_current(workdir, version)
     return {"pairs": pairs, "version": version, "n_pairs": pairs.count()}
+
+
+def run_incremental_substr(
+    spark: SparkSession,
+    new_docs: DataFrame,
+    workdir: str,
+    k: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> dict:
+    """ExactSubstr dedup for one ingest batch against the committed
+    gram-count snapshot — the substring twin of ``run_incremental_dedup``,
+    same versioned-dir + pointer + manifest discipline:
+
+    - ``<workdir>/grams_v<N>/`` — immutable (g, nd) distinct-doc-count
+      snapshots (parquet; gram-cardinality, not corpus text);
+    - ``<workdir>/ids_v<N>/``   — committed doc ids, the overlap gate's
+      check set (re-submitting a batch would double every gram count,
+      so overlapping ids fail loudly BEFORE any state is written);
+    - ``<workdir>/CURRENT`` / ``_MANIFEST.json`` — pointer swapped
+      atomically after both snapshots are fully written; manifest pins
+      the gram width k (counts from different k never merge correctly);
+    - ``<workdir>/clean/run_<N>/`` — each batch's cleaned output.
+
+    Unlike MinHash (whose verify stage must re-shingle candidate
+    historical TEXT), ExactSubstr needs only the history COUNT table —
+    no old_docs parameter at all: distinct-doc counts are additive
+    across the disjoint committed batches, so history ∪ batch is a
+    sum-aggregate. The FIRST run is the incremental run with empty
+    history. History docs are not retro-cleaned by later batches (the
+    one-way ingest cadence; see operators/dedup.py).
+    """
+    os.makedirs(workdir, exist_ok=True)
+    params = {"k": k}
+    mpath = os.path.join(workdir, _MANIFEST)
+    cur = _read_current(workdir)
+    if cur is not None:
+        try:
+            with open(mpath) as f:
+                committed = json.load(f)
+        except (OSError, ValueError):
+            raise ValueError(f"snapshot v{cur} exists but {_MANIFEST} is unreadable")
+        if committed != params:
+            raise ValueError(
+                f"snapshot v{cur} was built with {committed}; rerun with those "
+                f"parameters or a fresh workdir (got {params})"
+            )
+        history = spark.read.parquet(os.path.join(workdir, f"grams_v{cur}"))
+        committed_ids = spark.read.parquet(os.path.join(workdir, f"ids_v{cur}"))
+        overlap = (
+            new_docs.select(F.col(id_col).alias("doc_id"))
+            .join(committed_ids, "doc_id", "left_semi")
+            .limit(1)
+            .count()
+        )
+        if overlap:
+            raise ValueError(
+                "batch contains already-committed doc ids — re-submitting a "
+                "batch would double its gram counts; dedupe the batch ids "
+                "against the committed set first"
+            )
+    else:
+        history = spark.createDataFrame([], "g LONG, nd LONG")
+        committed_ids = spark.createDataFrame([], "doc_id LONG")
+
+    clean, merged = dd.substr_clean_batch(
+        history, new_docs, k=k, text_col=text_col, id_col=id_col
+    )
+    version = (cur or 0) + 1
+    # write both snapshots fully, THEN commit the pointer — a crash
+    # between the writes leaves the previous snapshot current and intact
+    merged.write.mode("overwrite").parquet(os.path.join(workdir, f"grams_v{version}"))
+    committed_ids.unionByName(
+        new_docs.select(F.col(id_col).cast("long").alias("doc_id"))
+    ).write.mode("overwrite").parquet(os.path.join(workdir, f"ids_v{version}"))
+    clean.write.mode("overwrite").parquet(os.path.join(workdir, "clean", f"run_{version}"))
+    with open(mpath, "w") as f:
+        json.dump(params, f)
+    _commit_current(workdir, version)
+    out = spark.read.parquet(os.path.join(workdir, "clean", f"run_{version}"))
+    return {"clean": out, "version": version, "n_docs": out.count()}

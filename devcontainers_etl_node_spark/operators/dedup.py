@@ -739,3 +739,143 @@ def simhash(col: Column | str) -> Column:
 def simhash_buckets(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Attach the simhash fingerprint; group/join on it for near-dup blocks."""
     return df.select(F.col(id_col), simhash(text_col).alias("simhash"))
+
+
+# ---------------------------------------------------------------------------
+# ExactSubstr, incremental (Lee et al. 2022 — the ingest-cadence half)
+# ---------------------------------------------------------------------------
+# The batch queries (`dup_span_merge`, `substring_dedup_clean`) re-gram
+# the whole corpus per run. At 100 TB the production cadence is the same
+# as MinHash's: gram each document ONCE ever, persist the per-gram
+# distinct-doc COUNT table, and clean each ingest batch against
+# history + batch. Because committed batches never share doc ids (the
+# wrapper in incremental.py gates on that), distinct-doc counts are
+# additive across batches: count(history ∪ batch) = count(history) +
+# count(batch) — so the merged snapshot is a sum-aggregate, never a
+# re-gram. A batch position is covered iff its k-gram reaches a total
+# count >= 2 — the IDENTICAL rule the full-batch query applies, which is
+# what makes incremental output == full-batch output restricted to the
+# batch's docs (pinned in tests/test_incremental.py). History docs are
+# NOT retro-cleaned when a later batch duplicates them — they were
+# committed with the information available at their ingest (the
+# documented one-way cadence every incremental curation run shares).
+
+
+def substr_gram_rows(
+    docs: DataFrame, k: int = 8, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, p, g): every k-token window's position (1-based) and
+    64-bit gram hash — whitespace tokenization identical to the batch
+    ExactSubstr queries (queries/catalog.py substring family). Docs with
+    fewer than k tokens emit no rows (nothing to match on)."""
+    t = F.split(F.lower(F.trim(text_col)), r"\s+")
+    return (
+        docs.filter(F.length(F.trim(text_col)) > 0)
+        .select(F.col(id_col).alias("doc_id"), t.alias("t"))
+        .withColumn("n", F.size("t"))
+        .filter(F.col("n") >= k)
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(1), F.col("n") - (k - 1))).alias("p"),
+            "t",
+        )
+        .select(
+            "doc_id",
+            "p",
+            F.xxhash64(F.concat_ws(" ", F.slice("t", F.col("p"), k))).alias("g"),
+        )
+    )
+
+
+def substr_gram_doc_counts(gram_rows: DataFrame) -> DataFrame:
+    """(g, nd): distinct-document count per gram hash — the persisted
+    ExactSubstr index artifact. One shuffle on the 8-byte hash with
+    map-side partial aggregation."""
+    return gram_rows.groupBy("g").agg(
+        F.countDistinct("doc_id").cast("long").alias("nd")
+    )
+
+
+def merge_gram_counts(history: DataFrame, batch: DataFrame) -> DataFrame:
+    """history ∪ batch counts, summed per gram. Valid ONLY when the two
+    count tables were built over disjoint doc-id sets (the wrapper's
+    overlap gate guarantees it) — then distinct-doc counts are additive."""
+    h = history.select(F.col("g").alias("hg"), F.col("nd").alias("h_nd"))
+    return (
+        batch.join(h, F.col("g") == F.col("hg"), "full_outer")
+        .select(
+            F.coalesce(F.col("g"), F.col("hg")).alias("g"),
+            (F.coalesce(F.col("nd"), F.lit(0)) + F.coalesce(F.col("h_nd"), F.lit(0)))
+            .cast("long")
+            .alias("nd"),
+        )
+    )
+
+
+def substr_clean_batch(
+    history_counts: DataFrame,
+    new_docs: DataFrame,
+    k: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> tuple[DataFrame, DataFrame]:
+    """Clean ONE ingest batch against history ∪ batch gram counts,
+    without touching historical text.
+
+    Returns ``(clean, merged_counts)``:
+
+    - ``clean``: (doc_id, n_tokens, n_kept, clean_text) for batch docs
+      with at least one kept token — the same output contract as the
+      full-batch `substring_dedup_clean`;
+    - ``merged_counts``: (g, nd) over history ∪ batch, the next
+      snapshot's content.
+
+    Plan: the ONLY corpus-sized inputs are the batch's own gram rows
+    (k ≈ 8 rows per token, map-side) and the history COUNT table (gram-
+    cardinality, not corpus text). Coverage needs just the batch grams
+    whose total count >= 2 — a left join of batch counts onto history on
+    the 8-byte hash, then a semi-join back onto the batch's gram rows;
+    everything shuffles on `g` or (doc_id, p). Reassembly is the batch-
+    query shape: per-doc array_sort bounded by document length."""
+    grams = substr_gram_rows(new_docs, k=k, text_col=text_col, id_col=id_col)
+    batch_counts = substr_gram_doc_counts(grams)
+    merged = merge_gram_counts(history_counts, batch_counts)
+    # grams duplicated across history+batch that the BATCH contains
+    hist = history_counts.select(F.col("g").alias("hg"), F.col("nd").alias("h_nd"))
+    dup_g = (
+        batch_counts.join(hist, F.col("g") == F.col("hg"), "left")
+        .filter(F.col("nd") + F.coalesce(F.col("h_nd"), F.lit(0)) >= 2)
+        .select("g")
+    )
+    covered = (
+        grams.join(dup_g, "g", "left_semi")
+        .select(
+            F.col("doc_id").alias("c_doc"),
+            F.explode(F.sequence(F.col("p"), F.col("p") + (k - 1))).alias("j"),
+        )
+        .distinct()
+    )
+    t = F.split(F.lower(F.trim(text_col)), r"\s+")
+    toks = (
+        new_docs.filter(F.length(F.trim(text_col)) > 0)
+        .select(F.col(id_col).alias("doc_id"), t.alias("t"))
+        .withColumn("n", F.size("t"))
+        .select("doc_id", "n", F.posexplode("t").alias("p0", "tok"))
+        .select("doc_id", "n", (F.col("p0") + 1).alias("p"), "tok")
+    )
+    kept = toks.join(
+        covered,
+        (F.col("doc_id") == F.col("c_doc")) & (F.col("p") == F.col("j")),
+        "left_anti",
+    )
+    clean = kept.groupBy("doc_id").agg(
+        F.max("n").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("p", "tok"))), lambda x: x["tok"]
+            ),
+        ).alias("clean_text"),
+    )
+    return clean, merged

@@ -8596,3 +8596,27 @@ def substring_dedup_clean(spark: SparkSession, sf: str) -> DataFrame:
         ).alias("clean_text"),
     )
     return assembled
+
+
+@query("substr_incremental")  # snapshot-cadence ExactSubstr — rows-only; parity in tests
+def substr_incremental(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental ExactSubstr dedup (operators/dedup.py:
+    substr_clean_batch): the corpus splits into a historical half
+    (doc_id below the median) whose per-gram distinct-doc COUNT table
+    stands in for the committed snapshot, and an arriving half that
+    alone is grammed and cleaned against history ∪ batch — the
+    substring twin of `minhash_incremental`'s cadence. Because
+    committed batches never share doc ids, gram doc-counts are additive
+    (history ∪ batch = sum-aggregate), so no historical TEXT is ever
+    touched — the history artifact is gram-cardinality, not
+    corpus-sized. tests/test_incremental.py pins full-batch parity
+    (incremental clean == `substring_dedup_clean` over the whole corpus
+    restricted to batch docs) and the workdir snapshot protocol
+    (pointer/manifest/overlap-gate, run_incremental_substr)."""
+    docs = table(spark, sf, "documents")
+    mid = docs.agg(F.expr("percentile_approx(doc_id, 0.5)")).collect()[0][0]
+    old_docs = docs.filter(F.col("doc_id") <= mid)
+    new_docs = docs.filter(F.col("doc_id") > mid)
+    history = dedup.substr_gram_doc_counts(dedup.substr_gram_rows(old_docs, k=8))
+    clean, _merged = dedup.substr_clean_batch(history, new_docs, k=8)
+    return clean

@@ -117,3 +117,94 @@ def test_resubmitted_batch_rejected(spark, tmp_path):
     with open(os.path.join(wd, "CURRENT")) as f:
         assert f.read().strip() == "2"
     assert not os.path.exists(os.path.join(wd, "sigs_v3"))
+
+
+# ---------------------------------------------------------------------------
+# Incremental ExactSubstr (substr_clean_batch / run_incremental_substr)
+# ---------------------------------------------------------------------------
+
+
+def test_substr_incremental_matches_full_batch_on_corpus(spark):
+    """The parity that licenses the snapshot cadence: cleaning the new
+    half against the old half's gram COUNT table must equal the
+    full-batch substring_dedup_clean over the whole corpus, restricted
+    to the new half's docs — same rule (total distinct-doc count >= 2),
+    additive counts over disjoint batches."""
+    from pyspark.sql import functions as F
+
+    from devcontainers_etl_node_spark.queries.catalog import QUERIES
+    from tests.conftest import SF_SMALL
+
+    inc = {
+        r.doc_id: (r.n_tokens, r.n_kept, r.clean_text)
+        for r in QUERIES["substr_incremental"](spark, SF_SMALL).collect()
+    }
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    mid = docs.agg(F.expr("percentile_approx(doc_id, 0.5)")).collect()[0][0]
+    full = {
+        r.doc_id: (r.n_tokens, r.n_kept, r.clean_text)
+        for r in QUERIES["substring_dedup_clean"](spark, SF_SMALL)
+        .filter(F.col("doc_id") > mid)
+        .collect()
+    }
+    assert inc == full and len(inc) > 0
+
+
+def test_substr_incremental_snapshot_protocol(spark, tmp_path):
+    """run_incremental_substr: run1 == empty-history clean; run2 cleans
+    only the batch yet sees CROSS-batch duplication through the merged
+    count table; counts snapshot == from-scratch counts over both
+    batches; re-submitted batch ids and parameter drift fail loudly
+    before any state moves."""
+    from devcontainers_etl_node_spark.incremental import run_incremental_substr
+
+    wd = str(tmp_path / "substr_snap")
+    span = "alpha beta gamma delta epsilon zeta eta theta"  # one 8-gram
+    a = spark.createDataFrame(
+        [(1, f"{span} unique first tail words here"),
+         (2, "totally different historical content with no repeats at all today")],
+        ["doc_id", "text"],
+    )
+    b = spark.createDataFrame(
+        [(101, f"{span} brand new continuation of the arriving batch"),
+         (102, "independent fresh document with its own vocabulary entirely")],
+        ["doc_id", "text"],
+    )
+    r1 = run_incremental_substr(spark, a, wd, k=8)
+    assert r1["version"] == 1
+    # within-batch-1 nothing repeats -> everything kept verbatim
+    c1 = {r.doc_id: r for r in r1["clean"].collect()}
+    assert c1[1].n_kept == c1[1].n_tokens
+
+    r2 = run_incremental_substr(spark, b, wd, k=8)
+    assert r2["version"] == 2
+    c2 = {r.doc_id: r for r in r2["clean"].collect()}
+    # doc 101 shares the 8-token span with HISTORY doc 1 -> span cut
+    assert c2[101].n_kept == c2[101].n_tokens - 8
+    assert "alpha" not in c2[101].clean_text
+    # doc 102 untouched
+    assert c2[102].n_kept == c2[102].n_tokens
+
+    # merged snapshot == from-scratch gram counts over a ∪ b
+    snap = {
+        (r.g, r.nd)
+        for r in spark.read.parquet(os.path.join(wd, "grams_v2")).collect()
+    }
+    scratch = {
+        (r.g, r.nd)
+        for r in dedup.substr_gram_doc_counts(
+            dedup.substr_gram_rows(a.unionByName(b), k=8)
+        ).collect()
+    }
+    assert snap == scratch
+
+    # overlap gate: nothing committed by a failed re-submit
+    with pytest.raises(ValueError, match="already-committed"):
+        run_incremental_substr(spark, b, wd, k=8)
+    with open(os.path.join(wd, "CURRENT")) as f:
+        assert f.read().strip() == "2"
+    assert not os.path.exists(os.path.join(wd, "grams_v3"))
+    # parameter drift fails loudly
+    c = spark.createDataFrame([(201, "late batch")], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="was built with"):
+        run_incremental_substr(spark, c, wd, k=4)

@@ -142,6 +142,7 @@ def test_every_query_has_callable_and_oracle_consistency():
         "entity_clusters",
         "bpe_train",
         "bpe_encode",
+        "substr_incremental",
     }
 
 
