@@ -13,8 +13,17 @@ same hash-mixed shape as bench_dedup_scale (linear mixing makes
 accidental duplicate docs; hash mixing keeps the token space overlapping
 like real text without degenerate structure).
 
+Second table — jobs vs merges (the batched-trainer claim): the
+sequential trainer runs ~2 Spark jobs per MERGE (pair-count argmax +
+merge apply); ``bpe_train_merges_batched`` runs ~2 jobs per ROUND of up
+to ``batch_size`` symbol-disjoint merges, so a 64-merge vocabulary
+costs ~8 rounds at batch_size=8 instead of 64 sequential iterations.
+Measured here on the real sf0.01 documents table with Spark job counts
+read from the status tracker, alongside wall time — the acceptance
+criterion is 64 batched merges in < 10x the 8-merge sequential wall.
+
 Usage: python tools/bench_bpe_scale.py [sizes_csv]  (default 10000,40000,160000)
-Paste the table into PERF.md when it changes.
+Paste the tables into PERF.md when they change.
 """
 
 from __future__ import annotations
@@ -72,6 +81,52 @@ def main() -> None:
             f"| {n} | {n_words} | {best_wf:.2f} | {best_total - best_wf:.2f} | {best_total:.2f} |",
             flush=True,
         )
+    jobs_vs_merges(spark)
+
+
+def _job_count(spark) -> int:
+    return len(spark.sparkContext.statusTracker().getJobIdsForGroup(None))
+
+
+def jobs_vs_merges(spark) -> None:
+    """Sequential vs batched trainer on the real sf0.01 corpus: wall
+    time and Spark job count per configuration."""
+    from devcontainers_etl_node_spark.catalog import table as corpus_table
+
+    docs = corpus_table(spark, "/root/testdata/sf0.01", "documents").localCheckpoint(
+        eager=True
+    )
+    configs = [
+        ("sequential n=8", lambda: tx.bpe_train_merges(docs, n_merges=8)),
+        (
+            "batched n=8 bs=8",
+            lambda: tx.bpe_train_merges_batched(docs, n_merges=8, batch_size=8),
+        ),
+        (
+            "batched n=64 bs=8",
+            lambda: tx.bpe_train_merges_batched(docs, n_merges=64, batch_size=8),
+        ),
+        ("sequential n=64", lambda: tx.bpe_train_merges(docs, n_merges=64)),
+    ]
+    print("\n| trainer | merges | spark jobs | wall (s) |")
+    print("|---|---|---|---|")
+    walls = {}
+    for name, fn in configs:
+        gc.collect()
+        j0 = _job_count(spark)
+        t0 = time.perf_counter()
+        merges = fn()
+        wall = time.perf_counter() - t0
+        walls[name] = wall
+        print(
+            f"| {name} | {len(merges)} | {_job_count(spark) - j0} | {wall:.2f} |",
+            flush=True,
+        )
+    ratio = walls["batched n=64 bs=8"] / walls["sequential n=8"]
+    print(
+        f"\nbatched-64 / sequential-8 wall ratio: {ratio:.2f}x "
+        f"(acceptance: < 10x) -> {'PASS' if ratio < 10 else 'FAIL'}"
+    )
 
 
 if __name__ == "__main__":
