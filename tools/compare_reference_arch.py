@@ -228,10 +228,156 @@ def main_rollup() -> None:
         p, sx = min(pd_times), min(sp_times)
         print(f"| {base * n:,} | {p:.2f}s | {sx:.2f}s | {p / sx:.2f}x |")
 
+
+
+
+# ---------------------------------------------------------------------------
+# Workload 4: MinHash near-dup detection — the family the engine's north
+# star centers on. The single-node side is the datasketch-style eager
+# implementation a competent pandas/numpy pipeline ships (python shingle
+# sets, factorized shingle ids, numpy permutation-hash signatures, band
+# bucketing via np.unique, exact-Jaccard verify) — NOT a strawman; the
+# engine side is operators/dedup.minhash_lsh_pairs. Both read the SAME
+# materialized parquet corpus: n docs of 30 words from a per-replica
+# vocabulary, where each (even, odd) id pair shares its first 28 words —
+# a planted near-dup per 2 docs, so expected verified pairs ≈ n/2 on
+# both sides (band catch probability ~0.99 at 16 hashes / 4 bands for
+# Jaccard ~0.9; the exact count is hash-family dependent, so both counts
+# are printed next to the times).
+# Run: python tools/compare_reference_arch.py minhash [n_runs] [N,...]
+# ---------------------------------------------------------------------------
+
+_MINHASH_PARAMS = dict(shingle_k=5, num_hashes=16, bands=4, threshold=0.5)
+
+
+def _minhash_corpus(spark, n: int, path: str) -> None:
+    from pyspark.sql import functions as F
+
+    V = 20_000
+    # doc 2k+1 reuses doc 2k's first 28 words, own last 2 — one planted
+    # near-dup pair per two docs
+    base_id = F.col("id") - F.col("id") % 2
+    words = [
+        F.concat(
+            F.lit("w"),
+            F.pmod(F.xxhash64(base_id if j < 28 else F.col("id"), F.lit(j)), F.lit(V)).cast("string"),
+        )
+        for j in range(30)
+    ]
+    (
+        spark.range(n)
+        .select(F.col("id").alias("doc_id"), F.concat_ws(" ", *words).alias("text"))
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def pandas_minhash(path: str) -> int:
+    import numpy as np
+
+    k = _MINHASH_PARAMS["shingle_k"]
+    num_hashes = _MINHASH_PARAMS["num_hashes"]
+    bands = _MINHASH_PARAMS["bands"]
+    rows_per_band = num_hashes // bands
+    threshold = _MINHASH_PARAMS["threshold"]
+
+    docs = pd.read_parquet(path)
+    texts = docs["text"].str.lower().str.strip().str.replace(r"\s+", " ", regex=True)
+    # python shingle sets — the eager single-node front half
+    shingle_sets = [
+        {t[i : i + k] for i in range(max(len(t) - k + 1, 1))} for t in texts
+    ]
+    doc_idx = np.repeat(
+        np.arange(len(shingle_sets)), [len(s) for s in shingle_sets]
+    )
+    all_shingles = pd.Series([s for ss in shingle_sets for s in ss])
+    sid = pd.factorize(all_shingles)[0].astype(np.uint64)
+    # numpy permutation-hash signatures: h_i(s) = (a_i*s + b_i) mod p
+    p = np.uint64((1 << 61) - 1)
+    rng = np.random.RandomState(42)
+    a = rng.randint(1, 1 << 60, size=num_hashes).astype(np.uint64)
+    b = rng.randint(0, 1 << 60, size=num_hashes).astype(np.uint64)
+    sigs = np.full((len(shingle_sets), num_hashes), np.iinfo(np.uint64).max, dtype=np.uint64)
+    for i in range(num_hashes):
+        h = (a[i] * sid + b[i]) % p
+        np.minimum.at(sigs[:, i], doc_idx, h)
+    # banding: bucket docs per band via np.unique over the band rows
+    cand = set()
+    for bnd in range(bands):
+        band = np.ascontiguousarray(sigs[:, bnd * rows_per_band : (bnd + 1) * rows_per_band])
+        view = band.view([("", band.dtype)] * rows_per_band).ravel()
+        _, inv, counts = np.unique(view, return_inverse=True, return_counts=True)
+        order = np.argsort(inv, kind="stable")
+        start = 0
+        for c in counts:
+            if c > 1:
+                members = order[start : start + c]
+                for x in range(len(members)):
+                    for y in range(x + 1, len(members)):
+                        i1, i2 = members[x], members[y]
+                        cand.add((min(i1, i2), max(i1, i2)))
+            start += c
+    # exact-Jaccard verify
+    n_pairs = 0
+    for i1, i2 in cand:
+        s1, s2 = shingle_sets[i1], shingle_sets[i2]
+        inter = len(s1 & s2)
+        if inter / (len(s1) + len(s2) - inter) >= threshold:
+            n_pairs += 1
+    return n_pairs
+
+
+def spark_minhash(spark, path: str) -> int:
+    from devcontainers_etl_node_spark.operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(spark.read.parquet(path), **_MINHASH_PARAMS).count()
+
+
+def main_minhash() -> None:
+    import os
+    import shutil
+
+    n_runs = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+    sizes = (
+        [int(x) for x in sys.argv[3].split(",")]
+        if len(sys.argv) > 3
+        else [20_000, 80_000, 320_000]
+    )
+    spark = get_spark()
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    workdir = "/root/repo/.bench_tmp"
+    os.makedirs(workdir, exist_ok=True)
+    print("| docs | pandas minhash (pairs) | engine minhash (pairs) | ratio |")
+    print("|---|---|---|---|")
+    try:
+        for n in sizes:
+            path = os.path.join(workdir, f"minhash_{n}.parquet")
+            _minhash_corpus(spark, n, path)
+            pd_times, sp_times = [], []
+            for _ in range(n_runs):
+                t0 = time.perf_counter()
+                pd_pairs = pandas_minhash(path)
+                pd_times.append(time.perf_counter() - t0)
+            for _ in range(n_runs):
+                t0 = time.perf_counter()
+                sp_pairs = spark_minhash(spark, path)
+                sp_times.append(time.perf_counter() - t0)
+            p, s = min(pd_times), min(sp_times)
+            print(
+                f"| {n:,} | {p:.2f}s ({pd_pairs:,}) | {s:.2f}s ({sp_pairs:,}) | {p / s:.2f}x |",
+                flush=True,
+            )
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "dedup":
         main_dedup()
     elif len(sys.argv) > 1 and sys.argv[1] == "rollup":
         main_rollup()
+    elif len(sys.argv) > 1 and sys.argv[1] == "minhash":
+        main_minhash()
     else:
         main()
