@@ -1971,6 +1971,87 @@ def stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "cluster_safe_split",
+    """
+    WITH RECURSIVE sh AS MATERIALIZED (
+        SELECT doc_id, lang,
+               list_distinct(list_transform(
+                   generate_series(1, greatest(len(string_split_regex(lower(trim(text)), '\\s+')) - 2, 1)),
+                   i -> array_to_string(string_split_regex(lower(trim(text)), '\\s+')[i:i+2], ' ')
+               )) AS grams
+        FROM documents),
+    pairs AS MATERIALIZED (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.2),
+    edges AS MATERIALIZED (
+        SELECT id_a AS u, id_b AS v FROM pairs
+        UNION
+        SELECT id_b, id_a FROM pairs),
+    cc AS (
+        SELECT u AS node, u AS component FROM edges
+        UNION
+        SELECT e.u, cc.component FROM edges e JOIN cc ON cc.node = e.v),
+    labels AS (SELECT node, MIN(component) AS component FROM cc GROUP BY node),
+    assigned AS (
+        SELECT d.doc_id,
+               COALESCE(l.component, d.doc_id) AS cluster_key,
+               l.component IS NOT NULL AS is_dup,
+               CAST(('0x' || substr(md5(CAST(COALESCE(l.component, d.doc_id) AS VARCHAR)), 1, 8))
+                    AS BIGINT) % 100 AS b
+        FROM documents d LEFT JOIN labels l ON l.node = d.doc_id)
+    SELECT CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val' ELSE 'test' END AS split,
+           COUNT(*) AS n_docs,
+           COUNT(CASE WHEN is_dup THEN 1 END) AS n_dup_docs,
+           COUNT(DISTINCT CASE WHEN is_dup THEN cluster_key END) AS n_dup_clusters
+    FROM assigned GROUP BY 1
+    """,
+)
+def cluster_safe_split(spark: SparkSession, sf: str) -> DataFrame:
+    """Leakage-safe train/val/test split: hash the near-dup CLUSTER id, not
+    the doc id, so a whole connected component of near-duplicates lands in
+    one split — `hash_split` alone leaks eval data whenever one member of
+    a near-dup pair falls in train and its twin in test (the contamination
+    mode dedup papers warn about: memorized train text scoring as test).
+    Singleton docs use their own id as the cluster key, so the assignment
+    is identical to hash_split everywhere dedup found nothing. The
+    no-straddle invariant — every component's members share one split — is
+    structural (one md5 per cluster key) and pinned in
+    tests/test_quality_gates.py. Scale: the cluster-label table is
+    dup-volume-sized (tiny vs corpus) → the join is AQE-broadcast; the
+    md5 bucket is map-only; counts aggregate partially before the 3-row
+    exchange. Reuses the session-memoized pair graph + components
+    (operators/graph.shared_components), so the dup-family catalog entries
+    share one CC computation per session."""
+    from devcontainers_etl_node_spark.operators import graph
+
+    docs = table(spark, sf, "documents")
+    pairs = dedup.shared_ngram_pairs(docs, sf, ngram=3, threshold=0.2, block_col="lang").select(
+        "id_a", "id_b"
+    )
+    labels = graph.shared_components(pairs, sf, src="id_a", dst="id_b")
+    assigned = docs.join(labels, docs.doc_id == labels.node, "left").select(
+        F.coalesce("component", "doc_id").alias("cluster_key"),
+        F.col("component").isNotNull().alias("is_dup"),
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("cluster_key").cast("string")), 1, 8), 16, 10).cast("long")
+        % 100
+    )
+    split = F.when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test")
+    return (
+        assigned.select(split.alias("split"), "is_dup", "cluster_key")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count(F.when(F.col("is_dup"), 1)).alias("n_dup_docs"),
+            F.countDistinct(F.when(F.col("is_dup"), F.col("cluster_key"))).alias("n_dup_clusters"),
+        )
+    )
+
+
+@query(
     "set_ops_all",
     """
     SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
