@@ -105,8 +105,13 @@ def shingle_hash_rows(base: DataFrame, shingle_k: int = 5) -> DataFrame:
 def minhash_signature_table(shingle_rows: DataFrame, num_hashes: int = 32) -> DataFrame:
     """(`_id`, `_sig`: array<long>[num_hashes]) from exploded shingle-hash
     rows: one groupBy computing every seeded min as a codegen'd aggregate,
-    seeds spread into the input bits (xxhash64(seed<<48 XOR h) — the
-    seed-chained form is degenerate, see PERF.md), then packed into ONE
+    seeds spread into the input bits (xxhash64((seed<<16) XOR h): the
+    literal is a 32-bit int so shiftleft(.., 48) is taken mod 32 — an
+    effective 16-bit spread; that is still a sound distinct-seed family
+    (seeds 1..64 occupy disjoint bit-16.. patterns) and is FROZEN because
+    incremental runs persist signatures built with it — do NOT "fix" the
+    shift to a long literal without a snapshot migration. The seed-chained
+    form is degenerate, see PERF.md), then packed into ONE
     array column so downstream joins stay 2 columns wide. This is the
     table an incremental dedup run PERSISTS between runs (~num_hashes
     longs per doc): re-signing the historical corpus is the cost

@@ -18,13 +18,21 @@ Python per row for hashing), then one Arrow-batched pandas_udf holding
 the 128 KiB bitset in its closure checks membership per doc. No shuffle
 touches corpus text; the per-doc verdict aggregates locally.
 
-The k hash functions reuse the repo's seed-spread family
-(`xxhash64(shiftleft(seed+1, 48) XOR xxhash64(gram))` — the seed-CHAINED
-form is degenerate, see NOTES.md round-4 lesson), so build and probe
-agree bit-for-bit.
+The k hash functions use the seed-spread family
+`xxhash64(shiftleft(cast(seed+1 as long), 48) XOR xxhash64(gram))` — the
+seed literal is cast to LONG so the shift really lands in the high bits
+(a 32-bit int literal would shift mod 32 and spread only 16 bits; the
+sibling family in dedup.py:118 predates this fix and keeps the 16-bit
+spread for persisted-signature stability — see its docstring). The
+seed-CHAINED form is degenerate, see NOTES.md round-4 lesson. Build and
+probe share `_positions`, so they agree bit-for-bit.
 
-No counterpart in the reference (its pipeline has no dedup/decontam at
-all, src/etl/transformers.py) — this is the SURVEY §7 scale extension.
+No counterpart in the reference (its ETL pipeline — src/etl/etl.py,
+extractors.py, loaders.py — has no dedup/decontamination stage at all);
+this is the SURVEY §7 scale extension. Wired as the catalog entry
+``bloom_decontaminate`` (screen → exact recheck, oracled against plain
+exact contamination) with a zero-false-negative gate in
+tests/test_quality_gates.py.
 """
 
 from __future__ import annotations
@@ -41,7 +49,10 @@ def _positions(gram: Column, m_bits: int, k: int) -> Column:
     h = F.xxhash64(gram)
     return F.array(
         *[
-            F.pmod(F.xxhash64(F.shiftleft(F.lit(i + 1), 48).bitwiseXOR(h)), F.lit(m_bits))
+            F.pmod(
+                F.xxhash64(F.shiftleft(F.lit(i + 1).cast("long"), 48).bitwiseXOR(h)),
+                F.lit(m_bits),
+            )
             for i in range(k)
         ]
     )
@@ -68,7 +79,11 @@ def bloom_build(
     )
     bits = np.zeros(m_bits // 8, dtype=np.uint8)
     pos = np.fromiter((r.pos for r in pos_rows), dtype=np.int64, count=len(pos_rows))
-    bits[pos >> 3] |= (1 << (pos & 7)).astype(np.uint8)
+    # bitwise_or.AT, not fancy-indexed |=: distinct positions sharing a
+    # byte are duplicate indices, and buffered fancy in-place ops keep
+    # only one write — which silently drops bits and breaks the
+    # zero-false-negative guarantee.
+    np.bitwise_or.at(bits, pos >> 3, (1 << (pos & 7)).astype(np.uint8))
     return bits
 
 

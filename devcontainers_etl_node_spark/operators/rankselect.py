@@ -29,10 +29,18 @@ repo already uses in spirit for `histogram_bins` / `group_quantiles`:
 
 So the only per-row work is three scans (min/max, histogram, candidate
 filter) with no corpus-sized shuffle beyond the group-key hash
-partitioning.  Degenerate caveat (documented, not hidden): if the value
-column is constant — or so skewed that one equal-width bin holds nearly
-everything — the candidate bin IS corpus-sized and step 3 degrades to
-the naive sort; real corpora with 1024 bins keep bins ~0.1 % of N.
+partitioning.  Degenerate caveat: if the value column is constant — or
+so skewed that one equal-width bin holds nearly everything — the
+candidate bin IS corpus-sized and step 3 of the one-shot plan degrades
+to the naive sort; real corpora with 1024 bins keep bins ~0.1 % of N.
+For inputs where that risk is real, :func:`exact_rank_select_recursive`
+adds the guard: it reads each target's candidate-bin COUNT from the
+histogram it already computed and, when the bin exceeds
+``max_bin_rows``, recurses INTO the bin — re-binning on the bin's own
+(tighter) min/max, or on the NEXT numeric sort column when the value is
+constant within the bin (the 99 %-ties case equal-width binning can
+never split) — so the final ranked partition is provably ≤
+``max_bin_rows`` whenever any numeric sort column separates the rows.
 
 Reference parity: the reference computes medians/quantiles by sorting
 in pandas (eager, single-node — cf. /root/reference transform helpers);
@@ -129,8 +137,15 @@ def exact_rank_select_by(
     helper (a handful of boundary elements), not a per-group quantile
     table over millions of groups.
 
-    ``sort_cols[0]`` must be numeric and non-null (it is the histogram
-    binning value); for a DESC metric pass a pre-negated column.  The
+    ``part_cols`` values must be NON-NULL: the histogram and candidate
+    joins are plain equi-joins, so a row whose group key is NULL never
+    matches its own group's bounds/hits rows and is silently dropped
+    from selection (NOT an error).  Pre-filter or coalesce nullable
+    group keys before calling.  The same applies to ``sort_cols[0]``
+    (a NULL binning value falls out of the histogram join).
+
+    ``sort_cols[0]`` must be numeric (it is the histogram binning
+    value); for a DESC metric pass a pre-negated column.  The
     full tuple must be a TOTAL order within each group (include a
     unique tiebreak) or the selected element at a rank is
     nondeterministic.  The double cast used for binning is
@@ -264,3 +279,146 @@ def exact_rank_select(
     """Global (ungrouped) element-at-rank — see
     :func:`exact_rank_select_by` for semantics and scale notes."""
     return exact_rank_select_by(df, [], sort_cols, rank_rule, n_bins)
+
+
+def exact_rank_select_recursive(
+    df: DataFrame,
+    part_cols: list[str],
+    sort_cols: list[str],
+    rank_rule: RankRule,
+    n_bins: int = 1024,
+    max_bin_rows: int = 100_000,
+    max_depth: int = 4,
+    stats: list | None = None,
+) -> DataFrame:
+    """Skew-guarded element-at-rank: like :func:`exact_rank_select_by`,
+    but a candidate bin holding more than ``max_bin_rows`` rows is never
+    sorted — the selection recurses INTO the bin instead.
+
+    This is the degenerate-distribution guard the one-shot plan
+    documents as its caveat.  It is DRIVER-PACED (one bounded
+    bounds+histogram job per refinement level, like the iterative BPE /
+    CC operators), so it trades plan laziness for a hard bound on the
+    ranked partition — use it when the value distribution is unknown or
+    adversarial; the lazy one-shot stays the default for the catalog
+    callers whose distributions are measured.  Per level, per pending
+    target: restrict to the current (group, bin-path) slice, recompute
+    min/max on the CURRENT binning column — if the slice is constant on
+    it (equal-width can never split ties), advance to the next numeric
+    sort column, which is exactly the within-tie order — re-histogram,
+    and either finish (bin ≤ ``max_bin_rows``: rank the one small bin)
+    or descend with the residual rank.  Every job touches ≤ n_bins
+    aggregate rows; corpus rows are only ever scanned with
+    filter-pushdown predicates, never sorted globally.
+
+    Preconditions are those of :func:`exact_rank_select_by` (non-null
+    group keys and binning values; a numeric tie-break somewhere in
+    ``sort_cols`` if ties can exceed ``max_bin_rows`` — a non-numeric
+    tiebreak column stops the descent and the final window ranks the
+    remaining tied slice as-is, documented fallback).  ``stats``, when
+    given, receives one dict per (target, level) with the located bin's
+    count — the observability hook the recursion test pins.
+
+    Returns the same shape as :func:`exact_rank_select_by`."""
+    casts = []
+    for c in sort_cols:
+        t = dict(df.dtypes).get(c, "")
+        casts.append(
+            t.startswith(("int", "bigint", "smallint", "tinyint", "float", "double", "decimal", "date", "timestamp"))
+        )
+
+    # targets per group: evaluate the rank rule on the (bounded) totals
+    totals = df.groupBy(*part_cols).agg(F.count(F.lit(1)).alias("__rs_n"))
+    t_rows = (
+        totals.select(
+            *part_cols, F.explode(rank_rule(F.col("__rs_n"))).alias("t")
+        )
+        .select(*part_cols, "t.target_id", "t.target_rank")
+        .collect()
+    )
+
+    # work item: (group values, target_id, residual rank, predicate, sort col idx)
+    def group_pred(r):
+        p = F.lit(True)
+        for c in part_cols:
+            p = p & (F.col(c) == F.lit(r[c]))
+        return p
+
+    pending = [
+        (tuple(r[c] for c in part_cols), r.target_id, int(r.target_rank), group_pred(r), 0)
+        for r in t_rows
+        if r.target_rank >= 1
+    ]
+    finals: list[DataFrame] = []
+
+    for depth in range(max_depth):
+        if not pending:
+            break
+        nxt = []
+        for gvals, tid, rank, pred, ci in pending:
+            rows = df.filter(pred)
+            # advance past constant / non-numeric binning columns
+            while ci < len(sort_cols):
+                if not casts[ci]:
+                    ci = len(sort_cols)  # non-numeric tiebreak: stop descent
+                    break
+                b = rows.agg(
+                    F.min(F.col(sort_cols[ci]).cast("double")).alias("mn"),
+                    F.max(F.col(sort_cols[ci]).cast("double")).alias("mx"),
+                ).collect()[0]
+                if b.mn is None or b.mn == b.mx:
+                    ci += 1
+                else:
+                    break
+            if ci >= len(sort_cols):
+                # fully tied (or non-numeric remainder): any row of the
+                # slice ranks identically under the remaining order —
+                # rank the slice directly (bounded by the tie volume)
+                finals.append(_rank_slice(rows, sort_cols, rank, tid, df.columns))
+                continue
+            v = F.col(sort_cols[ci]).cast("double")
+            mn, mx = float(b.mn), float(b.mx)
+            binc = F.least(
+                F.lit(n_bins - 1),
+                F.greatest(F.lit(0), F.floor((v - mn) / (mx - mn) * n_bins)),
+            ).cast("int")
+            hist = sorted(
+                (r[0], r[1])
+                for r in rows.groupBy(binc.alias("b")).agg(F.count(F.lit(1)).alias("c")).collect()
+            )
+            cum = 0
+            hit = None
+            for bno, c in hist:
+                if cum < rank <= cum + c:
+                    hit = (bno, rank - cum, c)
+                    break
+                cum += c
+            if hit is None:
+                continue  # rank beyond slice (empty-target rule)
+            bno, off, c = hit
+            if stats is not None:
+                stats.append({"target_id": tid, "depth": depth, "bin_rows": c, "col": sort_cols[ci]})
+            bin_pred = pred & (binc == F.lit(bno))
+            if c <= max_bin_rows or depth == max_depth - 1:
+                finals.append(_rank_slice(df.filter(bin_pred), sort_cols, off, tid, df.columns))
+            else:
+                nxt.append((gvals, tid, off, bin_pred, ci))
+        pending = nxt
+
+    if not finals:
+        return df.select(F.lit(0).alias("target_id"), *df.columns).limit(0)
+    out = finals[0]
+    for f in finals[1:]:
+        out = out.unionByName(f)
+    return out
+
+
+def _rank_slice(rows: DataFrame, sort_cols: list[str], rank: int, tid, cols) -> DataFrame:
+    """Row at ``rank`` of one already-small slice: a single-partition
+    window bounded by the recursion's max_bin_rows (or the tie volume)."""
+    w = Window.partitionBy(F.lit(1)).orderBy(*[F.col(c).asc() for c in sort_cols])
+    return (
+        rows.withColumn(_RN, F.row_number().over(w))
+        .filter(F.col(_RN) == rank)
+        .select(F.lit(tid).alias("target_id"), *cols)
+    )

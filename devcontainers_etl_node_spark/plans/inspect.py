@@ -54,12 +54,31 @@ def unpartitioned_windows(df: DataFrame) -> list[str]:
 
     def walk(node) -> None:
         name = node.getClass().getSimpleName()
-        if name in ("WindowExec", "WindowGroupLimitExec", "WindowInPandasExec"):
+        # "Window"/"WindowGroupLimit" (no Exec suffix) are the LOGICAL
+        # nodes — subquery plans under sparkPlan() are not yet planned
+        # (PlanSubqueries runs in prepareForExecution), so a window
+        # hiding inside a scalar/broadcast subquery surfaces logically
+        if name in (
+            "WindowExec",
+            "WindowGroupLimitExec",
+            "WindowInPandasExec",
+            "Window",
+            "WindowGroupLimit",
+        ):
             if node.partitionSpec().isEmpty():
                 out.append(f"{name}: {node.simpleStringWithNodeId()}")
         if name == "AdaptiveSparkPlanExec":
             # AQE wraps the real tree as a FIELD, not a child
             walk(node.initialPlan())
+        # expression-embedded plans (scalar/broadcast subqueries) are not
+        # children either — a global window hidden inside a subquery
+        # would otherwise escape the walk entirely
+        try:
+            sit = node.subqueries().iterator()
+            while sit.hasNext():
+                walk(sit.next())
+        except Exception:
+            pass  # node types without subqueries() on this Spark build
         it = node.children().iterator()
         while it.hasNext():
             walk(it.next())

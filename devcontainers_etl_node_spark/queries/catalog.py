@@ -28,7 +28,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from devcontainers_etl_node_spark.catalog import table
-from devcontainers_etl_node_spark.operators import dedup, similarity, text as textops
+from devcontainers_etl_node_spark.operators import dedup, membership, similarity, text as textops
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -3655,6 +3655,70 @@ def contamination_check(spark: SparkSession, sf: str) -> DataFrame:
     cand = grams.filter(F.col("doc_id") % 10 != 0)
     return (
         cand.join(F.broadcast(bench), "gram", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count("hit").alias("n_hit"),
+            (F.count("hit").cast("double") / F.count(F.lit(1))).alias("contamination"),
+        )
+        .filter(F.col("n_hit") > 0)
+    )
+
+
+@query(
+    "bloom_decontaminate",
+    """
+    WITH sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   generate_series(1, greatest(len(string_split_regex(lower(trim(text)), '\\s+')) - 2, 1)),
+                   i -> array_to_string(string_split_regex(lower(trim(text)), '\\s+')[i:i+2], ' ')
+               )) AS grams
+        FROM documents),
+    g AS (SELECT doc_id, unnest(grams) AS gram FROM sh),
+    bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 10 = 0),
+    cand AS (SELECT doc_id, gram FROM g WHERE doc_id % 10 <> 0)
+    SELECT c.doc_id, COUNT(*) AS n_grams, COUNT(b.gram) AS n_hit,
+           CAST(COUNT(b.gram) AS DOUBLE) / COUNT(*) AS contamination
+    FROM cand c LEFT JOIN bench b ON c.gram = b.gram
+    GROUP BY c.doc_id
+    HAVING COUNT(b.gram) > 0
+    """,
+)
+def bloom_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
+    """Two-stage decontamination: a constant-size Bloom screen followed by
+    the exact recheck — semantically IDENTICAL to `contamination_check`
+    (same oracle SQL), which is the point: the Bloom property guarantees
+    zero false negatives, and the recheck's `n_hit > 0` filter removes the
+    screen's bounded false positives, so screen∘recheck ≡ exact.
+
+    Why it exists at 100 TB: `contamination_check` broadcasts the full
+    benchmark gram SET (grows with the eval suite — gigabytes of strings
+    for a large benchmark union); the screen ships a fixed m/8-byte bitset
+    (128 KiB at m=2^20) regardless of suite size, and the expensive
+    gram-explode + broadcast-join recheck runs only on the screened
+    fraction of the corpus (FP-rate-bounded superset of the truly
+    contaminated docs) instead of every doc. The probe is map-only: bit
+    positions via JVM xxhash64 array transforms, membership via one
+    Arrow-batched pandas_udf owning the bitset (operators/membership.py).
+
+    Gates: zero-false-negative + measured FP rate at the default
+    m=2^20/k=4 pinned in tests/test_quality_gates.py."""
+    docs = table(spark, sf, "documents")
+    bench_grams = (
+        docs.filter(F.col("doc_id") % 10 == 0)
+        .select(F.explode(dedup.word_shingles("text", 3)).alias("gram"))
+        .distinct()
+    )
+    bits = membership.bloom_build(bench_grams, "gram")
+    cand = docs.filter(F.col("doc_id") % 10 != 0).select(
+        "doc_id", dedup.word_shingles("text", 3).alias("grams")
+    )
+    screened = membership.bloom_probe_docs(cand, bits).filter(F.col("bloom_hit"))
+    g = screened.select("doc_id", F.explode("grams").alias("gram"))
+    bench = bench_grams.withColumn("hit", F.lit(1))
+    return (
+        g.join(F.broadcast(bench), "gram", "left")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_grams"),
@@ -8447,6 +8511,29 @@ def bpe_train(spark: SparkSession, sf: str) -> DataFrame:  # pure-Python BPE in 
     from devcontainers_etl_node_spark.operators import text as textops
 
     merges = textops.bpe_train_merges(table(spark, sf, "documents"), n_merges=8)
+    return spark.createDataFrame(
+        merges, "rank INT, left_sym STRING, right_sym STRING, freq BIGINT"
+    )
+
+
+@query("bpe_train_batched")  # iterative driver-loop trainer — non-SQL;
+def bpe_train_batched(spark: SparkSession, sf: str) -> DataFrame:
+    """The PRODUCTION-shape BPE trainer on the corpus: per round, one
+    pair-count aggregation selects up to batch_size symbol-disjoint
+    merges and one Arrow pass applies them all, so Spark jobs scale as
+    n_merges/batch_size, not n_merges (measured on this corpus: 64
+    batched merges = 26 jobs / 2.6 s vs 194 jobs / 19.0 s sequential —
+    tools/bench_bpe_scale.py, PERF.md). This is the trainer a 30k-merge
+    production vocabulary runs; the sequential `bpe_train` entry remains
+    as the exact-semantics reference at n=8. Correctness: pure-Python
+    batched parity + batch_size=1 ≡ sequential identity pinned in
+    tests/test_operators.py; here rows-only (driver-loop argmax is not
+    SQL-expressible). operators/text.py:bpe_train_merges_batched."""
+    from devcontainers_etl_node_spark.operators import text as textops
+
+    merges = textops.bpe_train_merges_batched(
+        table(spark, sf, "documents"), n_merges=16, batch_size=8
+    )
     return spark.createDataFrame(
         merges, "rank INT, left_sym STRING, right_sym STRING, freq BIGINT"
     )

@@ -1042,6 +1042,17 @@ def test_bpe_batched_matches_pure_python_reference(spark):
     )
 
 
+def test_bpe_batched_size1_is_sequential(spark):
+    """batch_size=1 degenerates the batched trainer to exact sequential
+    BPE: each round's single disjoint selection IS the global argmax
+    under the shared (freq desc, left, right) ordering — so the batched
+    production path provably contains the sequential semantics."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    seq = textops.bpe_train_merges(docs, n_merges=6)
+    b1 = textops.bpe_train_merges_batched(docs, n_merges=6, batch_size=1)
+    assert [tuple(m) for m in b1] == [tuple(m) for m in seq]
+
+
 def test_lsh_topk_empty_inputs(spark):
     """0-row sides must flow through the vectorized bucket UDF (a 0-row
     Arrow batch is 2-D via the reshape) and yield 0 candidates."""

@@ -356,3 +356,26 @@ def test_unpartitioned_window_detector_fires_on_global_window(spark):
         F.row_number().over(Window.orderBy("id")).alias("rn")
     )
     assert unpartitioned_windows(df) != []
+
+
+def test_unpartitioned_window_detector_sees_inside_subqueries(spark):
+    """A global window hidden inside a scalar subquery plan must not
+    escape the walk: subquery plans hang off expressions (visited via
+    node.subqueries()), not children(), and are still LOGICAL under
+    sparkPlan() — the detector recognizes the un-suffixed node name.
+    The partitioned twin stays clean (no false positive)."""
+    from devcontainers_etl_node_spark.plans import unpartitioned_windows
+
+    spark.range(100).createOrReplaceTempView("__t_subq")
+    hidden = spark.sql(
+        "SELECT id, (SELECT max(rn) FROM "
+        "(SELECT row_number() OVER (ORDER BY id) rn FROM __t_subq)) AS m "
+        "FROM __t_subq"
+    )
+    assert unpartitioned_windows(hidden) != []
+    clean = spark.sql(
+        "SELECT id, (SELECT max(rn) FROM "
+        "(SELECT row_number() OVER (PARTITION BY id % 2 ORDER BY id) rn "
+        "FROM __t_subq)) AS m FROM __t_subq"
+    )
+    assert unpartitioned_windows(clean) == []

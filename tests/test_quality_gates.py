@@ -23,6 +23,7 @@ from devcontainers_etl_node_spark.catalog import table
 from devcontainers_etl_node_spark.queries.catalog import QUERIES
 
 SF = "/root/testdata/sf0.01"
+SF_SMALL = "/root/testdata/sf0.001"
 
 
 @pytest.fixture(scope="module")
@@ -327,3 +328,56 @@ def test_cluster_safe_split_never_straddles_a_dup_cluster(spark):
     out = {r.split: r for r in QUERIES["cluster_safe_split"](spark, SF).collect()}
     assert sum(r.n_docs for r in out.values()) == docs.count()
     assert all(r.n_dup_docs <= r.n_docs for r in out.values())
+
+
+def test_bloom_screen_zero_false_negatives_and_bounded_fp(spark):
+    """The Bloom decontamination screen's two contract halves, against
+    exact ground truth on the sf0.001 corpus:
+
+    1. ZERO false negatives — every doc sharing >= 1 gram with the
+       benchmark set is flagged by the screen (the Bloom property; this
+       is what makes screen-then-recheck semantically exact). This gate
+       also pins the bitwise_or.at packing fix: fancy-indexed ``|=``
+       drops bits when two positions share a byte, which surfaced as 13
+       false-negative docs at sf0.01.
+    2. Bounded false positives — the spurious-flag rate among truly
+       clean docs stays under 5% at the default m=2^20 / k=4 (measured
+       ~0 here; the recheck removes whatever remains).
+    """
+    from devcontainers_etl_node_spark.operators import dedup, membership
+
+    sfd = "/root/testdata/sf0.001"
+    docs = table(spark, sfd, "documents")
+    grams = docs.select("doc_id", F.explode(dedup.word_shingles("text", 3)).alias("gram"))
+    bench_grams = grams.filter(F.col("doc_id") % 10 == 0).select("gram").distinct()
+    bits = membership.bloom_build(bench_grams)
+
+    cand = docs.filter(F.col("doc_id") % 10 != 0).select(
+        "doc_id", dedup.word_shingles("text", 3).alias("grams")
+    )
+    flags = {
+        r.doc_id: r.bloom_hit for r in membership.bloom_probe_docs(cand, bits).collect()
+    }
+    exact = {
+        r.doc_id
+        for r in grams.filter(F.col("doc_id") % 10 != 0)
+        .join(bench_grams, "gram", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .collect()
+    }
+    flagged = {d for d, h in flags.items() if h}
+    missed = exact - flagged
+    assert not missed, f"Bloom screen false negatives: {sorted(missed)[:5]}"
+    clean = set(flags) - exact
+    fp_rate = len(flagged - exact) / max(1, len(clean))
+    assert fp_rate < 0.05, f"FP rate {fp_rate:.3f} above bound at m=2^20/k=4"
+
+
+def test_bloom_decontaminate_equals_plain_exact_contamination(spark):
+    """screen-then-recheck ≡ exact: the bloom_decontaminate catalog entry
+    must return row-for-row the same result as contamination_check (they
+    share one oracle SQL; this pins the identity engine-side too)."""
+    a = {tuple(r) for r in QUERIES["bloom_decontaminate"](spark, SF_SMALL).collect()}
+    b = {tuple(r) for r in QUERIES["contamination_check"](spark, SF_SMALL).collect()}
+    assert a == b

@@ -141,6 +141,7 @@ def test_every_query_has_callable_and_oracle_consistency():
         "ivf_incremental",
         "entity_clusters",
         "bpe_train",
+        "bpe_train_batched",
         "bpe_encode",
         "substr_incremental",
     }

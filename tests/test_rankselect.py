@@ -174,3 +174,100 @@ def test_tiny_n_ntile_all_k(spark):
             ).collect()
         }
         assert mine == ref, n
+
+
+def test_recursive_guard_bounds_candidate_bin_on_99pct_constant(spark):
+    """The degenerate-distribution guard: 99% of rows share one value, so
+    the one-shot plan's candidate bin would be ~99% of N. The recursive
+    variant must (a) detect the oversized bin from its own histogram,
+    (b) recurse — advancing to the numeric tiebreak when the value is
+    constant within the bin — and (c) finish with every ranked slice
+    bounded by max_bin_rows, while still selecting exactly the rows the
+    naive global sort selects."""
+    n = 20_000
+    df = spark.range(n).select(
+        F.col("id").alias("key"),
+        # 99% zeros, 1% spread over 1..100
+        F.when(F.pmod(F.col("id"), F.lit(100)) == 0, F.pmod(F.xxhash64("id"), F.lit(100)) + 1)
+        .otherwise(F.lit(0))
+        .cast("double")
+        .alias("val"),
+    )
+    fracs = [0.25, 0.5, 0.9]
+    stats: list = []
+    got = {
+        r.target_id: (r.val, r.key)
+        for r in rs.exact_rank_select_recursive(
+            df,
+            [],
+            ["val", "key"],
+            rs.quantile_rank_rule(fracs),
+            n_bins=64,
+            max_bin_rows=2_000,
+            stats=stats,
+        ).collect()
+    }
+    ref = _window_rank_rows(df, ["val", "key"])
+    for i, p in enumerate(fracs):
+        k = max(1, math.ceil(p * len(ref)))
+        row = next(x for x in ref if x.rn == k)
+        assert got[i + 1] == (row.val, row.key)
+
+    # the guard observed the oversized bin and recursed past it: at least
+    # one target descended (depth >= 1) and every FINAL ranked slice —
+    # the last stats entry per target — is within the bound
+    assert any(s["depth"] >= 1 for s in stats)
+    last_per_target = {}
+    for s in stats:
+        last_per_target[s["target_id"]] = s
+    for s in last_per_target.values():
+        assert s["bin_rows"] <= 2_000, s
+    # the constant-value targets recursed on the TIEBREAK column
+    assert any(s["col"] == "key" for s in stats)
+
+
+def test_recursive_matches_oneshot_on_benign_distribution(spark):
+    """On a well-spread distribution the recursive variant selects the
+    identical rows as the one-shot lazy plan (and never recurses)."""
+    df = _mk(spark, n=3001, mod=997)
+    fracs = [0.5, 1.0]
+    stats: list = []
+    a = {
+        r.target_id: (r.val, r.key)
+        for r in rs.exact_rank_select_recursive(
+            df, [], ["val", "key"], rs.quantile_rank_rule(fracs), max_bin_rows=1_000, stats=stats
+        ).collect()
+    }
+    b = {
+        r.target_id: (r.val, r.key)
+        for r in rs.exact_rank_select(
+            df, ["val", "key"], rs.quantile_rank_rule(fracs)
+        ).collect()
+    }
+    assert a == b
+    assert all(s["depth"] == 0 for s in stats)
+
+
+def test_recursive_grouped_matches_per_group_window(spark):
+    """Grouped recursion: per-group medians on a skewed-within-group
+    column equal the per-group window answer."""
+    df = spark.range(4000).select(
+        (F.col("id") % 4).alias("g"),
+        F.col("id").alias("key"),
+        F.when(F.col("id") % 10 < 9, F.lit(0.0)).otherwise((F.col("id") % 50).cast("double")).alias("val"),
+    )
+    got = {
+        (r.g, r.target_id): (r.val, r.key)
+        for r in rs.exact_rank_select_recursive(
+            df, ["g"], ["val", "key"], rs.quantile_rank_rule([0.5]), n_bins=16, max_bin_rows=200
+        ).collect()
+    }
+    w = Window.partitionBy("g").orderBy("val", "key")
+    ref = df.select("g", "val", "key", F.row_number().over(w).alias("rn")).collect()
+    sizes = {}
+    for r in ref:
+        sizes[r.g] = max(sizes.get(r.g, 0), r.rn)
+    for g, n in sizes.items():
+        k = max(1, math.ceil(0.5 * n))
+        row = next(x for x in ref if x.g == g and x.rn == k)
+        assert got[(g, 1)] == (row.val, row.key)
