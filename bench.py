@@ -24,6 +24,7 @@ flagged in `session_warm` (the committed SWEEP file is the cold record).
 from __future__ import annotations
 
 import gc
+import glob
 import json
 import os
 import re
@@ -86,6 +87,19 @@ SMALL_OUTPUT = {
     "pretrain_prep",
 }
 
+# Round-7 rotation rule: the fixed sets above cover 21 of ~208 catalog
+# entries with rep-level timing; the long tail is cold-timed only by the
+# sweep. Each bench run ALSO times a rotating window of 10 sweep-only
+# entries (2 reps each), chosen deterministically: the pool is every
+# catalog entry not in a fixed set, sorted by name; the window starts at
+# (10 × #committed BENCH_r*.json files) mod pool size, so each driver
+# round advances the window and the whole tail gets rep-level timing
+# every ~19 rounds. Rotation timings are reported under `rotation` with
+# their own subtotal — `value` stays the fixed-set number, comparable
+# round-over-round.
+ROTATION_WINDOW = 10
+ROTATION_REPS = 2
+
 # Entries whose best time rides a session-scoped memo (the shared
 # candidate-pair graph): rep 1 builds it cold, later reps hit it, so the
 # reported number is what a long-lived session sees. The committed
@@ -139,6 +153,27 @@ def main() -> None:
         all_reps[name] = [round(t, 4) for t in reps]
         timings[name] = round(min(reps), 4)
 
+    # rotating long-tail window (see ROTATION_WINDOW comment)
+    fixed = set(HEADLINE + HEAVY + ADDED_R4)
+    pool = sorted(set(QUERIES) - fixed)
+    repo = os.path.dirname(os.path.abspath(__file__))
+    round_idx = len(glob.glob(os.path.join(repo, "BENCH_r*.json")))
+    start = (ROTATION_WINDOW * round_idx) % len(pool) if pool else 0
+    rotation_names = [pool[(start + i) % len(pool)] for i in range(min(ROTATION_WINDOW, len(pool)))]
+    rotation: dict[str, float] = {}
+    rotation_reps: dict[str, list[float]] = {}
+    for name in rotation_names:
+        fn = QUERIES[name]
+        reps = []
+        for _ in range(ROTATION_REPS):
+            gc.collect()
+            spark.sparkContext._jvm.System.gc()
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            reps.append(time.perf_counter() - t0)
+        rotation_reps[name] = [round(t, 4) for t in reps]
+        rotation[name] = round(min(reps), 4)
+
     total = round(sum(timings.values()), 4)
     r2_total = round(sum(timings[n] for n in HEADLINE), 4)
     r3_total = round(sum(timings[n] for n in HEADLINE + HEAVY), 4)
@@ -162,6 +197,13 @@ def main() -> None:
                 # these minima are session-warm memo hits, not cold plans —
                 # the committed SWEEP file is the cold per-entry record
                 "session_warm": {k: v for k, v in MEMO_BACKED.items() if k in timings},
+                # rotating long-tail window: 10 sweep-only entries, 2 reps,
+                # window advances with each committed BENCH_r*.json — NOT
+                # part of `value` (keeps round-over-round comparability)
+                "rotation": rotation,
+                "rotation_reps": rotation_reps,
+                "rotation_total": round(sum(rotation.values()), 4),
+                "rotation_round_idx": round_idx,
             }
         )
     )

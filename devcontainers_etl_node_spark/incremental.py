@@ -166,7 +166,11 @@ def run_incremental_substr(
     across the disjoint committed batches, so history ∪ batch is a
     sum-aggregate. The FIRST run is the incremental run with empty
     history. History docs are not retro-cleaned by later batches (the
-    one-way ingest cadence; see operators/dedup.py).
+    one-way ingest cadence; see operators/dedup.py) — the returned
+    ``audit`` DataFrame (``dedup.substr_retro_audit``: one row of gram
+    cardinalities + ``retro_dup_fraction``) quantifies per batch how
+    much committed history that one-way rule leaves newly duplicated,
+    from count tables alone.
     """
     os.makedirs(workdir, exist_ok=True)
     params = {"k": k}
@@ -201,9 +205,14 @@ def run_incremental_substr(
         history = spark.createDataFrame([], "g LONG, nd LONG")
         committed_ids = spark.createDataFrame([], "doc_id LONG")
 
-    clean, merged = dd.substr_clean_batch(
+    clean, merged, batch_counts = dd.substr_clean_batch(
         history, new_docs, k=k, text_col=text_col, id_col=id_col
     )
+    # retro-dup visibility: how much committed history this batch newly
+    # duplicates (count-table arithmetic only — no text; see
+    # dedup.substr_retro_audit). History stays one-way by design; the
+    # audit makes the trade measurable per batch.
+    audit = dd.substr_retro_audit(history, batch_counts)
     version = (cur or 0) + 1
     # write both snapshots fully, THEN commit the pointer — a crash
     # between the writes leaves the previous snapshot current and intact
@@ -216,4 +225,4 @@ def run_incremental_substr(
         json.dump(params, f)
     _commit_current(workdir, version)
     out = spark.read.parquet(os.path.join(workdir, "clean", f"run_{version}"))
-    return {"clean": out, "version": version, "n_docs": out.count()}
+    return {"clean": out, "version": version, "n_docs": out.count(), "audit": audit}

@@ -827,13 +827,15 @@ def substr_clean_batch(
     """Clean ONE ingest batch against history ∪ batch gram counts,
     without touching historical text.
 
-    Returns ``(clean, merged_counts)``:
+    Returns ``(clean, merged_counts, batch_counts)``:
 
     - ``clean``: (doc_id, n_tokens, n_kept, clean_text) for batch docs
       with at least one kept token — the same output contract as the
       full-batch `substring_dedup_clean`;
     - ``merged_counts``: (g, nd) over history ∪ batch, the next
-      snapshot's content.
+      snapshot's content;
+    - ``batch_counts``: (g, nd) over the batch alone — the input
+      :func:`substr_retro_audit` pairs with the history table.
 
     Plan: the ONLY corpus-sized inputs are the batch's own gram rows
     (k ≈ 8 rows per token, map-side) and the history COUNT table (gram-
@@ -883,4 +885,49 @@ def substr_clean_batch(
             ),
         ).alias("clean_text"),
     )
-    return clean, merged
+    return clean, merged, batch_counts
+
+
+def substr_retro_audit(history_counts: DataFrame, batch_counts: DataFrame) -> DataFrame:
+    """How much committed history this batch NEWLY duplicates — the
+    visibility report for the one-way ingest trade (history text is
+    never retro-cleaned; this quantifies what that forgoes, per batch).
+
+    Pure count-table arithmetic — no text is read: a history gram with
+    ``h_nd == 1`` was unique among all committed docs, so a batch doc
+    carrying the same gram makes the HISTORY occurrence retroactively
+    duplicated (it would have been cut had history been re-cleaned);
+    ``h_nd >= 2`` grams were already duplicated within history and the
+    batch changes nothing for them. One row:
+
+    - ``n_hist_grams`` / ``n_batch_grams`` — distinct gram cardinalities;
+    - ``n_overlap_grams`` — grams in both (any cross-batch duplication);
+    - ``n_newly_dup_hist_grams`` — overlap grams with ``h_nd == 1``;
+    - ``retro_dup_fraction`` — newly-dup / history grams (0 on empty
+      history), the operator-facing "how stale is my committed clean
+      corpus" dial.
+
+    Cost: one join of two gram-CARDINALITY tables on the 8-byte hash →
+    a single aggregate row. Safe at any corpus size."""
+    h = history_counts.select(F.col("g").alias("hg"), F.col("nd").alias("h_nd"))
+    joined = batch_counts.join(h, F.col("g") == F.col("hg"), "left")
+    overlap = joined.agg(
+        F.count(F.lit(1)).cast("long").alias("n_batch_grams"),
+        F.count("hg").cast("long").alias("n_overlap_grams"),
+        F.sum(F.when(F.col("h_nd") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_newly_dup_hist_grams"),
+    )
+    hist_total = history_counts.agg(F.count(F.lit(1)).cast("long").alias("n_hist_grams"))
+    return overlap.crossJoin(hist_total).select(
+        "n_batch_grams",
+        "n_hist_grams",
+        "n_overlap_grams",
+        "n_newly_dup_hist_grams",
+        F.when(
+            F.col("n_hist_grams") > 0,
+            F.col("n_newly_dup_hist_grams").cast("double") / F.col("n_hist_grams"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("retro_dup_fraction"),
+    )

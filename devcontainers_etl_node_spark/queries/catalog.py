@@ -3730,6 +3730,106 @@ def bloom_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "contamination_span_clean",
+    """
+    WITH docs AS (
+        SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+        FROM documents WHERE length(trim(text)) > 0),
+    base AS (SELECT doc_id, t, len(t) AS n FROM docs),
+    pos AS (
+        SELECT doc_id, unnest(generate_series(1, n - 7)) AS p
+        FROM base WHERE n >= 8),
+    grams AS (
+        SELECT doc_id, p,
+               array_to_string(list_slice(
+                   (SELECT t FROM base b WHERE b.doc_id = pos.doc_id), p, p + 7), ' ') AS g
+        FROM pos),
+    bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 10 = 0),
+    covered AS (
+        SELECT DISTINCT doc_id, unnest(generate_series(p, p + 7)) AS j
+        FROM grams
+        WHERE doc_id % 10 <> 0 AND g IN (SELECT g FROM bench)),
+    toks AS (
+        SELECT doc_id, unnest(t) AS tok, generate_subscripts(t, 1) AS p, n
+        FROM base WHERE doc_id % 10 <> 0),
+    kept AS (
+        SELECT tk.doc_id, tk.tok, tk.p, tk.n
+        FROM toks tk LEFT JOIN covered c
+          ON c.doc_id = tk.doc_id AND c.j = tk.p
+        WHERE c.j IS NULL)
+    SELECT doc_id,
+           CAST(MAX(n) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_kept,
+           string_agg(tok, ' ' ORDER BY p) AS clean_text
+    FROM kept GROUP BY doc_id
+    """,
+)
+def contamination_span_clean(spark: SparkSession, sf: str) -> DataFrame:
+    """SPAN-level benchmark decontamination — the surgical variant of
+    `contamination_check`: instead of flagging or dropping whole training
+    documents, cut exactly the 8-token spans that appear anywhere in the
+    benchmark set (doc_id%10==0 slice stands in for the eval corpus) and
+    rebuild the text, keeping the uncontaminated remainder. This is the
+    Lee et al. ExactSubstr cut applied against an EXTERNAL gram set
+    rather than the corpus itself — what a production pretraining
+    pipeline runs so that one leaked benchmark paragraph doesn't discard
+    an otherwise-good document.
+
+    Plan: training-doc gram hashes are map-side codegen (xxhash64 over
+    the k-token slide, k≈8 rows per token); the benchmark gram set is
+    eval-suite-bounded → the semi-join is AQE-broadcast while it fits
+    (swap in the `bloom_decontaminate` screen upstream when the suite
+    outgrows broadcast); covered positions are contamination-volume-
+    sized; the (doc_id, pos) anti-join and per-doc reassembly are the
+    proven `substring_dedup_clean` tail — per-task state bounded by one
+    document. Docs whose every token is contaminated drop out; clean
+    docs pass through verbatim. Gram identity via xxhash64 (oracle uses
+    gram strings — same stance as the substring family)."""
+    k = 8
+    docs = table(spark, sf, "documents").filter(F.length(F.trim("text")) > 0)
+    t = F.split(F.lower(F.trim("text")), r"\s+")
+    base = docs.select("doc_id", t.alias("t")).withColumn("n", F.size("t"))
+    base = base.localCheckpoint(eager=True)
+    grams = (
+        base.filter(F.col("n") >= k)
+        .select("doc_id", F.explode(F.sequence(F.lit(1), F.col("n") - (k - 1))).alias("p"), "t")
+        .select(
+            "doc_id", "p", F.xxhash64(F.concat_ws(" ", F.slice("t", F.col("p"), k))).alias("g")
+        )
+    )
+    bench = grams.filter(F.col("doc_id") % 10 == 0).select("g").distinct()
+    covered = (
+        grams.filter(F.col("doc_id") % 10 != 0)
+        .join(bench, "g")
+        .select(
+            F.col("doc_id").alias("c_doc"),
+            F.explode(F.sequence(F.col("p"), F.col("p") + (k - 1))).alias("j"),
+        )
+        .distinct()
+    )
+    toks = (
+        base.filter(F.col("doc_id") % 10 != 0)
+        .select("doc_id", "n", F.posexplode("t").alias("p0", "tok"))
+        .select("doc_id", "n", (F.col("p0") + 1).alias("p"), "tok")
+    )
+    kept = toks.join(
+        covered,
+        (F.col("doc_id") == F.col("c_doc")) & (F.col("p") == F.col("j")),
+        "left_anti",
+    )
+    return kept.groupBy("doc_id").agg(
+        F.max("n").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("p", "tok"))), lambda x: x["tok"]
+            ),
+        ).alias("clean_text"),
+    )
+
+
+@query(
     "tfidf_keywords",
     """
     WITH toks AS (
@@ -6828,6 +6928,72 @@ def line_dedup(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "intradoc_dedup",
+    """
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+        FROM documents WHERE length(trim(text)) > 0),
+    ch AS (
+        SELECT doc_id,
+               list_transform(
+                   generate_series(0, CAST(ceil(len(t) / 10.0) AS BIGINT) - 1),
+                   i -> array_to_string(t[(i * 10 + 1):((i + 1) * 10)], ' ')
+               ) AS chunks
+        FROM toks),
+    k AS (
+        SELECT doc_id, chunks,
+               list_filter(
+                   list_transform(
+                       generate_series(1, len(chunks)),
+                       i -> CASE WHEN list_position(chunks, chunks[i]) = i
+                                 THEN chunks[i] END),
+                   x -> x IS NOT NULL) AS kept
+        FROM ch)
+    SELECT doc_id,
+           CAST(len(chunks) AS BIGINT) AS n_units,
+           CAST(len(kept) AS BIGINT) AS kept_units,
+           array_to_string(kept, ' ') AS new_text
+    FROM k
+    """,
+)
+def intradoc_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """WITHIN-document repeated-unit removal — `line_dedup`'s surgical
+    sibling: a unit (fixed 10-token chunk; '\\n' with real text) is
+    dropped only when it already occurred EARLIER IN THE SAME DOCUMENT
+    (first occurrence wins), killing intra-page boilerplate — repeated
+    nav bars, duplicated paragraphs from template glitches — without
+    any cross-document coupling. This is the removal counterpart of the
+    Gopher/C4 repetition SIGNALS in `repetition_stats`.
+
+    Scale: ZERO shuffles — the whole operator is one embarrassingly
+    parallel projection. The unit list is a per-row array; first-
+    occurrence-wins is `array_position(chunks, chunks[i]) == i` inside
+    an index lambda (array_position returns the FIRST index, on both
+    engines), so each task needs only its own rows and per-row state is
+    bounded by document length. At 100 TB this runs at scan speed with
+    full whole-stage codegen — contrast with `line_dedup`, whose
+    corpus-wide first-occurrence semantics force a shuffle on the unit
+    key."""
+    docs = table(spark, sf, "documents").filter(F.length(F.trim("text")) > 0)
+    t = F.split(F.trim("text"), r"\s+")
+    chunks = F.transform(
+        F.sequence(F.lit(0).cast("long"), F.ceil(F.size("t") / 10.0).cast("long") - 1),
+        lambda i: F.concat_ws(" ", F.slice(F.col("t"), (i * 10 + 1).cast("int"), 10)),
+    )
+    base = docs.select("doc_id", t.alias("t")).select("doc_id", chunks.alias("chunks"))
+    kept = F.filter(
+        F.col("chunks"),
+        lambda c, i: F.array_position(F.col("chunks"), c) == (i + 1).cast("long"),
+    )
+    return base.select(
+        "doc_id",
+        F.size("chunks").cast("long").alias("n_units"),
+        F.size(kept).cast("long").alias("kept_units"),
+        F.concat_ws(" ", kept).alias("new_text"),
+    )
+
+
+@query(
     "table_fingerprint",
     """
     WITH canon AS (
@@ -7848,6 +8014,74 @@ def unigram_doc_likelihood(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "bigram_lm_score",
+    """
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+        FROM documents WHERE length(trim(text)) > 0),
+    bg AS (
+        SELECT doc_id, array_to_string(t[i:i + 1], ' ') AS bigram
+        FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
+              FROM toks WHERE len(t) >= 2)),
+    ref AS (SELECT bigram, COUNT(*) AS rc FROM bg WHERE doc_id % 10 = 0 GROUP BY bigram),
+    cand AS (SELECT doc_id, bigram FROM bg WHERE doc_id % 10 <> 0)
+    SELECT c.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(COUNT(*) - COUNT(r.rc) AS BIGINT) AS n_unseen,
+           CAST(COALESCE(MIN(r.rc), 0) AS BIGINT) AS min_ref_count,
+           CAST(COALESCE(SUM(r.rc), 0) AS BIGINT) AS sum_ref_count
+    FROM cand c LEFT JOIN ref r ON c.bigram = r.bigram
+    GROUP BY c.doc_id
+    """,
+)
+def bigram_lm_score(spark: SparkSession, sf: str) -> DataFrame:
+    """Bigram-LM document familiarity — the KenLM-shaped quality signal
+    one step up from `unigram_doc_likelihood`: a reference bigram count
+    model is fit on a held slice (doc_id%10==0 stands in for the "clean
+    reference corpus" a production filter trains on — C4's LM filter,
+    CCNet's wiki-trained KenLM), and every other document is scored
+    against it. Emitted per doc, INTEGER-EXACT by the house rule (a
+    smoothed log-probability would diverge in the last ulp between
+    engines; the consumer can form (sum_ref_count + n)/(n·V) itself):
+    bigram count, count of UNSEEN bigrams (the strongest gibberish/OOD
+    signal — CCNet buckets on exactly this tail), the rarest seen
+    bigram's reference count, and the summed reference counts.
+
+    Plan: bigrams are a map-side slide (no gram explode wider than 1 row
+    per token); the reference model is vocabulary²-scale bounded by
+    Heaps' law, NOT corpus-scale — AQE broadcasts it while it fits and
+    shuffles on the bigram beyond that (partial agg collapses each map
+    split to its distinct bigrams first); the per-doc rollup is the
+    second and last shuffle. At 100 TB, hash the bigram to a 64-bit key
+    before the join — same trick as `dedup_exact`; the oracle joins on
+    strings."""
+    docs = table(spark, sf, "documents").filter(F.length(F.trim("text")) > 0)
+    t = F.split(F.lower(F.trim("text")), r"\s+")
+    bg = (
+        docs.select("doc_id", t.alias("t"))
+        .filter(F.size("t") >= 2)
+        .select("doc_id", F.explode(F.sequence(F.lit(1), F.size("t") - 1)).alias("i"), "t")
+        .select("doc_id", F.concat_ws(" ", F.slice("t", F.col("i"), 2)).alias("bigram"))
+    )
+    ref = (
+        bg.filter(F.col("doc_id") % 10 == 0)
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("rc"))
+    )
+    cand = bg.filter(F.col("doc_id") % 10 != 0)
+    return (
+        cand.join(ref, "bigram", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            (F.count(F.lit(1)) - F.count("rc")).cast("long").alias("n_unseen"),
+            F.coalesce(F.min("rc"), F.lit(0)).cast("long").alias("min_ref_count"),
+            F.coalesce(F.sum("rc"), F.lit(0)).cast("long").alias("sum_ref_count"),
+        )
+    )
+
+
+@query(
     "vocab_growth",
     """
     WITH t AS (
@@ -8786,5 +9020,5 @@ def substr_incremental(spark: SparkSession, sf: str) -> DataFrame:
     old_docs = docs.filter(F.col("doc_id") <= mid)
     new_docs = docs.filter(F.col("doc_id") > mid)
     history = dedup.substr_gram_doc_counts(dedup.substr_gram_rows(old_docs, k=8))
-    clean, _merged = dedup.substr_clean_batch(history, new_docs, k=8)
+    clean, _merged, _bc = dedup.substr_clean_batch(history, new_docs, k=8)
     return clean

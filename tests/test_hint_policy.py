@@ -59,8 +59,9 @@ ALLOWED = {
         # capped sets
         "vocab": 1, "top": 1, "bits": 1, "sel": 1, "tgt": 1,
         "bounds": 2,
-        # benchmark gram sets (eval-suite bounded)
-        "bench": 2, "bench_grams": 1,
+        # benchmark gram sets (eval-suite bounded); bench: +1 is the
+        # bloom_decontaminate exact recheck over the screened subset
+        "bench": 3, "bench_grams": 1,
     },
 }
 

@@ -175,6 +175,11 @@ def test_substr_incremental_snapshot_protocol(spark, tmp_path):
     # within-batch-1 nothing repeats -> everything kept verbatim
     c1 = {r.doc_id: r for r in r1["clean"].collect()}
     assert c1[1].n_kept == c1[1].n_tokens
+    # empty-history audit: nothing to retro-duplicate
+    a1 = r1["audit"].collect()[0]
+    assert a1.n_hist_grams == 0
+    assert a1.n_overlap_grams == 0
+    assert a1.retro_dup_fraction == 0.0
 
     r2 = run_incremental_substr(spark, b, wd, k=8)
     assert r2["version"] == 2
@@ -184,6 +189,14 @@ def test_substr_incremental_snapshot_protocol(spark, tmp_path):
     assert "alpha" not in c2[101].clean_text
     # doc 102 untouched
     assert c2[102].n_kept == c2[102].n_tokens
+    # retro-dup audit: the planted cross-batch span is exactly ONE
+    # 8-gram that was unique in committed history (h_nd == 1) and is
+    # now duplicated by the batch — visible from counts alone
+    a2 = r2["audit"].collect()[0]
+    assert a2.n_overlap_grams == 1
+    assert a2.n_newly_dup_hist_grams == 1
+    assert a2.n_hist_grams > 0
+    assert a2.retro_dup_fraction == pytest.approx(1 / a2.n_hist_grams)
 
     # merged snapshot == from-scratch gram counts over a ∪ b
     snap = {

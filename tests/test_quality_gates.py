@@ -381,3 +381,84 @@ def test_bloom_decontaminate_equals_plain_exact_contamination(spark):
     a = {tuple(r) for r in QUERIES["bloom_decontaminate"](spark, SF_SMALL).collect()}
     b = {tuple(r) for r in QUERIES["contamination_check"](spark, SF_SMALL).collect()}
     assert a == b
+
+
+@pytest.fixture(scope="module")
+def planted_corpus(spark, tmp_path_factory):
+    """A tiny documents table with planted leak/repetition structure,
+    written as a real parquet corpus so the catalog entries run END-TO-END
+    (doc_id%10==0 is the benchmark slice the entries key on):
+
+    - 10, 20 (bench): the "eval set" — 10 tokens each.
+    - 1: unique 8-token prefix + doc 10's full text + unique 8-token
+         suffix → exactly the copied 10 tokens are contaminated spans.
+    - 2: 12 unique tokens, disjoint from everything → passes verbatim.
+    - 3: a 10-token unit repeated twice + a distinct 10-token tail →
+         intra-doc repetition (kept once).
+    - 4: the SAME unit as doc 3, once → cross-doc repetition only
+         (intradoc_dedup must NOT touch it).
+    - 5: verbatim copy of bench doc 20 → fully contaminated (drops out
+         of the span-clean output; every bigram is ref-seen).
+    """
+    unit = " ".join(f"u{i}" for i in range(10))
+    tail = " ".join(f"t{i}" for i in range(10))
+    bench10 = "the quick brown fox jumps over the lazy dog tonight"
+    bench20 = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (10, bench10),
+        (20, bench20),
+        (1, " ".join(f"p{i}" for i in range(8)) + f" {bench10} " + " ".join(f"s{i}" for i in range(8))),
+        (2, "one two three four five six seven eight nine ten eleven twelve"),
+        (3, f"{unit} {unit} {tail}"),
+        (4, unit),
+        (5, bench20),
+    ]
+    d = tmp_path_factory.mktemp("planted_sf")
+    spark.createDataFrame(
+        [(i, txt, "en", f"src{i}", len(txt)) for i, txt in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+    return str(d)
+
+
+def test_contamination_span_clean_cuts_exactly_the_leaked_span(spark, planted_corpus):
+    out = {r.doc_id: r for r in QUERIES["contamination_span_clean"](spark, planted_corpus).collect()}
+    # bench docs are never in the output (training side only)
+    assert 10 not in out and 20 not in out
+    # doc 1: exactly the copied 10 tokens cut; prefix+suffix survive in order
+    assert out[1].n_tokens == 26 and out[1].n_kept == 16
+    assert out[1].clean_text == " ".join(f"p{i}" for i in range(8)) + " " + " ".join(
+        f"s{i}" for i in range(8)
+    )
+    # doc 2: untouched (n_kept == n_tokens, text verbatim modulo lowering)
+    assert out[2].n_kept == out[2].n_tokens == 12
+    assert out[2].clean_text == "one two three four five six seven eight nine ten eleven twelve"
+    # doc 5 is a verbatim benchmark copy: nothing kept -> absent entirely
+    assert 5 not in out
+
+
+def test_intradoc_dedup_drops_only_within_doc_repeats(spark, planted_corpus):
+    out = {r.doc_id: r for r in QUERIES["intradoc_dedup"](spark, planted_corpus).collect()}
+    unit = " ".join(f"u{i}" for i in range(10))
+    tail = " ".join(f"t{i}" for i in range(10))
+    # doc 3: 3 units, the repeated one kept once
+    assert out[3].n_units == 3 and out[3].kept_units == 2
+    assert out[3].new_text == f"{unit} {tail}"
+    # doc 4 shares doc 3's unit but has no INTERNAL repeat: untouched
+    assert out[4].n_units == out[4].kept_units == 1
+    assert out[4].new_text == unit
+    # unique docs pass through whole
+    assert out[2].n_units == out[2].kept_units
+
+
+def test_bigram_lm_score_separates_in_domain_from_ood(spark, planted_corpus):
+    out = {r.doc_id: r for r in QUERIES["bigram_lm_score"](spark, planted_corpus).collect()}
+    # doc 5 == bench doc 20: all 9 bigrams in the reference model, each once
+    assert out[5].n_bigrams == 9 and out[5].n_unseen == 0
+    assert out[5].min_ref_count == 1 and out[5].sum_ref_count == 9
+    # doc 2 is fully out-of-domain: every bigram unseen, zero mass
+    assert out[2].n_unseen == out[2].n_bigrams == 11
+    assert out[2].min_ref_count == 0 and out[2].sum_ref_count == 0
+    # doc 1 embeds bench doc 10: its 9 interior bigrams are seen, the
+    # 2 seam bigrams (p7->the, tonight->s0) and 14 affix bigrams are not
+    assert out[1].n_bigrams == 25 and out[1].n_unseen == 16

@@ -34,3 +34,24 @@ def test_band_join_spills_and_completes_under_memory_pressure():
     # the join could not have fit: it must have spilled to finish
     assert result["memory_spilled_bytes"] > 0
     assert result["disk_spilled_bytes"] > 0
+
+
+def test_substr_gram_pipeline_spills_and_completes_under_memory_pressure():
+    """The ExactSubstr gram join — the heaviest shuffle family in the
+    repo (8-byte gram hashes at every token position: ~12 M (g, doc_id,
+    p) rows through count-groupBy, dup join-back, covered DISTINCT and
+    the token anti-join) — must complete by spilling in the same starved
+    1 g session. Measured (PERF.md): ~4.7 GB memory-spill / ~1.3 GB
+    disk-spill, peak execution ~248 MB, all 200 k docs cleaned."""
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "spill_probe.py"), "substr"],
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    assert proc.returncode == 0, f"probe died (OOM?):\n{proc.stderr[-2000:]}"
+    result = json.loads(proc.stdout.strip().splitlines()[-1])
+    # every doc keeps at least its non-planted tokens -> all docs present
+    assert result["rows"] == 200_000
+    assert result["memory_spilled_bytes"] > 0
+    assert result["disk_spilled_bytes"] > 0

@@ -1,5 +1,17 @@
-"""Spill-not-OOM probe: run the MinHash band self-join under a memory-
-starved session and report the spill metrics.
+"""Spill-not-OOM probe: run a heavy dedup shuffle under a memory-starved
+session and report the spill metrics.
+
+Workloads (argv[1], default "band"):
+
+- ``band``   — the MinHash band self-join (sort-merge over 4 M banded
+  rows/side against a ~35 MB/task budget; unique signatures, so it
+  measures SORT pressure, not a pair blowup).
+- ``substr`` — the ExactSubstr gram pipeline (`substr_clean_batch` on an
+  empty history): ~12 M (g, doc_id, p) gram rows — 8-byte hashes at
+  every token position, the heaviest shuffle family in the repo — through
+  gram-count groupBy, dup-gram join-back, covered-position DISTINCT and
+  the token anti-join, all far past the execution budget. 10 % of docs
+  share a planted 16-token span so the dup/covered path does real work.
 
 The 100 TB story for the dedup family says "disk-backed so it spills,
 never OOMs" (operators/dedup.py). That claim is only real if a shuffle
@@ -56,13 +68,38 @@ def main() -> None:
 
     from devcontainers_etl_node_spark.operators import dedup
 
-    num_hashes, bands = 16, 4
-    sig = spark.range(1_000_000).select(
-        F.col("id").alias("_id"),
-        F.array(*[F.xxhash64(F.col("id"), F.lit(i)) for i in range(num_hashes)]).alias("_sig"),
-    )
-    pairs = dedup.band_candidate_pairs(sig, num_hashes=num_hashes, bands=bands)
-    n = pairs.count()  # completes by SPILLING, or dies with OOM (exit != 0)
+    workload = sys.argv[1] if len(sys.argv) > 1 else "band"
+    if workload == "band":
+        num_hashes, bands = 16, 4
+        sig = spark.range(1_000_000).select(
+            F.col("id").alias("_id"),
+            F.array(*[F.xxhash64(F.col("id"), F.lit(i)) for i in range(num_hashes)]).alias("_sig"),
+        )
+        pairs = dedup.band_candidate_pairs(sig, num_hashes=num_hashes, bands=bands)
+        n = pairs.count()  # completes by SPILLING, or dies with OOM (exit != 0)
+    elif workload == "substr":
+        n_docs, n_toks = 200_000, 64
+        span = " ".join(f"planted{j}" for j in range(16))
+        body = F.array_join(
+            F.transform(
+                F.sequence(F.lit(1), F.lit(n_toks)),
+                lambda i: F.concat(
+                    F.lit("w"), F.pmod(F.xxhash64(F.col("id"), i), F.lit(1_000_000))
+                ),
+            ),
+            " ",
+        )
+        docs = spark.range(n_docs).select(
+            F.col("id").alias("doc_id"),
+            F.when(F.col("id") % 10 == 0, F.concat(F.lit(span + " "), body))
+            .otherwise(body)
+            .alias("text"),
+        )
+        history = spark.createDataFrame([], "g LONG, nd LONG")
+        clean, _merged, _bc = dedup.substr_clean_batch(history, docs, k=8)
+        n = clean.count()  # completes by SPILLING, or dies with OOM
+    else:
+        raise SystemExit(f"unknown workload {workload!r}")
 
     ui = spark.sparkContext.uiWebUrl  # e.g. http://host:4041
     with urllib.request.urlopen(f"{ui}/api/v1/applications") as r:
