@@ -1161,6 +1161,66 @@ def embedding_neardup(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "semantic_clusters",
+    """
+    WITH RECURSIVE sims AS MATERIALIZED (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               list_aggregate(list_transform(list_zip(a.embedding, b.embedding),
+                   p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum')
+               / (sqrt(list_aggregate(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+                * sqrt(list_aggregate(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))) AS sim
+        FROM embeddings a JOIN embeddings b
+          ON a.label = b.label AND a.vec_id < b.vec_id),
+    edges AS MATERIALIZED (
+        SELECT id_a AS u, id_b AS v FROM sims WHERE sim >= 0.35
+        UNION
+        SELECT id_b, id_a FROM sims WHERE sim >= 0.35),
+    cc AS (
+        SELECT u AS node, u AS component FROM edges
+        UNION
+        SELECT e.u, cc.component FROM edges e JOIN cc ON cc.node = e.v),
+    lab AS (SELECT node, MIN(component) AS component FROM cc GROUP BY node)
+    SELECT component,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           MIN(node) AS min_member,
+           MAX(node) AS max_member
+    FROM lab GROUP BY component
+    """,
+)
+def semantic_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    """SEMANTIC clustering end-to-end — the embedding-space twin of
+    `dup_clusters`: cosine near-dup pairs (label-blocked, threshold
+    0.35 — `embedding_neardup`'s exact pair graph) closed under
+    transitivity via connected components, reported as a cluster census
+    (size + id range per component). This is the structure SemDeDup-style
+    pruning and cluster-safe splitting consume when duplication is
+    SEMANTIC rather than lexical — chains A≈B≈C collapse to one cluster
+    even when A and C alone fall under the threshold.
+
+    Plan: pair generation is blocked (label partitions bound the
+    quadratic term; swap in the IVF/LSH bucketer as the block at web
+    scale); the component loop runs on the PAIR graph — dup-volume-
+    sized, never corpus-sized — one equi-join + min-agg per iteration
+    with truncated lineage, riding the session CC memo under a distinct
+    input token (the same memo `dup_clusters`/`cluster_safe_split`
+    share, keyed separately so lexical and semantic graphs never
+    cross). The census rollup is one shuffle on the component id. The
+    DuckDB oracle reaches the identical fixpoint as a recursive CTE."""
+    from devcontainers_etl_node_spark.operators import graph
+
+    emb = table(spark, sf, "embeddings")
+    pairs = similarity.neardup_pairs(emb, threshold=0.35, block_col="label").select(
+        "id_a", "id_b"
+    )
+    labels = graph.shared_components(pairs, f"{sf}#embedding", src="id_a", dst="id_b")
+    return labels.groupBy("component").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        F.min("node").alias("min_member"),
+        F.max("node").alias("max_member"),
+    )
+
+
+@query(
     "binary_plumbing",
     """
     SELECT doc_id AS media_id,
@@ -1539,6 +1599,85 @@ def dup_clusters(spark: SparkSession, sf: str) -> DataFrame:
         "id_a", "id_b"
     )
     return graph.shared_components(pairs, sf, src="id_a", dst="id_b")
+
+
+@query(
+    "dup_frequency_cap",
+    """
+    WITH RECURSIVE sh AS MATERIALIZED (
+        SELECT doc_id, lang,
+               list_distinct(list_transform(
+                   generate_series(1, greatest(len(string_split_regex(lower(trim(text)), '\\s+')) - 2, 1)),
+                   i -> array_to_string(string_split_regex(lower(trim(text)), '\\s+')[i:i+2], ' ')
+               )) AS grams
+        FROM documents),
+    pairs AS MATERIALIZED (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.2),
+    edges AS MATERIALIZED (
+        SELECT id_a AS u, id_b AS v FROM pairs
+        UNION
+        SELECT id_b, id_a FROM pairs),
+    cc AS (
+        SELECT u AS node, u AS component FROM edges
+        UNION
+        SELECT e.u, cc.component FROM edges e JOIN cc ON cc.node = e.v),
+    lab AS (SELECT node, MIN(component) AS component FROM cc GROUP BY node),
+    alldocs AS (
+        SELECT d.doc_id, COALESCE(l.component, d.doc_id) AS component
+        FROM documents d LEFT JOIN lab l ON l.node = d.doc_id),
+    ranked AS (
+        SELECT doc_id, component,
+               row_number() OVER (PARTITION BY component ORDER BY doc_id) AS rn,
+               COUNT(*) OVER (PARTITION BY component) AS n_copies
+        FROM alldocs)
+    SELECT doc_id, component,
+           CAST(n_copies AS BIGINT) AS n_copies,
+           CAST(rn AS BIGINT) AS copy_rank,
+           rn <= 2 AS kept
+    FROM ranked
+    """,
+)
+def dup_frequency_cap(spark: SparkSession, sf: str) -> DataFrame:
+    """FREQUENCY CAPPING over near-dup clusters — the softer alternative
+    to `dup_canonical`'s keep-one survivorship: keep up to C (=2) copies
+    per cluster, drop the rest. Capping rather than full dedup is a real
+    training-mix lever (popular boilerplate often correlates with
+    quality; one copy may under-weight it, unbounded copies memorize),
+    and C is a zero-plan-change knob. Per doc: its cluster id (itself
+    when unduplicated), the cluster's copy count, the doc's
+    deterministic rank within the cluster (lowest doc_id first), and the
+    keep verdict rn <= C.
+
+    Plan: rides the SAME memoized component labels as `dup_clusters` /
+    `cluster_safe_split` (one CC computation per session per pair
+    graph); the corpus joins the dup-volume-sized label table (AQE
+    broadcasts it while dups are rare — the expected regime); the
+    rank/count windows partition by COMPONENT, whose size is bounded by
+    the largest dup cluster, never the corpus. The DuckDB oracle reaches
+    the identical fixpoint via recursive CTE."""
+    from devcontainers_etl_node_spark.operators import graph
+
+    docs = table(spark, sf, "documents")
+    pairs = dedup.shared_ngram_pairs(docs, sf, ngram=3, threshold=0.2, block_col="lang").select(
+        "id_a", "id_b"
+    )
+    labels = graph.shared_components(pairs, sf, src="id_a", dst="id_b")
+    alldocs = (
+        docs.select("doc_id")
+        .join(labels.withColumnRenamed("node", "doc_id"), "doc_id", "left")
+        .select("doc_id", F.coalesce("component", "doc_id").alias("component"))
+    )
+    w = Window.partitionBy("component")
+    return alldocs.select(
+        "doc_id",
+        "component",
+        F.count(F.lit(1)).over(w).cast("long").alias("n_copies"),
+        F.row_number().over(w.orderBy("doc_id")).cast("long").alias("copy_rank"),
+        (F.row_number().over(w.orderBy("doc_id")) <= 2).alias("kept"),
+    )
 
 
 @query(

@@ -379,3 +379,24 @@ def test_unpartitioned_window_detector_sees_inside_subqueries(spark):
         "FROM __t_subq)) AS m FROM __t_subq"
     )
     assert unpartitioned_windows(clean) == []
+
+
+def test_intradoc_dedup_is_map_only_zero_shuffle(spark):
+    """intradoc_dedup's whole point is per-row locality: first-occurrence-
+    wins inside one document needs no cross-row state, so the physical
+    plan must contain NO Exchange at all — it runs at scan speed."""
+    p = plan(spark, "intradoc_dedup")
+    assert "Exchange" not in p
+    assert "*(1)" in p  # scan+tokenize stay codegen'd (HOF projections can't)
+
+
+def test_bigram_lm_score_partial_agg_and_two_shuffles(spark):
+    """The reference-model join must not add shuffles beyond the two the
+    design claims (bigram rollup for the model, doc_id rollup for the
+    score) plus AQE's broadcast of the Heaps-bounded model side."""
+    p = plan(spark, "bigram_lm_score", final=True).split("Initial Plan")[0]
+    # both rollups collapse map-side before their exchange
+    assert "partial_count" in p
+    # exactly the two designed hash shuffles; the ref model side broadcasts
+    assert p.count("Exchange hashpartitioning") == 2
+    assert "BroadcastHashJoin" in p

@@ -372,6 +372,99 @@ def main_minhash() -> None:
         shutil.rmtree(workdir, ignore_errors=True)
 
 
+def _substr_corpus(spark, n: int, path: str) -> None:
+    from pyspark.sql import functions as F
+
+    # doc 2k+1 copies doc 2k's first 16 tokens (one planted shared span
+    # per pair), remaining 48 tokens are its own — 64 tokens/doc
+    base_id = F.col("id") - F.col("id") % 2
+    words = [
+        F.concat(
+            F.lit("w"),
+            F.pmod(
+                F.xxhash64(base_id if j < 16 else F.col("id"), F.lit(j)), F.lit(1_000_000)
+            ).cast("string"),
+        )
+        for j in range(64)
+    ]
+    (
+        spark.range(n)
+        .select(F.col("id").alias("doc_id"), F.concat_ws(" ", *words).alias("text"))
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def pandas_substr(path: str) -> int:
+    """Competent single-node ExactSubstr clean: two passes over tokenized
+    docs with a dict of per-gram distinct-doc counts (gram = 8-token
+    tuple), then per-position coverage + rebuild — the eager equivalent
+    of substr_clean_batch on empty history."""
+    k = 8
+    docs = pd.read_parquet(path)
+    toks = [t.lower().strip().split() for t in docs["text"]]
+    gram_docs: dict = {}
+    for ts in toks:
+        for g in {tuple(ts[i : i + k]) for i in range(len(ts) - k + 1)}:
+            gram_docs[g] = gram_docs.get(g, 0) + 1
+    n_out = 0
+    for ts in toks:
+        covered = bytearray(len(ts))
+        for i in range(len(ts) - k + 1):
+            if gram_docs.get(tuple(ts[i : i + k]), 0) >= 2:
+                covered[i : i + k] = b"\x01" * k
+        if any(c == 0 for c in covered):
+            n_out += 1
+    return n_out
+
+
+def spark_substr(spark, path: str) -> int:
+    from devcontainers_etl_node_spark.operators.dedup import substr_clean_batch
+
+    history = spark.createDataFrame([], "g LONG, nd LONG")
+    clean, _merged, _bc = substr_clean_batch(history, spark.read.parquet(path), k=8)
+    return clean.count()
+
+
+def main_substr() -> None:
+    import os
+    import shutil
+
+    n_runs = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+    sizes = (
+        [int(x) for x in sys.argv[3].split(",")]
+        if len(sys.argv) > 3
+        else [20_000, 80_000, 320_000]
+    )
+    spark = get_spark()
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    workdir = "/root/repo/.bench_tmp"
+    os.makedirs(workdir, exist_ok=True)
+    print("| docs | pandas substr (docs kept) | engine substr (docs kept) | ratio |")
+    print("|---|---|---|---|")
+    try:
+        for n in sizes:
+            path = os.path.join(workdir, f"substr_{n}.parquet")
+            _substr_corpus(spark, n, path)
+            pd_times, sp_times = [], []
+            for _ in range(n_runs):
+                t0 = time.perf_counter()
+                pd_docs = pandas_substr(path)
+                pd_times.append(time.perf_counter() - t0)
+            for _ in range(n_runs):
+                t0 = time.perf_counter()
+                sp_docs = spark_substr(spark, path)
+                sp_times.append(time.perf_counter() - t0)
+            p, s = min(pd_times), min(sp_times)
+            print(
+                f"| {n:,} | {p:.2f}s ({pd_docs:,}) | {s:.2f}s ({sp_docs:,}) | {p / s:.2f}x |",
+                flush=True,
+            )
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "dedup":
         main_dedup()
@@ -379,5 +472,7 @@ if __name__ == "__main__":
         main_rollup()
     elif len(sys.argv) > 1 and sys.argv[1] == "minhash":
         main_minhash()
+    elif len(sys.argv) > 1 and sys.argv[1] == "substr":
+        main_substr()
     else:
         main()
