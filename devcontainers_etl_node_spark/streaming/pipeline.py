@@ -399,6 +399,47 @@ def fingerprint_sink(target_path: str, partition_col: str, canon_cols: list[str]
     return apply
 
 
+def ivf_ingest_sink(
+    centroids_path: str,
+    lists_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """foreachBatch body for STREAMING IVF index maintenance — the
+    continuous twin of the batch `ivf_incremental` catalog entry: each
+    micro-batch of vectors is assigned to its nearest centroid of a
+    FROZEN coarse quantizer (persisted once by
+    ``similarity.train_ivf_centroids``; ingest never retrains — see
+    ``similarity.ivf_assign``) and appended to the inverted lists.
+
+    Layout: ``lists_path/batch_id=N/centroid=K/``. Writing each
+    micro-batch under its own batch_id directory WITH OVERWRITE is the
+    standard exactly-once recipe for non-transactional sinks: a replayed
+    batch rewrites the same directory instead of duplicating rows, and a
+    crash mid-write is healed by the replay. Readers scan ``lists_path``
+    whole — batch_id/centroid are hive-partition columns, so an ANN
+    probe prunes to its probed centroids' directories at listing time.
+
+    Scale: centroids broadcast (O(n_centroids x dim)); assignment moves
+    ONE row per vector (map-side partial min — ivf_assign's plan); the
+    payload join is per-batch-sized and AQE-broadcast. Per-batch state
+    never grows with stream history."""
+    from devcontainers_etl_node_spark.operators import similarity
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        cent = spark.read.parquet(centroids_path)
+        assigned = similarity.ivf_assign(batch_df, cent, id_col=id_col, vec_col=vec_col)
+        payload = batch_df.join(assigned, id_col)
+        (
+            payload.write.mode("overwrite")
+            .partitionBy("centroid")
+            .parquet(f"{lists_path}/batch_id={batch_id}")
+        )
+
+    return apply
+
+
 def read_stream_state(
     spark,
     checkpoint_path: str,

@@ -108,3 +108,36 @@ def test_ngram_jaccard_inverted_matches_bruteforce(spark, docs_words):
             ).collect()
         }
         assert got == expected, (pf, got, expected)
+
+
+_doc_words = st.lists(st.sampled_from([f"w{i}" for i in range(6)]), min_size=1, max_size=45)
+
+
+@settings(max_examples=6, deadline=None)
+@given(st.lists(_doc_words, min_size=1, max_size=4))
+def test_intradoc_dedup_matches_python_first_occurrence(spark, docs_words):
+    """intradoc_dedup's array-lambda pipeline == the obvious Python model:
+    chunk each doc into 10-token units on the fixed grid, keep a unit only
+    at its first within-doc occurrence, reassemble. A tiny 6-word alphabet
+    plus 45-token docs makes genuine repeats (incl. partial final chunks
+    that collide with earlier full chunks) likely."""
+    from devcontainers_etl_node_spark.queries.catalog import QUERIES
+
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs_words)]
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            [(i, t, "en", "s", len(t)) for i, t in rows],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        ).coalesce(1).write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+        got = {r.doc_id: r for r in QUERIES["intradoc_dedup"](spark, d).collect()}
+    for i, ws in enumerate(docs_words):
+        units = [" ".join(ws[j : j + 10]) for j in range(0, len(ws), 10)]
+        kept, seen = [], set()
+        for u in units:
+            if u not in seen:
+                kept.append(u)
+                seen.add(u)
+        assert got[i].n_units == len(units)
+        assert got[i].kept_units == len(kept)
+        assert got[i].new_text == " ".join(kept)

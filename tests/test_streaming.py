@@ -653,3 +653,72 @@ def test_state_store_introspection(spark, tmp_path):
     expected = {r.content_sha for r in spark.read.parquet(str(out)).collect()}
     assert len(expected) == 2  # alpha deduped
     assert {r.key.content_sha for r in state} == expected
+
+
+def test_streaming_ivf_ingest_matches_batch_and_replay_is_idempotent(spark, tmp_path):
+    """Streaming IVF ingest against a frozen quantizer: (1) every streamed
+    vector lands in the inverted list its BATCH assignment (ivf_assign
+    over the full input) puts it in; (2) a restarted query processes only
+    new files; (3) a replayed micro-batch rewrites its batch_id dir
+    instead of duplicating rows."""
+    import numpy as np
+
+    from devcontainers_etl_node_spark.operators.similarity import (
+        ivf_assign,
+        train_ivf_centroids,
+    )
+    from devcontainers_etl_node_spark.streaming import ivf_ingest_sink
+
+    rng = np.random.RandomState(7)
+    # two well-separated clusters in R^4
+    vecs = [
+        (i, (rng.randn(4) / 10 + (5.0 if i % 2 else -5.0)).tolist())
+        for i in range(20)
+    ]
+    schema = "vec_id long, embedding array<double>"
+    src, ckpt = tmp_path / "vec_src", tmp_path / "ivf_ckpt"
+    cent_path, lists = str(tmp_path / "centroids"), str(tmp_path / "lists")
+
+    corpus = spark.createDataFrame(vecs, schema)
+    corpus.write.mode("overwrite").parquet(str(src))
+    train_ivf_centroids(corpus, n_centroids=2).write.mode("overwrite").parquet(cent_path)
+
+    sink = ivf_ingest_sink(cent_path, lists)
+
+    def run_until_drained():
+        q = (
+            spark.readStream.schema(schema)
+            .parquet(str(src))
+            .writeStream.option("checkpointLocation", str(ckpt))
+            .foreachBatch(sink)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    run_until_drained()
+    got = {
+        (r.vec_id, r.centroid)
+        for r in spark.read.parquet(lists).select("vec_id", "centroid").collect()
+    }
+    cent = spark.read.parquet(cent_path)
+    expected = {
+        (r.vec_id, r.centroid) for r in ivf_assign(corpus, cent).collect()
+    }
+    assert got == expected and len(got) == 20
+    # the two planted clusters landed in two distinct lists
+    assert len({c for _, c in got}) == 2
+
+    # restart with 5 appended vectors: only the new file is processed
+    more = [(100 + i, (rng.randn(4) / 10 + 5.0).tolist()) for i in range(5)]
+    spark.createDataFrame(more, schema).write.mode("append").parquet(str(src))
+    run_until_drained()
+    all_rows = spark.read.parquet(lists).select("vec_id", "centroid").collect()
+    assert len(all_rows) == 25
+    assert len({r.vec_id for r in all_rows}) == 25  # no duplicates
+
+    # replay batch 0 manually (crash-after-write, pre-commit): the
+    # batch_id=0 dir is REWRITTEN, not appended — row count unchanged
+    sink(corpus, 0)
+    replayed = spark.read.parquet(lists).select("vec_id").collect()
+    assert len(replayed) == 25
