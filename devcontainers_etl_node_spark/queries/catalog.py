@@ -7501,6 +7501,59 @@ def pmi_cooccurrence(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "feature_hash",
+    """
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+        FROM documents WHERE length(trim(text)) > 0),
+    h AS (
+        SELECT doc_id,
+               CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) % 64 AS bucket,
+               CASE WHEN substr(md5(tok), 9, 1) IN ('0','1','2','3','4','5','6','7')
+                    THEN 1 ELSE -1 END AS sgn
+        FROM toks)
+    SELECT doc_id, bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(sgn) AS BIGINT) AS signed_sum
+    FROM h GROUP BY doc_id, bucket
+    """,
+)
+def feature_hash(spark: SparkSession, sf: str) -> DataFrame:
+    """Hashing-trick featurizer (Weinberger et al. 2009) — the fixed-width
+    text representation a linear quality classifier or logistic filter
+    trains on without ever fitting a vocabulary: each token hashes to one
+    of 64 buckets, with a second hash bit supplying the ±1 sign that
+    unbiases collisions (E[collision contribution] = 0). Output per
+    (doc, bucket): token count and signed sum — the sparse feature rows a
+    trainer consumes directly (dense vectors never materialize).
+
+    Scale: completely map-side until ONE partial-agg shuffle on
+    (doc_id, bucket) — no vocabulary state, no fit pass, no join; the
+    feature space is CONSTANT-width regardless of corpus size, which is
+    the entire point of the trick at 100 TB (a fitted vocab grows with
+    Heaps' law and needs a broadcast; this needs nothing). Bucket and
+    sign derive from md5 (cross-engine stable, same trick as
+    `table_fingerprint`) rather than xxhash64, so DuckDB reaches
+    bit-identical features."""
+    docs = table(spark, sf, "documents").filter(F.length(F.trim("text")) > 0)
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("tok")
+    )
+    md5 = F.md5("tok")
+    h = tok.select(
+        "doc_id",
+        F.pmod(F.conv(F.substring(md5, 1, 8), 16, 10).cast("long"), F.lit(64)).alias("bucket"),
+        F.when(F.substring(md5, 9, 1).isin(*"01234567"), F.lit(1))
+        .otherwise(F.lit(-1))
+        .alias("sgn"),
+    )
+    return h.groupBy("doc_id", "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.sum("sgn").cast("long").alias("signed_sum"),
+    )
+
+
+@query(
     "vocab_tokenize",
     """
     WITH t AS (
