@@ -7553,6 +7553,73 @@ def feature_hash(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@query("quality_classifier")  # trained model — rows-only; accuracy gate in tests
+def quality_classifier(spark: SparkSession, sf: str) -> DataFrame:
+    """A TRAINED quality filter on the hashed features — the fasttext-
+    shaped classifier production curation stacks (CCNet, FineWeb) run
+    after the rule-based gates: logistic regression over `feature_hash`'s
+    64 length-normalized buckets, weakly supervised by a rule label
+    (stopword_ratio >= 0.06 — the learnable half of `quality_score`),
+    evaluated on a held-out doc_id%5 split. Output: the held-out
+    confusion matrix (label, prediction, n) — what an operator inspects
+    before trusting the filter on the next crawl.
+
+    Why this shape scales: features are CONSTANT-width (the hashing
+    trick — no vocabulary fit, no broadcast); the dense 64-vector builds
+    JVM-side (map_from_entries + a sequence transform, no Python UDF);
+    LBFGS training cost is O(n_rows x 64) per iteration with driver
+    state of 64 doubles — the corpus never shuffles for training beyond
+    the feature rollup. Weak supervision by a cheap rule + a learned
+    generalizer is exactly how production quality classifiers bootstrap
+    (label a slice with rules/LLM, train a cheap model, run IT at 100 TB).
+    Deterministic (fixed seed-free LBFGS on fixed data) but float-driven
+    → rows-only; tests/test_quality_gates.py pins held-out accuracy >=
+    0.72 and >= +0.10 over the majority-class baseline."""
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.functions import array_to_vector
+
+    from devcontainers_etl_node_spark.operators import text as tx
+
+    fh = QUERIES["feature_hash"](spark, sf)
+    per_doc = fh.groupBy("doc_id").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("bucket", F.col("n_tokens").cast("double")))
+        ).alias("m"),
+        F.sum("n_tokens").cast("double").alias("total"),
+    )
+    arr = F.transform(
+        F.sequence(F.lit(0).cast("long"), F.lit(63).cast("long")),
+        lambda i: F.coalesce(F.element_at(F.col("m"), i), F.lit(0.0)) / F.col("total"),
+    )
+    docs = table(spark, sf, "documents").filter(F.length(F.trim("text")) > 0)
+    lab = docs.select("doc_id", (tx.stopword_ratio("text") >= 0.06).cast("int").alias("label"))
+    data = per_doc.join(lab, "doc_id").select(
+        "doc_id", arr.alias("x"), array_to_vector(arr).alias("features"), "label"
+    )
+    train = data.filter(F.col("doc_id") % 5 != 0)
+    test = data.filter(F.col("doc_id") % 5 == 0)
+    model = LogisticRegression(maxIter=30, regParam=0.01).fit(train)
+    # Score with plain Column expressions from the driver-side weights
+    # (65 doubles) instead of model.transform: the fitted model carries a
+    # training summary whose DataFrame references the session, and
+    # serializing it into the transform closure trips
+    # NotSerializableException(ObservationManager) whenever any observe()
+    # query ran earlier in the session (pretrain_prep does). The dot
+    # product is the same math, and the scoring path this ships at 100 TB
+    # is expression-only anyway — no model object on the executors.
+    w = F.array(*[F.lit(float(c)) for c in model.coefficients])
+    margin = F.aggregate(
+        F.zip_with(F.col("x"), w, lambda x, y: x * y),
+        F.lit(float(model.intercept)),
+        lambda acc, v: acc + v,
+    )
+    return (
+        test.select("label", (margin > 0).cast("int").alias("prediction"))
+        .groupBy("label", "prediction")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
 @query(
     "vocab_tokenize",
     """

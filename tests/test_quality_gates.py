@@ -462,3 +462,18 @@ def test_bigram_lm_score_separates_in_domain_from_ood(spark, planted_corpus):
     # doc 1 embeds bench doc 10: its 9 interior bigrams are seen, the
     # 2 seam bigrams (p7->the, tonight->s0) and 14 affix bigrams are not
     assert out[1].n_bigrams == 25 and out[1].n_unseen == 16
+
+
+def test_quality_classifier_beats_majority_baseline(spark):
+    """The trained hashed-feature quality filter must generalize the weak
+    rule to held-out docs: accuracy >= 0.72 (measured 0.78-0.79 at
+    sf0.01) and at least +0.10 over always-predicting the majority
+    class — the bar a learned filter must clear before replacing its
+    labeling rule."""
+    cm = {(r.label, r.prediction): r.n for r in QUERIES["quality_classifier"](spark, SF).collect()}
+    total = sum(cm.values())
+    acc = (cm.get((0, 0), 0) + cm.get((1, 1), 0)) / total
+    n_pos = cm.get((1, 0), 0) + cm.get((1, 1), 0)
+    majority = max(n_pos, total - n_pos) / total
+    assert acc >= 0.72, (acc, cm)
+    assert acc >= majority + 0.10, (acc, majority, cm)

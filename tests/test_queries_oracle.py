@@ -144,6 +144,7 @@ def test_every_query_has_callable_and_oracle_consistency():
         "bpe_train_batched",
         "bpe_encode",
         "substr_incremental",
+        "quality_classifier",
     }
 
 
