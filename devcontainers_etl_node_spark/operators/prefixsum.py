@@ -1,0 +1,93 @@
+"""Distributed exact prefix sum — the scale-safe form of
+``SUM(x) OVER (ORDER BY ...)``.
+
+A global running sum is the canonical one-reducer trap: Spark plans an
+empty-PARTITION-BY window as a single-partition sort of the WHOLE input
+(the same weak class `operators/rankselect.py` closed for element-at-rank
+in round 5).  This module computes the identical result with bounded
+per-stage state:
+
+1. every row lands in one of ``n_buckets`` ORDERED coarse buckets by the
+   high bits of a uniformly-distributed numeric order key (for the
+   training-data uses here the ordering IS a hash — the deterministic
+   epoch shuffle — so equal-width bucketing is balanced by construction);
+2. one partial-aggregate shuffle computes per-bucket sums: ``n_buckets``
+   rows, collected to the driver — bounded by the knob, never by the
+   corpus (the same bounded-collect class as the bloom bitset and the
+   rankselect histogram row);
+3. exclusive bucket offsets are broadcast-joined back and the running
+   sum runs WITHIN each bucket only (Window partitioned by bucket).
+
+Cost: two passes over the input plus one bucket-keyed shuffle; at 1000
+executors the window sorts ~N/n_buckets rows per task instead of N rows
+on one reducer.  Pick ``n_buckets`` at a small multiple of the shuffle
+partition count.
+
+Uniformity caveat (mirrors rankselect's): equal-width bucketing balances
+only when the order key is ~uniform — true for hash-derived keys, which
+is the only ordering a deterministic corpus shuffle needs.  A skewed
+*natural* ordering (timestamps, revenue) should go through a sampled
+range histogram first; none of the catalog callers needs that today.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+_BUCKET = "__psum_bucket"
+_OFFSET = "__psum_offset"
+
+
+def global_running_sum(
+    df: DataFrame,
+    order_key: str,
+    tiebreak_cols: list[str],
+    value_col: str,
+    out_col: str = "cum",
+    n_buckets: int = 64,
+    key_bits: int = 32,
+) -> DataFrame:
+    """Inclusive running sum of ``value_col`` over the global ordering
+    ``(order_key, *tiebreak_cols)`` without a single-partition window.
+
+    ``order_key`` must be a non-null integral column uniform in
+    ``[0, 2**key_bits)`` (e.g. the first 8 hex chars of an md5, as
+    ``conv(substr(md5(id),1,8),16,10)``); ``(order_key, *tiebreak_cols)``
+    must be a total order (unique).  ``n_buckets`` must be a power of two
+    so the bucket is a shift of the key's high bits — no float division.
+    """
+    if n_buckets & (n_buckets - 1) or n_buckets <= 0:
+        raise ValueError(f"n_buckets must be a power of two, got {n_buckets}")
+    shift = key_bits - n_buckets.bit_length() + 1
+    if shift < 0:
+        raise ValueError(f"n_buckets {n_buckets} exceeds key space 2**{key_bits}")
+
+    bucketed = df.withColumn(
+        _BUCKET, F.shiftrightunsigned(F.col(order_key).cast("long"), shift)
+    )
+    # n_buckets rows max — a bounded driver collect, like the rankselect
+    # histogram row.  Pure function of the data (no sampling), so the
+    # recomputation in the second pass lands rows in identical buckets.
+    sums = bucketed.groupBy(_BUCKET).agg(
+        F.sum(F.col(value_col).cast("long")).alias("s")
+    ).collect()
+    acc = 0
+    offsets = []
+    for row in sorted(sums, key=lambda r: r[_BUCKET]):
+        offsets.append((row[_BUCKET], acc))
+        acc += row["s"]
+    off = df.sparkSession.createDataFrame(
+        offsets, f"{_BUCKET} long, {_OFFSET} long"
+    )
+    within = (
+        Window.partitionBy(_BUCKET)
+        .orderBy(order_key, *tiebreak_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        bucketed.join(F.broadcast(off), _BUCKET)
+        .withColumn(
+            out_col, F.col(_OFFSET) + F.sum(F.col(value_col).cast("long")).over(within)
+        )
+        .drop(_BUCKET, _OFFSET)
+    )

@@ -7621,6 +7621,64 @@ def quality_classifier(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "token_shard_pack",
+    """
+    WITH t AS (
+        SELECT doc_id,
+               CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS h
+        FROM documents WHERE length(trim(text)) > 0),
+    c AS (
+        SELECT doc_id, n_tokens,
+               SUM(n_tokens) OVER (ORDER BY h, doc_id ROWS UNBOUNDED PRECEDING) AS cum
+        FROM t)
+    SELECT doc_id, n_tokens,
+           CAST(cum - n_tokens AS BIGINT) AS start_offset,
+           CAST((cum - n_tokens) // 4096 AS BIGINT) AS shard_id
+    FROM c
+    """,
+)
+def token_shard_pack(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic training-shard assignment — the LAST op a curation
+    pipeline runs before the trainer reads the corpus: shuffle the docs
+    into a reproducible epoch order (md5 of the id — same family as
+    `hash_split`: stable across engines, runs, and cluster sizes; no
+    rand()) and pack that order greedily into fixed-token-budget shards
+    by each doc's STARTING token offset (shard = start // 4096 here;
+    ~100M tokens/shard in production — the Megatron/GPT-style contract
+    that shard k is a contiguous, reproducible slice of the token
+    stream, so any trainer can seek to a step).
+
+    The running token offset is the interesting part at 100 TB: a naive
+    SUM OVER (ORDER BY h) is a single-reducer sort of the whole corpus.
+    This routes through `operators/prefixsum.global_running_sum` — 64
+    ordered hash buckets, one bounded per-bucket-sums collect, offsets
+    broadcast back, running sum only WITHIN buckets — the same
+    bounded-histogram design rankselect.py uses for ranks (plan pinned
+    windowless-global in tests/test_plans.py). Integer-exact throughout,
+    so the DuckDB global-window twin hash-matches."""
+    from devcontainers_etl_node_spark.operators import prefixsum
+
+    docs = table(spark, sf, "documents").filter(F.length(F.trim("text")) > 0)
+    h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast("long")
+    t = docs.select(
+        "doc_id",
+        F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("n_tokens"),
+        h.alias("h"),
+    )
+    cum = prefixsum.global_running_sum(
+        t, "h", ["doc_id"], "n_tokens", out_col="cum", n_buckets=64, key_bits=32
+    )
+    start = F.col("cum") - F.col("n_tokens")
+    return cum.select(
+        "doc_id",
+        "n_tokens",
+        start.alias("start_offset"),
+        (start / F.lit(4096)).cast("long").alias("shard_id"),
+    )
+
+
+@query(
     "vocab_tokenize",
     """
     WITH t AS (

@@ -464,6 +464,25 @@ def test_bigram_lm_score_separates_in_domain_from_ood(spark, planted_corpus):
     assert out[1].n_bigrams == 25 and out[1].n_unseen == 16
 
 
+def test_token_shard_pack_shards_are_budget_sized_and_conserving(spark):
+    """Shard packing must conserve tokens exactly and produce shards
+    whose totals sit within one max-document of the 4096-token budget
+    (assignment is by starting offset, so a shard can only over/under-
+    run by the one doc straddling its boundary)."""
+    rows = QUERIES["token_shard_pack"](spark, SF).collect()
+    total = sum(r.n_tokens for r in rows)
+    max_doc = max(r.n_tokens for r in rows)
+    shards: dict[int, int] = {}
+    for r in rows:
+        shards[r.shard_id] = shards.get(r.shard_id, 0) + r.n_tokens
+    assert sum(shards.values()) == total
+    assert set(shards) == set(range(len(shards)))  # dense ids, no holes
+    last = max(shards)
+    for sid, tok in shards.items():
+        if sid != last:
+            assert 4096 - max_doc <= tok <= 4096 + max_doc, (sid, tok, max_doc)
+
+
 def test_quality_classifier_beats_majority_baseline(spark):
     """The trained hashed-feature quality filter must generalize the weak
     rule to held-out docs: accuracy >= 0.72 (measured 0.78-0.79 at
