@@ -300,3 +300,55 @@ def test_binary_tree_media_ingest(spark, tmp_path):
     g = {r.object.rsplit("/", 1)[-1]: r for r in guarded.collect()}
     assert g["a.jpg"].content is not None
     assert g["b.jpg"].content is None and g["b.jpg"].n_bytes == 503  # audit row survives
+
+
+def test_webdataset_write_read_roundtrip(spark, tmp_path):
+    """Tar-shard export: every doc lands exactly once under its shard,
+    samples round-trip (text + json metadata), member order inside a
+    shard is deterministic, and the tar BYTES are reproducible across
+    two identical writes (fixed mtime/uid — rsync/content-address safe)."""
+    import hashlib
+    import json
+    import tarfile
+
+    from devcontainers_etl_node_spark.sinks.webdataset import write_webdataset
+    from devcontainers_etl_node_spark.sources.webdataset import read_webdataset
+
+    docs = spark.range(40).select(
+        F.col("id").alias("doc_id"),
+        F.pmod("id", F.lit(4)).alias("shard"),
+        F.concat(F.lit("body of doc "), F.col("id")).alias("text"),
+        F.concat(F.lit("lang"), F.pmod("id", F.lit(2))).alias("lang"),
+    )
+    for sub in ("a", "b"):
+        write_webdataset(
+            docs, str(tmp_path / sub), "shard", "doc_id", "text", meta_cols=["lang"]
+        )
+
+    root = tmp_path / "a"
+    tars = sorted(p.name for p in root.iterdir())
+    assert tars == [f"shard-{i:06d}.tar" for i in range(4)]
+
+    # direct tarfile inspection: member order = ascending key, txt then json
+    with tarfile.open(root / "shard-000001.tar") as tar:
+        names = tar.getnames()
+        keys = sorted(int(n.split(".")[0]) for n in names if n.endswith(".txt"))
+        assert keys == [i for i in range(40) if i % 4 == 1]
+        assert names == [f"{k}.{e}" for k in keys for e in ("txt", "json")]
+        meta = json.loads(tar.extractfile(f"{keys[0]}.json").read())
+        assert meta == {"lang": f"lang{keys[0] % 2}"}
+
+    # byte-reproducibility across the two writes
+    for t in tars:
+        ha = hashlib.sha256((tmp_path / "a" / t).read_bytes()).hexdigest()
+        hb = hashlib.sha256((tmp_path / "b" / t).read_bytes()).hexdigest()
+        assert ha == hb, t
+
+    # engine-side read-back conserves the corpus exactly
+    back = read_webdataset(spark, str(root))
+    txt = {
+        int(r["key"]): bytes(r["payload"]).decode()
+        for r in back.filter(F.col("ext") == "txt").collect()
+    }
+    assert txt == {i: f"body of doc {i}" for i in range(40)}
+    assert back.count() == 80  # 40 txt + 40 json members
