@@ -8582,6 +8582,73 @@ def corpus_drift(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "corpus_diff",
+    """
+    WITH old AS (
+        SELECT doc_id, md5(text) AS sig, length(text) AS c
+        FROM documents WHERE doc_id % 11 <> 3),
+    new AS (
+        SELECT doc_id,
+               md5(CASE WHEN doc_id % 17 = 2 THEN text || ' [rev2]' ELSE text END) AS sig,
+               length(CASE WHEN doc_id % 17 = 2 THEN text || ' [rev2]' ELSE text END) AS c
+        FROM documents WHERE doc_id % 13 <> 5),
+    j AS (
+        SELECT CASE WHEN o.doc_id IS NULL THEN 'added'
+                    WHEN n.doc_id IS NULL THEN 'removed'
+                    WHEN o.sig <> n.sig THEN 'changed'
+                    ELSE 'unchanged' END AS status,
+               COALESCE(o.c, 0) AS c_old, COALESCE(n.c, 0) AS c_new
+        FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id)
+    SELECT status, COUNT(*) AS n_docs,
+           CAST(SUM(c_old) AS BIGINT) AS n_chars_old,
+           CAST(SUM(c_new) AS BIGINT) AS n_chars_new
+    FROM j GROUP BY status
+    """,
+)
+def corpus_diff(spark: SparkSession, sf: str) -> DataFrame:
+    """Doc-granularity diff between two corpus snapshots — the
+    attribution step after `table_fingerprint` says two versions are NOT
+    equal: which docs were added / removed / changed, and how much text
+    moved?  (Snapshots derived here from one table — modulus-dropped
+    rows model additions/removals, an appended revision marker models
+    edits — so the oracle sees the identical inputs.)
+
+    The 100 TB shape is the point: each side reduces to a (doc_id,
+    digest, size) triple BEFORE the join — at scale those are the
+    persisted manifest tables every snapshot already has (16-byte md5
+    per doc, the same digests `table_fingerprint` folds) — so the full
+    outer join moves ~24 bytes/doc, never text, and the diff of two
+    100 TB corpora is a join of two GB-scale manifests.  Complements
+    `corpus_drift` (distribution-level) and the incremental-dedup
+    snapshots (which consume diffs like this as their batch input)."""
+    docs = table(spark, sf, "documents")
+    old = docs.filter(F.col("doc_id") % 11 != 3).select(
+        "doc_id", F.md5("text").alias("sig"), F.length("text").alias("c")
+    )
+    new_text = F.when(
+        F.col("doc_id") % 17 == 2, F.concat(F.col("text"), F.lit(" [rev2]"))
+    ).otherwise(F.col("text"))
+    new = docs.filter(F.col("doc_id") % 13 != 5).select(
+        "doc_id", F.md5(new_text).alias("sig"), F.length(new_text).alias("c")
+    )
+    o, n = old.alias("o"), new.alias("n")
+    j = o.join(n, F.col("o.doc_id") == F.col("n.doc_id"), "full_outer").select(
+        F.when(F.col("o.doc_id").isNull(), "added")
+        .when(F.col("n.doc_id").isNull(), "removed")
+        .when(F.col("o.sig") != F.col("n.sig"), "changed")
+        .otherwise("unchanged")
+        .alias("status"),
+        F.coalesce(F.col("o.c"), F.lit(0)).alias("c_old"),
+        F.coalesce(F.col("n.c"), F.lit(0)).alias("c_new"),
+    )
+    return j.groupBy("status").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("c_old").cast("long").alias("n_chars_old"),
+        F.sum("c_new").cast("long").alias("n_chars_new"),
+    )
+
+
+@query(
     "length_buckets",
     """
     WITH t AS (
