@@ -9178,6 +9178,56 @@ def bpe_encode(spark: SparkSession, sf: str) -> DataFrame:  # parity in tests
     )
 
 
+@query("unigram_train")  # float EM — rows-only; lattice math verified vs
+def unigram_train(spark: SparkSession, sf: str) -> DataFrame:  # brute force in tests
+    """Unigram-LM tokenizer training (Kudo, ACL 2018 — SentencePiece's
+    `unigram` model), the second production tokenizer family next to
+    BPE: seed a large candidate-piece vocabulary from weighted
+    substrings, fit piece probabilities by EM over each word's
+    segmentation lattice, prune the least-used pieces per round down to
+    vocab_size. Output: the trained (rank, piece, prob) table —
+    driver-tiny, the artifact `unigram_encode` consumes.
+
+    Distributed contract (operators/unigram.py): ONE corpus-sized pass
+    (the word-frequency table); each EM iteration is one Arrow
+    forward-backward pass over the VOCABULARY with per-(word, piece)
+    contributions rounded and decimal-summed — exact and
+    order-independent, so training is bit-reproducible on any cluster
+    layout (pinned: train twice == identical model). EM monotonicity
+    (corpus log-likelihood non-decreasing) and brute-force-enumeration
+    parity of the lattice expectations are gated in
+    tests/test_unigram.py."""
+    from devcontainers_etl_node_spark.operators import unigram as ug
+
+    model = ug.unigram_train(
+        table(spark, sf, "documents"), vocab_size=160, seed_size=400, max_piece_len=4
+    )
+    return spark.createDataFrame(
+        [(i, p, v) for i, (p, v) in enumerate(model)],
+        "rank INT, piece STRING, prob DOUBLE",
+    )
+
+
+@query("unigram_encode")  # consumes the non-SQL trained model — rows-only;
+def unigram_encode(spark: SparkSession, sf: str) -> DataFrame:  # gates in tests
+    """Viterbi-encode the corpus with the trained unigram LM — one
+    map-only Arrow pass, model in the UDF closure, no shuffle (the same
+    100 TB contract as bpe_encode). Output: per-doc piece vs character
+    counts — the fertility report. Losslessness (pieces concat back to
+    the text's characters) and compression (pieces < 0.8 x chars) are
+    gated in tests/test_unigram.py. operators/unigram.py."""
+    from devcontainers_etl_node_spark.operators import unigram as ug
+
+    docs = table(spark, sf, "documents")
+    model = ug.unigram_train(docs, vocab_size=160, seed_size=400, max_piece_len=4)
+    enc = ug.unigram_viterbi_encode(docs, model, max_piece_len=4)
+    return enc.select(
+        "doc_id",
+        "n_pieces",
+        F.size(F.array_distinct("pieces")).cast("long").alias("n_distinct_pieces"),
+    )
+
+
 @query(
     "dup_span_merge",
     """

@@ -145,6 +145,8 @@ def test_every_query_has_callable_and_oracle_consistency():
         "bpe_encode",
         "substr_incremental",
         "quality_classifier",
+        "unigram_train",
+        "unigram_encode",
     }
 
 
