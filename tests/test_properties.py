@@ -141,3 +141,32 @@ def test_intradoc_dedup_matches_python_first_occurrence(spark, docs_words):
         assert got[i].n_units == len(units)
         assert got[i].kept_units == len(kept)
         assert got[i].new_text == " ".join(kept)
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 2**32 - 1), st.integers(0, 1000)),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_prefix_sum_matches_python_cumsum(spark, key_vals):
+    """global_running_sum over arbitrary (hash-key, value) rows == the
+    obvious Python model: sort by (key, rid), running-sum the values.
+    Duplicate keys are likely at this range via hypothesis shrinking, so
+    the tiebreak path is exercised."""
+    from devcontainers_etl_node_spark.operators import prefixsum
+
+    rows = [(i, k, v) for i, (k, v) in enumerate(key_vals)]
+    df = spark.createDataFrame(rows, "rid long, h long, v long")
+    got = {
+        r.rid: r.cum
+        for r in prefixsum.global_running_sum(df, "h", ["rid"], "v", n_buckets=8).collect()
+    }
+    acc = 0
+    expected = {}
+    for rid, _k, v in sorted(rows, key=lambda r: (r[1], r[0])):
+        acc += v
+        expected[rid] = acc
+    assert got == expected

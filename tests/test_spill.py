@@ -55,3 +55,23 @@ def test_substr_gram_pipeline_spills_and_completes_under_memory_pressure():
     assert result["rows"] == 200_000
     assert result["memory_spilled_bytes"] > 0
     assert result["disk_spilled_bytes"] > 0
+
+
+def test_prefix_sum_window_spills_and_completes_under_memory_pressure():
+    """The prefix-sum operator's within-bucket window sort — 16 M rows
+    over 4 tasks (~100 MB/task against a ~35 MB budget) — must complete
+    by spilling, and the answer must stay EXACT through the spill: with
+    v=1 the running sum takes each value 1..n once, so SUM(cum) ==
+    n(n+1)/2 is asserted inside the probe. Measured (PERF.md): ~774 MB
+    memory-spill / ~177 MB disk-spill, peak execution ~100 MB."""
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "spill_probe.py"), "prefixsum"],
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    assert proc.returncode == 0, f"probe died (OOM?):\n{proc.stderr[-2000:]}"
+    result = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert result["rows"] == 16_000_000  # checksum held through the spill
+    assert result["memory_spilled_bytes"] > 0
+    assert result["disk_spilled_bytes"] > 0

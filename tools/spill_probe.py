@@ -98,6 +98,24 @@ def main() -> None:
         history = spark.createDataFrame([], "g LONG, nd LONG")
         clean, _merged, _bc = dedup.substr_clean_batch(history, docs, k=8)
         n = clean.count()  # completes by SPILLING, or dies with OOM
+    elif workload == "prefixsum":
+        from devcontainers_etl_node_spark.operators import prefixsum
+
+        # 16 M rows into 64 buckets hashed over 4 shuffle partitions →
+        # each task window-sorts ~4 M rows (~100 MB) against the ~35 MB
+        # budget.  v = 1 makes the result self-checking: the total order
+        # is unique, so cum takes each value 1..n exactly once and
+        # SUM(cum) must equal n(n+1)/2 — correctness verified THROUGH
+        # the spill, not just completion.
+        n_rows = 16_000_000
+        df = spark.range(n_rows).select(
+            F.col("id").alias("rid"),
+            F.pmod(F.xxhash64("id"), F.lit(2**32)).alias("h"),
+            F.lit(1).alias("v"),
+        )
+        out = prefixsum.global_running_sum(df, "h", ["rid"], "v")
+        total = out.agg(F.sum("cum").alias("t")).collect()[0].t
+        n = n_rows if total == n_rows * (n_rows + 1) // 2 else -1
     else:
         raise SystemExit(f"unknown workload {workload!r}")
 
