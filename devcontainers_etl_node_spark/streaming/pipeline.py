@@ -440,6 +440,54 @@ def ivf_ingest_sink(
     return apply
 
 
+def webdataset_sink(
+    root: str,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    meta_cols: list[str] | None = None,
+    shards_per_batch: int = 4,
+):
+    """foreachBatch body for CONTINUOUS trainer-shard export — the
+    streaming twin of ``sinks/webdataset.write_webdataset``: each
+    micro-batch of curated documents becomes WebDataset tar shards under
+    ``root/batch_id=N/shard-XXXXXX.tar``, ready for a dataloader to
+    stream while the curation pipeline is still running.
+
+    Exactly-once recipe (same as ``ivf_ingest_sink``): each micro-batch
+    owns its batch_id directory, which is CLEARED and rewritten on
+    replay — a crash mid-write leaves either ``.inprogress`` temp names
+    (never valid shards — the writer renames atomically) or a partial
+    dir that the replay heals.  Shard ids are md5-of-key mod
+    ``shards_per_batch``, so a replayed batch reproduces byte-identical
+    tars (the writer pins mtime/uid; pinned in the batch test).
+
+    Per-batch state never grows with stream history; the tar write is
+    shuffle(shard) + per-task streaming append — no driver rows."""
+    import os
+    import shutil
+
+    from devcontainers_etl_node_spark.sinks.webdataset import write_webdataset
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        batch_root = os.path.join(root, f"batch_id={batch_id}")
+        shutil.rmtree(batch_root, ignore_errors=True)
+        shard = (
+            F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 8), 16, 10)
+            .cast("long")
+            % shards_per_batch
+        )
+        write_webdataset(
+            batch_df.withColumn("__shard", shard),
+            batch_root,
+            "__shard",
+            key_col,
+            text_col,
+            meta_cols=meta_cols,
+        )
+
+    return apply
+
+
 def read_stream_state(
     spark,
     checkpoint_path: str,

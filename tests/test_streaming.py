@@ -722,3 +722,69 @@ def test_streaming_ivf_ingest_matches_batch_and_replay_is_idempotent(spark, tmp_
     sink(corpus, 0)
     replayed = spark.read.parquet(lists).select("vec_id").collect()
     assert len(replayed) == 25
+
+
+def test_streaming_webdataset_export_matches_batch_and_replay_is_idempotent(spark, tmp_path):
+    """Continuous trainer-shard export: (1) every streamed doc lands in a
+    valid tar shard exactly once; (2) a restarted query processes only new
+    files; (3) a replayed micro-batch REWRITES its batch_id dir with
+    byte-identical tars instead of duplicating or mutating shards."""
+    import hashlib
+    import tarfile
+    from pathlib import Path
+
+    from devcontainers_etl_node_spark.streaming import webdataset_sink
+
+    schema = "doc_id long, text string, lang string"
+    docs = [(i, f"streamed body {i}", f"lang{i % 2}") for i in range(30)]
+    src, ckpt, out = tmp_path / "docs_src", tmp_path / "wds_ckpt", tmp_path / "wds_out"
+    corpus = spark.createDataFrame(docs, schema)
+    corpus.write.mode("overwrite").parquet(str(src))
+
+    sink = webdataset_sink(str(out), meta_cols=["lang"], shards_per_batch=3)
+
+    def run_until_drained():
+        q = (
+            spark.readStream.schema(schema)
+            .parquet(str(src))
+            .writeStream.option("checkpointLocation", str(ckpt))
+            .foreachBatch(sink)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    def read_all_samples():
+        got = {}
+        for tar_path in sorted(Path(out).glob("batch_id=*/shard-*.tar")):
+            with tarfile.open(tar_path) as tar:
+                for m in tar.getmembers():
+                    if m.name.endswith(".txt"):
+                        got[int(m.name[:-4])] = tar.extractfile(m).read().decode()
+        return got
+
+    run_until_drained()
+    assert read_all_samples() == {i: f"streamed body {i}" for i in range(30)}
+    assert not list(Path(out).glob("**/*.inprogress"))  # all renames committed
+
+    # restart with 5 appended docs: only the new file becomes batch 1
+    more = [(100 + i, f"late body {i}", "lang0") for i in range(5)]
+    spark.createDataFrame(more, schema).write.mode("append").parquet(str(src))
+    run_until_drained()
+    samples = read_all_samples()
+    assert len(samples) == 35
+    assert sorted(p.name for p in Path(out).iterdir()) == ["batch_id=0", "batch_id=1"]
+
+    # replay batch 0 manually (crash-after-write, pre-commit): dir is
+    # cleared + rewritten and the tar BYTES come back identical
+    before = {
+        p.name: hashlib.sha256(p.read_bytes()).hexdigest()
+        for p in (Path(out) / "batch_id=0").iterdir()
+    }
+    sink(corpus, 0)
+    after = {
+        p.name: hashlib.sha256(p.read_bytes()).hexdigest()
+        for p in (Path(out) / "batch_id=0").iterdir()
+    }
+    assert after == before
+    assert len(read_all_samples()) == 35
