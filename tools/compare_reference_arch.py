@@ -465,6 +465,113 @@ def main_substr() -> None:
         shutil.rmtree(workdir, ignore_errors=True)
 
 
+def pandas_unigram(path: str, vocab_size=150, seed_size=300, max_len=4) -> int:
+    """The single-node architecture: eager pandas corpus pass + in-process
+    EM loops.  The per-word lattice kernel is THE SAME function the
+    engine's Arrow pass calls (operators/unigram._forward_backward), so
+    the measured delta is architecture — eager single-threaded scan vs
+    distributed scan — not kernel quality."""
+    import math as _math
+
+    from devcontainers_etl_node_spark.operators import unigram as ug
+
+    df = pd.read_parquet(path)
+    words = df["text"].str.lower().str.split().explode()
+    wf = [
+        (w, int(c))
+        for w, c in words[words.str.len() >= 2].value_counts().items()
+    ]
+    # seed: same rule as ug.seed_vocab
+    cnt: dict[str, int] = {}
+    for w, n in wf:
+        for i in range(len(w)):
+            for l in range(1, min(max_len, len(w) - i) + 1):
+                p = w[i : i + l]
+                cnt[p] = cnt.get(p, 0) + n
+    top = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:seed_size]
+    vocab = {p for p, _ in top} | {p for p in cnt if len(p) == 1}
+    probs = {p: 1.0 / len(vocab) for p in sorted(vocab)}
+    while True:
+        for _ in range(2):
+            logp = {p: _math.log(v) for p, v in probs.items()}
+            counts: dict[str, float] = {}
+            for w, n in wf:
+                c, _z = ug._forward_backward(w, logp, max_len)
+                for p, v in c.items():
+                    counts[p] = counts.get(p, 0.0) + n * v
+            total = sum(counts.get(p, 0.0) for p in probs)
+            probs = {
+                p: counts.get(p, 0.0) / total
+                for p in probs
+                if counts.get(p, 0.0) > 0 or len(p) == 1
+            }
+            floor = 1.0 / (total * 1e6)
+            probs = {p: (v if v > 0 else floor) for p, v in probs.items()}
+        if len(probs) <= vocab_size:
+            break
+        multi = sorted(
+            ((p, v) for p, v in probs.items() if len(p) > 1), key=lambda kv: (kv[1], kv[0])
+        )
+        n_chars = len(probs) - len(multi)
+        keep = max(vocab_size - n_chars, int(len(multi) * 0.75))
+        if keep >= len(multi):
+            break
+        for p, _ in multi[: len(multi) - keep]:
+            del probs[p]
+        total = sum(probs.values())
+        probs = {p: v / total for p, v in probs.items()}
+    return len(probs)
+
+
+def spark_unigram(spark, path: str, vocab_size=150, seed_size=300, max_len=4) -> int:
+    from devcontainers_etl_node_spark.operators import unigram as ug
+
+    df = spark.read.parquet(path)
+    model = ug.unigram_train(
+        df, vocab_size=vocab_size, seed_size=seed_size, max_piece_len=max_len
+    )
+    return len(model)
+
+
+def main_tokenizer() -> None:
+    import os
+    import shutil
+
+    n_runs = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+    sizes = (
+        [int(x) for x in sys.argv[3].split(",")]
+        if len(sys.argv) > 3
+        else [20_000, 80_000, 320_000]
+    )
+    spark = get_spark()
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    workdir = "/root/repo/.bench_tmp"
+    os.makedirs(workdir, exist_ok=True)
+    print("| docs | single-node unigram train (pieces) | engine (pieces) | ratio |")
+    print("|---|---|---|---|")
+    try:
+        for n in sizes:
+            path = os.path.join(workdir, f"tok_{n}.parquet")
+            _minhash_corpus(spark, n, path)
+            pd_times, sp_times = [], []
+            for _ in range(n_runs):
+                t0 = time.perf_counter()
+                pd_pieces = pandas_unigram(path)
+                pd_times.append(time.perf_counter() - t0)
+            for _ in range(n_runs):
+                t0 = time.perf_counter()
+                sp_pieces = spark_unigram(spark, path)
+                sp_times.append(time.perf_counter() - t0)
+            p, s = min(pd_times), min(sp_times)
+            print(
+                f"| {n:,} | {p:.2f}s ({pd_pieces}) | {s:.2f}s ({sp_pieces}) | {p / s:.2f}x |",
+                flush=True,
+            )
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "dedup":
         main_dedup()
@@ -474,5 +581,7 @@ if __name__ == "__main__":
         main_minhash()
     elif len(sys.argv) > 1 and sys.argv[1] == "substr":
         main_substr()
+    elif len(sys.argv) > 1 and sys.argv[1] == "tokenizer":
+        main_tokenizer()
     else:
         main()
