@@ -91,3 +91,38 @@ def global_running_sum(
         )
         .drop(_BUCKET, _OFFSET)
     )
+
+
+def token_shard_assign(
+    df: DataFrame,
+    tokens_per_shard: int = 4096,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Deterministic training-shard assignment: shuffle docs into the
+    reproducible md5 epoch order, pack that order into fixed-token-budget
+    shards by each doc's STARTING token offset (shard k is a contiguous,
+    reproducible slice of the token stream).  Tokens = whitespace words;
+    empty docs are dropped.  Returns (id_col, n_tokens, start_offset,
+    shard_id) — integer-exact, the engine under the `token_shard_pack`
+    catalog entry and the CLI ``export`` command."""
+    d = df.filter(F.length(F.trim(F.col(text_col))) > 0)
+    h = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    t = d.select(
+        F.col(id_col),
+        F.size(F.split(F.trim(F.col(text_col)), r"\s+")).cast("long").alias("n_tokens"),
+        h.alias("__psum_h"),
+    )
+    cum = global_running_sum(
+        t, "__psum_h", [id_col], "n_tokens", out_col="__psum_cum", n_buckets=n_buckets, key_bits=32
+    )
+    start = F.col("__psum_cum") - F.col("n_tokens")
+    return cum.select(
+        id_col,
+        "n_tokens",
+        start.alias("start_offset"),
+        (start / F.lit(tokens_per_shard)).cast("long").alias("shard_id"),
+    )

@@ -7659,22 +7659,8 @@ def token_shard_pack(spark: SparkSession, sf: str) -> DataFrame:
     so the DuckDB global-window twin hash-matches."""
     from devcontainers_etl_node_spark.operators import prefixsum
 
-    docs = table(spark, sf, "documents").filter(F.length(F.trim("text")) > 0)
-    h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast("long")
-    t = docs.select(
-        "doc_id",
-        F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("n_tokens"),
-        h.alias("h"),
-    )
-    cum = prefixsum.global_running_sum(
-        t, "h", ["doc_id"], "n_tokens", out_col="cum", n_buckets=64, key_bits=32
-    )
-    start = F.col("cum") - F.col("n_tokens")
-    return cum.select(
-        "doc_id",
-        "n_tokens",
-        start.alias("start_offset"),
-        (start / F.lit(4096)).cast("long").alias("shard_id"),
+    return prefixsum.token_shard_assign(
+        table(spark, sf, "documents"), tokens_per_shard=4096
     )
 
 
