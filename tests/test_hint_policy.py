@@ -35,6 +35,9 @@ ALLOWED = {
     "sinks/files.py": {"bounds": 1},                     # one-row min/max
     "streaming/pipeline.py": {"dim": 1},                 # opt-in (broadcast_dim flag)
     "transforms/enrich.py": {"side": 1},                 # opt-in (broadcast_dims flag)
+    "operators/prefixsum.py": {
+        "off": 1,       # per-bucket offsets: <= n_buckets (default 64) rows
+    },
     "operators/rankselect.py": {
         "bounds": 2,    # per-group min/max: one row per (bounded) group
         "hits": 2,      # boundary bins: <= groups x targets rows
