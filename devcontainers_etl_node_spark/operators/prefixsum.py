@@ -23,11 +23,20 @@ executors the window sorts ~N/n_buckets rows per task instead of N rows
 on one reducer.  Pick ``n_buckets`` at a small multiple of the shuffle
 partition count.
 
-Uniformity caveat (mirrors rankselect's): equal-width bucketing balances
-only when the order key is ~uniform — true for hash-derived keys, which
-is the only ordering a deterministic corpus shuffle needs.  A skewed
-*natural* ordering (timestamps, revenue) should go through a sampled
-range histogram first; none of the catalog callers needs that today.
+Uniformity caveat (mirrors rankselect's): equal-width bucketing
+(:func:`global_running_sum`) balances only when the order key is
+~uniform — true for hash-derived keys, which is what a deterministic
+corpus shuffle needs.  For skewed NATURAL orderings (timestamps,
+revenue) use :func:`global_running_sum_ranged`: it replaces the
+high-bits shift with quantile range boundaries from Greenwald–Khanna
+``approxQuantile`` (one bounded-memory pass, deterministic for a given
+dataset — the same pattern rankselect's histogram descent uses), so
+per-bucket row counts stay ~N/n_buckets no matter how the key is
+distributed.  The one irreducible residual: rows EQUAL on the order key
+cannot be split across range buckets, so a single value carrying most
+of the corpus degenerates to one bucket's window — same tie caveat as
+rankselect, documented, and impossible for the unique keys (order ids,
+event times with tiebreaks) this serves.
 """
 
 from __future__ import annotations
@@ -36,6 +45,40 @@ from pyspark.sql import DataFrame, Window, functions as F
 
 _BUCKET = "__psum_bucket"
 _OFFSET = "__psum_offset"
+
+
+def _offsets_then_window(
+    bucketed: DataFrame,
+    order_by: list[str],
+    value_col: str,
+    out_col: str,
+) -> DataFrame:
+    """Shared tail of both variants: per-bucket sums (<= n_buckets rows,
+    a bounded driver collect like the rankselect histogram), exclusive
+    offsets broadcast back, running sum WITHIN each bucket only."""
+    sums = bucketed.groupBy(_BUCKET).agg(
+        F.sum(F.col(value_col).cast("long")).alias("s")
+    ).collect()
+    acc = 0
+    offsets = []
+    for row in sorted(sums, key=lambda r: r[_BUCKET]):
+        offsets.append((row[_BUCKET], acc))
+        acc += row["s"]
+    off = bucketed.sparkSession.createDataFrame(
+        offsets, f"{_BUCKET} long, {_OFFSET} long"
+    )
+    within = (
+        Window.partitionBy(_BUCKET)
+        .orderBy(*order_by)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        bucketed.join(F.broadcast(off), _BUCKET)
+        .withColumn(
+            out_col, F.col(_OFFSET) + F.sum(F.col(value_col).cast("long")).over(within)
+        )
+        .drop(_BUCKET, _OFFSET)
+    )
 
 
 def global_running_sum(
@@ -65,31 +108,50 @@ def global_running_sum(
     bucketed = df.withColumn(
         _BUCKET, F.shiftrightunsigned(F.col(order_key).cast("long"), shift)
     )
-    # n_buckets rows max — a bounded driver collect, like the rankselect
-    # histogram row.  Pure function of the data (no sampling), so the
+    # Bucket id is a pure function of the data (no sampling), so the
     # recomputation in the second pass lands rows in identical buckets.
-    sums = bucketed.groupBy(_BUCKET).agg(
-        F.sum(F.col(value_col).cast("long")).alias("s")
-    ).collect()
-    acc = 0
-    offsets = []
-    for row in sorted(sums, key=lambda r: r[_BUCKET]):
-        offsets.append((row[_BUCKET], acc))
-        acc += row["s"]
-    off = df.sparkSession.createDataFrame(
-        offsets, f"{_BUCKET} long, {_OFFSET} long"
+    return _offsets_then_window(
+        bucketed, [order_key, *tiebreak_cols], value_col, out_col
     )
-    within = (
-        Window.partitionBy(_BUCKET)
-        .orderBy(order_key, *tiebreak_cols)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    return (
-        bucketed.join(F.broadcast(off), _BUCKET)
-        .withColumn(
-            out_col, F.col(_OFFSET) + F.sum(F.col(value_col).cast("long")).over(within)
-        )
-        .drop(_BUCKET, _OFFSET)
+
+
+def global_running_sum_ranged(
+    df: DataFrame,
+    order_key: str,
+    tiebreak_cols: list[str],
+    value_col: str,
+    out_col: str = "cum",
+    n_buckets: int = 64,
+    relative_error: float = 0.001,
+) -> DataFrame:
+    """Skew-safe running sum for NATURAL (non-uniform) numeric orderings
+    — timestamps-as-epoch, dates-as-days, revenue.  Same contract as
+    :func:`global_running_sum` (``(order_key, *tiebreak_cols)`` a total
+    order; integral ``value_col``), but bucket boundaries come from a
+    Greenwald–Khanna quantile sketch of ``order_key`` instead of the
+    key's high bits, so per-bucket row counts stay ~N/n_buckets for ANY
+    key distribution (ties excepted — rows equal on the key share a
+    bucket).  The boundaries are computed ONCE on the driver (bounded:
+    n_buckets-1 doubles) and embedded as literals, so both passes bucket
+    identically even though the sketch itself made a pass over the data.
+    Cost: one extra bounded-memory aggregation pass vs the hash variant.
+    """
+    if n_buckets <= 0:
+        raise ValueError(f"n_buckets must be positive, got {n_buckets}")
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    bounds = sorted(
+        set(df.stat.approxQuantile(order_key, qs, relative_error))
+    ) if qs else []
+    # bucket = number of boundaries strictly below the key: a chain of
+    # n_buckets-1 codegen-friendly comparisons (plan size bounded by the
+    # knob, never the data); rows equal to a boundary take the lower
+    # bucket so equal keys always share a bucket.
+    bucket = F.lit(0)
+    for b in bounds:
+        bucket = bucket + F.when(F.col(order_key) > F.lit(b), 1).otherwise(0)
+    bucketed = df.withColumn(_BUCKET, bucket.cast("long"))
+    return _offsets_then_window(
+        bucketed, [order_key, *tiebreak_cols], value_col, out_col
     )
 
 
@@ -120,9 +182,12 @@ def token_shard_assign(
         t, "__psum_h", [id_col], "n_tokens", out_col="__psum_cum", n_buckets=n_buckets, key_bits=32
     )
     start = F.col("__psum_cum") - F.col("n_tokens")
+    # Integer division (SQL DIV), not float `/` + cast: double division
+    # loses exactness past ~2**53 cumulative tokens, which a 100 TB token
+    # stream exceeds; DIV keeps the long-typed arithmetic bit-exact and
+    # matches the DuckDB oracle's `//`.
     return cum.select(
         id_col,
         "n_tokens",
         start.alias("start_offset"),
-        (start / F.lit(tokens_per_shard)).cast("long").alias("shard_id"),
-    )
+    ).withColumn("shard_id", F.expr(f"start_offset DIV {int(tokens_per_shard)}"))

@@ -323,8 +323,12 @@ def exact_rank_select_recursive(
     casts = []
     for c in sort_cols:
         t = dict(df.dtypes).get(c, "")
+        # NOT "date": Spark has no DateType→double cast, so a date sort
+        # column would raise in the min/max step instead of taking the
+        # documented non-numeric fallback (timestamp→double is fine:
+        # epoch seconds).  Callers can pre-cast dates via datediff.
         casts.append(
-            t.startswith(("int", "bigint", "smallint", "tinyint", "float", "double", "decimal", "date", "timestamp"))
+            t.startswith(("int", "bigint", "smallint", "tinyint", "float", "double", "decimal", "timestamp"))
         )
 
     # targets per group: evaluate the rank rule on the (bounded) totals

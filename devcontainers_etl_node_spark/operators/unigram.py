@@ -210,6 +210,12 @@ def unigram_train(
             logp = {p: math.log(v) for p, v in probs.items()}
             counts = dict(_e_step(wf, logp, max_piece_len))
             total = sum(counts.get(p, 0.0) for p in probs)
+            if total <= 0:
+                raise ValueError(
+                    "unigram_train: total expected count is 0 — the corpus "
+                    "has no words of length >= 2 (word_freq_table filters "
+                    "shorter words), so there is nothing to train on"
+                )
             probs = {
                 p: counts.get(p, 0.0) / total for p in probs if counts.get(p, 0.0) > 0 or len(p) == 1
             }

@@ -558,6 +558,49 @@ def window_running(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "running_revenue_global",
+    """
+    SELECT o_orderkey,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS rev_cents,
+           SUM(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (
+                ORDER BY o_orderdate, o_orderkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_rev_cents
+    FROM orders
+    """,
+)
+def running_revenue_global(spark: SparkSession, sf: str) -> DataFrame:
+    """GLOBAL cumulative revenue in time order — the business twin of
+    `token_shard_pack`'s offset problem, on a NATURAL (skewed-capable)
+    ordering instead of a hash.  A literal `SUM OVER (ORDER BY
+    o_orderdate)` is the canonical one-reducer trap (the reference's
+    eager single-process pandas would do one sorted in-memory cumsum,
+    `src/etl/etl.py` transform family);
+    this routes through `operators/prefixsum.global_running_sum_ranged`:
+    Greenwald–Khanna quantile boundaries over the epoch key (bounded
+    driver state: 63 doubles), per-bucket sums collected (<= 64 rows),
+    offsets broadcast back, windows only WITHIN range buckets — so the
+    per-task sort stays ~N/64 rows even when order dates cluster.
+    Revenue is summed in integer CENTS (round(price*100) on the same
+    IEEE doubles both engines read), so the running total is exact and
+    the DuckDB global-window twin hash-matches bit-for-bit.  Plan pinned
+    windowless-global alongside token_shard_pack in tests/test_plans.py."""
+    from devcontainers_etl_node_spark.operators import prefixsum
+
+    o = table(spark, sf, "orders").select(
+        "o_orderkey",
+        # NTZ → ltz (session tz pinned UTC by table()) → epoch seconds:
+        # a monotone image of the timestamp, so bucket-then-window order
+        # equals the oracle's ORDER BY o_orderdate
+        F.col("o_orderdate").cast("timestamp").cast("long").alias("__ts"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("rev_cents"),
+    )
+    cum = prefixsum.global_running_sum_ranged(
+        o, "__ts", ["o_orderkey"], "rev_cents", out_col="cum_rev_cents"
+    )
+    return cum.select("o_orderkey", "rev_cents", "cum_rev_cents")
+
+
+@query(
     "rank_parts",
     """
     SELECT p_partkey, p_brand, p_retailprice,
@@ -3927,8 +3970,12 @@ def contamination_span_clean(spark: SparkSession, sf: str) -> DataFrame:
     k = 8
     docs = table(spark, sf, "documents").filter(F.length(F.trim("text")) > 0)
     t = F.split(F.lower(F.trim("text")), r"\s+")
+    # No checkpoint/persist: both consumers (grams, toks) recompute the
+    # tokenization from the parquet scan — two cheap codegen passes beat
+    # a corpus-sized eager executor-storage materialization at plan-
+    # construction time (r7 ADVICE), and the entry stays lazy like the
+    # rest of the catalog.
     base = docs.select("doc_id", t.alias("t")).withColumn("n", F.size("t"))
-    base = base.localCheckpoint(eager=True)
     grams = (
         base.filter(F.col("n") >= k)
         .select("doc_id", F.explode(F.sequence(F.lit(1), F.col("n") - (k - 1))).alias("p"), "t")

@@ -328,7 +328,14 @@ def test_lakehouse_layout_partition_prunes(spark, tmp_path):
 
 
 @pytest.mark.parametrize(
-    "name", ["rfm_segments", "time_to_convert", "quantile_buckets", "token_shard_pack"]
+    "name",
+    [
+        "rfm_segments",
+        "time_to_convert",
+        "quantile_buckets",
+        "token_shard_pack",
+        "running_revenue_global",
+    ],
 )
 def test_rank_queries_carry_no_global_single_partition_sort(spark, name):
     """The round-5 perf-weak class: these three used to rank/ntile a

@@ -64,3 +64,86 @@ def test_plan_has_no_unpartitioned_window(spark):
 
     out = prefixsum.global_running_sum(_mk(spark), "h", ["rid"], "v")
     assert unpartitioned_windows(out) == []
+
+
+def _mk_skewed(spark, n=4007):
+    """A severely skewed NATURAL ordering: exponential-ish key (the vast
+    majority of mass crammed near 0, a long sparse tail) — the case that
+    collapses equal-width high-bit bucketing into one bucket."""
+    return spark.range(n).select(
+        F.col("id").alias("rid"),
+        # ~87% of keys < 1000, tail reaching ~16M: pow-law-ish via id^3
+        F.when(F.pmod("id", F.lit(8)) < 7, F.pmod(F.xxhash64("id"), F.lit(1000)))
+        .otherwise(F.pow(F.pmod("id", F.lit(256)).cast("double"), F.lit(3.0)).cast("long") + 1000)
+        .alias("h"),
+        (F.pmod(F.xxhash64("id", F.lit(7)), F.lit(1000)) + 1).alias("v"),
+    )
+
+
+@pytest.mark.parametrize("n_buckets", [1, 8, 64])
+def test_ranged_matches_global_window_on_skewed_key(spark, n_buckets):
+    df = _mk_skewed(spark)
+    got = {
+        r["rid"]: r["cum"]
+        for r in prefixsum.global_running_sum_ranged(
+            df, "h", ["rid"], "v", n_buckets=n_buckets
+        ).collect()
+    }
+    assert got == _naive(df)
+
+
+def test_ranged_buckets_stay_bounded_under_skew(spark):
+    """The point of the quantile boundaries: on the skewed key the
+    equal-width variant piles ~everything into bucket 0, while the
+    ranged variant keeps every bucket within a small factor of N/n_b
+    (ties excepted — and this key has ties, so allow the tie volume)."""
+    from devcontainers_etl_node_spark.operators.prefixsum import _BUCKET
+
+    df = _mk_skewed(spark)
+    n = df.count()
+    n_b = 16
+
+    # reconstruct the ranged bucketing exactly as the operator does
+    qs = [i / n_b for i in range(1, n_b)]
+    bounds = sorted(set(df.stat.approxQuantile("h", qs, 0.001)))
+    bucket = F.lit(0)
+    for b in bounds:
+        bucket = bucket + F.when(F.col("h") > F.lit(b), 1).otherwise(0)
+    sizes = [
+        r["c"]
+        for r in df.withColumn(_BUCKET, bucket)
+        .groupBy(_BUCKET)
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    ]
+    # largest tie group is the irreducible floor for range bucketing
+    max_tie = df.groupBy("h").count().agg(F.max("count")).collect()[0][0]
+    assert max(sizes) <= max(3 * n / n_b, 2 * max_tie), (sizes, max_tie)
+
+    # and the equal-width variant REALLY is degenerate here (the guard
+    # that this test is measuring something): high-bit shift puts every
+    # row in bucket 0 because the key mass sits far below 2**32
+    shift = 32 - n_b.bit_length() + 1
+    eq_sizes = [
+        r["c"]
+        for r in df.withColumn(_BUCKET, F.shiftrightunsigned(F.col("h").cast("long"), shift))
+        .groupBy(_BUCKET)
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    ]
+    assert max(eq_sizes) == n
+
+
+def test_ranged_constant_key_degenerates_but_stays_exact(spark):
+    df = spark.range(100).select(
+        F.col("id").alias("rid"), F.lit(5).alias("h"), F.lit(2).alias("v")
+    )
+    out = prefixsum.global_running_sum_ranged(df, "h", ["rid"], "v").collect()
+    assert sorted(r["cum"] for r in out) == [2 * (i + 1) for i in range(100)]
+
+
+def test_ranged_plan_has_no_unpartitioned_window(spark):
+    from devcontainers_etl_node_spark.plans import unpartitioned_windows
+
+    out = prefixsum.global_running_sum_ranged(_mk_skewed(spark), "h", ["rid"], "v")
+    assert unpartitioned_windows(out) == []

@@ -352,3 +352,23 @@ def test_webdataset_write_read_roundtrip(spark, tmp_path):
     }
     assert txt == {i: f"body of doc {i}" for i in range(40)}
     assert back.count() == 80  # 40 txt + 40 json members
+
+    # no publication litter: every surviving file is a final-name shard
+    # (attempt-unique .inprogress.* temps are gone after a clean run)
+    assert not [p.name for p in root.iterdir() if ".inprogress" in p.name]
+
+    # object-store path parity: a URI root routes through the staged
+    # local-scratch + pyarrow.fs upload branch; bytes must be identical
+    # to the direct POSIX write, shard for shard
+    write_webdataset(
+        docs,
+        (tmp_path / "staged").as_uri(),
+        "shard",
+        "doc_id",
+        "text",
+        meta_cols=["lang"],
+    )
+    for t in tars:
+        ha = hashlib.sha256((tmp_path / "a" / t).read_bytes()).hexdigest()
+        hs = hashlib.sha256((tmp_path / "staged" / t).read_bytes()).hexdigest()
+        assert ha == hs, t
