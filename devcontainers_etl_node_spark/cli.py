@@ -9,6 +9,7 @@ door exposes the whole catalog instead:
     python -m devcontainers_etl_node_spark run pricing_summary --explain
     python -m devcontainers_etl_node_spark sql "SELECT count(*) FROM lineitem" --sf ...
     python -m devcontainers_etl_node_spark pipeline        # reference ETL twin
+    python -m devcontainers_etl_node_spark export --out /data/shards  # WebDataset tars
 
 ``sql`` registers every corpus table as a temp view, so the engine is usable
 as a plain SQL shell over the lakehouse directory — the front door a
@@ -145,6 +146,33 @@ def cmd_dedup(args) -> int:
     return 0
 
 
+def cmd_export(args) -> int:
+    """Last mile of the curation story: pack the corpus into
+    fixed-token-budget shards (token_shard_assign — distributed prefix
+    sum, no global window) and stream them out as reproducible
+    WebDataset tars (write_webdataset). Same corpus + budget → byte-
+    identical shards, so the export is content-addressable and safe to
+    re-run."""
+    from pyspark.sql import functions as F
+
+    from devcontainers_etl_node_spark.catalog import table
+    from devcontainers_etl_node_spark.operators.prefixsum import token_shard_assign
+    from devcontainers_etl_node_spark.sinks.webdataset import write_webdataset
+
+    spark = _spark()
+    docs = table(spark, args.sf, "documents")
+    assign = token_shard_assign(docs, tokens_per_shard=args.tokens_per_shard)
+    packed = docs.join(assign.select("doc_id", "shard_id"), "doc_id").select(
+        "doc_id", "shard_id", "text", "lang", "source"
+    )
+    write_webdataset(
+        packed, args.out, "shard_id", "doc_id", "text", meta_cols=["lang", "source"]
+    )
+    n_shards = assign.agg(F.countDistinct("shard_id")).collect()[0][0]
+    print(f"exported {n_shards} shards to {args.out}", file=sys.stderr)
+    return 0
+
+
 def cmd_generate(args) -> int:
     """G6 continuous generator fleet twin (reference data_chargers/load.py)."""
     from devcontainers_etl_node_spark.config import EngineConfig
@@ -193,6 +221,13 @@ def main(argv: list[str] | None = None) -> int:
     d.add_argument("--old", default=None, help="corpus directory the snapshot covers")
     d.add_argument("--work", required=True, help="snapshot directory (sigs + pairs)")
 
+    e = sub.add_parser("export", help="pack corpus into WebDataset tar shards")
+    e.add_argument("--sf", default=DEFAULT_SF, help="corpus directory")
+    e.add_argument("--out", required=True, help="shard output directory (path or URI)")
+    e.add_argument(
+        "--tokens-per-shard", type=int, default=4096, help="token budget per shard"
+    )
+
     g = sub.add_parser("generate", help="continuous generator fleet (G6 twin)")
     g.add_argument("--out", required=True, help="lakehouse root for the three sinks")
     g.add_argument("--cycles", type=int, default=0, help="cycles to run (0 = forever)")
@@ -207,6 +242,7 @@ def main(argv: list[str] | None = None) -> int:
         "pipeline": cmd_pipeline,
         "curate": cmd_curate,
         "dedup": cmd_dedup,
+        "export": cmd_export,
         "generate": cmd_generate,
     }[args.cmd](args)
 

@@ -156,6 +156,52 @@ def test_cli_list_and_run(spark, capsys):
     assert "row" in capsys.readouterr().out.lower()
 
 
+def test_cli_export_writes_reproducible_shards(spark, tmp_path, capsys):
+    """`export` — the last mile: token_shard_assign → write_webdataset.
+    Shards exist under --out, every doc lands exactly once, and two runs
+    of the same corpus + budget produce byte-identical tars (sha256)."""
+    import hashlib
+    import tarfile
+
+    from devcontainers_etl_node_spark import cli
+
+    for sub in ("a", "b"):
+        assert (
+            cli.main(
+                [
+                    "export",
+                    "--sf",
+                    "/root/testdata/sf0.001",
+                    "--out",
+                    str(tmp_path / sub),
+                    "--tokens-per-shard",
+                    "2048",
+                ]
+            )
+            == 0
+        )
+    shards = sorted(p.name for p in (tmp_path / "a").iterdir())
+    assert shards and all(s.startswith("shard-") and s.endswith(".tar") for s in shards)
+    assert sorted(p.name for p in (tmp_path / "b").iterdir()) == shards
+    for s in shards:
+        ha = hashlib.sha256((tmp_path / "a" / s).read_bytes()).hexdigest()
+        hb = hashlib.sha256((tmp_path / "b" / s).read_bytes()).hexdigest()
+        assert ha == hb, s
+    # corpus conservation: every non-empty doc appears exactly once
+    keys = []
+    for s in shards:
+        with tarfile.open(tmp_path / "a" / s) as tar:
+            keys += [n[: -len(".txt")] for n in tar.getnames() if n.endswith(".txt")]
+    assert len(keys) == len(set(keys))
+    import duckdb
+
+    n_docs = duckdb.connect().execute(
+        "SELECT COUNT(*) FROM '/root/testdata/sf0.001/documents.parquet' "
+        "WHERE length(trim(text)) > 0"
+    ).fetchone()[0]
+    assert len(keys) == n_docs
+
+
 def test_pandas_api_migration_parity(spark):
     """Migration bridge: the reference's literal pandas call shape
     (rename + two chained left merges, src/etl/etl.py:20-54) runs
