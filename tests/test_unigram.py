@@ -119,6 +119,68 @@ def test_train_is_deterministic_and_bounded(spark):
     assert all(v > 0 for _, v in m1)
 
 
+def test_encode_exhaustive_parity_on_planted_corpus(spark):
+    """Whole-corpus segmentation parity (r7 verdict #6): train on a
+    planted corpus, then verify the distributed encode for EVERY word —
+    not a sample — against the brute-force enumerator: the emitted
+    segmentation must rebuild the word, reach the brute-force MAX score
+    under the trained model, equal the unique argmax wherever the argmax
+    is unique, and equal the pure-Python Viterbi (documented tiebreak)
+    everywhere.  Closes the gap between 'lattice math verified' and
+    'whole-corpus segmentation verified'."""
+    words = [
+        "banana", "bananana", "nanana", "anan", "ban", "nab", "abab",
+        "baba", "zzzz", "zzab", "cab", "qab", "anabanz", "zanzan",
+        "cabana", "bancab", "qq", "a", "zb", "naban",
+    ]
+    # frequency-weighted training corpus: early words dominate so the
+    # trained vocab prefers banana-family pieces
+    rows = []
+    did = 0
+    for i, w in enumerate(words):
+        for _ in range(max(1, 12 - i)):
+            rows.append((did, w))
+            did += 1
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    model = ug.unigram_train(
+        docs, vocab_size=30, seed_size=80, max_piece_len=3
+    )
+    logp = {p: math.log(v) for p, v in model}
+
+    probe = spark.createDataFrame(
+        list(enumerate(words)), "doc_id long, text string"
+    )
+    enc = {
+        r["doc_id"]: list(r["pieces"])
+        for r in ug.unigram_viterbi_encode(probe, model, max_piece_len=3).collect()
+    }
+    for i, w in enumerate(words):
+        got = enc[i]
+        assert "".join(got) == w, (w, got)
+        got_lp = sum(
+            logp.get(p, ug._UNK_LOGP if len(p) == 1 else float("-inf"))
+            for p in got
+        )
+        segs = _brute_segmentations(w, logp, max_len=3)
+        best = max(lp for _, lp in segs)
+        assert got_lp == pytest.approx(best, abs=1e-9), (w, got)
+        top = [pieces for pieces, lp in segs if abs(lp - best) < 1e-9]
+        if len(top) == 1:
+            assert got == top[0], (w, got, top[0])
+        # distributed pass == pure-Python Viterbi, tiebreak included
+        assert got == ug.viterbi_segment(w, logp, 3), w
+
+
+def test_train_raises_clearly_on_empty_word_table(spark):
+    """r7 ADVICE: an all-short-word corpus (word_freq_table keeps only
+    len >= 2) must raise a descriptive error, not ZeroDivisionError."""
+    docs = spark.createDataFrame(
+        [(0, "a b c"), (1, "x y"), (2, "")], "doc_id long, text string"
+    )
+    with pytest.raises(ValueError, match="nothing to train"):
+        ug.unigram_train(docs, vocab_size=10, seed_size=20, max_piece_len=3)
+
+
 def test_encode_is_lossless_and_compresses(spark):
     from devcontainers_etl_node_spark.catalog import table
 
