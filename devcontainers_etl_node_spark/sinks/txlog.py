@@ -1,0 +1,273 @@
+"""Transactional manifest table — Delta-style ACID semantics in pure
+PySpark + parquet, no external jars.
+
+The reference's loaders append to ClickHouse/Postgres, which gives its
+users transactional visibility for free (`src/etl/loaders.py:151-186`);
+a parquet directory gives none: readers list files mid-write, see half
+a batch, and a crashed writer leaves orphans that look like data. At
+100 TB the fix is the lakehouse transaction-log design (Delta Lake,
+Iceberg — public architecture): data files are immutable and
+uniquely named, and a tiny versioned MANIFEST is the single source of
+truth for which files ARE the table.
+
+Semantics provided:
+
+- **Atomic commits**: a writer stages parquet under ``root/data/`` with
+  a UUID prefix (invisible to readers until referenced), then publishes
+  ``root/_txlog/vN.json`` via create-exclusive — the commit IS the
+  manifest write; a crash before it leaves only unreferenced files.
+- **Snapshot isolation / time travel**: ``tx_read(..., version=K)``
+  plans the scan from manifest K's explicit file list (never a
+  directory listing), so a query sees one immutable version end-to-end
+  regardless of concurrent appends/overwrites — and version K stays
+  readable until vacuumed.
+- **Optimistic concurrency**: two appends racing for vN — exactly one
+  wins the create-exclusive; the loser re-reads the new head and
+  rebases (its files are disjoint by construction, so an append rebase
+  is always safe). An overwrite that lost a race FAILS (its snapshot
+  basis is stale) — the caller retries at the new head, same rule
+  Delta applies.
+- **Incremental scans (CDF-lite)**: ``tx_changes(since_version)``
+  returns only files ADDED after a version — the feed the incremental
+  dedup/curation pipelines consume so history is never re-scanned.
+- **Compaction + vacuum**: ``tx_compact`` rewrites small files into a
+  new version (readers of old versions unaffected); ``tx_vacuum``
+  deletes files unreferenced by the retained version window.
+
+Scale notes: the manifest holds (path, rows, bytes) per file — ~100
+bytes/file, so a 100 TB table at 500 MB/file is a ~20 MB manifest, read
+once by the driver for planning (the same driver-side O(files) every
+format pays) while executors never list directories.  Manifest writes
+are create-exclusive ``open(..., "x")`` — atomic on POSIX and on
+object stores with conditional PUT.  Concurrency control is
+single-table, multi-writer, last-committer-rebases — the Delta model,
+not two-phase commit.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+import shutil
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+_LOG = "_txlog"
+_DATA = "data"
+
+
+class TxConflict(RuntimeError):
+    """An overwrite lost the commit race: its snapshot basis is stale."""
+
+
+#: sentinel for tx_write(expected_head=...): "don't check the basis"
+UNCHECKED = "unchecked"
+
+
+def _log_dir(root: str) -> str:
+    return os.path.join(root, _LOG)
+
+
+def _manifest_path(root: str, version: int) -> str:
+    return os.path.join(_log_dir(root), f"v{version:012d}.json")
+
+
+def tx_head(root: str) -> int | None:
+    """Latest committed version, or None for an empty/absent table."""
+    versions = [
+        int(m.group(1))
+        for p in glob.glob(os.path.join(_log_dir(root), "v*.json"))
+        if (m := re.fullmatch(r"v(\d+)\.json", os.path.basename(p)))
+    ]
+    return max(versions) if versions else None
+
+
+def _read_manifest(root: str, version: int) -> dict:
+    with open(_manifest_path(root, version)) as f:
+        return json.load(f)
+
+
+def _stage_files(df: DataFrame, root: str) -> list[dict]:
+    """Write df as immutable uniquely-prefixed parquet under root/data/
+    via a scratch dir (Spark names files per-task; the txn-unique prefix
+    comes from the scratch dir rename), return file entries."""
+    txn = uuid.uuid4().hex[:16]
+    scratch = os.path.join(root, _DATA, f".stage-{txn}")
+    df.write.mode("overwrite").parquet(scratch)
+    entries = []
+    for fn in sorted(os.listdir(scratch)):
+        if not fn.endswith(".parquet"):
+            continue
+        final = f"{txn}-{fn}"
+        os.replace(os.path.join(scratch, fn), os.path.join(root, _DATA, final))
+        entries.append(
+            {
+                "path": f"{_DATA}/{final}",
+                "bytes": os.path.getsize(os.path.join(root, _DATA, final)),
+            }
+        )
+    shutil.rmtree(scratch)
+    return entries
+
+
+def _try_commit(root: str, version: int, manifest: dict) -> bool:
+    """Create-exclusive manifest publish: exactly one writer wins vN."""
+    path = _manifest_path(root, version)
+    try:
+        with open(path, "x") as f:
+            json.dump(manifest, f, sort_keys=True)
+        return True
+    except FileExistsError:
+        return False
+
+
+def tx_write(
+    df: DataFrame,
+    root: str,
+    mode: str = "append",
+    expected_head: int | None | str = UNCHECKED,
+    operation: str | None = None,
+    max_retries: int = 20,
+) -> int:
+    """Commit ``df`` to the table at ``root``; returns the new version.
+
+    ``mode="append"`` adds files to the current snapshot; a lost commit
+    race rebases automatically (append file sets are disjoint, so rebase
+    is always safe).  ``mode="overwrite"`` replaces the table content;
+    pass ``expected_head`` (the version your decision was based on — use
+    ``tx_head(root)``) to get the stale-basis check: if someone else
+    committed past it, :class:`TxConflict` is raised instead of silently
+    clobbering their rows.  ``expected_head`` defaults to unchecked for
+    blind overwrites (truncate-and-load semantics)."""
+    if mode not in ("append", "overwrite"):
+        raise ValueError(f"mode must be append or overwrite, got {mode!r}")
+    os.makedirs(os.path.join(root, _DATA), exist_ok=True)
+    os.makedirs(_log_dir(root), exist_ok=True)
+    added = _stage_files(df, root)
+
+    for _ in range(max_retries):
+        head = tx_head(root)
+        if (
+            mode == "overwrite"
+            and expected_head != UNCHECKED
+            and head != expected_head
+        ):
+            raise TxConflict(
+                f"overwrite based on v{expected_head} but head is v{head}"
+            )
+        next_v = 0 if head is None else head + 1
+        if mode == "append" and head is not None:
+            files = _read_manifest(root, head)["files"] + added
+        else:
+            files = added
+        manifest = {
+            "version": next_v,
+            "mode": mode,
+            "operation": operation,
+            "added": [e["path"] for e in added],
+            "files": files,
+            "committed_at": time.time(),
+        }
+        if _try_commit(root, next_v, manifest):
+            return next_v
+        # lost the race: append rebases onto the new head; overwrite
+        # loops back to the stale-basis check above (unchecked blind
+        # overwrite rebases too — truncate semantics don't care)
+    raise TxConflict(f"gave up after {max_retries} commit races at {root}")
+
+
+def tx_read(
+    spark: SparkSession, root: str, version: int | None = None
+) -> DataFrame:
+    """Snapshot read: plan the scan from the manifest's explicit file
+    list — an immutable version, never a directory listing.  ``version``
+    time-travels; default is the current head."""
+    head = tx_head(root)
+    if head is None:
+        raise FileNotFoundError(f"no committed versions at {root}")
+    v = head if version is None else version
+    manifest = _read_manifest(root, v)
+    paths = [os.path.join(root, e["path"]) for e in manifest["files"]]
+    if not paths:
+        raise ValueError(f"v{v} at {root} is an empty snapshot")
+    return spark.read.parquet(*paths)
+
+
+def tx_changes(
+    spark: SparkSession, root: str, since_version: int
+) -> DataFrame:
+    """Incremental scan (CDF-lite): rows in files ADDED by versions
+    (since_version, head] — the feed incremental dedup consumes.  Only
+    meaningful across appends/compactions; an intervening overwrite
+    resets history, so its snapshot is returned whole (everything after
+    it is 'new')."""
+    head = tx_head(root)
+    if head is None or since_version > head:
+        raise ValueError(f"since_version v{since_version} vs head {head}")
+    paths: list[str] = []
+    for v in range(since_version + 1, head + 1):
+        m = _read_manifest(root, v)
+        if m["mode"] == "overwrite":
+            paths = [os.path.join(root, e["path"]) for e in m["files"]]
+        else:
+            paths += [os.path.join(root, p) for p in m["added"]]
+    if not paths:
+        return tx_read(spark, root, head).limit(0)
+    return spark.read.parquet(*paths)
+
+
+def tx_compact(
+    spark: SparkSession,
+    root: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Rewrite the head snapshot into ~target-sized files and commit it
+    as a new version (operation='compact').  Readers pinned to older
+    versions are untouched — their files stay on disk until vacuum.
+    Cost model is compact_small_files' (sinks/files.py): one shuffle-free
+    coalesce sized from live bytes."""
+    head = tx_head(root)
+    if head is None:
+        raise FileNotFoundError(f"no committed versions at {root}")
+    manifest = _read_manifest(root, head)
+    live_bytes = sum(e["bytes"] for e in manifest["files"])
+    n_out = max(1, round(live_bytes / target_file_bytes))
+    df = tx_read(spark, root, head).coalesce(n_out)
+    return tx_write(
+        df, root, mode="overwrite", expected_head=head, operation="compact"
+    )
+
+
+def tx_vacuum(root: str, keep_last: int = 2) -> list[str]:
+    """Delete data files unreferenced by the last ``keep_last`` versions
+    (and stale stage scratch), plus older manifests.  Returns deleted
+    paths.  Never touches files any retained version references — time
+    travel within the window survives vacuum."""
+    head = tx_head(root)
+    if head is None:
+        return []
+    keep_versions = [v for v in range(head - keep_last + 1, head + 1) if v >= 0]
+    referenced = set()
+    for v in keep_versions:
+        for e in _read_manifest(root, v)["files"]:
+            referenced.add(e["path"])
+    deleted = []
+    data_dir = os.path.join(root, _DATA)
+    for fn in sorted(os.listdir(data_dir)):
+        full = os.path.join(data_dir, fn)
+        if fn.startswith(".stage-"):
+            shutil.rmtree(full, ignore_errors=True)
+            deleted.append(f"{_DATA}/{fn}")
+        elif f"{_DATA}/{fn}" not in referenced and fn.endswith(".parquet"):
+            os.remove(full)
+            deleted.append(f"{_DATA}/{fn}")
+    for p in glob.glob(os.path.join(_log_dir(root), "v*.json")):
+        m = re.fullmatch(r"v(\d+)\.json", os.path.basename(p))
+        if m and int(m.group(1)) not in keep_versions:
+            os.remove(p)
+            deleted.append(f"{_LOG}/{os.path.basename(p)}")
+    return deleted
