@@ -562,9 +562,10 @@ def window_running(spark: SparkSession, sf: str) -> DataFrame:
     """
     SELECT o_orderkey,
            CAST(round(o_totalprice * 100) AS BIGINT) AS rev_cents,
-           SUM(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (
+           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (
                 ORDER BY o_orderdate, o_orderkey
-                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_rev_cents
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                AS cum_rev_cents
     FROM orders
     """,
 )
@@ -1966,7 +1967,7 @@ def unpivot_metrics(spark: SparkSession, sf: str) -> DataFrame:
         QUALIFY ROW_NUMBER() OVER (PARTITION BY norm ORDER BY doc_id) = 1)
     SELECT lang,
            COUNT(*) AS n_docs,
-           SUM(n_tokens) AS total_tokens,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
            CAST(SUM(n_tokens) AS DOUBLE) / COUNT(*) AS avg_tokens
     FROM deduped GROUP BY lang
     """,
@@ -2819,7 +2820,7 @@ def collect_agg(spark: SparkSession, sf: str) -> DataFrame:
     SELECT c_mktsegment AS segment,
            arg_max(c_custkey, c_acctbal) AS richest_cust,
            arg_min(c_custkey, c_acctbal) AS poorest_cust,
-           count_if(c_acctbal < 0) AS n_negative,
+           CAST(count_if(c_acctbal < 0) AS BIGINT) AS n_negative,
            bool_or(c_acctbal > 9000) AS any_rich,
            bool_and(c_acctbal > -1000) AS all_above_floor
     FROM customer
@@ -4394,7 +4395,8 @@ def dup_pagerank(spark: SparkSession, sf: str) -> DataFrame:
                len(string_split_regex(trim(text), '\\s+')) AS n_tok
         FROM documents),
     per_src AS (
-        SELECT source, COUNT(*) AS n_docs, SUM(n_tok) AS tokens
+        SELECT source, COUNT(*) AS n_docs,
+               CAST(SUM(n_tok) AS BIGINT) AS tokens
         FROM tok GROUP BY source),
     w AS (
         SELECT source, n_docs, tokens,
@@ -4516,10 +4518,10 @@ def forecast_revenue(spark: SparkSession, sf: str) -> DataFrame:
     "late_priority_lines",
     """
     SELECT l.l_linestatus,
-           SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS high_line_count,
-           SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS low_line_count
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
     WHERE l.l_shipdate >= o.o_orderdate + INTERVAL 60 DAY
       AND l.l_shipdate >= TIMESTAMP '1996-01-01'
@@ -4576,10 +4578,10 @@ def late_priority_lines(spark: SparkSession, sf: str) -> DataFrame:
                 AND t_click > t_view AND t_purchase > t_click) AS s4
         FROM per_user)
     SELECT COUNT(*) AS n_users,
-           SUM(CASE WHEN s1 THEN 1 ELSE 0 END) AS reached_signup,
-           SUM(CASE WHEN s2 THEN 1 ELSE 0 END) AS reached_view,
-           SUM(CASE WHEN s3 THEN 1 ELSE 0 END) AS reached_click,
-           SUM(CASE WHEN s4 THEN 1 ELSE 0 END) AS reached_purchase
+           CAST(SUM(CASE WHEN s1 THEN 1 ELSE 0 END) AS BIGINT) AS reached_signup,
+           CAST(SUM(CASE WHEN s2 THEN 1 ELSE 0 END) AS BIGINT) AS reached_view,
+           CAST(SUM(CASE WHEN s3 THEN 1 ELSE 0 END) AS BIGINT) AS reached_click,
+           CAST(SUM(CASE WHEN s4 THEN 1 ELSE 0 END) AS BIGINT) AS reached_purchase
     FROM stages
     """,
 )
@@ -5629,7 +5631,8 @@ def reservoir_sample_groups(spark: SparkSession, sf: str) -> DataFrame:
         SELECT lang, n_chars,
                row_number() OVER (ORDER BY priority, doc_id) AS rn
         FROM prio)
-    SELECT lang, COUNT(*) AS n_sampled, SUM(n_chars) AS sampled_chars
+    SELECT lang, COUNT(*) AS n_sampled,
+           CAST(SUM(n_chars) AS BIGINT) AS sampled_chars
     FROM topk WHERE rn <= 100
     GROUP BY lang
     """,

@@ -150,6 +150,61 @@ def test_every_query_has_callable_and_oracle_consistency():
     }
 
 
+def test_all_oracles_type_parity(spark, duck):
+    """Declared-type parity for EVERY oracled entry (plan-time only, no
+    jobs): the driver's canonicalizer distinguishes int128 from int64 and
+    Decimal from float, while the sweep's value hash stringifies — the r8
+    `running_revenue_global` red was a DuckDB window SUM(BIGINT) silently
+    widening to HUGEINT. This gate kills that class: any oracle column
+    whose canonical type class differs from the Spark schema fails here
+    before it can rotate into the driver's subset."""
+    from tools.type_parity import type_mismatches
+
+    import __spark_entry__ as entrymod
+
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    offenders = {}
+    for name, sql in oracles.items():
+        schema = qs[name](spark, SF_SMALL).schema
+        rel = duck.sql(sql)
+        mism = type_mismatches(schema, rel.columns, rel.types)
+        if mism:
+            offenders[name] = mism
+    assert not offenders, offenders
+
+
+def test_type_parity_catches_uncast_hugeint_sum(spark, duck):
+    """Planted-defect regression: an oracle with an uncast SUM(BIGINT)
+    window (DuckDB → HUGEINT) MUST be flagged by the type gate even
+    though its stringified values are identical — exactly the r8 failure
+    mode. Also pins that the CAST-fixed form passes."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from devcontainers_etl_node_spark.queries.catalog import table
+    from tools.type_parity import type_mismatches
+
+    w = Window.orderBy("o_orderkey").rowsBetween(Window.unboundedPreceding, 0)
+    sdf = table(spark, SF_SMALL, "orders").select(
+        "o_orderkey",
+        F.sum(F.col("o_orderkey").cast("long")).over(w).alias("cum"),
+    )
+    planted = duck.sql(
+        "SELECT o_orderkey, SUM(CAST(o_orderkey AS BIGINT)) OVER "
+        "(ORDER BY o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND "
+        "CURRENT ROW) AS cum FROM orders"
+    )
+    mism = type_mismatches(sdf.schema, planted.columns, planted.types)
+    assert mism and "int128" in mism[0], mism
+
+    fixed = duck.sql(
+        "SELECT o_orderkey, CAST(SUM(CAST(o_orderkey AS BIGINT)) OVER "
+        "(ORDER BY o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND "
+        "CURRENT ROW) AS BIGINT) AS cum FROM orders"
+    )
+    assert type_mismatches(sdf.schema, fixed.columns, fixed.types) == []
+
+
 def test_no_query_outputs_driver_unhashable_columns(spark):
     """The driver's correctness harness canonicalizes result rows via
     pandas sort_values, which cannot hash list/dict cells — an array, map,

@@ -39,6 +39,7 @@ sys.path.insert(0, "/root/repo")
 from __spark_entry__ import oracle_sql, queries  # noqa: E402
 from devcontainers_etl_node_spark.schemas import CORPUS_TABLES  # noqa: E402
 from devcontainers_etl_node_spark.session import get_spark  # noqa: E402
+from tools.type_parity import type_mismatches  # noqa: E402
 
 RERUN_FACTOR = 3.0  # rerun when >= 3x the baseline time
 RERUN_FLOOR = 1.0  # ...and over this many seconds (absolute noise floor)
@@ -172,6 +173,16 @@ def main() -> int:
             failures.append(name)
             continue
         problems = []
+        # declared-type parity (r8 post-mortem: the driver's canonicalizer
+        # is type-sensitive while our value hash stringifies, so a HUGEINT
+        # oracle column is invisible here but red at the driver)
+        try:
+            rel = con.sql(oracles[name])
+            tmism = type_mismatches(sdf.schema, rel.columns, rel.types)
+        except Exception:  # noqa: BLE001 — rel planning failed; exec above caught it
+            tmism = []
+        if tmism:
+            problems.append("type drift: " + "; ".join(tmism))
         if len(srows) != len(orows):
             problems.append(f"rows {len(srows)} != {len(orows)}")
         if sorted(scols) != sorted(ocols):
