@@ -59,6 +59,16 @@ def _offsets_then_window(
     sums = bucketed.groupBy(_BUCKET).agg(
         F.sum(F.col(value_col).cast("long")).alias("s")
     ).collect()
+    # NULL order keys bucket to NULL (both variants arrange this), so the
+    # guard rides the collect we already pay for: a NULL key would be
+    # silently mis-ordered (Spark windows sort NULLS FIRST, SQL oracles
+    # NULLS LAST) — the documented non-null total-order precondition is
+    # enforced, not assumed.
+    if any(row[_BUCKET] is None for row in sums):
+        raise ValueError(
+            "order_key contains NULLs: the global prefix sum requires a "
+            "non-null total order — filter or coalesce the key first"
+        )
     acc = 0
     offsets = []
     for row in sorted(sums, key=lambda r: r[_BUCKET]):
@@ -149,6 +159,11 @@ def global_running_sum_ranged(
     bucket = F.lit(0)
     for b in bounds:
         bucket = bucket + F.when(F.col(order_key) > F.lit(b), 1).otherwise(0)
+    # comparison chains swallow NULL (`NULL > b` -> otherwise-0), which
+    # would silently file NULL keys under bucket 0; route them to a NULL
+    # bucket instead so _offsets_then_window's guard rejects them (the
+    # hash variant gets this for free: shift of a NULL cast stays NULL)
+    bucket = F.when(F.col(order_key).isNull(), F.lit(None)).otherwise(bucket)
     bucketed = df.withColumn(_BUCKET, bucket.cast("long"))
     return _offsets_then_window(
         bucketed, [order_key, *tiebreak_cols], value_col, out_col

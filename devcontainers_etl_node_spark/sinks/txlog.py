@@ -37,11 +37,16 @@ Semantics provided:
 Scale notes: the manifest holds (path, rows, bytes) per file — ~100
 bytes/file, so a 100 TB table at 500 MB/file is a ~20 MB manifest, read
 once by the driver for planning (the same driver-side O(files) every
-format pays) while executors never list directories.  Manifest writes
-are create-exclusive ``open(..., "x")`` — atomic on POSIX and on
-object stores with conditional PUT.  Concurrency control is
-single-table, multi-writer, last-committer-rebases — the Delta model,
-not two-phase commit.
+format pays) while executors never list directories.  Per-file ``rows``
+comes from the parquet FOOTER (pyarrow metadata read, no Spark job) so
+``tx_read`` callers can plan/skip on counts without scanning.  Manifest
+publish is fsync-then-hardlink: the JSON is durably written to a temp
+name first and only then linked to ``vN.json`` — the link is both the
+atomicity point (a crash mid-write can never leave a truncated manifest
+under the winning name) and the exclusivity point (``os.link`` fails
+with EEXIST for the loser, the same contract conditional-PUT gives on
+object stores).  Concurrency control is single-table, multi-writer,
+last-committer-rebases — the Delta model, not two-phase commit.
 """
 
 from __future__ import annotations
@@ -104,25 +109,48 @@ def _stage_files(df: DataFrame, root: str) -> list[dict]:
             continue
         final = f"{txn}-{fn}"
         os.replace(os.path.join(scratch, fn), os.path.join(root, _DATA, final))
+        full = os.path.join(root, _DATA, final)
         entries.append(
             {
                 "path": f"{_DATA}/{final}",
-                "bytes": os.path.getsize(os.path.join(root, _DATA, final)),
+                "bytes": os.path.getsize(full),
+                "rows": _parquet_rows(full),
             }
         )
     shutil.rmtree(scratch)
     return entries
 
 
+def _parquet_rows(path: str) -> int:
+    """Row count from the parquet footer — metadata only, no scan."""
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(path).metadata.num_rows
+
+
 def _try_commit(root: str, version: int, manifest: dict) -> bool:
-    """Create-exclusive manifest publish: exactly one writer wins vN."""
+    """Atomic-and-exclusive manifest publish: exactly one writer wins vN,
+    and no crash can leave a truncated vN.json under the winning name.
+    The JSON streams to a writer-unique temp file (flush + fsync), then
+    publishes via ``os.link(tmp, final)`` — the hardlink either fully
+    exposes the durable bytes or raises FileExistsError for the loser."""
     path = _manifest_path(root, version)
+    tmp = f"{path}.inprogress.{uuid.uuid4().hex[:12]}"
     try:
-        with open(path, "x") as f:
+        with open(tmp, "x") as f:
             json.dump(manifest, f, sort_keys=True)
-        return True
-    except FileExistsError:
-        return False
+            f.flush()
+            os.fsync(f.fileno())
+        try:
+            os.link(tmp, path)
+            return True
+        except FileExistsError:
+            return False
+    finally:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
 
 
 def tx_write(
@@ -210,7 +238,15 @@ def tx_changes(
         raise ValueError(f"since_version v{since_version} vs head {head}")
     paths: list[str] = []
     for v in range(since_version + 1, head + 1):
-        m = _read_manifest(root, v)
+        try:
+            m = _read_manifest(root, v)
+        except FileNotFoundError:
+            raise ValueError(
+                f"history before v{v + 1} at {root} has been vacuumed — "
+                f"incremental read from v{since_version} is impossible; "
+                f"re-read the full snapshot (tx_read) and reset the cursor "
+                f"to v{head}"
+            ) from None
         if m["mode"] == "overwrite":
             paths = [os.path.join(root, e["path"]) for e in m["files"]]
         else:
@@ -242,14 +278,25 @@ def tx_compact(
     )
 
 
-def tx_vacuum(root: str, keep_last: int = 2) -> list[str]:
+def tx_vacuum(
+    root: str, keep_last: int = 2, retention_hours: float = 24.0
+) -> list[str]:
     """Delete data files unreferenced by the last ``keep_last`` versions
     (and stale stage scratch), plus older manifests.  Returns deleted
     paths.  Never touches files any retained version references — time
-    travel within the window survives vacuum."""
+    travel within the window survives vacuum.
+
+    ``retention_hours`` is the in-flight-writer grace window (Delta's
+    vacuum retention check): an unreferenced file or ``.stage-*`` dir
+    younger than the threshold may belong to a writer between
+    ``_stage_files`` and commit — deleting it would let that writer
+    publish a manifest referencing dead files (a corrupted snapshot).
+    Only age-passed orphans are reclaimed; pass ``retention_hours=0``
+    ONLY when no writer can be in flight (tests, single-process jobs)."""
     head = tx_head(root)
     if head is None:
         return []
+    cutoff = time.time() - retention_hours * 3600.0
     keep_versions = [v for v in range(head - keep_last + 1, head + 1) if v >= 0]
     referenced = set()
     for v in keep_versions:
@@ -259,6 +306,12 @@ def tx_vacuum(root: str, keep_last: int = 2) -> list[str]:
     data_dir = os.path.join(root, _DATA)
     for fn in sorted(os.listdir(data_dir)):
         full = os.path.join(data_dir, fn)
+        try:
+            age_ok = os.path.getmtime(full) <= cutoff
+        except OSError:
+            continue  # raced with its writer's own rename/cleanup
+        if not age_ok:
+            continue
         if fn.startswith(".stage-"):
             shutil.rmtree(full, ignore_errors=True)
             deleted.append(f"{_DATA}/{fn}")

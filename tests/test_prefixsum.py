@@ -147,3 +147,20 @@ def test_ranged_plan_has_no_unpartitioned_window(spark):
 
     out = prefixsum.global_running_sum_ranged(_mk_skewed(spark), "h", ["rid"], "v")
     assert unpartitioned_windows(out) == []
+
+
+def test_null_order_key_raises_both_variants(spark):
+    """ADVICE r8: a NULL order key must be a loud error, not a silent
+    bucket-0 row that diverges from a SQL oracle's NULLS LAST ordering.
+    The guard rides the bucket-sum collect (no extra pass)."""
+    import pytest
+
+    df = spark.range(50).select(
+        F.col("id").alias("rid"),
+        F.when(F.col("id") == 7, F.lit(None)).otherwise(F.col("id")).alias("h"),
+        F.lit(1).alias("v"),
+    )
+    with pytest.raises(ValueError, match="non-null total order"):
+        prefixsum.global_running_sum_ranged(df, "h", ["rid"], "v").collect()
+    with pytest.raises(ValueError, match="non-null total order"):
+        prefixsum.global_running_sum(df, "h", ["rid"], "v").collect()

@@ -35,7 +35,8 @@ def test_append_read_and_uncommitted_files_invisible(spark, tmp_path):
     assert txlog.tx_read(spark, root).count() == 10
 
     # ... and vacuum reclaims them without touching referenced files
-    deleted = txlog.tx_vacuum(root, keep_last=5)
+    # (retention 0: this test IS the no-writer-in-flight case)
+    deleted = txlog.tx_vacuum(root, keep_last=5, retention_hours=0)
     assert any(e["path"] in d or d in e["path"] for e in orphan for d in deleted)
     assert txlog.tx_read(spark, root).count() == 10
 
@@ -143,7 +144,7 @@ def test_vacuum_keeps_window_and_reclaims_the_rest(spark, tmp_path):
     txlog.tx_write(_df(spark, 0, 10, "a").repartition(4), root)   # v0
     txlog.tx_write(_df(spark, 10, 20, "b"), root)                 # v1
     txlog.tx_compact(spark, root)                                 # v2
-    deleted = txlog.tx_vacuum(root, keep_last=1)
+    deleted = txlog.tx_vacuum(root, keep_last=1, retention_hours=0)
     assert deleted  # v0/v1-only files + old manifests reclaimed
     assert txlog.tx_read(spark, root).count() == 20
     # outside the window: manifest gone
@@ -157,7 +158,7 @@ def test_vacuum_keeps_window_and_reclaims_the_rest(spark, tmp_path):
 
 def test_manifest_is_bounded_metadata_not_data(spark, tmp_path):
     """The 100 TB planning contract: the manifest is O(files) driver-side
-    metadata (path + bytes), never row data."""
+    metadata (path + bytes + footer row count), never row data."""
     root = str(tmp_path / "t")
     txlog.tx_write(_df(spark, 0, 1000, "a"), root)
     (mpath,) = glob.glob(os.path.join(root, "_txlog", "*.json"))
@@ -165,5 +166,76 @@ def test_manifest_is_bounded_metadata_not_data(spark, tmp_path):
     assert set(m) == {
         "version", "mode", "operation", "added", "files", "committed_at"
     }
-    assert all(set(e) == {"path", "bytes"} for e in m["files"])
+    assert all(set(e) == {"path", "bytes", "rows"} for e in m["files"])
+    # rows comes from parquet footers, not a scan — and it's exact
+    assert sum(e["rows"] for e in m["files"]) == 1000
     assert os.path.getsize(mpath) < 4096
+
+
+def test_commit_is_crash_atomic_and_leaves_no_temps(spark, tmp_path):
+    """A manifest can never be observed truncated: the publish is a
+    hardlink of an fsynced temp. Simulate the crash-mid-write case (a
+    stranded ``.inprogress.*`` temp) and verify it is invisible to
+    tx_head/readers and does not block the next committer; verify no
+    temps survive a successful commit either."""
+    root = str(tmp_path / "t")
+    txlog.tx_write(_df(spark, 0, 10, "a"), root)  # v0
+    log_dir = os.path.join(root, "_txlog")
+    # crashed writer: truncated JSON under a temp name for the NEXT version
+    stranded = os.path.join(log_dir, "v000000000001.json.inprogress.deadbeef")
+    with open(stranded, "w") as f:
+        f.write('{"version": 1, "files": [')  # torn write
+    assert txlog.tx_head(root) == 0            # temp is not a version
+    assert txlog.tx_read(spark, root).count() == 10
+    v = txlog.tx_write(_df(spark, 10, 15, "b"), root)  # commits v1 fine
+    assert v == 1 and txlog.tx_read(spark, root).count() == 15
+    # the winning manifest is complete, parseable JSON
+    m = txlog._read_manifest(root, 1)
+    assert m["version"] == 1
+    # successful commits leave no temps of their own behind
+    temps = [p for p in os.listdir(log_dir) if ".inprogress." in p]
+    assert temps == [os.path.basename(stranded)]
+
+
+def test_commit_loser_cleans_temp_and_returns_false(spark, tmp_path):
+    root = str(tmp_path / "t")
+    txlog.tx_write(_df(spark, 0, 5, "a"), root)  # v0 exists
+    m0 = txlog._read_manifest(root, 0)
+    assert txlog._try_commit(root, 0, m0) is False  # loses to itself
+    log_dir = os.path.join(root, "_txlog")
+    assert [p for p in os.listdir(log_dir) if ".inprogress." in p] == []
+
+
+def test_vacuum_grace_window_protects_inflight_writers(spark, tmp_path):
+    """Delta's retention rule: an unreferenced-but-RECENT file may belong
+    to a writer between stage and commit — default vacuum must not touch
+    it, so that writer's later commit still references live files."""
+    root = str(tmp_path / "t")
+    txlog.tx_write(_df(spark, 0, 10, "a"), root)  # v0
+    # an in-flight writer has staged but not yet committed
+    staged = txlog._stage_files(_df(spark, 10, 20, "inflight"), root)
+    deleted = txlog.tx_vacuum(root, keep_last=1)  # default retention
+    assert deleted == []  # fresh orphans survive
+    # the in-flight writer now commits by hand — its files must be live
+    m0 = txlog._read_manifest(root, 0)
+    assert txlog._try_commit(
+        root, 1,
+        {"version": 1, "mode": "append", "operation": None,
+         "added": [e["path"] for e in staged],
+         "files": m0["files"] + staged, "committed_at": 0},
+    )
+    got = txlog.tx_read(spark, root)
+    assert got.count() == 20
+    assert {r["batch"] for r in got.collect()} == {"a", "inflight"}
+
+
+def test_changes_after_vacuum_raises_descriptive_error(spark, tmp_path):
+    root = str(tmp_path / "t")
+    txlog.tx_write(_df(spark, 0, 10, "a"), root)   # v0
+    txlog.tx_write(_df(spark, 10, 20, "b"), root)  # v1
+    txlog.tx_write(_df(spark, 20, 30, "c"), root)  # v2
+    txlog.tx_vacuum(root, keep_last=1, retention_hours=0)  # drops v0, v1
+    with pytest.raises(ValueError, match="vacuumed.*full snapshot"):
+        txlog.tx_changes(spark, root, since_version=0)
+    # within the retained window the feed still works
+    assert txlog.tx_changes(spark, root, since_version=2).count() == 0
