@@ -8,13 +8,19 @@ be a PERSISTED staging table: a 10-hour curation run that fails in stage
 5 must resume from stage 4's output, not re-shuffle 100 TB. This module
 is that production shape, runnable and tested here:
 
-- every stage writes ``<workdir>/NN_name/`` as parquet and is READ BACK
-  for the next stage (the read is the lineage barrier — same plan-size
-  bound as the checkpoint, plus durability);
-- a completed stage (parquet ``_SUCCESS`` marker present AND a matching
-  ``_MANIFEST.json`` recording the input fingerprint + stage parameters)
-  is skipped on re-run and its table reused — crash-resume semantics
-  that also invalidate on changed input data or changed parameters;
+- every stage is a TRANSACTIONAL table (``sinks/txlog.py``) at
+  ``<workdir>/NN_name/``, committed with ``tx_write(mode="overwrite")``
+  and READ BACK via ``tx_read`` for the next stage (the read is the
+  lineage barrier — same plan-size bound as the checkpoint, plus
+  durability). The manifest commit is the atomicity point: a writer
+  killed between the parquet write and the commit leaves only
+  unreferenced files, so a resumed run sees the previous committed
+  version — never a half-written stage (the directory-listing exposure
+  the r8 design carried is gone);
+- a completed stage (committed head whose manifest ``meta`` records the
+  input fingerprint + stage parameters of THIS run) is skipped on re-run
+  and its snapshot reused — crash-resume semantics that also invalidate
+  on changed input data or changed parameters;
 - once any stage recomputes, every LATER stage recomputes too (a resumed
   run can never mix a new upstream with stale downstream outputs);
 - the funnel report (stage → surviving docs + token mass) is derived
@@ -29,7 +35,6 @@ benchmark decontamination (doc_id%10==0 stand-in slice, 3-gram overlap)
 
 from __future__ import annotations
 
-import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -37,48 +42,13 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from devcontainers_etl_node_spark.operators import dedup as dd, packing
 from devcontainers_etl_node_spark.operators import text as tx
 from devcontainers_etl_node_spark.operators.skew import spread
+from devcontainers_etl_node_spark.sinks import txlog
 
 STAGES = ("quality_gate", "exact_dedup", "near_dedup", "decontaminated", "packed")
 
 
 def _stage_dir(workdir: str, idx: int, name: str) -> str:
     return os.path.join(workdir, f"{idx:02d}_{name}")
-
-
-_MANIFEST = "_MANIFEST.json"
-
-
-def _manifest_path(path: str) -> str:
-    return os.path.join(path, _MANIFEST)
-
-
-def _read_manifest(path: str) -> dict | None:
-    try:
-        with open(_manifest_path(path)) as f:
-            return json.load(f)
-    except (OSError, ValueError):
-        return None
-
-
-def _write_manifest(path: str, manifest: dict) -> None:
-    # written AFTER the parquet commit (_SUCCESS): a crash between the two
-    # leaves a stage with data but no manifest, which _is_complete treats
-    # as incomplete — fail-safe, the stage reruns.
-    tmp = _manifest_path(path) + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(manifest, f, sort_keys=True)
-    os.replace(tmp, _manifest_path(path))
-
-
-def _is_complete(path: str, expected_manifest: dict) -> bool:
-    """Complete = parquet committed AND the recorded manifest (input
-    fingerprint + stage parameters) matches this run's. A stage staged
-    from different input data or different parameters is STALE, not
-    complete — reusing it would silently mix runs (round-3 advisory)."""
-    return (
-        os.path.exists(os.path.join(path, "_SUCCESS"))
-        and _read_manifest(path) == expected_manifest
-    )
 
 
 def _quality_gate(docs: DataFrame) -> DataFrame:
@@ -149,12 +119,15 @@ def run_staged_funnel(
     "computed": [stage names actually recomputed this run]} — `report`
     has the same (stage_no, stage, docs, tokens) rows as pretrain_prep.
 
-    Resume safety: every stage directory carries a ``_MANIFEST.json``
-    recording the input fingerprint and the stage's parameters. A stage
-    is reused only when its parquet is committed AND its manifest matches
-    the current run — so re-running with different input data or a
-    different ``max_tokens`` invalidates the affected stage and
-    everything downstream instead of silently reusing stale outputs.
+    Resume safety: every stage is a txlog table whose commit ``meta``
+    records the input fingerprint and the stage's parameters. A stage
+    is reused only when a committed head EXISTS and its meta matches
+    the current run — so a writer killed mid-stage (files staged, no
+    manifest) resumes at the previous committed version, and re-running
+    with different input data or a different ``max_tokens`` invalidates
+    the affected stage and everything downstream instead of silently
+    reusing stale outputs. Superseded stage versions stay time-travel
+    readable until ``txlog.tx_vacuum`` reclaims them.
 
     ``input_fingerprint`` identifies the input corpus; it defaults to
     ``docs.semanticHash()``, which fingerprints the PLAN (source paths,
@@ -173,18 +146,23 @@ def run_staged_funnel(
     def materialize(idx: int, name: str, build, params: dict | None = None) -> DataFrame:
         nonlocal upstream_recomputed
         path = _stage_dir(workdir, idx, name)
-        manifest = {
+        meta = {
             "input": input_fingerprint,
             "stage": name,
             "params": params or {},
         }
-        if _is_complete(path, manifest) and not upstream_recomputed:
-            return spark.read.parquet(path)
-        build().write.mode("overwrite").parquet(path)
-        _write_manifest(path, manifest)
+        head = txlog.tx_head(path)
+        if head is not None and not upstream_recomputed:
+            # complete = a COMMITTED version whose meta matches this run;
+            # staged-but-uncommitted files are invisible by construction
+            if txlog.tx_meta(path, head) == meta:
+                return txlog.tx_read(spark, path, version=head)
+        txlog.tx_write(
+            build(), path, mode="overwrite", operation=f"funnel:{name}", meta=meta
+        )
         computed.append(name)
         upstream_recomputed = True
-        return spark.read.parquet(path)
+        return txlog.tx_read(spark, path)
 
     near_params = {"num_hashes": 16, "bands": 4, "threshold": 0.5}
     gated = materialize(1, "quality_gate", lambda: _quality_gate(docs))

@@ -138,6 +138,109 @@ def run_incremental_dedup(
     return {"pairs": pairs, "version": version, "n_pairs": pairs.count()}
 
 
+_CURSOR = "CORPUS_CURSOR.json"
+_INTENT = "CORPUS_CURSOR.intent.json"
+
+
+def _read_json(path: str) -> dict | None:
+    try:
+        with open(path) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return None
+
+
+def run_incremental_dedup_from_table(
+    spark: SparkSession,
+    corpus_root: str,
+    workdir: str,
+    **lsh_params,
+) -> dict:
+    """Feed :func:`run_incremental_dedup` from a transactional corpus
+    table's CHANGE FEED (``sinks/txlog.py``) instead of caller-supplied
+    batches — the ingest loop stops re-listing directories entirely:
+
+    - ``new_docs``  = ``tx_changes(corpus_root, since_version=cursor)`` —
+      only the files appended since the last processed corpus version;
+    - ``old_docs``  = ``tx_read(corpus_root, version=cursor)`` — the
+      exact snapshot the committed signature table was built over
+      (time travel gives the verify stage the right history even while
+      writers keep appending).
+
+    The corpus-version cursor advances EXACTLY ONCE per processed batch
+    via a write-ahead intent: the intent (next dedup version + corpus
+    head) is recorded before the dedup runs; after the dedup snapshot
+    commits, the intent is promoted to the cursor.  On startup a
+    leftover intent is resolved by comparing its dedup version to the
+    committed pointer — promoted if the batch actually committed (crash
+    after commit), discarded otherwise (crash before), so a killed run
+    neither loses a batch nor processes one twice.
+
+    The feed requires an APPEND-ONLY corpus within the consumed window:
+    an overwrite rewrites history, so signatures built over the old
+    snapshot would verify against documents that no longer exist —
+    detected via the manifest history and rejected loudly.
+
+    Returns ``run_incremental_dedup``'s dict plus ``corpus_version``;
+    when no new corpus version exists, returns ``{"pairs": None,
+    "n_pairs": 0, "no_new_data": True, ...}`` without touching state.
+    """
+    from devcontainers_etl_node_spark.sinks import txlog
+
+    os.makedirs(workdir, exist_ok=True)
+    head = txlog.tx_head(corpus_root)
+    if head is None:
+        raise FileNotFoundError(f"no committed corpus versions at {corpus_root}")
+
+    cursor_path = os.path.join(workdir, _CURSOR)
+    intent_path = os.path.join(workdir, _INTENT)
+    cur = _read_current(workdir)
+    intent = _read_json(intent_path)
+    if intent is not None:
+        if cur is not None and cur >= intent["dedup_version"]:
+            # crash AFTER the dedup commit: the batch is in the snapshot,
+            # only the cursor promotion was lost — finish it
+            os.replace(intent_path, cursor_path)
+        else:
+            # crash BEFORE the dedup commit: the batch never happened
+            os.remove(intent_path)
+    cursor = _read_json(cursor_path)
+
+    if cursor is None:
+        since = None
+        new_docs = txlog.tx_read(spark, corpus_root, version=head)
+        old_docs = None
+    else:
+        since = cursor["corpus_version"]
+        if since >= head:
+            return {
+                "pairs": None,
+                "version": cur,
+                "n_pairs": 0,
+                "corpus_version": since,
+                "no_new_data": True,
+            }
+        modes = {h["mode"] for h in txlog.tx_history(corpus_root, since)}
+        if "overwrite" in modes:
+            raise ValueError(
+                f"corpus at {corpus_root} was OVERWRITTEN after v{since}: "
+                "the committed signature history no longer describes the "
+                "table — start a fresh dedup workdir from the new snapshot"
+            )
+        new_docs = txlog.tx_changes(spark, corpus_root, since_version=since)
+        old_docs = txlog.tx_read(spark, corpus_root, version=since)
+
+    next_intent = {"dedup_version": (cur or 0) + 1, "corpus_version": head}
+    tmp = intent_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(next_intent, f)
+    os.replace(tmp, intent_path)
+
+    out = run_incremental_dedup(spark, new_docs, workdir, old_docs=old_docs, **lsh_params)
+    os.replace(intent_path, cursor_path)  # promote: batch committed
+    return {**out, "corpus_version": head}
+
+
 def run_incremental_substr(
     spark: SparkSession,
     new_docs: DataFrame,

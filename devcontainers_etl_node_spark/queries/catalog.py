@@ -9492,3 +9492,77 @@ def substr_incremental(spark: SparkSession, sf: str) -> DataFrame:
     history = dedup.substr_gram_doc_counts(dedup.substr_gram_rows(old_docs, k=8))
     clean, _merged, _bc = dedup.substr_clean_batch(history, new_docs, k=8)
     return clean
+
+
+@query(
+    "txlog_acid",
+    """
+    WITH d AS (SELECT doc_id, n_chars FROM documents)
+    SELECT 'v0' AS snapshot,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM d WHERE doc_id % 3 = 0
+    UNION ALL
+    SELECT 'v1', CAST(COUNT(*) AS BIGINT), CAST(SUM(n_chars) AS BIGINT)
+    FROM d WHERE doc_id % 3 IN (0, 1)
+    UNION ALL
+    SELECT 'cdf_since_v0', CAST(COUNT(*) AS BIGINT), CAST(SUM(n_chars) AS BIGINT)
+    FROM d WHERE doc_id % 3 = 1
+    UNION ALL
+    SELECT 'head', CAST(COUNT(*) AS BIGINT), CAST(SUM(n_chars) AS BIGINT)
+    FROM d WHERE doc_id % 3 = 2
+    """,
+)
+def txlog_acid(spark: SparkSession, sf: str) -> DataFrame:
+    """Transactional-table semantics end-to-end (sinks/txlog.py): the
+    documents corpus lands in a manifest-versioned table as three commits
+    — append v0 (doc_id%3==0), append v1 (%3==1), overwrite v2 (%3==2) —
+    and the output audits every ACID surface against the same data
+    expressed as plain SQL filters:
+
+    - `v0` / `v1`: TIME TRAVEL — snapshot reads planned from the pinned
+      manifest's explicit file list, immutable under later commits;
+    - `cdf_since_v0`: the CHANGE FEED (tx_changes) planned while head
+      was v1 — exactly the files v1 added, never a rescan of history
+      (the feed run_incremental_dedup_from_table consumes);
+    - `head`: the overwrite — readers of the new head see only v2's
+      files while v0/v1 stay readable until vacuum.
+
+    The reference gets these semantics from Postgres/ClickHouse
+    (`src/etl/loaders.py:151-186`); this is the lakehouse reconstruction
+    on parquet + a ~100 B/file manifest, so at 100 TB the driver plans
+    from one ~20 MB manifest read and executors never list directories.
+    Commits are fsync-then-hardlink (crash-atomic, racing writers
+    serialized by create-exclusive semantics — conditional-PUT
+    compatible). Counts/chars integer-exact; the staging cost is 3
+    corpus writes (this entry demonstrates SEMANTICS — the scale story
+    is the manifest design, tests/test_txlog.py pins the crash/race/
+    vacuum matrix)."""
+    import tempfile
+
+    from devcontainers_etl_node_spark.sinks import txlog
+
+    docs = table(spark, sf, "documents").select("doc_id", "n_chars")
+    root = tempfile.mkdtemp(prefix="txlog_acid_")
+    txlog.tx_write(docs.filter(F.col("doc_id") % 3 == 0), root)          # v0
+    txlog.tx_write(docs.filter(F.col("doc_id") % 3 == 1), root)          # v1
+    # plan the change feed NOW (head == v1): lazily captures v1's added
+    # files; the overwrite below cannot retroactively change this plan
+    cdf = txlog.tx_changes(spark, root, since_version=0)
+    txlog.tx_write(
+        docs.filter(F.col("doc_id") % 3 == 2), root, mode="overwrite"
+    )                                                                     # v2
+
+    def summarize(df: DataFrame, label: str) -> DataFrame:
+        return df.agg(
+            F.lit(label).alias("snapshot"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+
+    return (
+        summarize(txlog.tx_read(spark, root, version=0), "v0")
+        .unionByName(summarize(txlog.tx_read(spark, root, version=1), "v1"))
+        .unionByName(summarize(cdf, "cdf_since_v0"))
+        .unionByName(summarize(txlog.tx_read(spark, root), "head"))
+    )

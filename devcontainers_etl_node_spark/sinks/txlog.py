@@ -160,6 +160,7 @@ def tx_write(
     expected_head: int | None | str = UNCHECKED,
     operation: str | None = None,
     max_retries: int = 20,
+    meta: dict | None = None,
 ) -> int:
     """Commit ``df`` to the table at ``root``; returns the new version.
 
@@ -170,7 +171,9 @@ def tx_write(
     ``tx_head(root)``) to get the stale-basis check: if someone else
     committed past it, :class:`TxConflict` is raised instead of silently
     clobbering their rows.  ``expected_head`` defaults to unchecked for
-    blind overwrites (truncate-and-load semantics)."""
+    blind overwrites (truncate-and-load semantics).  ``meta`` is an
+    optional caller-owned JSON dict recorded in the manifest (stage
+    parameters, input fingerprints — read back via :func:`tx_meta`)."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append or overwrite, got {mode!r}")
     os.makedirs(os.path.join(root, _DATA), exist_ok=True)
@@ -200,6 +203,8 @@ def tx_write(
             "files": files,
             "committed_at": time.time(),
         }
+        if meta is not None:
+            manifest["meta"] = meta
         if _try_commit(root, next_v, manifest):
             return next_v
         # lost the race: append rebases onto the new head; overwrite
@@ -223,6 +228,38 @@ def tx_read(
     if not paths:
         raise ValueError(f"v{v} at {root} is an empty snapshot")
     return spark.read.parquet(*paths)
+
+
+def tx_meta(root: str, version: int | None = None) -> dict | None:
+    """The caller-owned ``meta`` dict recorded at commit time (or None)."""
+    head = tx_head(root)
+    if head is None:
+        raise FileNotFoundError(f"no committed versions at {root}")
+    return _read_manifest(root, head if version is None else version).get("meta")
+
+
+def tx_history(root: str, since_version: int = -1) -> list[dict]:
+    """Commit metadata for versions in ``(since_version, head]`` —
+    (version, mode, operation) per manifest, oldest first.  Driver-side
+    O(versions) planning data, never row data; raises the same
+    vacuumed-history error as :func:`tx_changes`."""
+    head = tx_head(root)
+    if head is None:
+        return []
+    out = []
+    for v in range(since_version + 1, head + 1):
+        try:
+            m = _read_manifest(root, v)
+        except FileNotFoundError:
+            raise ValueError(
+                f"history before v{v + 1} at {root} has been vacuumed — "
+                f"re-read the full snapshot (tx_read) and reset the cursor "
+                f"to v{head}"
+            ) from None
+        out.append(
+            {"version": v, "mode": m["mode"], "operation": m.get("operation")}
+        )
+    return out
 
 
 def tx_changes(

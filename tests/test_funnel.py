@@ -17,9 +17,11 @@ def _report_rows(df):
 
 
 def _parquet_mtimes(path: str) -> dict[str, float]:
+    # stages are txlog tables: committed data lives under <stage>/data/
+    data = os.path.join(path, "data")
     return {
-        f: os.path.getmtime(os.path.join(path, f))
-        for f in os.listdir(path)
+        f: os.path.getmtime(os.path.join(data, f))
+        for f in os.listdir(data)
         if f.endswith(".parquet")
     }
 
@@ -53,11 +55,53 @@ def test_staged_funnel_recomputes_downstream_of_stale_stage(spark, tmp_path):
     docs = table(spark, SF_SMALL, "documents")
     funnel.run_staged_funnel(spark, docs, str(tmp_path))
 
-    # stage 2 lost its commit marker → it AND everything after must rerun,
-    # even though stages 3-5 still have complete outputs on disk
-    os.remove(os.path.join(funnel._stage_dir(str(tmp_path), 2, "exact_dedup"), "_SUCCESS"))
+    # stage 2 lost its commit (manifest gone) → it AND everything after
+    # must rerun, even though stages 3-5 still have committed outputs
+    import glob as _glob
+
+    stage2 = funnel._stage_dir(str(tmp_path), 2, "exact_dedup")
+    for m in _glob.glob(os.path.join(stage2, "_txlog", "v*.json")):
+        os.remove(m)
     rerun = funnel.run_staged_funnel(spark, docs, str(tmp_path))
     assert rerun["computed"] == ["exact_dedup", "near_dedup", "decontaminated", "packed"]
+
+
+def test_staged_funnel_crash_between_write_and_commit_resumes_old_version(
+    spark, tmp_path
+):
+    """The txlog wiring's whole point (r8 verdict task 5): a writer killed
+    AFTER staging a stage's parquet but BEFORE the manifest commit must be
+    invisible — the resumed run reads the previous committed version, not
+    half a batch, and the orphaned files never surface."""
+    from devcontainers_etl_node_spark.sinks import txlog
+
+    docs = table(spark, SF_SMALL, "documents")
+    first = funnel.run_staged_funnel(spark, docs, str(tmp_path))
+    baseline = _report_rows(first["report"])
+
+    # simulate the kill: a recompute of stage 3 that staged files (and a
+    # torn manifest temp) but never committed
+    stage3 = funnel._stage_dir(str(tmp_path), 3, "near_dedup")
+    head_before = txlog.tx_head(stage3)
+    orphans = txlog._stage_files(
+        table(spark, SF_SMALL, "documents").limit(7), stage3
+    )
+    assert orphans
+    torn = os.path.join(
+        stage3, "_txlog", f"v{head_before + 1:012d}.json.inprogress.crashed"
+    )
+    with open(torn, "w") as f:
+        f.write('{"version":')  # truncated mid-stream
+    assert txlog.tx_head(stage3) == head_before  # commit never happened
+
+    second = funnel.run_staged_funnel(spark, docs, str(tmp_path))
+    assert second["computed"] == []  # every stage resumed from its commit
+    assert _report_rows(second["report"]) == baseline
+    # the orphaned files are not part of any snapshot a reader plans from
+    snap_files = {
+        e["path"] for e in txlog._read_manifest(stage3, txlog.tx_head(stage3))["files"]
+    }
+    assert snap_files.isdisjoint({e["path"] for e in orphans})
 
 
 def test_staged_funnel_invalidates_on_changed_params(spark, tmp_path):

@@ -8,6 +8,8 @@ import os
 
 import pytest
 
+from pyspark.sql import functions as F
+
 from devcontainers_etl_node_spark.incremental import run_incremental_dedup
 from devcontainers_etl_node_spark.operators import dedup
 
@@ -221,3 +223,91 @@ def test_substr_incremental_snapshot_protocol(spark, tmp_path):
     c = spark.createDataFrame([(201, "late batch")], ["doc_id", "text"])
     with pytest.raises(ValueError, match="was built with"):
         run_incremental_substr(spark, c, wd, k=4)
+
+
+def test_cdf_feed_from_txlog_table(spark, tmp_path):
+    """run_incremental_dedup_from_table: the ingest loop consumes the
+    corpus table's change feed (tx_changes) and time-travel snapshots
+    (tx_read) — no directory listing, no caller-supplied batches — and
+    produces the exact pairs the hand-fed incremental run produces."""
+    from devcontainers_etl_node_spark.incremental import (
+        run_incremental_dedup_from_table,
+    )
+    from devcontainers_etl_node_spark.sinks import txlog
+
+    corpus = str(tmp_path / "corpus")
+    wd = str(tmp_path / "dedup_cdf")
+    a, b = _corpus_a(spark), _corpus_b(spark)
+
+    txlog.tx_write(a, corpus)  # v0
+    r1 = run_incremental_dedup_from_table(spark, corpus, wd)
+    got1 = {(r.id_a, r.id_b) for r in r1["pairs"].collect()}
+    batch_a = {(r.id_a, r.id_b) for r in dedup.minhash_lsh_pairs(a, threshold=0.5).collect()}
+    assert got1 == batch_a and r1["corpus_version"] == 0
+
+    txlog.tx_write(b, corpus)  # v1 append
+    r2 = run_incremental_dedup_from_table(spark, corpus, wd)
+    got2 = {(r.id_a, r.id_b) for r in r2["pairs"].collect()}
+    full = {
+        (r.id_a, r.id_b)
+        for r in dedup.minhash_lsh_pairs(a.unionByName(b), threshold=0.5).collect()
+    }
+    new_ids = {101, 102, 103}
+    assert got2 == {(x, y) for x, y in full if x in new_ids or y in new_ids}
+    assert r2["corpus_version"] == 1 and r2["version"] == 2
+
+    # nothing new committed -> a no-op that touches no state
+    r3 = run_incremental_dedup_from_table(spark, corpus, wd)
+    assert r3["no_new_data"] and r3["n_pairs"] == 0 and r3["version"] == 2
+
+
+def test_cdf_feed_cursor_is_exactly_once_across_crashes(spark, tmp_path):
+    """Write-ahead intent: a crash AFTER the dedup commit but before the
+    cursor promotion must NOT reprocess the batch (promote on restart);
+    a crash BEFORE the commit must reprocess it (discard on restart)."""
+    import json as _json
+
+    from devcontainers_etl_node_spark.incremental import (
+        _CURSOR,
+        _INTENT,
+        run_incremental_dedup_from_table,
+    )
+    from devcontainers_etl_node_spark.sinks import txlog
+
+    corpus = str(tmp_path / "corpus")
+    wd = str(tmp_path / "dedup_cdf")
+    txlog.tx_write(_corpus_a(spark), corpus)  # v0
+    run_incremental_dedup_from_table(spark, corpus, wd)
+    txlog.tx_write(_corpus_b(spark), corpus)  # v1
+    run_incremental_dedup_from_table(spark, corpus, wd)
+
+    # crash-after-commit: cursor promotion lost, intent still on disk
+    cursor = _json.load(open(os.path.join(wd, _CURSOR)))
+    os.rename(os.path.join(wd, _CURSOR), os.path.join(wd, _INTENT))
+    r = run_incremental_dedup_from_table(spark, corpus, wd)
+    assert r["no_new_data"]  # batch recognized as already processed
+    assert _json.load(open(os.path.join(wd, _CURSOR))) == cursor
+
+    # crash-before-commit: intent for a dedup version that never committed
+    txlog.tx_write(_corpus_b(spark).withColumn("doc_id", F.col("doc_id") + 100), corpus)  # v2
+    with open(os.path.join(wd, _INTENT), "w") as f:
+        _json.dump({"dedup_version": 99, "corpus_version": 2}, f)
+    r2 = run_incremental_dedup_from_table(spark, corpus, wd)
+    assert not r2.get("no_new_data")  # the batch WAS (re)processed
+    assert r2["corpus_version"] == 2 and r2["version"] == 3
+    assert not os.path.exists(os.path.join(wd, _INTENT))
+
+
+def test_cdf_feed_rejects_overwritten_corpus(spark, tmp_path):
+    from devcontainers_etl_node_spark.incremental import (
+        run_incremental_dedup_from_table,
+    )
+    from devcontainers_etl_node_spark.sinks import txlog
+
+    corpus = str(tmp_path / "corpus")
+    wd = str(tmp_path / "dedup_cdf")
+    txlog.tx_write(_corpus_a(spark), corpus)  # v0
+    run_incremental_dedup_from_table(spark, corpus, wd)
+    txlog.tx_write(_corpus_b(spark), corpus, mode="overwrite")  # v1 rewrite
+    with pytest.raises(ValueError, match="OVERWRITTEN"):
+        run_incremental_dedup_from_table(spark, corpus, wd)
