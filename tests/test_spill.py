@@ -75,3 +75,23 @@ def test_prefix_sum_window_spills_and_completes_under_memory_pressure():
     assert result["rows"] == 16_000_000  # checksum held through the spill
     assert result["memory_spilled_bytes"] > 0
     assert result["disk_spilled_bytes"] > 0
+
+
+def test_ranged_prefix_sum_spills_and_completes_under_skew_pressure():
+    """global_running_sum_ranged's documented worst case — half the mass
+    tied on ONE order-key value, so range bucketing cannot split it and
+    one bucket window-sorts ~5 M rows against a ~35 MB task budget —
+    must complete by spilling with the answer exact (SUM(cum) ==
+    n(n+1)/2 asserted inside the probe). Measured (PERF.md r9): ~648 MB
+    memory-spill / ~74 MB disk-spill, hot bucket 5.03 M rows."""
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "spill_probe.py"), "prefixsum_ranged"],
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    assert proc.returncode == 0, f"probe died (OOM?):\n{proc.stderr[-2000:]}"
+    result = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert result["rows"] == 10_000_000  # checksum held through the spill
+    assert result["memory_spilled_bytes"] > 0
+    assert result["max_bucket_rows"] >= 5_000_000  # the tie really degenerated

@@ -69,6 +69,7 @@ def main() -> None:
     from devcontainers_etl_node_spark.operators import dedup
 
     workload = sys.argv[1] if len(sys.argv) > 1 else "band"
+    extra: dict = {}
     if workload == "band":
         num_hashes, bands = 16, 4
         sig = spark.range(1_000_000).select(
@@ -116,6 +117,38 @@ def main() -> None:
         out = prefixsum.global_running_sum(df, "h", ["rid"], "v")
         total = out.agg(F.sum("cum").alias("t")).collect()[0].t
         n = n_rows if total == n_rows * (n_rows + 1) // 2 else -1
+    elif workload == "prefixsum_ranged":
+        from devcontainers_etl_node_spark.operators import prefixsum
+
+        # the SKEWED natural-ordering case the ranged variant exists for,
+        # pushed to its documented worst case: 10 M rows where HALF the
+        # mass sits on one day (ties cannot split across range buckets,
+        # so one bucket window-sorts ~5.5 M rows — far past the ~35 MB
+        # task budget).  (day, rid) is a total order, v = 1, so SUM(cum)
+        # == n(n+1)/2 verifies exactness THROUGH the spill.  Also reports
+        # the realized per-bucket row distribution.
+        n_rows = 10_000_000
+        df = spark.range(n_rows).select(
+            F.col("id").alias("rid"),
+            F.when(F.col("id") % 2 == 0, F.lit(100).cast("long"))
+            .otherwise(F.pmod(F.xxhash64("id"), F.lit(1000)))
+            .alias("day"),
+            F.lit(1).alias("v"),
+        )
+        out_df = prefixsum.global_running_sum_ranged(df, "day", ["rid"], "v")
+        total = out_df.agg(F.sum("cum").alias("t")).collect()[0].t
+        n = n_rows if total == n_rows * (n_rows + 1) // 2 else -1
+        # realized bucket sizes (same GK boundaries → same buckets)
+        qs = [i / 64 for i in range(1, 64)]
+        bounds = sorted(set(df.stat.approxQuantile("day", qs, 0.001)))
+        bucket = F.lit(0)
+        for b in bounds:
+            bucket = bucket + F.when(F.col("day") > F.lit(b), 1).otherwise(0)
+        sizes = [
+            r.c
+            for r in df.groupBy(bucket.alias("bk")).agg(F.count(F.lit(1)).alias("c")).collect()
+        ]
+        extra = {"n_buckets_realized": len(sizes), "max_bucket_rows": max(sizes)}
     else:
         raise SystemExit(f"unknown workload {workload!r}")
 
@@ -132,6 +165,7 @@ def main() -> None:
         "peak_execution_memory": max(
             (s.get("peakExecutionMemory", 0) for s in stages), default=0
         ),
+        **extra,
     }
     print(json.dumps(out))
     spark.stop()
