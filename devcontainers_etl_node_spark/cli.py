@@ -128,21 +128,71 @@ def cmd_curate(args) -> int:
 
 
 def cmd_dedup(args) -> int:
-    """Snapshot-backed incremental MinHash dedup (incremental.py): each
-    invocation dedups the --new batch against the committed signature
-    snapshot under --work (first run = whole batch, one code path),
-    appends the verified pair list under --work/pairs/run_N, and commits
-    the merged snapshot for the next run. --old must name the corpus the
-    current snapshot covers (text read only for candidate verify)."""
+    """Snapshot-backed incremental MinHash dedup (incremental.py).
+
+    Two feeds:
+    - ``--table ROOT`` — the production shape: consume a transactional
+      corpus table's CHANGE FEED (txlog tx_changes); the corpus-version
+      cursor advances exactly once per batch, no directory listing, no
+      batch bookkeeping by the caller.
+    - ``--new DIR [--old DIR]`` — hand-fed batches: dedup the --new
+      batch against the committed signature snapshot under --work
+      (first run = whole batch, one code path); --old must name the
+      corpus the current snapshot covers (text read only for candidate
+      verify).
+    Either way the verified pair list lands under --work/pairs/run_N
+    and the merged snapshot commits for the next run."""
     from devcontainers_etl_node_spark.catalog import table
-    from devcontainers_etl_node_spark.incremental import run_incremental_dedup
+    from devcontainers_etl_node_spark.incremental import (
+        run_incremental_dedup,
+        run_incremental_dedup_from_table,
+    )
 
     spark = _spark()
-    new_docs = table(spark, args.new, "documents")
-    old_docs = table(spark, args.old, "documents") if args.old else None
-    out = run_incremental_dedup(spark, new_docs, args.work, old_docs=old_docs)
+    if args.table:
+        out = run_incremental_dedup_from_table(spark, args.table, args.work)
+        if out.get("no_new_data"):
+            print(
+                f"corpus unchanged at v{out['corpus_version']} — nothing to do",
+                file=sys.stderr,
+            )
+            return 0
+    else:
+        if not args.new:
+            print("one of --table or --new is required", file=sys.stderr)
+            return 2
+        new_docs = table(spark, args.new, "documents")
+        old_docs = table(spark, args.old, "documents") if args.old else None
+        out = run_incremental_dedup(spark, new_docs, args.work, old_docs=old_docs)
     print(f"snapshot v{out['version']} committed: {out['n_pairs']} near-dup pairs", file=sys.stderr)
     out["pairs"].show(20, truncate=False)
+    return 0
+
+
+def cmd_table(args) -> int:
+    """Transactional-table maintenance (sinks/txlog.py): ``history``
+    prints the commit log (version, mode, operation); ``compact``
+    rewrites the head snapshot into ~target-sized files as a new version
+    (older versions stay time-travel readable); ``vacuum`` reclaims
+    files unreferenced by the retained window AND older than the
+    retention grace period (in-flight writers protected)."""
+    from devcontainers_etl_node_spark.sinks import txlog
+
+    if args.op == "history":
+        rows = txlog.tx_history(args.root)
+        if not rows:
+            print("no committed versions", file=sys.stderr)
+            return 1
+        for h in rows:
+            print(f"v{h['version']}  {h['mode']:<9}  {h['operation'] or ''}")
+    elif args.op == "compact":
+        v = txlog.tx_compact(_spark(), args.root)
+        print(f"compacted -> v{v}", file=sys.stderr)
+    elif args.op == "vacuum":
+        deleted = txlog.tx_vacuum(
+            args.root, keep_last=args.keep_last, retention_hours=args.retention_hours
+        )
+        print(f"reclaimed {len(deleted)} paths", file=sys.stderr)
     return 0
 
 
@@ -217,9 +267,16 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--max-tokens", type=int, default=512, help="packing budget")
 
     d = sub.add_parser("dedup", help="snapshot-backed incremental MinHash dedup")
-    d.add_argument("--new", required=True, help="corpus directory of the arriving batch")
+    d.add_argument("--new", default=None, help="corpus directory of the arriving batch")
     d.add_argument("--old", default=None, help="corpus directory the snapshot covers")
+    d.add_argument("--table", default=None, help="txlog corpus root: consume its change feed instead of --new/--old")
     d.add_argument("--work", required=True, help="snapshot directory (sigs + pairs)")
+
+    t = sub.add_parser("table", help="transactional-table maintenance (txlog)")
+    t.add_argument("op", choices=["history", "compact", "vacuum"])
+    t.add_argument("root", help="table root directory")
+    t.add_argument("--keep-last", type=int, default=2, help="versions vacuum retains")
+    t.add_argument("--retention-hours", type=float, default=24.0, help="vacuum grace window for unreferenced files")
 
     e = sub.add_parser("export", help="pack corpus into WebDataset tar shards")
     e.add_argument("--sf", default=DEFAULT_SF, help="corpus directory")
@@ -242,6 +299,7 @@ def main(argv: list[str] | None = None) -> int:
         "pipeline": cmd_pipeline,
         "curate": cmd_curate,
         "dedup": cmd_dedup,
+        "table": cmd_table,
         "export": cmd_export,
         "generate": cmd_generate,
     }[args.cmd](args)

@@ -243,3 +243,46 @@ def test_pandas_api_migration_parity(spark):
     got = sorted(map(tuple, fact_ps.to_pandas()[cols].itertuples(index=False)))
     expected = sorted(map(tuple, tables["fact_sales"].select(*cols).toPandas().itertuples(index=False)))
     assert got == expected
+
+
+def test_cli_dedup_table_feed_and_table_maintenance(spark, tmp_path, capsys):
+    """`dedup --table` consumes a txlog corpus change feed (no --new/--old
+    bookkeeping); `table history|compact|vacuum` drive the maintenance
+    surface."""
+    from pyspark.sql import functions as F
+
+    from devcontainers_etl_node_spark import cli
+    from devcontainers_etl_node_spark.sinks import txlog
+
+    corpus = str(tmp_path / "corpus")
+    work = str(tmp_path / "work")
+    base = "the quick brown fox jumps over the lazy dog tonight " * 3
+    docs = spark.createDataFrame(
+        [(1, base), (2, base.replace("lazy", "sleepy"))]
+        + [(10 + i, f"cli filler doc {i} with words {i * 17}") for i in range(6)],
+        ["doc_id", "text"],
+    )
+    txlog.tx_write(docs, corpus)  # v0
+    assert cli.main(["dedup", "--table", corpus, "--work", work]) == 0
+    assert "snapshot v1 committed" in capsys.readouterr().err
+
+    # unchanged corpus -> explicit no-op
+    assert cli.main(["dedup", "--table", corpus, "--work", work]) == 0
+    assert "nothing to do" in capsys.readouterr().err
+
+    # append a batch -> only the new batch is processed
+    txlog.tx_write(
+        docs.filter(F.col("doc_id") == 1).withColumn("doc_id", F.lit(100)), corpus
+    )
+    assert cli.main(["dedup", "--table", corpus, "--work", work]) == 0
+    assert "snapshot v2 committed" in capsys.readouterr().err
+
+    # neither --table nor --new is an argument error, not a crash
+    assert cli.main(["dedup", "--work", work]) == 2
+
+    assert cli.main(["table", "history", corpus]) == 0
+    hist = capsys.readouterr().out
+    assert "v0" in hist and "v1" in hist
+    assert cli.main(["table", "compact", corpus]) == 0
+    assert cli.main(["table", "vacuum", corpus, "--retention-hours", "0"]) == 0
+    assert cli.main(["table", "history", str(tmp_path / "missing")]) == 1
