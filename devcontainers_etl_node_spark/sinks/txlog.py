@@ -110,22 +110,49 @@ def _stage_files(df: DataFrame, root: str) -> list[dict]:
         final = f"{txn}-{fn}"
         os.replace(os.path.join(scratch, fn), os.path.join(root, _DATA, final))
         full = os.path.join(root, _DATA, final)
-        entries.append(
-            {
-                "path": f"{_DATA}/{final}",
-                "bytes": os.path.getsize(full),
-                "rows": _parquet_rows(full),
-            }
-        )
+        rows, stats = _parquet_footer_info(full)
+        entry = {"path": f"{_DATA}/{final}", "bytes": os.path.getsize(full), "rows": rows}
+        if stats:
+            entry["stats"] = stats
+        entries.append(entry)
     shutil.rmtree(scratch)
     return entries
 
 
-def _parquet_rows(path: str) -> int:
-    """Row count from the parquet footer — metadata only, no scan."""
+def _parquet_footer_info(path: str) -> tuple[int, dict]:
+    """Row count + per-column (min, max) zone maps from the parquet
+    FOOTER — metadata only, no scan.  Stats cover numeric/boolean leaf
+    columns only: parquet string statistics may be truncated (a
+    truncated max understates the true max, which would make pruning
+    unsound), so strings are deliberately excluded and their files are
+    never pruned."""
     import pyarrow.parquet as pq
 
-    return pq.ParquetFile(path).metadata.num_rows
+    md = pq.ParquetFile(path).metadata
+    mins: dict[str, object] = {}
+    maxs: dict[str, object] = {}
+    exact: set[str] = set()
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for j in range(g.num_columns):
+            c = g.column(j)
+            st = c.statistics
+            name = c.path_in_schema
+            if st is None or not st.has_min_max:
+                mins.pop(name, None)
+                exact.discard(name)
+                continue
+            lo, hi = st.min, st.max
+            if not isinstance(lo, (int, float)) or not isinstance(hi, (int, float)):
+                continue
+            if rg == 0:
+                mins[name], maxs[name] = lo, hi
+                exact.add(name)
+            elif name in exact:
+                mins[name] = min(mins[name], lo)
+                maxs[name] = max(maxs[name], hi)
+    stats = {n: [mins[n], maxs[n]] for n in exact if n in mins}
+    return md.num_rows, stats
 
 
 def _try_commit(root: str, version: int, manifest: dict) -> bool:
@@ -230,6 +257,103 @@ def tx_read(
     return spark.read.parquet(*paths)
 
 
+def tx_prune_files(
+    root: str,
+    col: str,
+    lo: float | int | None = None,
+    hi: float | int | None = None,
+    version: int | None = None,
+) -> list[str]:
+    """Manifest-level DATA SKIPPING: the relative paths of the snapshot's
+    files whose footer zone map for ``col`` intersects ``[lo, hi]``
+    (either bound may be None = unbounded).  Files with no recorded
+    stats for ``col`` are always kept — pruning is sound, never
+    heuristic.  Pure driver-side manifest arithmetic: at 100 TB this
+    turns a point/range query over a clustered column into a scan of a
+    handful of files without touching the others' footers, the same
+    mechanism as Delta/Iceberg file skipping."""
+    head = tx_head(root)
+    if head is None:
+        raise FileNotFoundError(f"no committed versions at {root}")
+    v = head if version is None else version
+    keep = []
+    for e in _read_manifest(root, v)["files"]:
+        rng = (e.get("stats") or {}).get(col)
+        if rng is not None:
+            fmin, fmax = rng
+            if (hi is not None and fmin > hi) or (lo is not None and fmax < lo):
+                continue
+        keep.append(e["path"])
+    return keep
+
+
+def tx_read_pruned(
+    spark: SparkSession,
+    root: str,
+    col: str,
+    lo: float | int | None = None,
+    hi: float | int | None = None,
+    version: int | None = None,
+) -> DataFrame:
+    """Snapshot read restricted to ``col BETWEEN lo AND hi``: the file
+    list is pruned by the manifest zone maps (:func:`tx_prune_files`),
+    then the predicate is STILL applied row-level — correctness never
+    depends on the stats, they only shrink the scan."""
+    paths = tx_prune_files(root, col, lo, hi, version)
+    if not paths:
+        return tx_read(spark, root, version).filter("1 = 0")
+    df = spark.read.parquet(*[os.path.join(root, p) for p in paths])
+    from pyspark.sql import functions as F
+
+    if lo is not None:
+        df = df.filter(F.col(col) >= F.lit(lo))
+    if hi is not None:
+        df = df.filter(F.col(col) <= F.lit(hi))
+    return df
+
+
+def tx_txn_version(root: str, app_id: str) -> int:
+    """Highest batch id committed under ``app_id`` (the Delta
+    txnAppId/txnVersion idempotence protocol), or -1.  Driver-side
+    O(versions) manifest scan — bounded by commit count, never data;
+    vacuumed manifests are skipped (their batches predate the retained
+    window by construction)."""
+    head = tx_head(root)
+    if head is None:
+        return -1
+    best = -1
+    for v in range(head + 1):
+        try:
+            meta = _read_manifest(root, v).get("meta") or {}
+        except FileNotFoundError:
+            continue
+        if meta.get("txn_app_id") == app_id:
+            best = max(best, int(meta.get("txn_batch_id", -1)))
+    return best
+
+
+def tx_write_idempotent(
+    df: DataFrame,
+    root: str,
+    app_id: str,
+    batch_id: int,
+    operation: str | None = None,
+    extra_meta: dict | None = None,
+) -> int | None:
+    """Exactly-once append for REPLAYABLE writers (streaming
+    foreachBatch): when ``(app_id, batch_id)`` is already committed the
+    write is skipped and None returned, so a micro-batch replayed after
+    a crash lands exactly once.  Assumes one active writer per app_id —
+    Structured Streaming's checkpoint lock guarantees exactly that for
+    a foreachBatch caller."""
+    if batch_id <= tx_txn_version(root, app_id):
+        return None
+    meta = {"txn_app_id": app_id, "txn_batch_id": int(batch_id)}
+    if extra_meta:
+        meta.update(extra_meta)
+    return tx_write(df, root, mode="append", operation=operation, meta=meta)
+
+
 def tx_meta(root: str, version: int | None = None) -> dict | None:
     """The caller-owned ``meta`` dict recorded at commit time (or None)."""
     head = tx_head(root)
@@ -297,19 +421,31 @@ def tx_compact(
     spark: SparkSession,
     root: str,
     target_file_bytes: int = 128 * 1024 * 1024,
+    cluster_by: list[str] | None = None,
 ) -> int:
     """Rewrite the head snapshot into ~target-sized files and commit it
     as a new version (operation='compact').  Readers pinned to older
     versions are untouched — their files stay on disk until vacuum.
     Cost model is compact_small_files' (sinks/files.py): one shuffle-free
-    coalesce sized from live bytes."""
+    coalesce sized from live bytes.
+
+    ``cluster_by`` trades that shuffle-free pass for a range
+    repartition + within-file sort on the given columns — after which
+    each file's zone map for those columns is a NARROW disjoint range,
+    so :func:`tx_prune_files` point/range queries plan O(1) files
+    instead of all of them.  This is the maintenance operation that
+    makes data skipping effective (Delta OPTIMIZE ZORDER's 1-D case)."""
     head = tx_head(root)
     if head is None:
         raise FileNotFoundError(f"no committed versions at {root}")
     manifest = _read_manifest(root, head)
     live_bytes = sum(e["bytes"] for e in manifest["files"])
     n_out = max(1, round(live_bytes / target_file_bytes))
-    df = tx_read(spark, root, head).coalesce(n_out)
+    df = tx_read(spark, root, head)
+    if cluster_by:
+        df = df.repartitionByRange(n_out, *cluster_by).sortWithinPartitions(*cluster_by)
+    else:
+        df = df.coalesce(n_out)
     return tx_write(
         df, root, mode="overwrite", expected_head=head, operation="compact"
     )

@@ -488,6 +488,35 @@ def webdataset_sink(
     return apply
 
 
+def txlog_sink(root: str, app_id: str, operation: str = "stream"):
+    """foreachBatch body committing each micro-batch to a TRANSACTIONAL
+    table (sinks/txlog.py) exactly once — the streaming ingest path of
+    the lakehouse story:
+
+    - each micro-batch is one atomic ``tx_write`` append: readers see
+      whole batches or nothing, never a half-written one (the manifest
+      commit is the visibility point);
+    - replay after a crash is absorbed by the Delta txnAppId/txnVersion
+      protocol (``tx_write_idempotent``): a batch_id at or below the
+      committed high-water mark for ``app_id`` is skipped, so restart +
+      reprocess lands every batch exactly once;
+    - downstream consumers tail the table with ``tx_changes`` (e.g.
+      ``incremental.run_incremental_dedup_from_table``) — the streaming
+      writer and the incremental reader meet at the manifest, neither
+      ever lists directories.
+
+    ``app_id`` must be scoped to the checkpoint (pass the checkpoint
+    path or a run id): a query restarted with a FRESH checkpoint
+    restarts batch numbering at 0, and an unscoped guard would silently
+    drop its batches — the same rule fingerprint_sink pins."""
+    from devcontainers_etl_node_spark.sinks.txlog import tx_write_idempotent
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        tx_write_idempotent(batch_df, root, app_id, batch_id, operation=operation)
+
+    return apply
+
+
 def read_stream_state(
     spark,
     checkpoint_path: str,

@@ -788,3 +788,49 @@ def test_streaming_webdataset_export_matches_batch_and_replay_is_idempotent(spar
     }
     assert after == before
     assert len(read_all_samples()) == 35
+
+
+def test_txlog_sink_streams_batches_exactly_once(spark, tmp_path):
+    """Streaming ingest into the transactional table: two micro-batches
+    land as two atomic commits; the table equals the union; a manually
+    REPLAYED batch_id is skipped (txnAppId/txnVersion guard), so restart
+    + reprocess cannot double rows; the change feed tails the stream."""
+    from devcontainers_etl_node_spark.sinks import txlog
+    from devcontainers_etl_node_spark.streaming import txlog_sink
+
+    t0 = datetime.datetime(2024, 1, 1, 10, 0, 0)
+    src, ckpt, tbl = tmp_path / "tx_src", tmp_path / "tx_ckpt", str(tmp_path / "tx_tbl")
+    sink = txlog_sink(tbl, app_id=str(ckpt))
+
+    def run_until_drained():
+        q = (
+            spark.readStream.schema(EVENTS_SCHEMA)
+            .parquet(str(src))
+            .writeStream.option("checkpointLocation", str(ckpt))
+            .outputMode("append")
+            .foreachBatch(sink)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    batch1 = [(1, t0, 1, "click", 1.0, "{}"), (2, t0, 2, "view", 2.0, "{}")]
+    batch2 = [(3, t0, 1, "click", 9.0, "{}"), (4, t0, 3, "view", 4.0, "{}")]
+    spark.createDataFrame(batch1, EVENTS_SCHEMA).write.mode("overwrite").parquet(str(src))
+    run_until_drained()
+    v_after_b1 = txlog.tx_head(tbl)
+    spark.createDataFrame(batch2, EVENTS_SCHEMA).write.mode("append").parquet(str(src))
+    run_until_drained()
+
+    got = {r.event_id for r in txlog.tx_read(spark, tbl).collect()}
+    assert got == {1, 2, 3, 4}
+
+    # replay the already-committed last batch by hand (crash-recovery
+    # path): the guard must skip it
+    max_batch = txlog.tx_txn_version(tbl, str(ckpt))
+    sink(spark.createDataFrame(batch2, EVENTS_SCHEMA), max_batch)
+    assert txlog.tx_read(spark, tbl).count() == 4
+
+    # the change feed tails exactly what arrived after the first commit
+    ch = {r.event_id for r in txlog.tx_changes(spark, tbl, since_version=v_after_b1).collect()}
+    assert ch == {3, 4}

@@ -166,10 +166,82 @@ def test_manifest_is_bounded_metadata_not_data(spark, tmp_path):
     assert set(m) == {
         "version", "mode", "operation", "added", "files", "committed_at"
     }
-    assert all(set(e) == {"path", "bytes", "rows"} for e in m["files"])
-    # rows comes from parquet footers, not a scan — and it's exact
+    assert all(set(e) <= {"path", "bytes", "rows", "stats"} for e in m["files"])
+    # rows + zone maps come from parquet footers, not a scan — and exact
     assert sum(e["rows"] for e in m["files"]) == 1000
-    assert os.path.getsize(mpath) < 4096
+    lo = min(e["stats"]["id"][0] for e in m["files"] if "stats" in e)
+    hi = max(e["stats"]["id"][1] for e in m["files"] if "stats" in e)
+    assert (lo, hi) == (0, 999)
+    # string columns carry NO stats (parquet may truncate string min/max,
+    # which would make pruning unsound)
+    assert all("batch" not in e.get("stats", {}) for e in m["files"])
+    assert os.path.getsize(mpath) < 8192
+
+
+def test_data_skipping_prunes_files_and_stays_exact(spark, tmp_path):
+    """Zone-map file skipping: three appended batches with disjoint id
+    ranges; a range read plans ONLY the intersecting file(s) from the
+    manifest (driver-side arithmetic, no footer reads) and returns
+    exactly what a full-scan filter returns."""
+    root = str(tmp_path / "t")
+    for lo in (0, 100, 200):
+        txlog.tx_write(_df(spark, lo, lo + 100, "b").coalesce(1), root)
+    all_files = txlog.tx_prune_files(root, "id")
+    assert len(all_files) == 3
+    pruned = txlog.tx_prune_files(root, "id", 150, 160)
+    assert len(pruned) == 1
+    got = sorted(r.id for r in txlog.tx_read_pruned(spark, root, "id", 150, 160).collect())
+    assert got == list(range(150, 161))
+    # open-ended bounds work too
+    assert len(txlog.tx_prune_files(root, "id", lo=250)) == 1
+    assert len(txlog.tx_prune_files(root, "id", hi=50)) == 1
+    # a column with no stats (string) never prunes — sound, not heuristic
+    assert len(txlog.tx_prune_files(root, "batch", 0, 1)) == 3
+    # empty intersection -> empty result, schema intact
+    empty = txlog.tx_read_pruned(spark, root, "id", 1000, 2000)
+    assert empty.count() == 0 and set(empty.columns) == {"id", "batch"}
+
+
+def test_clustered_compaction_makes_point_queries_plan_one_file(spark, tmp_path):
+    """tx_compact(cluster_by): interleaved writes give every file a
+    full-width id zone map (skipping useless); range-clustered
+    compaction narrows each file's range so a point query plans 1 file."""
+    root = str(tmp_path / "t")
+    for start in range(4):  # stride-interleaved: every file spans ~0..400
+        txlog.tx_write(
+            _df(spark, 0, 100, "x")
+            .select((F.col("id") * 4 + start).alias("id"), "batch")
+            .coalesce(1),
+            root,
+        )
+    before = txlog.tx_prune_files(root, "id", 42, 42)
+    assert len(before) == 4  # no skipping possible pre-compaction
+    txlog.tx_compact(spark, root, target_file_bytes=1024, cluster_by=["id"])
+    files = txlog.tx_prune_files(root, "id")
+    after = txlog.tx_prune_files(root, "id", 42, 42)
+    assert len(files) >= 2 and len(after) == 1
+    got = txlog.tx_read_pruned(spark, root, "id", 42, 42).collect()
+    assert [r.id for r in got] == [42]
+
+
+def test_idempotent_write_lands_each_batch_exactly_once(spark, tmp_path):
+    """tx_write_idempotent: the Delta txnAppId/txnVersion protocol — a
+    replayed (app_id, batch_id) is skipped, distinct apps are
+    independent, and the data reflects each batch exactly once."""
+    root = str(tmp_path / "t")
+    assert txlog.tx_write_idempotent(_df(spark, 0, 10, "b0"), root, "appA", 0) == 0
+    # replay of batch 0 (crash-recovery path): skipped
+    assert txlog.tx_write_idempotent(_df(spark, 0, 10, "b0"), root, "appA", 0) is None
+    assert txlog.tx_read(spark, root).count() == 10
+    # next batch commits; an OLD batch id after it is also skipped
+    assert txlog.tx_write_idempotent(_df(spark, 10, 15, "b1"), root, "appA", 1) == 1
+    assert txlog.tx_write_idempotent(_df(spark, 99, 100, "x"), root, "appA", 0) is None
+    # a different app's batch 0 is its own sequence
+    assert txlog.tx_write_idempotent(_df(spark, 15, 18, "c0"), root, "appB", 0) == 2
+    assert txlog.tx_read(spark, root).count() == 18
+    assert txlog.tx_txn_version(root, "appA") == 1
+    assert txlog.tx_txn_version(root, "appB") == 0
+    assert txlog.tx_txn_version(root, "appC") == -1
 
 
 def test_commit_is_crash_atomic_and_leaves_no_temps(spark, tmp_path):
