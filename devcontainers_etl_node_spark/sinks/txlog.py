@@ -31,8 +31,20 @@ Semantics provided:
   returns only files ADDED after a version — the feed the incremental
   dedup/curation pipelines consume so history is never re-scanned.
 - **Compaction + vacuum**: ``tx_compact`` rewrites small files into a
-  new version (readers of old versions unaffected); ``tx_vacuum``
-  deletes files unreferenced by the retained version window.
+  new version (readers of old versions unaffected; ``cluster_by`` sorts
+  into range-disjoint files so skipping works); ``tx_vacuum`` deletes
+  files unreferenced by the retained version window AND older than a
+  retention grace period (in-flight writers protected).
+- **Data skipping**: manifests carry per-file numeric zone maps read
+  from parquet footers; ``tx_prune_files``/``tx_read_pruned`` plan
+  range queries from the manifest alone (row-level filter still
+  applied — stats shrink the scan, never decide correctness).
+- **Schema contract + evolution**: every commit records the schema;
+  drifted appends are rejected unless ``allow_schema_change=True``,
+  which flips the snapshot to mergeSchema planning until a rewrite.
+- **Exactly-once replayable writers**: ``tx_write_idempotent`` is the
+  Delta txnAppId/txnVersion protocol; ``streaming.txlog_sink`` rides it
+  for foreachBatch micro-batches.
 
 Scale notes: the manifest holds (path, rows, bytes) per file — ~100
 bytes/file, so a 100 TB table at 500 MB/file is a ~20 MB manifest, read
@@ -188,6 +200,7 @@ def tx_write(
     operation: str | None = None,
     max_retries: int = 20,
     meta: dict | None = None,
+    allow_schema_change: bool = False,
 ) -> int:
     """Commit ``df`` to the table at ``root``; returns the new version.
 
@@ -200,11 +213,22 @@ def tx_write(
     clobbering their rows.  ``expected_head`` defaults to unchecked for
     blind overwrites (truncate-and-load semantics).  ``meta`` is an
     optional caller-owned JSON dict recorded in the manifest (stage
-    parameters, input fingerprints — read back via :func:`tx_meta`)."""
+    parameters, input fingerprints — read back via :func:`tx_meta`).
+
+    Schema contract: every commit records the DataFrame schema; an
+    append whose schema differs from the committed one is REJECTED —
+    Spark silently takes one file's schema for a mixed-schema parquet
+    scan, so an unguarded drifted append corrupts every later read.
+    Pass ``allow_schema_change=True`` to evolve intentionally: the
+    manifest then carries ``schema_evolved`` and :func:`tx_read` plans
+    that snapshot with ``mergeSchema`` (old files' missing columns read
+    as NULL, Delta's evolution semantics); a later overwrite/compact
+    resets the flag."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append or overwrite, got {mode!r}")
     os.makedirs(os.path.join(root, _DATA), exist_ok=True)
     os.makedirs(_log_dir(root), exist_ok=True)
+    schema = {f.name: f.dataType.simpleString() for f in df.schema.fields}
     added = _stage_files(df, root)
 
     for _ in range(max_retries):
@@ -218,8 +242,22 @@ def tx_write(
                 f"overwrite based on v{expected_head} but head is v{head}"
             )
         next_v = 0 if head is None else head + 1
+        evolved = False
         if mode == "append" and head is not None:
-            files = _read_manifest(root, head)["files"] + added
+            prev = _read_manifest(root, head)
+            files = prev["files"] + added
+            prev_schema = prev.get("schema")
+            changed = prev_schema is not None and prev_schema != schema
+            if changed and not allow_schema_change:
+                raise ValueError(
+                    f"append schema {sorted(schema)} differs from the "
+                    f"committed table schema {sorted(prev_schema)} at "
+                    f"{root} — pass allow_schema_change=True to evolve, "
+                    f"or conform the batch first"
+                )
+            # evolution is sticky across appends until a full rewrite:
+            # the snapshot mixes file schemas until overwrite/compact
+            evolved = changed or bool(prev.get("schema_evolved"))
         else:
             files = added
         manifest = {
@@ -228,8 +266,11 @@ def tx_write(
             "operation": operation,
             "added": [e["path"] for e in added],
             "files": files,
+            "schema": schema,
             "committed_at": time.time(),
         }
+        if evolved:
+            manifest["schema_evolved"] = True
         if meta is not None:
             manifest["meta"] = meta
         if _try_commit(root, next_v, manifest):
@@ -254,7 +295,12 @@ def tx_read(
     paths = [os.path.join(root, e["path"]) for e in manifest["files"]]
     if not paths:
         raise ValueError(f"v{v} at {root} is an empty snapshot")
-    return spark.read.parquet(*paths)
+    reader = spark.read
+    if manifest.get("schema_evolved"):
+        # the snapshot mixes file schemas (an allowed evolution): merge
+        # footers so old files surface the new columns as NULL
+        reader = reader.option("mergeSchema", "true")
+    return reader.parquet(*paths)
 
 
 def tx_prune_files(

@@ -164,8 +164,9 @@ def test_manifest_is_bounded_metadata_not_data(spark, tmp_path):
     (mpath,) = glob.glob(os.path.join(root, "_txlog", "*.json"))
     m = json.load(open(mpath))
     assert set(m) == {
-        "version", "mode", "operation", "added", "files", "committed_at"
+        "version", "mode", "operation", "added", "files", "schema", "committed_at"
     }
+    assert m["schema"] == {"id": "bigint", "batch": "string"}
     assert all(set(e) <= {"path", "bytes", "rows", "stats"} for e in m["files"])
     # rows + zone maps come from parquet footers, not a scan — and exact
     assert sum(e["rows"] for e in m["files"]) == 1000
@@ -311,3 +312,35 @@ def test_changes_after_vacuum_raises_descriptive_error(spark, tmp_path):
         txlog.tx_changes(spark, root, since_version=0)
     # within the retained window the feed still works
     assert txlog.tx_changes(spark, root, since_version=2).count() == 0
+
+
+def test_append_schema_drift_rejected_and_evolution_explicit(spark, tmp_path):
+    """Schema contract: a drifted append is rejected loudly (a
+    mixed-schema parquet scan silently takes one file's schema);
+    explicit evolution flips the snapshot to mergeSchema planning so
+    old files surface the new column as NULL; overwrite resets both the
+    schema and the evolved flag."""
+    root = str(tmp_path / "t")
+    txlog.tx_write(_df(spark, 0, 10, "a"), root)  # v0: (id, batch)
+
+    wider = _df(spark, 10, 15, "b").withColumn("score", F.lit(1.5))
+    with pytest.raises(ValueError, match="schema.*differs"):
+        txlog.tx_write(wider, root)
+    assert txlog.tx_head(root) == 0  # nothing committed
+
+    v = txlog.tx_write(wider, root, allow_schema_change=True)
+    assert v == 1
+    got = txlog.tx_read(spark, root)
+    assert set(got.columns) == {"id", "batch", "score"}
+    rows = {r.id: r.score for r in got.collect()}
+    assert rows[0] is None and rows[12] == 1.5  # old files read NULL
+    # evolution is sticky: the NEXT append (new schema) still needs
+    # mergeSchema because v0's files lack the column
+    txlog.tx_write(wider.withColumn("id", F.col("id") + 90), root)
+    assert txlog._read_manifest(root, 2).get("schema_evolved") is True
+    assert txlog.tx_read(spark, root).count() == 20
+    # a full rewrite homogenizes files and drops the flag
+    txlog.tx_compact(spark, root)
+    head = txlog.tx_head(root)
+    assert txlog._read_manifest(root, head).get("schema_evolved") is None
+    assert txlog.tx_read(spark, root).count() == 20
