@@ -249,11 +249,16 @@ def tx_write(
             prev_schema = prev.get("schema")
             changed = prev_schema is not None and prev_schema != schema
             if changed and not allow_schema_change:
+                diff = [
+                    f"{n}: {prev_schema.get(n, '<absent>')} -> {schema.get(n, '<absent>')}"
+                    for n in sorted(set(schema) | set(prev_schema))
+                    if schema.get(n) != prev_schema.get(n)
+                ]
                 raise ValueError(
-                    f"append schema {sorted(schema)} differs from the "
-                    f"committed table schema {sorted(prev_schema)} at "
-                    f"{root} — pass allow_schema_change=True to evolve, "
-                    f"or conform the batch first"
+                    f"append schema differs from the committed table schema "
+                    f"at {root} ({'; '.join(diff)}) — pass "
+                    f"allow_schema_change=True to evolve, or conform the "
+                    f"batch first"
                 )
             # evolution is sticky across appends until a full rewrite:
             # the snapshot mixes file schemas until overwrite/compact
@@ -300,7 +305,28 @@ def tx_read(
         # the snapshot mixes file schemas (an allowed evolution): merge
         # footers so old files surface the new columns as NULL
         reader = reader.option("mergeSchema", "true")
-    return reader.parquet(*paths)
+    return _conform(reader.parquet(*paths), manifest)
+
+
+def _conform(df: DataFrame, manifest: dict) -> DataFrame:
+    """Project a snapshot scan to the COMMITTED table schema: reads are
+    defined by the manifest, not by whichever files a plan happened to
+    touch — columns an evolution dropped disappear, columns the scanned
+    files lack surface as typed NULLs, order is the committed order.
+    No-op (and no plan noise) when the files already match."""
+    schema = manifest.get("schema")
+    if not schema or [f"{f.name}:{f.dataType.simpleString()}" for f in df.schema.fields] == [
+        f"{n}:{t}" for n, t in schema.items()
+    ]:
+        return df
+    from pyspark.sql import functions as F
+
+    return df.select(
+        *[
+            (F.col(n) if n in df.columns else F.lit(None)).cast(t).alias(n)
+            for n, t in schema.items()
+        ]
+    )
 
 
 def tx_prune_files(
@@ -314,7 +340,11 @@ def tx_prune_files(
     files whose footer zone map for ``col`` intersects ``[lo, hi]``
     (either bound may be None = unbounded).  Files with no recorded
     stats for ``col`` are always kept — pruning is sound, never
-    heuristic.  Pure driver-side manifest arithmetic: at 100 TB this
+    heuristic.  NULLs are not represented in parquet zone maps, so a
+    pruned-away file can still hold NULL-keyed rows — consistent with
+    :func:`tx_read_pruned`, whose BETWEEN filter drops NULLs anyway;
+    callers doing their own logic over the pruned list must not expect
+    NULL rows.  Pure driver-side manifest arithmetic: at 100 TB this
     turns a point/range query over a clustered column into a scan of a
     handful of files without touching the others' footers, the same
     mechanism as Delta/Iceberg file skipping."""
@@ -348,7 +378,15 @@ def tx_read_pruned(
     paths = tx_prune_files(root, col, lo, hi, version)
     if not paths:
         return tx_read(spark, root, version).filter("1 = 0")
-    df = spark.read.parquet(*[os.path.join(root, p) for p in paths])
+    head = tx_head(root)
+    manifest = _read_manifest(root, head if version is None else version)
+    reader = spark.read
+    if manifest.get("schema_evolved"):
+        # same rule as tx_read: an evolved snapshot mixes file schemas,
+        # and a non-merged read of a pruned subset would silently take
+        # one file's schema
+        reader = reader.option("mergeSchema", "true")
+    df = _conform(reader.parquet(*[os.path.join(root, p) for p in paths]), manifest)
     from pyspark.sql import functions as F
 
     if lo is not None:

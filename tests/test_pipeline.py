@@ -272,7 +272,10 @@ def test_cli_dedup_table_feed_and_table_maintenance(spark, tmp_path, capsys):
 
     # append a batch -> only the new batch is processed
     txlog.tx_write(
-        docs.filter(F.col("doc_id") == 1).withColumn("doc_id", F.lit(100)), corpus
+        docs.filter(F.col("doc_id") == 1).withColumn(
+            "doc_id", F.lit(100).cast("long")
+        ),
+        corpus,
     )
     assert cli.main(["dedup", "--table", corpus, "--work", work]) == 0
     assert "snapshot v2 committed" in capsys.readouterr().err

@@ -344,3 +344,30 @@ def test_append_schema_drift_rejected_and_evolution_explicit(spark, tmp_path):
     head = txlog.tx_head(root)
     assert txlog._read_manifest(root, head).get("schema_evolved") is None
     assert txlog.tx_read(spark, root).count() == 20
+    # evolution can also DROP a column: reads follow the committed
+    # schema, not the union of whatever the scanned files contain
+    narrow = spark.range(200, 205).select(F.col("id"), F.lit(9.9).alias("score"))
+    txlog.tx_write(narrow, root, allow_schema_change=True)
+    got2 = txlog.tx_read(spark, root)
+    assert set(got2.columns) == {"id", "score"}
+    assert got2.count() == 25
+
+
+def test_pruned_read_respects_schema_evolution(spark, tmp_path):
+    """A pruned read over an EVOLVED snapshot must merge file schemas:
+    without it, a subset scan silently takes one file's schema and the
+    evolved column vanishes (or resolves against the wrong file)."""
+    root = str(tmp_path / "t")
+    txlog.tx_write(_df(spark, 0, 100, "a").coalesce(1), root)
+    wider = (
+        _df(spark, 100, 200, "b").withColumn("score", F.lit(2.0)).coalesce(1)
+    )
+    txlog.tx_write(wider, root, allow_schema_change=True)
+    # a range spanning BOTH files: evolved column present, NULL for old
+    got = txlog.tx_read_pruned(spark, root, "id", 50, 150)
+    assert set(got.columns) == {"id", "batch", "score"}
+    rows = {r.id: r.score for r in got.collect()}
+    assert len(rows) == 101 and rows[50] is None and rows[150] == 2.0
+    # a range hitting ONLY the old file still surfaces the new column
+    old_only = txlog.tx_read_pruned(spark, root, "id", 10, 20)
+    assert "score" in old_only.columns
