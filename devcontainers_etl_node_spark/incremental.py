@@ -150,41 +150,36 @@ def _read_json(path: str) -> dict | None:
         return None
 
 
-def run_incremental_dedup_from_table(
+def _run_from_cdf(
     spark: SparkSession,
     corpus_root: str,
     workdir: str,
-    **lsh_params,
+    run_batch,
+    needs_old_docs: bool,
+    noop_result: dict,
 ) -> dict:
-    """Feed :func:`run_incremental_dedup` from a transactional corpus
-    table's CHANGE FEED (``sinks/txlog.py``) instead of caller-supplied
-    batches — the ingest loop stops re-listing directories entirely:
+    """Shared change-feed cursor protocol for the incremental runners.
 
-    - ``new_docs``  = ``tx_changes(corpus_root, since_version=cursor)`` —
+    - ``new_docs`` = ``tx_changes(corpus_root, since_version=cursor)`` —
       only the files appended since the last processed corpus version;
-    - ``old_docs``  = ``tx_read(corpus_root, version=cursor)`` — the
-      exact snapshot the committed signature table was built over
-      (time travel gives the verify stage the right history even while
-      writers keep appending).
+    - ``old_docs`` (when the runner needs history text) =
+      ``tx_read(corpus_root, version=cursor)`` — the exact snapshot the
+      committed state was built over (time travel gives the verify
+      stage the right history even while writers keep appending).
 
     The corpus-version cursor advances EXACTLY ONCE per processed batch
-    via a write-ahead intent: the intent (next dedup version + corpus
-    head) is recorded before the dedup runs; after the dedup snapshot
-    commits, the intent is promoted to the cursor.  On startup a
-    leftover intent is resolved by comparing its dedup version to the
-    committed pointer — promoted if the batch actually committed (crash
-    after commit), discarded otherwise (crash before), so a killed run
-    neither loses a batch nor processes one twice.
+    via a write-ahead intent: the intent (next state version + corpus
+    head) is recorded before the runner commits; afterwards the intent
+    is promoted to the cursor.  On startup a leftover intent is
+    resolved by comparing its state version to the committed pointer —
+    promoted if the batch actually committed (crash after commit),
+    discarded otherwise (crash before), so a killed run neither loses a
+    batch nor processes one twice.
 
     The feed requires an APPEND-ONLY corpus within the consumed window:
-    an overwrite rewrites history, so signatures built over the old
-    snapshot would verify against documents that no longer exist —
-    detected via the manifest history and rejected loudly.
-
-    Returns ``run_incremental_dedup``'s dict plus ``corpus_version``;
-    when no new corpus version exists, returns ``{"pairs": None,
-    "n_pairs": 0, "no_new_data": True, ...}`` without touching state.
-    """
+    an overwrite rewrites history, so state built over the old snapshot
+    no longer describes the table — detected via the manifest history
+    and rejected loudly."""
     from devcontainers_etl_node_spark.sinks import txlog
 
     os.makedirs(workdir, exist_ok=True)
@@ -198,25 +193,23 @@ def run_incremental_dedup_from_table(
     intent = _read_json(intent_path)
     if intent is not None:
         if cur is not None and cur >= intent["dedup_version"]:
-            # crash AFTER the dedup commit: the batch is in the snapshot,
+            # crash AFTER the state commit: the batch is in the snapshot,
             # only the cursor promotion was lost — finish it
             os.replace(intent_path, cursor_path)
         else:
-            # crash BEFORE the dedup commit: the batch never happened
+            # crash BEFORE the state commit: the batch never happened
             os.remove(intent_path)
     cursor = _read_json(cursor_path)
 
     if cursor is None:
-        since = None
         new_docs = txlog.tx_read(spark, corpus_root, version=head)
         old_docs = None
     else:
         since = cursor["corpus_version"]
         if since >= head:
             return {
-                "pairs": None,
+                **noop_result,
                 "version": cur,
-                "n_pairs": 0,
                 "corpus_version": since,
                 "no_new_data": True,
             }
@@ -224,11 +217,15 @@ def run_incremental_dedup_from_table(
         if "overwrite" in modes:
             raise ValueError(
                 f"corpus at {corpus_root} was OVERWRITTEN after v{since}: "
-                "the committed signature history no longer describes the "
-                "table — start a fresh dedup workdir from the new snapshot"
+                "the committed incremental state no longer describes the "
+                "table — start a fresh workdir from the new snapshot"
             )
         new_docs = txlog.tx_changes(spark, corpus_root, since_version=since)
-        old_docs = txlog.tx_read(spark, corpus_root, version=since)
+        old_docs = (
+            txlog.tx_read(spark, corpus_root, version=since)
+            if needs_old_docs
+            else None
+        )
 
     next_intent = {"dedup_version": (cur or 0) + 1, "corpus_version": head}
     tmp = intent_path + ".tmp"
@@ -236,9 +233,58 @@ def run_incremental_dedup_from_table(
         json.dump(next_intent, f)
     os.replace(tmp, intent_path)
 
-    out = run_incremental_dedup(spark, new_docs, workdir, old_docs=old_docs, **lsh_params)
+    out = run_batch(new_docs, old_docs)
     os.replace(intent_path, cursor_path)  # promote: batch committed
     return {**out, "corpus_version": head}
+
+
+def run_incremental_dedup_from_table(
+    spark: SparkSession,
+    corpus_root: str,
+    workdir: str,
+    **lsh_params,
+) -> dict:
+    """Feed :func:`run_incremental_dedup` from a transactional corpus
+    table's CHANGE FEED (``sinks/txlog.py``) instead of caller-supplied
+    batches — the ingest loop stops re-listing directories entirely.
+    Cursor/crash semantics in :func:`_run_from_cdf`.  Returns
+    ``run_incremental_dedup``'s dict plus ``corpus_version``; when no
+    new corpus version exists, returns ``{"pairs": None, "n_pairs": 0,
+    "no_new_data": True, ...}`` without touching state."""
+    return _run_from_cdf(
+        spark,
+        corpus_root,
+        workdir,
+        lambda new_docs, old_docs: run_incremental_dedup(
+            spark, new_docs, workdir, old_docs=old_docs, **lsh_params
+        ),
+        needs_old_docs=True,
+        noop_result={"pairs": None, "n_pairs": 0},
+    )
+
+
+def run_incremental_substr_from_table(
+    spark: SparkSession,
+    corpus_root: str,
+    workdir: str,
+    **substr_params,
+) -> dict:
+    """Feed :func:`run_incremental_substr` from a transactional corpus
+    table's change feed — the ExactSubstr twin of
+    :func:`run_incremental_dedup_from_table`.  ExactSubstr history is a
+    gram-COUNT table (additive across disjoint batches), so no
+    historical text is ever read: only ``tx_changes`` files are scanned
+    per batch.  Cursor/crash semantics in :func:`_run_from_cdf`."""
+    return _run_from_cdf(
+        spark,
+        corpus_root,
+        workdir,
+        lambda new_docs, _old: run_incremental_substr(
+            spark, new_docs, workdir, **substr_params
+        ),
+        needs_old_docs=False,
+        noop_result={"clean": None, "n_docs": 0, "audit": None},
+    )
 
 
 def run_incremental_substr(

@@ -311,3 +311,39 @@ def test_cdf_feed_rejects_overwritten_corpus(spark, tmp_path):
     txlog.tx_write(_corpus_b(spark), corpus, mode="overwrite")  # v1 rewrite
     with pytest.raises(ValueError, match="OVERWRITTEN"):
         run_incremental_dedup_from_table(spark, corpus, wd)
+
+
+def test_cdf_feed_substr_twin(spark, tmp_path):
+    """run_incremental_substr_from_table: the ExactSubstr runner rides
+    the same cursor protocol — first run cleans the whole snapshot,
+    appended batches pay only for themselves (gram counts additive, no
+    historical text), unchanged corpus is a no-op."""
+    from devcontainers_etl_node_spark.incremental import (
+        run_incremental_substr_from_table,
+    )
+    from devcontainers_etl_node_spark.sinks import txlog
+
+    corpus = str(tmp_path / "corpus")
+    wd = str(tmp_path / "substr_cdf")
+    span = " ".join(f"planted{j}" for j in range(16))
+    mk = lambda i, extra: (i, (f"{span} " if extra else "") + " ".join(
+        f"w{i}x{t}" for t in range(24)
+    ))
+    a = spark.createDataFrame([mk(1, True), mk(2, True), mk(3, False)], ["doc_id", "text"])
+    b = spark.createDataFrame([mk(11, True), mk(12, False)], ["doc_id", "text"])
+
+    txlog.tx_write(a, corpus)  # v0
+    r1 = run_incremental_substr_from_table(spark, corpus, wd)
+    assert r1["n_docs"] == 3 and r1["corpus_version"] == 0
+
+    txlog.tx_write(b, corpus)  # v1 append
+    r2 = run_incremental_substr_from_table(spark, corpus, wd)
+    assert r2["corpus_version"] == 1 and r2["version"] == 2
+    # only batch-b docs in this run's clean output
+    assert {r.doc_id for r in r2["clean"].collect()} == {11, 12}
+    # doc 11's planted span duplicates committed history -> it was cut
+    got11 = {r.doc_id: r.clean_text for r in r2["clean"].collect()}[11]
+    assert "planted0" not in got11
+
+    r3 = run_incremental_substr_from_table(spark, corpus, wd)
+    assert r3["no_new_data"] and r3["n_docs"] == 0
