@@ -371,3 +371,86 @@ def test_pruned_read_respects_schema_evolution(spark, tmp_path):
     # a range hitting ONLY the old file still surfaces the new column
     old_only = txlog.tx_read_pruned(spark, root, "id", 10, 20)
     assert "score" in old_only.columns
+
+
+def test_model_based_random_op_sequences(spark, tmp_path):
+    """Model-based check of the ACID surface: random sequences of
+    append / overwrite / compact / idempotent-append / vacuum are
+    replayed against a pure-Python model of the table (a dict of
+    version -> row multiset). After EVERY op: head snapshot == model
+    head, every retained version time-travels to its model snapshot,
+    and the change feed from any retained cursor equals the model's
+    delta. Deterministic seeds — failures reproduce."""
+    import random
+
+    for seed in (7, 23, 61):
+        rng = random.Random(seed)
+        root = str(tmp_path / f"t{seed}")
+        model: dict[int, list[int]] = {}   # version -> sorted ids
+        feeds: dict[int, list[int]] = {}   # version -> ids its commit ADDED
+        next_id = 0
+        idem_batch = 0
+
+        def fresh(n):
+            nonlocal next_id
+            ids = list(range(next_id, next_id + n))
+            next_id += n
+            return ids
+
+        for _ in range(10):
+            op = rng.choice(["append", "append", "overwrite", "compact", "idem", "vacuum"])
+            head = txlog.tx_head(root)
+            if op == "compact" and head is None:
+                continue
+            if op == "append" or (op in ("overwrite", "compact", "idem", "vacuum") and head is None):
+                ids = fresh(rng.randint(1, 5))
+                v = txlog.tx_write(_df(spark, ids[0], ids[-1] + 1, "m"), root)
+                model[v] = sorted((model.get(v - 1) or []) + ids)
+                feeds[v] = ids
+            elif op == "overwrite":
+                ids = fresh(rng.randint(1, 4))
+                v = txlog.tx_write(_df(spark, ids[0], ids[-1] + 1, "m"), root, mode="overwrite")
+                model[v] = sorted(ids)
+                feeds[v] = None  # overwrite: feed resets to the snapshot
+            elif op == "compact":
+                v = txlog.tx_compact(spark, root, target_file_bytes=4096)
+                model[v] = model[v - 1]
+                feeds[v] = None
+            elif op == "idem":
+                ids = fresh(2)
+                v = txlog.tx_write_idempotent(
+                    _df(spark, ids[0], ids[0] + 2, "m"), root, "model-app", idem_batch
+                )
+                assert v is not None
+                # replay the same batch id: must be skipped
+                assert (
+                    txlog.tx_write_idempotent(
+                        _df(spark, ids[0], ids[0] + 2, "m"), root, "model-app", idem_batch
+                    )
+                    is None
+                )
+                idem_batch += 1
+                model[v] = sorted(model.get(v - 1, []) + ids)
+                feeds[v] = ids
+            elif op == "vacuum":
+                txlog.tx_vacuum(root, keep_last=2, retention_hours=0)
+                retained = [v for v in model if v > txlog.tx_head(root) - 2]
+                for v in list(model):
+                    if v not in retained:
+                        model.pop(v), feeds.pop(v)
+
+            head = txlog.tx_head(root)
+            assert head == max(model)
+            for v in model:  # every retained version time-travels exactly
+                got = sorted(r.id for r in txlog.tx_read(spark, root, version=v).collect())
+                assert got == model[v], (seed, v)
+            # change feed from every retained cursor (except head)
+            for since in [v for v in model if v < head]:
+                expect: list[int] = []
+                for v in range(since + 1, head + 1):
+                    if feeds.get(v) is None and v in model:  # overwrite/compact
+                        expect = list(model[v])
+                    elif v in model and feeds[v]:
+                        expect += feeds[v]
+                got = sorted(r.id for r in txlog.tx_changes(spark, root, since_version=since).collect())
+                assert got == sorted(expect), (seed, since)
