@@ -1,0 +1,246 @@
+"""Full-text retrieval + exact set-similarity join over the document corpus.
+
+Two scale-path operators the reference pipeline family lacks entirely
+(the reference is an eager single-process pandas ETL — reference
+src/etl/etl.py has no text retrieval at all); both are core tools of a
+large-scale training-data curation stack:
+
+- **BM25 top-k retrieval** (`bm25_topk`): build an inverted index
+  (postings = per-(doc, term) frequencies), score a bounded query set
+  against it, return the top-k docs per query. At 100 TB the corpus is
+  tokenized exactly once into postings (map-side partial agg before the
+  one (doc_id, term) shuffle), the query set is broadcast, and only
+  postings matching a query term survive past the join — scoring work is
+  proportional to matching postings, never to the corpus. This is how
+  benchmark-contamination checks and "find training docs similar to this
+  eval item" audits run at scale.
+
+- **Prefix-filtered exact Jaccard self-join** (`setsim_join_prefix`):
+  the AllPairs/PPJoin family (Bayardo et al. WWW'07; Xiao et al.
+  WWW'08; Vernica, Carey, Li SIGMOD'10 for the MapReduce formulation —
+  all public literature). Unlike MinHash LSH (operators/dedup.py),
+  which is approximate, this finds EVERY pair with Jaccard >= t, but
+  without the O(n²) block cross-product `ngram_jaccard` uses: each
+  doc's shingle set is sorted by ascending global document frequency
+  (rarest first) and only a provably-sufficient PREFIX of length
+  |s| - ceil(t*|s|) + 1 is emitted as candidate-generation keys. Two
+  sets with J >= t must share a prefix token under the common global
+  order, so the equi-join on prefix tokens is a complete candidate set;
+  an exact intersection count then verifies each candidate. At 100 TB
+  the join key space is the rare end of the shingle vocabulary —
+  candidate volume tracks true-pair volume, not corpus-pairs volume.
+
+Cross-engine exactness (the DuckDB-oracle contract): BM25's classic idf
+uses ln(), and transcendentals are NOT bit-identical between libm and
+the JVM — so scoring uses the log-free odds form
+(N - df + 0.5)/(df + 0.5) (the argument of BM25's ln, monotone in it,
+rank-equivalent per term). Every arithmetic op in the score is IEEE
++,-,*,/ (correctly rounded, hence bit-identical across engines given
+the same association order, which the catalog oracle mirrors), and the
+per-term score is fixed-pointed to integer MICROS before the per-(query,
+doc) sum so float summation order cannot skew the total.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+from devcontainers_etl_node_spark.operators.dedup import word_shingles
+
+# ---------------------------------------------------------------------------
+# Inverted index + BM25
+# ---------------------------------------------------------------------------
+
+
+def postings(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Inverted-index postings: one row per (doc, term) with the term
+    frequency. Whitespace tokenization, lowercased — the same convention
+    every text entry in the catalog uses. The groupBy partial-aggregates
+    map-side, so the one shuffle moves (id, term, tf) rows — never the
+    raw text."""
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("term"),
+    )
+    return toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).cast("long").alias("tf"))
+
+
+def bm25_topk(
+    df: DataFrame,
+    query_terms: list[tuple[int, list[str]]],
+    k: int = 5,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k docs per query under log-free BM25.
+
+    Per matching (query, doc, term):
+
+        idf_odds = (N - df + 0.5) / (df + 0.5)          -- BM25 idf sans ln
+        tfn      = (tf * (k1+1)) / (tf + k1 * ((1-b) + b * (dl / avgdl)))
+        micros   = CAST(ROUND(idf_odds * tfn * 1e6) AS LONG)
+
+    summed per (query, doc) and ranked (score desc, doc_id asc). The
+    integer-micros fixed point makes the sum order-insensitive and the
+    result hashable against a SQL oracle bit-for-bit.
+
+    Plan shape: postings built once (one corpus shuffle); N/avgdl is a
+    one-row aggregate (bounded broadcast scalar); the query set is a
+    literal local relation (broadcast); df per term is computed AFTER the
+    postings are semi-joined down to query terms — identical to global df
+    for those terms, but the groupBy runs over matching postings only.
+    """
+    spark = df.sparkSession
+    qrows = [(qid, t) for qid, terms in query_terms for t in terms]
+    qdf = spark.createDataFrame(qrows, "query_id INT, term STRING")
+
+    post = postings(df, text_col, id_col)
+    dl = post.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1)).cast("double")).alias("avgdl"),
+    )
+
+    # Semi-join the corpus postings down to the query vocabulary FIRST:
+    # df over the surviving postings equals global df for those terms
+    # (postings are unique per (doc, term), so a plain count IS the doc
+    # freq), and computing it before the query join keeps it correct even
+    # when two queries share a term.
+    qterms = qdf.select("term").distinct()
+    relevant = post.join(F.broadcast(qterms), "term")
+    dfreq = relevant.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    matched = relevant.join(F.broadcast(qdf), "term")
+
+    scored = (
+        matched.join(F.broadcast(dfreq), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+    )
+    idf_odds = ((F.col("n_docs") - F.col("df")).cast("double") + F.lit(0.5)) / (
+        F.col("df").cast("double") + F.lit(0.5)
+    )
+    tfn = (F.col("tf").cast("double") * F.lit(k1 + 1.0)) / (
+        F.col("tf").cast("double")
+        + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * (F.col("dl").cast("double") / F.col("avgdl")))
+    )
+    per_term = scored.select(
+        "query_id",
+        "doc_id",
+        F.round(idf_odds * tfn * F.lit(1000000.0)).cast("long").alias("micros"),
+    )
+    total = per_term.groupBy("query_id", "doc_id").agg(
+        F.sum("micros").cast("long").alias("score_micros")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score_micros").desc(), F.col("doc_id"))
+    return (
+        total.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "doc_id", "score_micros", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Prefix-filtered exact Jaccard similarity self-join (AllPairs / PPJoin-lite)
+# ---------------------------------------------------------------------------
+
+
+def _gram_rows(df: DataFrame, text_col: str, id_col: str, ngram: int) -> DataFrame:
+    """Exploded distinct word-ngram shingles: (doc_id, gram)."""
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(word_shingles(F.col(text_col), ngram)).alias("gram"),
+    )
+
+
+def setsim_join_prefix(
+    df: DataFrame,
+    threshold: float,
+    ngram: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """All pairs with word-`ngram` Jaccard >= `threshold`, exactly.
+
+    1. Shingle each doc to its distinct word-ngram set (size `sz`).
+    2. Global token order = (document frequency asc, gram asc) — rarest
+       first, the canonical AllPairs ordering that minimizes candidate
+       fan-out. Positions come from a row_number per doc over that order.
+    3. Emit only each doc's PREFIX: positions 1 .. sz - ceil(t*sz) + 1.
+       Completeness: J(a,b) >= t implies |a∩b| >= ceil(t*max(|a|,|b|)),
+       and two sets whose overlap is >= alpha must collide within their
+       (|s| - alpha + 1)-prefixes under a shared total order (Xiao et
+       al., prefix-filter lemma) — so the prefix equi-join misses no
+       qualifying pair. The size filter ceil(t*sz_a) <= sz_b (WLOG
+       sz_a <= sz_b) prunes length-incompatible collisions for free.
+    4. Exact verify: count shared grams per surviving candidate pair and
+       keep inter/union >= t. One division per pair — jaccard is a
+       single IEEE op, bit-identical to a SQL oracle's.
+
+    Scale: the only corpus-sized shuffles are the shingle groupBys; the
+    candidate join keys live on the RARE end of the gram vocabulary, so
+    bucket sizes are small by construction (a gram with document
+    frequency d contributes <= d(d-1)/2 collisions, and prefix grams are
+    chosen to minimize d). No O(n²) stage at any point.
+    """
+    # Deliberately NOT persisted: the gram relation is corpus-sized, and a
+    # cache here would pin O(corpus) rows in executor memory at 100 TB. The
+    # shingling is re-derived per consumer (3 scans of cheap codegen'd
+    # expressions) — the expensive parts are the shuffles, which run once.
+    grams = _gram_rows(df, text_col, id_col, ngram)
+    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("sz"))
+    gfreq = grams.groupBy("gram").agg(F.count(F.lit(1)).cast("long").alias("gdf"))
+
+    ordered = (
+        grams.join(gfreq, "gram")
+        .withColumn(
+            "pos",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy(F.col("gdf"), F.col("gram"))
+            ),
+        )
+        .join(sizes, "doc_id")
+    )
+    # prefix length = sz - ceil(t*sz) + 1
+    prefix = ordered.filter(
+        F.col("pos") <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
+    ).select("doc_id", "gram", "sz")
+
+    a = prefix.select(
+        F.col("doc_id").alias("id_a"), F.col("gram"), F.col("sz").alias("sz_a")
+    )
+    bb = prefix.select(
+        F.col("doc_id").alias("id_b"), F.col("gram"), F.col("sz").alias("sz_b")
+    )
+    cand = (
+        a.join(bb, "gram")
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            # size filter, both directions (either side may be smaller)
+            & (F.ceil(F.lit(threshold) * F.col("sz_a")) <= F.col("sz_b"))
+            & (F.ceil(F.lit(threshold) * F.col("sz_b")) <= F.col("sz_a"))
+        )
+        .select("id_a", "id_b", "sz_a", "sz_b")
+        .distinct()
+    )
+
+    ga = grams.select(F.col("doc_id").alias("id_a"), F.col("gram"))
+    gb = grams.select(F.col("doc_id").alias("id_b"), F.col("gram"))
+    inter = (
+        cand.join(ga, "id_a")
+        .join(gb, ["id_b", "gram"])
+        .groupBy("id_a", "id_b", "sz_a", "sz_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("inter"))
+    )
+    out = inter.select(
+        "id_a",
+        "id_b",
+        "inter",
+        (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast("long").alias("uni"),
+        (
+            F.col("inter").cast("double")
+            / (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast("double")
+        ).alias("jaccard_sim"),
+    ).filter(F.col("jaccard_sim") >= threshold)
+    return out

@@ -9566,3 +9566,218 @@ def txlog_acid(spark: SparkSession, sf: str) -> DataFrame:
         .unionByName(summarize(cdf, "cdf_since_v0"))
         .unionByName(summarize(txlog.tx_read(spark, root), "head"))
     )
+
+
+# =========================================================================
+# Retrieval + exact similarity join + data-mixing (round 9)
+# =========================================================================
+
+
+@query(
+    "bm25_retrieval",
+    r"""
+    WITH q(query_id, term) AS (
+        VALUES (1, 'spark'), (1, 'window'), (1, 'hash'),
+               (2, 'customer'), (2, 'merge'),
+               (3, 'vector'), (3, 'scan'), (3, 'slow')),
+    toks AS (
+        SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+        FROM documents),
+    post AS (
+        SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM toks GROUP BY doc_id, term),
+    dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM post GROUP BY doc_id),
+    stats AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+        FROM dl),
+    qt AS (SELECT DISTINCT term FROM q),
+    rel AS (SELECT p.* FROM post p JOIN qt USING (term)),
+    dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM rel GROUP BY term),
+    per_term AS (
+        SELECT q.query_id, r.doc_id,
+               CAST(round(
+                 ((CAST(s.n_docs - d.df AS DOUBLE) + 0.5) / (CAST(d.df AS DOUBLE) + 0.5))
+                 * ((CAST(r.tf AS DOUBLE) * 2.2)
+                    / (CAST(r.tf AS DOUBLE)
+                       + 1.2 * (0.25 + 0.75 * (CAST(l.dl AS DOUBLE) / s.avgdl))))
+                 * 1000000.0
+               ) AS BIGINT) AS micros
+        FROM rel r
+        JOIN q ON r.term = q.term
+        JOIN dfreq d ON r.term = d.term
+        JOIN dl l ON r.doc_id = l.doc_id
+        CROSS JOIN stats s),
+    total AS (
+        SELECT query_id, doc_id, CAST(SUM(micros) AS BIGINT) AS score_micros
+        FROM per_term GROUP BY query_id, doc_id),
+    ranked AS (
+        SELECT query_id, doc_id, score_micros,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY score_micros DESC, doc_id) AS rank
+        FROM total)
+    SELECT query_id, doc_id, score_micros, rank FROM ranked WHERE rank <= 5
+    """,
+)
+def bm25_retrieval(spark: SparkSession, sf: str) -> DataFrame:
+    """BM25 top-5 retrieval over an inverted index — the "find training
+    docs matching this probe" audit primitive (benchmark contamination,
+    eval-similarity triage). Three fixed multi-term queries are scored
+    against the whole corpus (k1=1.2, b=0.75). Plan: the corpus is
+    tokenized ONCE into (doc, term, tf) postings (map-side partial agg
+    before the single corpus shuffle); the query vocabulary is a broadcast
+    literal relation, so only matching postings survive past the join —
+    scoring work tracks matches, not corpus size; top-k per query is a
+    WindowGroupLimit. Cross-engine exactness: the idf is the log-free
+    odds form (N-df+0.5)/(df+0.5) (rank-equivalent per term to BM25's
+    ln of it, and unlike ln/exp/pow it is bit-identical across libm
+    implementations because it only uses IEEE +,-,*,/); each per-term
+    score is fixed-pointed to integer MICROS before the per-(query,doc)
+    sum, so float summation order cannot skew totals. See
+    operators/retrieval.py for the 100 TB shape."""
+    from devcontainers_etl_node_spark.operators import retrieval
+
+    docs = table(spark, sf, "documents")
+    return retrieval.bm25_topk(
+        docs,
+        [
+            (1, ["spark", "window", "hash"]),
+            (2, ["customer", "merge"]),
+            (3, ["vector", "scan", "slow"]),
+        ],
+        k=5,
+    )
+
+
+@query(
+    "setsim_selfjoin",
+    r"""
+    WITH sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   generate_series(1, greatest(len(string_split_regex(lower(trim(text)), '\s+')) - 2, 1)),
+                   i -> array_to_string(string_split_regex(lower(trim(text)), '\s+')[i:i+2], ' ')
+               )) AS grams
+        FROM documents)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(len(list_intersect(a.grams, b.grams)) AS BIGINT) AS inter,
+           CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS BIGINT) AS uni,
+           CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+             / CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS DOUBLE)
+             AS jaccard_sim
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+             / CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS DOUBLE) >= 0.5
+    """,
+)
+def setsim_selfjoin(spark: SparkSession, sf: str) -> DataFrame:
+    """EXACT word-3-gram Jaccard >= 0.5 self-join via prefix filtering
+    (AllPairs / PPJoin family — Bayardo WWW'07, Xiao WWW'08, Vernica
+    SIGMOD'10). The third rung of the dedup ladder: `ngram_jaccard` is
+    exact but pairs a whole lang-block (O(block²)); `minhash_neardup` is
+    subquadratic but approximate; THIS is both exact and subquadratic —
+    each doc emits only its |s|-ceil(t|s|)+1 rarest-first shingle PREFIX
+    as candidate keys (provably complete for J >= t under the shared
+    global order), candidates are size-filtered, then verified with an
+    exact intersection count. The ORACLE is the brute-force all-pairs
+    join — so the driver's hash gate proves the pruning loses no pair.
+    Candidate-join keys live on the RARE end of the gram vocabulary, so
+    bucket fan-out tracks true-duplicate volume, not corpus-pairs volume
+    (the 100 TB property; see operators/retrieval.py)."""
+    from devcontainers_etl_node_spark.operators import retrieval
+
+    docs = table(spark, sf, "documents")
+    return retrieval.setsim_join_prefix(docs, threshold=0.5, ngram=3)
+
+
+@query(
+    "temperature_domain_sample",
+    r"""
+    WITH counts AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM documents GROUP BY source),
+    shares AS (
+        SELECT source, n_docs,
+               CAST(round(sqrt(CAST(n_docs AS DOUBLE)) * 1000000.0) AS BIGINT)
+                 AS share_micro
+        FROM counts),
+    tot AS (SELECT CAST(SUM(share_micro) AS BIGINT) AS s FROM shares),
+    quota0 AS (
+        SELECT sh.source, sh.n_docs, sh.share_micro,
+               (100 * sh.share_micro) // t.s AS base,
+               (100 * sh.share_micro) - ((100 * sh.share_micro) // t.s) * t.s AS rem
+        FROM shares sh CROSS JOIN tot t),
+    leftover AS (SELECT 100 - CAST(SUM(base) AS BIGINT) AS extra FROM quota0),
+    quota AS (
+        SELECT source, n_docs,
+               base + CASE WHEN row_number() OVER (ORDER BY rem DESC, source)
+                                <= (SELECT extra FROM leftover)
+                           THEN 1 ELSE 0 END AS quota
+        FROM quota0),
+    ranked AS (
+        SELECT d.source, d.doc_id,
+               row_number() OVER (PARTITION BY d.source
+                                  ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id)
+                 AS pick_rank
+        FROM documents d)
+    SELECT r.source, CAST(q.quota AS BIGINT) AS quota, r.doc_id,
+           CAST(r.pick_rank AS BIGINT) AS pick_rank
+    FROM ranked r JOIN quota q ON r.source = q.source
+    WHERE r.pick_rank <= q.quota
+    """,
+)
+def temperature_domain_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Temperature-scaled domain mixing with EXACT total-quota allocation —
+    the multilingual/multi-domain sampling scheme (weights proportional to
+    n_d^T, here T=0.5) used to up-weight rare domains in a pretraining
+    mix, as in public multilingual-LM recipes. A fixed budget of 100 docs
+    is split across sources by largest-remainder apportionment over
+    sqrt(n_d) shares, then each domain's quota is filled deterministically
+    by md5(doc_id) order — a stable, engine-agnostic pseudo-random pick.
+    Cross-engine exactness: sqrt is IEEE-correctly-rounded (bit-identical
+    in both engines, unlike pow — which is WHY T is 0.5 here), shares are
+    fixed-pointed to integer micros before summation, and apportionment is
+    pure integer arithmetic (DIV / residue), so quotas are bit-identical.
+    Scale: per-domain counts are one partial-agg'd shuffle; apportionment
+    runs on a domains-sized relation (bounded); selection is one
+    WindowGroupLimit per domain — no global sort, no collect."""
+    docs = table(spark, sf, "documents")
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    shares = counts.withColumn(
+        "share_micro",
+        F.round(F.sqrt(F.col("n_docs").cast("double")) * F.lit(1000000.0)).cast("long"),
+    )
+    tot = shares.agg(F.sum("share_micro").cast("long").alias("s"))
+    quota0 = shares.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        F.expr("(100 * share_micro) DIV s").alias("base"),
+        (
+            (F.lit(100) * F.col("share_micro"))
+            - F.expr("(100 * share_micro) DIV s") * F.col("s")
+        ).alias("rem"),
+    )
+    leftover = quota0.agg((F.lit(100) - F.sum("base")).cast("long").alias("extra"))
+    wq = Window.orderBy(F.col("rem").desc(), F.col("source"))
+    quota = (
+        quota0.crossJoin(F.broadcast(leftover))
+        .withColumn(
+            "quota",
+            (
+                F.col("base")
+                + F.when(F.row_number().over(wq) <= F.col("extra"), 1).otherwise(0)
+            ).cast("long"),
+        )
+        .select("source", "quota")
+    )
+    wpick = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string").cast("binary")), F.col("doc_id")
+    )
+    ranked = docs.select(
+        "source", "doc_id", F.row_number().over(wpick).cast("long").alias("pick_rank")
+    )
+    return (
+        ranked.join(F.broadcast(quota), "source")
+        .filter(F.col("pick_rank") <= F.col("quota"))
+        .select("source", "quota", "doc_id", "pick_rank")
+    )

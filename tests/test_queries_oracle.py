@@ -85,6 +85,9 @@ FAST_ORACLED = [
     "iqr_outliers",
     "quantile_buckets",
     "copurchase_triangles",
+    "bm25_retrieval",
+    "setsim_selfjoin",
+    "temperature_domain_sample",
 ]
 
 
