@@ -174,7 +174,17 @@ def setsim_join_prefix(
        al., prefix-filter lemma) — so the prefix equi-join misses no
        qualifying pair. The size filter ceil(t*sz_a) <= sz_b (WLOG
        sz_a <= sz_b) prunes length-incompatible collisions for free.
-    4. Exact verify: count shared grams per surviving candidate pair and
+    4. PPJoin POSITION filter (Xiao et al. WWW'08 §3.2): a prefix
+       collision at positions (i, j) bounds the achievable overlap by
+       min(sz_a - i, sz_b - j) + 1 (at most 1 common token up to the
+       collision, everything after it in the shorter remainder). A pair
+       survives only if its BEST collision's bound reaches the pair's
+       required overlap alpha = ceil(t/(1+t) * (sz_a + sz_b)) — taking
+       the max over collisions is an upper bound on PPJoin's
+       first-collision bound, so the filter is sound (never drops a
+       qualifying pair) while pruning most length-compatible collisions
+       that happen deep in both prefixes.
+    5. Exact verify: count shared grams per surviving candidate pair and
        keep inter/union >= t. One division per pair — jaccard is a
        single IEEE op, bit-identical to a SQL oracle's.
 
@@ -202,27 +212,54 @@ def setsim_join_prefix(
         )
         .join(sizes, "doc_id")
     )
+    # Every pruning bound below is ceil(ratio * n) computed in doubles. A
+    # ratio whose binary repr sits ABOVE its decimal (e.g. 0.1) can push
+    # ratio*n an ulp past an exact integer, making ceil over-estimate by 1
+    # and the prune UNSOUND (a qualifying pair dropped). The 1e-6 slack
+    # absorbs float error up to n ~ 1e9 grams; it can only UNDER-estimate
+    # a bound (weaker pruning — the exact verify still rejects), never
+    # over-estimate.
+    def _ceil_mul(ratio: float, n: Column) -> Column:
+        return F.ceil(F.lit(ratio) * n - F.lit(1e-6))
+
     # prefix length = sz - ceil(t*sz) + 1
     prefix = ordered.filter(
-        F.col("pos") <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
-    ).select("doc_id", "gram", "sz")
+        F.col("pos") <= F.col("sz") - _ceil_mul(threshold, F.col("sz")) + 1
+    ).select("doc_id", "gram", "pos", "sz")
 
     a = prefix.select(
-        F.col("doc_id").alias("id_a"), F.col("gram"), F.col("sz").alias("sz_a")
+        F.col("doc_id").alias("id_a"),
+        F.col("gram"),
+        F.col("pos").alias("pos_a"),
+        F.col("sz").alias("sz_a"),
     )
     bb = prefix.select(
-        F.col("doc_id").alias("id_b"), F.col("gram"), F.col("sz").alias("sz_b")
+        F.col("doc_id").alias("id_b"),
+        F.col("gram"),
+        F.col("pos").alias("pos_b"),
+        F.col("sz").alias("sz_b"),
+    )
+    # overlap needed for J >= t: alpha = ceil(t/(1+t) * (sz_a + sz_b))
+    alpha = _ceil_mul(
+        threshold / (1.0 + threshold), F.col("sz_a") + F.col("sz_b")
+    )
+    # overlap achievable given a collision at (pos_a, pos_b)
+    ubound = (
+        F.least(F.col("sz_a") - F.col("pos_a"), F.col("sz_b") - F.col("pos_b")) + 1
     )
     cand = (
         a.join(bb, "gram")
         .filter(
             (F.col("id_a") < F.col("id_b"))
             # size filter, both directions (either side may be smaller)
-            & (F.ceil(F.lit(threshold) * F.col("sz_a")) <= F.col("sz_b"))
-            & (F.ceil(F.lit(threshold) * F.col("sz_b")) <= F.col("sz_a"))
+            & (_ceil_mul(threshold, F.col("sz_a")) <= F.col("sz_b"))
+            & (_ceil_mul(threshold, F.col("sz_b")) <= F.col("sz_a"))
         )
+        # position filter: best collision must be able to reach alpha
+        .groupBy("id_a", "id_b", "sz_a", "sz_b")
+        .agg(F.max(ubound).alias("best_ub"), F.max(alpha).alias("alpha"))
+        .filter(F.col("best_ub") >= F.col("alpha"))
         .select("id_a", "id_b", "sz_a", "sz_b")
-        .distinct()
     )
 
     ga = grams.select(F.col("doc_id").alias("id_a"), F.col("gram"))

@@ -154,3 +154,34 @@ def test_bm25_topk_cap_and_tiebreak(spark):
     texts = ["tok pad"] * 6  # identical docs: identical scores
     out = retrieval.bm25_topk(_docs_df(spark, texts), [(1, ["tok"])], k=3).collect()
     assert sorted((r["rank"], r["doc_id"]) for r in out) == [(1, 0), (2, 1), (3, 2)]
+
+
+# ---------------------------------------------------------------------------
+# Property: the prefix+size+position prune is lossless on random corpora
+# ---------------------------------------------------------------------------
+
+
+def test_setsim_prune_lossless_randomized(spark):
+    """Randomized completeness sweep: many small corpora drawn from a tiny
+    vocabulary (maximizing shared shingles, the adversarial case for the
+    position filter) — the pruned join must equal brute force at every
+    threshold, including ones whose binary repr sits above the decimal
+    (0.1: the ceil-overestimate trap the epsilon slack guards)."""
+    import random
+
+    rng = random.Random(0xC0FFEE)
+    vocab = ["a", "b", "c", "d", "e", "f"]
+    for trial in range(6):
+        texts = [
+            " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 14)))
+            for _ in range(12)
+        ]
+        for threshold in (0.1, 0.34, 0.67):
+            got = {
+                (r["id_a"], r["id_b"])
+                for r in retrieval.setsim_join_prefix(
+                    _docs_df(spark, texts), threshold=threshold, ngram=3
+                ).collect()
+            }
+            want = _brute_pairs(texts, threshold, 3)
+            assert got == want, (trial, threshold, got ^ want)
