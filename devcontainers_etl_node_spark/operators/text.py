@@ -11,7 +11,7 @@ nature a corpus map — one vectorized Arrow pass, still shuffle-free.
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 # Tiny multilingual stopword lists for the n-gram/stopword language-ID
 # heuristic and quality scoring. Deliberately small: the point is the
@@ -466,3 +466,50 @@ def bpe_encode(
         F.col(id_col),
         _encode(F.col(text_col)).alias("subwords"),
     ).withColumn("n_subwords", F.size("subwords").cast("long"))
+
+
+def winnow_fingerprints(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 5, w: int = 4
+) -> DataFrame:
+    """Winnowing fingerprint selection (Schleimer/Wilkerson/Aiken SIGMOD'03,
+    the MOSS scheme): hash every char-k-gram, slide a window of w
+    consecutive hashes, keep each window's minimum (rightmost on ties).
+    Guarantee: any substring shared between two docs of length >= w+k-1
+    contributes an identical (gram_hash) fingerprint to both outputs.
+    Output: (doc_id, pos, gram_hash) — density ~2/(w+1) of all grams.
+
+    The sort key is md5(gram) || lpad(10^9-1-pos): fixed-width, so one
+    string MIN encodes both min-hash and the rightmost-tie rule (repeated
+    grams within a doc really do collide on md5) — and an identical SQL
+    twin selects identical fingerprints (see catalog winnow_fingerprints).
+    The window partitions by doc, so sorting is per-document, never global.
+    """
+    norm = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " ")).alias("t"),
+    ).filter(F.length("t") >= k)
+    pos = norm.select(
+        "doc_id",
+        "t",
+        F.explode(F.sequence(F.lit(1), F.length("t") - (k - 1))).alias("p"),
+    )
+    hashed = pos.select(
+        "doc_id",
+        "p",
+        F.concat(
+            F.md5(F.expr(f"substr(t, p, {k})").cast("binary")),
+            F.lpad((F.lit(999999999) - F.col("p")).cast("string"), 9, "0"),
+        ).alias("k"),
+    )
+    win = Window.partitionBy("doc_id").orderBy("p").rowsBetween(-(w - 1), 0)
+    selected = (
+        hashed.withColumn("sel", F.min("k").over(win))
+        .filter(F.col("p") >= w)
+        .select("doc_id", "sel")
+        .distinct()
+    )
+    return selected.select(
+        "doc_id",
+        (F.lit(999999999) - F.substring("sel", 33, 9).cast("long")).cast("long").alias("pos"),
+        F.substring("sel", 1, 32).alias("gram_hash"),
+    )

@@ -9781,3 +9781,57 @@ def temperature_domain_sample(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("pick_rank") <= F.col("quota"))
         .select("source", "quota", "doc_id", "pick_rank")
     )
+
+
+@query(
+    "winnow_fingerprints",
+    r"""
+    WITH norm AS (
+        SELECT doc_id, lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS t
+        FROM documents),
+    pos AS (
+        SELECT doc_id, unnest(generate_series(1, len(t) - 4)) AS p, t
+        FROM norm WHERE len(t) >= 5),
+    hashed AS (
+        SELECT doc_id, p,
+               md5(substr(t, p, 5)) || lpad(CAST(999999999 - p AS VARCHAR), 9, '0')
+                 AS k
+        FROM pos),
+    winmin AS (
+        SELECT doc_id,
+               MIN(k) OVER (PARTITION BY doc_id ORDER BY p
+                            ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS sel,
+               p
+        FROM hashed),
+    selected AS (
+        SELECT DISTINCT doc_id, sel FROM winmin WHERE p >= 4)
+    SELECT doc_id,
+           CAST(999999999 - CAST(substr(sel, 33, 9) AS BIGINT) AS BIGINT) AS pos,
+           substr(sel, 1, 32) AS gram_hash
+    FROM selected
+    """,
+)
+def winnow_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
+    """Winnowing fingerprint selection (Schleimer, Wilkerson, Aiken —
+    SIGMOD'03; the MOSS scheme): hash every char-5-gram, slide a window
+    of w=4 consecutive hashes, select each window's MINIMUM (rightmost
+    on ties) — the selected-fingerprint density is ~2/(w+1) of all
+    grams, with the GUARANTEE that any shared substring of length >=
+    w+k-1 = 8 chars contributes at least one IDENTICAL fingerprint to
+    both documents. This is the local-fingerprint alternative to
+    doc_fingerprint's global rolling hash: sub-document matches survive
+    (plagiarism / code-clone / boilerplate detection at corpus scale).
+
+    Determinism across engines: the per-position sort key is
+    md5(gram) || lpad(10^9-1-p) — one fixed-width string, so the window
+    MIN simultaneously encodes min-hash and rightmost-tie (repeated
+    grams within a doc DO produce identical md5s; the appended
+    descending-position suffix breaks the tie identically in both
+    engines). Selected positions/hashes are decoded back out of the key.
+
+    Scale: one map-side explode (positions), one per-doc window — the
+    window partitions by doc_id, so the sort is per-document, never
+    global; output is the ~2/(w+1)-density fingerprint set, the thing
+    you'd then exact-join across docs to find clones."""
+    docs = table(spark, sf, "documents")
+    return textops.winnow_fingerprints(docs, k=5, w=4)
