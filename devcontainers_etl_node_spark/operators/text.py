@@ -2,10 +2,11 @@
 
 All pure Column expressions (JVM-side, whole-stage codegen) — no Python
 UDFs in any hot path. Every operator is a narrow map over the documents
-table: no shuffle, scales linearly with input splits at 100 TB. The two
-Arrow UDFs are BPE's: merge TRAINING runs over the aggregated
-word-frequency vocabulary (never the corpus), and merge ENCODING is by
-nature a corpus map — one vectorized Arrow pass, still shuffle-free.
+table: no shuffle, scales linearly with input splits at 100 TB. The
+Arrow UDFs are BPE's (merge TRAINING runs over the aggregated
+word-frequency vocabulary — never the corpus — and merge ENCODING, by
+nature a corpus map) plus zlib compression_ratio (stdlib DEFLATE has no
+Column equivalent); each is one vectorized Arrow pass, still shuffle-free.
 """
 
 from __future__ import annotations
@@ -512,4 +513,45 @@ def winnow_fingerprints(
         "doc_id",
         (F.lit(999999999) - F.substring("sel", 33, 9).cast("long")).cast("long").alias("pos"),
         F.substring("sel", 1, 32).alias("gram_hash"),
+    )
+
+
+def compression_ratio(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", level: int = 6
+) -> DataFrame:
+    """Per-document zlib compression ratio — the repetition/boilerplate
+    quality signal public curation pipelines use alongside the Gopher
+    rules (machine-generated and template text compresses far below
+    natural prose; a ratio near 1 flags high-entropy noise like base64).
+
+    Arrow-batched ``pandas_udf`` (zlib is stdlib; DEFLATE output is fully
+    determined by input + level, so the signal is deterministic and
+    re-runnable). Map-only: no shuffle at any scale — each task
+    compresses its own partition's documents and emits 3 integers per
+    doc; the text never moves.
+
+    Output: (doc_id, raw_bytes, compressed_bytes, ratio_permille) with
+    ratio_permille = 1000 * compressed/raw rounded to an integer (exact
+    integer arithmetic — no cross-engine float surface).
+    """
+    import zlib
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _compressed_len(texts: pd.Series) -> pd.Series:
+        return texts.map(
+            lambda t: len(zlib.compress(t.encode("utf-8"), level)) if t is not None else None
+        )
+
+    raw = F.octet_length(F.col(text_col)).cast("long")
+    comp = _compressed_len(F.col(text_col))
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        raw.alias("raw_bytes"),
+        comp.alias("compressed_bytes"),
+        # guard raw == 0 (empty doc): ANSI mode makes x/0 an ERROR, not NULL
+        F.when(raw > 0, F.round(F.lit(1000.0) * comp / raw).cast("long"))
+        .otherwise(F.lit(None).cast("long"))
+        .alias("ratio_permille"),
     )

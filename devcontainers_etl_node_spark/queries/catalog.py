@@ -9835,3 +9835,118 @@ def winnow_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
     you'd then exact-join across docs to find clones."""
     docs = table(spark, sf, "documents")
     return textops.winnow_fingerprints(docs, k=5, w=4)
+
+
+@query(
+    "url_canonical_dedup",
+    r"""
+    WITH canon AS (
+        SELECT doc_id,
+               'https://example-' || CAST((doc_id // 4) % 7 AS VARCHAR)
+                 || '.com/path/' || CAST(doc_id // 4 AS VARCHAR)
+                 || '?q=' || CAST(doc_id // 4 AS VARCHAR) AS canonical_url
+        FROM documents)
+    SELECT canonical_url,
+           CAST(COUNT(*) AS BIGINT) AS n_variants,
+           CAST(MIN(doc_id) AS BIGINT) AS keeper_doc_id
+    FROM canon GROUP BY canonical_url
+    """,
+)
+def url_canonical_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """URL canonicalization + URL-level dedup — the CommonCrawl-pipeline
+    step that collapses crawl variants of one resource before any content
+    pass. Four deterministic DIRTY variants are constructed per canonical
+    URL (doc_id DIV 4 groups): verbatim; UPPERCASED scheme+host with an
+    explicit default :443 port; utm_* tracking params appended after the
+    real query; a #fragment. The engine then canonicalizes with string/
+    regexp expressions only (strip fragment -> lowercase the
+    scheme://host[:port] prefix -> drop the https default port -> strip
+    utm_* pairs) and dedups per canonical URL (count + min-doc_id
+    keeper). The ORACLE never parses: it constructs each group's
+    canonical form directly from the group id — Spark's canonicalization
+    chain is validated against ground truth, not another parser's quirks
+    (same method as url_functions). Pure per-row codegen + one
+    partial-agg'd groupBy — zero shuffle beyond the dedup key."""
+    d = table(spark, sf, "documents")
+    g = F.expr("doc_id DIV 4")  # integer division — exact at any id width
+    canonical = F.concat(
+        F.lit("https://example-"),
+        (g % 7).cast("string"),
+        F.lit(".com/path/"),
+        g.cast("string"),
+        F.lit("?q="),
+        g.cast("string"),
+    )
+    r = F.col("doc_id") % 4
+    dirty = (
+        F.when(r == 0, canonical)
+        .when(
+            r == 1,
+            F.concat(
+                F.lit("HTTPS://EXAMPLE-"),
+                (g % 7).cast("string"),
+                F.lit(".COM:443/path/"),
+                g.cast("string"),
+                F.lit("?q="),
+                g.cast("string"),
+            ),
+        )
+        .when(
+            r == 2,
+            F.concat(canonical, F.lit("&utm_source=feed&utm_campaign=news")),
+        )
+        .otherwise(F.concat(canonical, F.lit("#frag-"), g.cast("string")))
+    )
+    u = d.select("doc_id", dirty.alias("url"))
+    # 1. strip fragment
+    u1 = F.regexp_replace(F.col("url"), r"#.*$", "")
+    # 2. lowercase scheme://host[:port], leave path+query untouched
+    pre = F.regexp_extract(u1, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]+", 0)
+    rest = F.expr(
+        "substr(regexp_replace(url, '#.*$', ''), "
+        "length(regexp_extract(regexp_replace(url, '#.*$', ''), "
+        "'^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]+', 0)) + 1)"
+    )
+    # 3. drop the https default port
+    lowered = F.regexp_replace(F.lower(pre), r":443$", "")
+    # 4. strip utm_* tracking pairs (mid-query '&utm_x=y' form)
+    canon = F.regexp_replace(F.concat(lowered, rest), r"&utm_[^&#]*", "")
+    return (
+        u.select("doc_id", canon.alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_variants"),
+            F.min("doc_id").cast("long").alias("keeper_doc_id"),
+        )
+    )
+
+
+@query("compression_quality")
+def compression_quality(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source compression-ratio quality profile — the zlib signal
+    public curation stacks (Dolma-family) use to flag template/
+    machine-generated text (compresses far below prose) and high-entropy
+    noise (ratio near 1000 permille). ROWS-ONLY by design: DEFLATE has
+    no SQL equivalent, so there is no DuckDB twin — determinism and the
+    signal's separating power are pinned in tests/test_compression_ratio.py
+    instead. Plan: one Arrow map pass computes 3 integers per doc (the
+    text never shuffles), then a partial-agg'd per-source rollup."""
+    from devcontainers_etl_node_spark.operators import text as _t
+
+    docs = table(spark, sf, "documents")
+    ratios = _t.compression_ratio(docs).join(
+        docs.select("doc_id", "source"), "doc_id"
+    )
+    return (
+        ratios.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min("ratio_permille").cast("long").alias("min_ratio"),
+            F.max("ratio_permille").cast("long").alias("max_ratio"),
+            F.sum("ratio_permille").cast("long").alias("sum_ratio"),
+            F.sum(
+                F.when(F.col("ratio_permille") < 200, 1).otherwise(0)
+            ).cast("long").alias("n_suspect_repetitive"),
+        )
+        .orderBy("source")
+    )

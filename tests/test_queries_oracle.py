@@ -88,6 +88,7 @@ FAST_ORACLED = [
     "bm25_retrieval",
     "setsim_selfjoin",
     "temperature_domain_sample",
+    "url_canonical_dedup",
 ]
 
 
@@ -150,6 +151,7 @@ def test_every_query_has_callable_and_oracle_consistency():
         "quality_classifier",
         "unigram_train",
         "unigram_encode",
+        "compression_quality",
     }
 
 
