@@ -214,11 +214,12 @@ def _run_from_cdf(
                 "no_new_data": True,
             }
         modes = {h["mode"] for h in txlog.tx_history(corpus_root, since)}
-        if "overwrite" in modes:
+        if modes & {"overwrite", "merge"}:
             raise ValueError(
-                f"corpus at {corpus_root} was OVERWRITTEN after v{since}: "
-                "the committed incremental state no longer describes the "
-                "table — start a fresh workdir from the new snapshot"
+                f"corpus at {corpus_root} was {'OVERWRITTEN' if 'overwrite' in modes else 'MERGED (rows replaced)'} "
+                f"after v{since}: the committed incremental state no longer "
+                "describes the table — start a fresh workdir from the new "
+                "snapshot"
             )
         new_docs = txlog.tx_changes(spark, corpus_root, since_version=since)
         old_docs = (

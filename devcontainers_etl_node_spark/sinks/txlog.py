@@ -45,6 +45,11 @@ Semantics provided:
 - **Exactly-once replayable writers**: ``tx_write_idempotent`` is the
   Delta txnAppId/txnVersion protocol; ``streaming.txlog_sink`` rides it
   for foreachBatch micro-batches.
+- **Copy-on-write MERGE**: ``tx_merge`` upserts by key, rewriting ONLY
+  the files whose zone maps can contain an update key (everything else
+  carries into the new version verbatim) — Delta's matched-file
+  rewrite; a commit race fails loudly instead of rebasing, because a
+  merge plan is only valid against the snapshot it pruned.
 
 Scale notes: the manifest holds (path, rows, bytes) per file — ~100
 bytes/file, so a 100 TB table at 500 MB/file is a ~20 MB manifest, read
@@ -494,6 +499,13 @@ def tx_changes(
             ) from None
         if m["mode"] == "overwrite":
             paths = [os.path.join(root, e["path"]) for e in m["files"]]
+        elif m["mode"] == "merge":
+            # a merge REPLACES its touched files: survivors were re-staged
+            # into the added files, so keeping a removed path would feed
+            # its surviving rows twice
+            removed = {os.path.join(root, p) for p in m.get("removed", [])}
+            paths = [p for p in paths if p not in removed]
+            paths += [os.path.join(root, p) for p in m["added"]]
         else:
             paths += [os.path.join(root, p) for p in m["added"]]
     if not paths:
@@ -581,3 +593,141 @@ def tx_vacuum(
             os.remove(p)
             deleted.append(f"{_LOG}/{os.path.basename(p)}")
     return deleted
+
+
+def tx_merge(
+    spark: SparkSession,
+    updates: DataFrame,
+    root: str,
+    key: str,
+    expected_head: int | None | str = UNCHECKED,
+    meta: dict | None = None,
+) -> int:
+    """Copy-on-write MERGE (Delta ``MERGE INTO`` with update-all /
+    insert-all semantics): rows of ``updates`` REPLACE same-``key``
+    table rows; keys not in the table are inserted. Returns the new
+    version.
+
+    The scale property is FILE PRUNING: only files whose manifest zone
+    map for ``key`` can contain an update key are rewritten — every
+    other file's manifest entry is carried into the new version
+    verbatim, so a 10-row merge into a 100 TB table clustered on
+    ``key`` rewrites a handful of files, not the table (Delta's
+    matched-file rewrite, driven here by the same footer stats
+    ``tx_prune_files`` uses). Files without recorded stats for ``key``
+    are conservatively rewritten — pruning is sound, never heuristic.
+
+    Contract: ``key`` must be unique and non-null in ``updates`` (a
+    MERGE with duplicate source keys is ambiguous — Delta errors too;
+    validated here with one small aggregate), and the updates schema
+    must equal the committed table schema (merge does not evolve).
+    Concurrency: the rewrite plan is only valid against the snapshot it
+    was planned on, so a commit race raises :class:`TxConflict` instead
+    of rebasing — the caller re-runs the merge against the new head
+    (an append rebase would be UNSOUND here: the new head's files may
+    contain matched keys the plan never rewrote).
+    """
+    head = tx_head(root)
+    if head is None:
+        raise FileNotFoundError(f"no committed versions at {root} — use tx_write")
+    if expected_head != UNCHECKED and head != expected_head:
+        raise TxConflict(f"merge planned against v{expected_head} but head is v{head}")
+    manifest = _read_manifest(root, head)
+    schema = {f.name: f.dataType.simpleString() for f in updates.schema.fields}
+    prev_schema = manifest.get("schema")
+    if prev_schema is not None and prev_schema != schema:
+        diff = [
+            f"{n}: {prev_schema.get(n, '<absent>')} -> {schema.get(n, '<absent>')}"
+            for n in sorted(set(schema) | set(prev_schema))
+            if schema.get(n) != prev_schema.get(n)
+        ]
+        raise ValueError(
+            f"merge updates schema differs from the table schema at {root} "
+            f"({'; '.join(diff)}) — conform the batch first"
+        )
+
+    from pyspark.sql import functions as F
+
+    # one small aggregate validates the source-key contract
+    v = updates.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(key).alias("n_nonnull"),
+        F.count_distinct(key).alias("n_distinct"),
+    ).collect()[0]
+    if v["n_nonnull"] != v["n"]:
+        raise ValueError(f"merge key {key!r} contains NULLs — a NULL never matches")
+    if v["n_distinct"] != v["n"]:
+        raise ValueError(
+            f"merge key {key!r} is not unique in the updates ({v['n']} rows, "
+            f"{v['n_distinct']} keys) — ambiguous MERGE source"
+        )
+
+    # split the snapshot: files whose zone map CAN contain an update key
+    # (or have no stats for the key) are rewritten; the rest carry over
+    entries = manifest["files"]
+    ranged = [
+        (e["path"], e["stats"][key][0], e["stats"][key][1])
+        for e in entries
+        if (e.get("stats") or {}).get(key) is not None
+    ]
+    touched = {e["path"] for e in entries if (e.get("stats") or {}).get(key) is None}
+    if ranged:
+        integral = updates.schema[key].dataType.simpleString() in (
+            "tinyint", "smallint", "int", "bigint"
+        )
+        # LONG bounds for integral keys: a double zone map would lose
+        # exactness past 2^53 and make pruning unsound
+        rtype = "BIGINT" if integral else "DOUBLE"
+        rdf = spark.createDataFrame(
+            ranged, f"path STRING, lo {rtype}, hi {rtype}"
+        )
+        hit = (
+            rdf.join(
+                updates.select(F.col(key).alias("_k")),
+                (F.col("_k") >= F.col("lo")) & (F.col("_k") <= F.col("hi")),
+                "left_semi",
+            )
+            .select("path")
+            .collect()
+        )
+        touched.update(r["path"] for r in hit)
+
+    untouched_entries = [e for e in entries if e["path"] not in touched]
+
+    if touched:
+        reader = spark.read
+        if manifest.get("schema_evolved"):
+            reader = reader.option("mergeSchema", "true")
+        old = _conform(
+            reader.parquet(*[os.path.join(root, p) for p in sorted(touched)]),
+            manifest,
+        )
+        survivors = old.join(updates.select(key), key, "left_anti")
+        new_data = survivors.unionByName(updates)
+    else:
+        new_data = updates  # pure insert: no table file can match
+    added = _stage_files(new_data, root)
+
+    next_v = head + 1
+    out = {
+        "version": next_v,
+        "mode": "merge",
+        "operation": "merge",
+        "merge_key": key,
+        "added": [e["path"] for e in added],
+        "removed": sorted(touched),
+        "files": untouched_entries + added,
+        "schema": schema,
+        "committed_at": time.time(),
+    }
+    if manifest.get("schema_evolved") and touched != {e["path"] for e in entries}:
+        # untouched files keep their old physical schema
+        out["schema_evolved"] = True
+    if meta is not None:
+        out["meta"] = meta
+    if not _try_commit(root, next_v, out):
+        raise TxConflict(
+            f"merge lost the commit race at v{next_v} ({root}) — the rewrite "
+            f"plan is stale; re-run the merge against the new head"
+        )
+    return next_v

@@ -454,3 +454,136 @@ def test_model_based_random_op_sequences(spark, tmp_path):
                         expect += feeds[v]
                 got = sorted(r.id for r in txlog.tx_changes(spark, root, since_version=since).collect())
                 assert got == sorted(expect), (seed, since)
+
+
+# ---------------------------------------------------------------------------
+# tx_merge: pruned copy-on-write upsert
+# ---------------------------------------------------------------------------
+
+
+def _kv(spark, pairs):
+    return spark.createDataFrame(pairs, "id LONG, batch STRING")
+
+
+def test_merge_rewrites_only_zone_map_matched_files(spark, tmp_path):
+    """Two appends with disjoint id ranges => two file sets with disjoint
+    zone maps. A merge touching only the second range must carry every
+    first-range file entry into the new manifest VERBATIM (path-level
+    proof that a small merge into a big table rewrites a handful of
+    files) while updating/inserting correctly."""
+    root = str(tmp_path / "t")
+    txlog.tx_write(_df(spark, 0, 100, "low").coalesce(1), root)        # v0
+    txlog.tx_write(_df(spark, 100, 200, "high").coalesce(1), root)     # v1
+    before = {e["path"] for e in txlog._read_manifest(root, 1)["files"]}
+    low_files = {e["path"] for e in txlog._read_manifest(root, 0)["files"]}
+
+    v = txlog.tx_merge(
+        spark,
+        _kv(spark, [(150, "UPDATED"), (160, "UPDATED"), (999, "INSERTED")]),
+        root,
+        key="id",
+    )
+    assert v == 2
+    m = txlog._read_manifest(root, 2)
+    after = {e["path"] for e in m["files"]}
+    # every low-range file survived untouched, no low file was rewritten
+    assert low_files <= after
+    assert set(m["removed"]) == before - low_files
+    assert set(m["removed"]).isdisjoint(low_files)
+
+    got = {r["id"]: r["batch"] for r in txlog.tx_read(spark, root).collect()}
+    assert len(got) == 201  # 200 originals + 1 insert
+    assert got[150] == got[160] == "UPDATED"
+    assert got[999] == "INSERTED"
+    assert got[0] == "low" and got[50] == "low"
+    assert got[120] == "high"  # same file as 150, rewritten but preserved
+
+
+def test_merge_pure_insert_keeps_all_files(spark, tmp_path):
+    root = str(tmp_path / "t")
+    txlog.tx_write(_df(spark, 0, 50, "a"), root)
+    before = {e["path"] for e in txlog._read_manifest(root, 0)["files"]}
+    txlog.tx_merge(spark, _kv(spark, [(1000, "new")]), root, key="id")
+    m = txlog._read_manifest(root, 1)
+    assert before <= {e["path"] for e in m["files"]}
+    assert m["removed"] == []
+    assert txlog.tx_read(spark, root).count() == 51
+
+
+def test_merge_rejects_bad_sources(spark, tmp_path):
+    root = str(tmp_path / "t")
+    txlog.tx_write(_df(spark, 0, 10, "a"), root)
+    with pytest.raises(ValueError, match="not unique"):
+        txlog.tx_merge(spark, _kv(spark, [(1, "x"), (1, "y")]), root, key="id")
+    with pytest.raises(ValueError, match="NULL"):
+        txlog.tx_merge(spark, _kv(spark, [(None, "x")]), root, key="id")
+    with pytest.raises(ValueError, match="schema"):
+        drifted = spark.createDataFrame([(1, 2.5)], "id LONG, batch DOUBLE")
+        txlog.tx_merge(spark, drifted, root, key="id")
+
+
+def test_merge_conflicts_instead_of_rebasing(spark, tmp_path):
+    root = str(tmp_path / "t")
+    txlog.tx_write(_df(spark, 0, 10, "a"), root)                       # v0
+    txlog.tx_write(_df(spark, 10, 20, "b"), root)                      # v1
+    # stale planning basis: caller planned against v0
+    with pytest.raises(txlog.TxConflict, match="head is v1"):
+        txlog.tx_merge(spark, _kv(spark, [(1, "u")]), root, key="id",
+                       expected_head=0)
+    # lost commit race: v2 gets taken BETWEEN plan and publish — inject
+    # the competing commit inside the merge's staging step
+    import json as _json
+
+    real_stage = txlog._stage_files
+
+    def stage_then_lose_race(df, r):
+        entries = real_stage(df, r)
+        nxt = txlog._manifest_path(root, 2)
+        with open(nxt, "x") as f:
+            _json.dump(txlog._read_manifest(root, 1) | {"version": 2}, f)
+        return entries
+
+    txlog._stage_files = stage_then_lose_race
+    try:
+        with pytest.raises(txlog.TxConflict, match="re-run the merge"):
+            txlog.tx_merge(spark, _kv(spark, [(1, "u")]), root, key="id")
+    finally:
+        txlog._stage_files = real_stage
+
+
+def test_changes_feed_does_not_double_count_merge_survivors(spark, tmp_path):
+    """tx_changes spanning a merge must drop the merge's removed files:
+    their surviving rows were re-staged into the added files, so keeping
+    both would feed survivors twice."""
+    root = str(tmp_path / "t")
+    txlog.tx_write(_df(spark, 0, 10, "a").coalesce(1), root)           # v0
+    txlog.tx_write(_df(spark, 10, 20, "b").coalesce(1), root)          # v1
+    txlog.tx_merge(spark, _kv(spark, [(15, "U"), (99, "I")]), root, key="id")  # v2
+    feed = txlog.tx_changes(spark, root, since_version=0)
+    rows = feed.groupBy("id").count().filter("count > 1").collect()
+    assert rows == []  # no duplicated survivor
+    got = {r["id"]: r["batch"] for r in feed.collect()}
+    # the feed covers everything added-or-changed after v0: all of v1's
+    # file content (rewritten with the update applied) plus the insert
+    assert got[15] == "U" and got[99] == "I" and got[10] == "b"
+
+
+def test_incremental_from_table_rejects_merged_corpus(spark, tmp_path):
+    from devcontainers_etl_node_spark import incremental
+
+    root = str(tmp_path / "corpus")
+    work = str(tmp_path / "work")
+    docs = spark.createDataFrame(
+        [(i, f"doc text number {i} with words") for i in range(20)],
+        "doc_id LONG, text STRING",
+    )
+    txlog.tx_write(docs, root)
+    incremental.run_incremental_dedup_from_table(spark, root, work)
+    txlog.tx_merge(
+        spark,
+        spark.createDataFrame([(3, "rewritten doc")], "doc_id LONG, text STRING"),
+        root,
+        key="doc_id",
+    )
+    with pytest.raises(ValueError, match="MERGED"):
+        incremental.run_incremental_dedup_from_table(spark, root, work)
