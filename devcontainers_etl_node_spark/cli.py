@@ -175,7 +175,9 @@ def cmd_table(args) -> int:
     rewrites the head snapshot into ~target-sized files as a new version
     (older versions stay time-travel readable); ``vacuum`` reclaims
     files unreferenced by the retained window AND older than the
-    retention grace period (in-flight writers protected)."""
+    retention grace period (in-flight writers protected); ``merge``
+    upserts a parquet batch by key with the pruned copy-on-write
+    rewrite (tx_merge)."""
     from devcontainers_etl_node_spark.sinks import txlog
 
     if args.op == "history":
@@ -193,6 +195,15 @@ def cmd_table(args) -> int:
             args.root, keep_last=args.keep_last, retention_hours=args.retention_hours
         )
         print(f"reclaimed {len(deleted)} paths", file=sys.stderr)
+    elif args.op == "merge":
+        if not args.updates or not args.key:
+            print("merge requires --updates PARQUET and --key COLUMN", file=sys.stderr)
+            return 2
+        spark = _spark()
+        v = txlog.tx_merge(
+            spark, spark.read.parquet(args.updates), args.root, key=args.key
+        )
+        print(f"merged -> v{v}", file=sys.stderr)
     return 0
 
 
@@ -273,10 +284,12 @@ def main(argv: list[str] | None = None) -> int:
     d.add_argument("--work", required=True, help="snapshot directory (sigs + pairs)")
 
     t = sub.add_parser("table", help="transactional-table maintenance (txlog)")
-    t.add_argument("op", choices=["history", "compact", "vacuum"])
+    t.add_argument("op", choices=["history", "compact", "vacuum", "merge"])
     t.add_argument("root", help="table root directory")
     t.add_argument("--keep-last", type=int, default=2, help="versions vacuum retains")
     t.add_argument("--retention-hours", type=float, default=24.0, help="vacuum grace window for unreferenced files")
+    t.add_argument("--updates", help="merge: parquet path with the upsert rows")
+    t.add_argument("--key", help="merge: unique non-null join key column")
 
     e = sub.add_parser("export", help="pack corpus into WebDataset tar shards")
     e.add_argument("--sf", default=DEFAULT_SF, help="corpus directory")

@@ -9950,3 +9950,88 @@ def compression_quality(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "peak_concurrency",
+    """
+    WITH iv AS (
+        SELECT o.o_orderpriority,
+               CAST(o.o_orderdate AS DATE) AS d0,
+               CAST(l.l_shipdate AS DATE) + 1 AS d1
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+    deltas AS (
+        SELECT o_orderpriority, d, CAST(SUM(delta) AS BIGINT) AS delta
+        FROM (
+            SELECT o_orderpriority, d0 AS d, 1 AS delta FROM iv
+            UNION ALL
+            SELECT o_orderpriority, d1 AS d, -1 AS delta FROM iv) e
+        GROUP BY o_orderpriority, d),
+    runs AS (
+        SELECT o_orderpriority, d,
+               CAST(SUM(delta) OVER (PARTITION BY o_orderpriority ORDER BY d
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS open_lines
+        FROM deltas),
+    ranked AS (
+        SELECT o_orderpriority, open_lines AS peak_open_lines, d AS first_peak_day,
+               row_number() OVER (PARTITION BY o_orderpriority
+                                  ORDER BY open_lines DESC, d) AS rn
+        FROM runs)
+    SELECT o_orderpriority, peak_open_lines, first_peak_day
+    FROM ranked WHERE rn = 1
+    """,
+)
+def peak_concurrency(spark: SparkSession, sf: str) -> DataFrame:
+    """Peak interval concurrency via the sweep-line (+1/-1) trick: each
+    order line is "open" from order date to ship date; the peak number
+    of simultaneously-open lines per order priority — the classic
+    max-overlapping-intervals algorithm, done relationally. Explode each
+    interval to a +1 at its start and a -1 one day past its end,
+    partial-agg the deltas per (priority, day) FIRST (so the running sum
+    is over the ~calendar-sized day grid, never the fact table, and tie
+    order can't matter), then one windowed prefix sum per priority and a
+    rank-1 pick (peak, earliest day). Window input is #priorities ×
+    #days — bounded by the calendar at any corpus size; the only
+    fact-sized operations are the equi-join and the delta partial agg.
+    The window SUM is CAST back to BIGINT on the oracle side (DuckDB
+    widens to HUGEINT — the r8 type-drift lesson)."""
+    l = table(spark, sf, "lineitem").select("l_orderkey", "l_shipdate")
+    o = table(spark, sf, "orders").select("o_orderkey", "o_orderdate", "o_orderpriority")
+    iv = l.join(o, l.l_orderkey == o.o_orderkey).select(
+        "o_orderpriority",
+        F.col("o_orderdate").cast("date").alias("d0"),
+        F.date_add(F.col("l_shipdate").cast("date"), 1).alias("d1"),
+    )
+    deltas = (
+        iv.select("o_orderpriority", F.col("d0").alias("d"), F.lit(1).alias("delta"))
+        .unionAll(
+            iv.select(
+                "o_orderpriority", F.col("d1").alias("d"), F.lit(-1).alias("delta")
+            )
+        )
+        .groupBy("o_orderpriority", "d")
+        .agg(F.sum("delta").cast("long").alias("delta"))
+    )
+    wrun = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    runs = deltas.select(
+        "o_orderpriority",
+        "d",
+        F.sum("delta").over(wrun).cast("long").alias("open_lines"),
+    )
+    wrank = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("open_lines").desc(), F.col("d")
+    )
+    return (
+        runs.withColumn("rn", F.row_number().over(wrank))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_orderpriority",
+            F.col("open_lines").alias("peak_open_lines"),
+            F.col("d").alias("first_peak_day"),
+        )
+    )

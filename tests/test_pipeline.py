@@ -289,3 +289,27 @@ def test_cli_dedup_table_feed_and_table_maintenance(spark, tmp_path, capsys):
     assert cli.main(["table", "compact", corpus]) == 0
     assert cli.main(["table", "vacuum", corpus, "--retention-hours", "0"]) == 0
     assert cli.main(["table", "history", str(tmp_path / "missing")]) == 1
+
+
+def test_cli_table_merge_upserts_by_key(spark, tmp_path, capsys):
+    from devcontainers_etl_node_spark import cli
+    from devcontainers_etl_node_spark.sinks import txlog
+
+    corpus = str(tmp_path / "corpus")
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(10)], "doc_id LONG, text STRING"
+    )
+    txlog.tx_write(docs, corpus)
+
+    updates = str(tmp_path / "updates")
+    spark.createDataFrame(
+        [(3, "REWRITTEN"), (42, "INSERTED")], "doc_id LONG, text STRING"
+    ).write.parquet(updates)
+
+    assert cli.main(["table", "merge", corpus, "--updates", updates, "--key", "doc_id"]) == 0
+    assert "merged -> v1" in capsys.readouterr().err
+    got = {r["doc_id"]: r["text"] for r in txlog.tx_read(spark, corpus).collect()}
+    assert got[3] == "REWRITTEN" and got[42] == "INSERTED" and len(got) == 11
+
+    # missing required flags is an argument error, not a crash
+    assert cli.main(["table", "merge", corpus]) == 2

@@ -89,6 +89,7 @@ FAST_ORACLED = [
     "setsim_selfjoin",
     "temperature_domain_sample",
     "url_canonical_dedup",
+    "peak_concurrency",
 ]
 
 
