@@ -93,11 +93,29 @@ def bm25_topk(
     for those terms, but the groupBy runs over matching postings only.
     """
     spark = df.sparkSession
-    qrows = [(qid, t) for qid, terms in query_terms for t in terms]
-    qdf = spark.createDataFrame(qrows, "query_id INT, term STRING")
-
+    qdf = _query_df(spark, query_terms)
     post = postings(df, text_col, id_col)
     dl = post.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
+    return _score_topk(post, qdf, dl, k=k, k1=k1, b=b)
+
+
+def _query_df(spark, query_terms: list[tuple[int, list[str]]]) -> DataFrame:
+    qrows = [(qid, t) for qid, terms in query_terms for t in terms]
+    return spark.createDataFrame(qrows, "query_id INT, term STRING")
+
+
+def _score_topk(
+    post: DataFrame,
+    qdf: DataFrame,
+    dl: DataFrame,
+    k: int,
+    k1: float,
+    b: float,
+) -> DataFrame:
+    """The BM25 scoring/ranking tail shared by the direct and the
+    index-backed paths: ``post`` is (doc_id, term, tf) — unique per
+    (doc, term) — and ``dl`` is (doc_id, dl) covering EVERY corpus doc
+    (corpus stats must not depend on which terms are queried)."""
     stats = dl.agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         (F.sum("dl").cast("double") / F.count(F.lit(1)).cast("double")).alias("avgdl"),
@@ -139,6 +157,51 @@ def bm25_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "doc_id", "score_micros", "rank")
     )
+
+
+N_INDEX_BUCKETS = 64
+
+
+def term_bucket(col: Column | str) -> Column:
+    """Hive-partition bucket for a term in the persisted inverted index:
+    pmod(xxhash64(term), N_INDEX_BUCKETS). A query prunes its terms'
+    buckets at LISTING time — reading 1/64th of the index per term
+    instead of scanning it."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.pmod(F.xxhash64(c), F.lit(N_INDEX_BUCKETS)).cast("int")
+
+
+def bm25_topk_from_index(
+    spark,
+    index_path: str,
+    query_terms: list[tuple[int, list[str]]],
+    k: int = 5,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 top-k served from a PERSISTED inverted index (built/maintained
+    by ``streaming.postings_index_sink``) instead of re-tokenizing the
+    corpus: postings are read ONLY from the query terms' hash-bucket
+    partitions (hive partition pruning at listing time — the scan is
+    1/64th of the index per distinct term), doc lengths come from the
+    index's doclen table, and the scoring tail is the exact same code the
+    direct path runs — parity is pinned in tests. At 100 TB this is the
+    difference between a full-corpus tokenize per query batch and a
+    bounded read of a few index partitions."""
+    qdf = _query_df(spark, query_terms)
+    # resolve the query terms' buckets with one tiny job (xxhash64 is a
+    # JVM function — the driver cannot compute it locally)
+    buckets = [
+        r["b"]
+        for r in qdf.select(term_bucket("term").alias("b")).distinct().collect()
+    ]
+    post = (
+        spark.read.parquet(f"{index_path}/postings")
+        .filter(F.col("bucket").isin(buckets))  # partition-pruned at listing
+        .select("doc_id", "term", "tf")
+    )
+    dl = spark.read.parquet(f"{index_path}/doclen").select("doc_id", "dl")
+    return _score_topk(post, qdf, dl, k=k, k1=k1, b=b)
 
 
 # ---------------------------------------------------------------------------

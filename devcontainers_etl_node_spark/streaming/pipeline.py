@@ -550,3 +550,46 @@ def read_state_metadata(spark, checkpoint_path: str):
     committed batch) — the map you read FIRST to know which operatorId /
     batch range ``read_stream_state`` can address."""
     return spark.read.format("state-metadata").load(checkpoint_path)
+
+
+def postings_index_sink(index_path: str, text_col: str = "text", id_col: str = "doc_id"):
+    """foreachBatch body for STREAMING inverted-index maintenance — the
+    continuous twin of `bm25_retrieval`'s index build: each micro-batch
+    of documents is tokenized into (doc_id, term, tf) postings and
+    appended to a persisted index that `retrieval.bm25_topk_from_index`
+    serves queries from without ever re-tokenizing the corpus.
+
+    Layout:
+      ``index_path/postings/batch_id=N/bucket=K/``  (K = pmod(xxhash64(term), 64))
+      ``index_path/doclen/batch_id=N/``             (doc_id, dl)
+
+    Writing each micro-batch under its own batch_id directory WITH
+    OVERWRITE is the same exactly-once recipe as ivf_ingest_sink: a
+    replayed batch rewrites its directory instead of duplicating
+    postings; a crash mid-write is healed by the replay. The bucket
+    hive-partition lets a query read only its terms' 1/64th slices at
+    listing time.
+
+    Contract: doc_ids must be unique across batches (each doc indexed
+    once — the upstream dedup/exactly-once story); postings and doc
+    lengths are per-batch partial results that compose additively
+    because batches partition the docs.
+
+    Scale: per batch, one tokenize + one (doc_id, term) partial-agg
+    shuffle over THE BATCH (never history); index growth is
+    Heaps-bounded in terms and linear in docs."""
+    from devcontainers_etl_node_spark.operators import retrieval
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        post = retrieval.postings(batch_df, text_col, id_col).withColumn(
+            "bucket", retrieval.term_bucket("term")
+        )
+        (
+            post.write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(f"{index_path}/postings/batch_id={batch_id}")
+        )
+        dl = post.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
+        dl.write.mode("overwrite").parquet(f"{index_path}/doclen/batch_id={batch_id}")
+
+    return apply

@@ -834,3 +834,78 @@ def test_txlog_sink_streams_batches_exactly_once(spark, tmp_path):
     # the change feed tails exactly what arrived after the first commit
     ch = {r.event_id for r in txlog.tx_changes(spark, tbl, since_version=v_after_b1).collect()}
     assert ch == {3, 4}
+
+
+def test_streaming_postings_index_serves_bm25_identical_to_direct(spark, tmp_path):
+    """Streaming inverted-index maintenance: (1) BM25 served FROM the
+    streamed index is row-identical to the direct (re-tokenize) path over
+    the same corpus; (2) a restarted query indexes only new files; (3) a
+    replayed micro-batch rewrites its batch_id dir instead of duplicating
+    postings; (4) the query's scan touches only the query terms' bucket
+    partitions."""
+    from devcontainers_etl_node_spark.operators import retrieval
+    from devcontainers_etl_node_spark.streaming import postings_index_sink
+
+    schema = "doc_id long, text string"
+    docs = [
+        (i, f"alpha beta doc{i} " + ("needle " * (i % 4)) + "gamma delta")
+        for i in range(24)
+    ]
+    src, ckpt, idx = tmp_path / "src", tmp_path / "ckpt", str(tmp_path / "index")
+    corpus = spark.createDataFrame(docs, schema)
+    corpus.write.mode("overwrite").parquet(str(src))
+
+    sink = postings_index_sink(idx)
+
+    def drain():
+        q = (
+            spark.readStream.schema(schema)
+            .parquet(str(src))
+            .writeStream.option("checkpointLocation", str(ckpt))
+            .foreachBatch(sink)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    drain()
+    queries = [(1, ["needle", "alpha"]), (2, ["gamma"])]
+    direct = sorted(map(tuple, retrieval.bm25_topk(corpus, queries, k=5).collect()))
+    indexed = sorted(
+        map(tuple, retrieval.bm25_topk_from_index(spark, idx, queries, k=5).collect())
+    )
+    assert direct == indexed and direct
+
+    # restart with appended docs: only the new file is indexed, and the
+    # index-backed answer tracks the direct answer over the grown corpus
+    more = [(100 + i, "needle needle needle alpha") for i in range(3)]
+    spark.createDataFrame(more, schema).write.mode("append").parquet(str(src))
+    drain()
+    grown = corpus.unionByName(spark.createDataFrame(more, schema))
+    direct2 = sorted(map(tuple, retrieval.bm25_topk(grown, queries, k=5).collect()))
+    indexed2 = sorted(
+        map(tuple, retrieval.bm25_topk_from_index(spark, idx, queries, k=5).collect())
+    )
+    assert direct2 == indexed2
+    assert direct2 != direct  # the heavy-needle inserts changed the top-k
+
+    # replay batch 0 (crash-after-write): postings row count unchanged
+    n_before = spark.read.parquet(f"{idx}/postings").count()
+    sink(corpus, 0)
+    assert spark.read.parquet(f"{idx}/postings").count() == n_before
+
+    # bucket pruning: the pruned scan reads strictly fewer files than the
+    # full index has (the mechanism bm25_topk_from_index relies on)
+    import glob as _glob
+
+    all_files = _glob.glob(f"{idx}/postings/batch_id=*/bucket=*/*.parquet")
+    from pyspark.sql import functions as F
+
+    qb = {
+        r["b"]
+        for r in spark.createDataFrame([(t,) for _, ts in queries for t in ts], "term string")
+        .select(retrieval.term_bucket("term").alias("b"))
+        .collect()
+    }
+    pruned_files = [p for p in all_files if int(p.split("bucket=")[1].split("/")[0]) in qb]
+    assert 0 < len(pruned_files) < len(all_files)
