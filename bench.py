@@ -77,6 +77,16 @@ ADDED_R4 = [
     "unigram_doc_likelihood",   # corpus-unigram familiarity scoring
 ]
 
+# Round-9 additions: the new retrieval/fingerprinting family (setsim's
+# cost is tracked by tools/bench_setsim.py + PERF.md — at 10 s it would
+# double the bench wall for a number the prune study already records).
+# Round-over-round: compare `headline_r4_total` for the pre-r9 set.
+ADDED_R9 = [
+    "bm25_retrieval",        # inverted-index BM25 top-5, broadcast queries
+    "winnow_fingerprints",   # MOSS winnowing fingerprint selection
+    "url_canonical_dedup",   # URL canonicalization + crawl dedup
+]
+
 SMALL_OUTPUT = {
     "pricing_summary",
     "revenue_by_nation",
@@ -121,7 +131,7 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     all_reps: dict[str, list[float]] = {}
-    for name in HEADLINE + HEAVY + ADDED_R4:
+    for name in HEADLINE + HEAVY + ADDED_R4 + ADDED_R9:
         fn = QUERIES[name]
 
         def one_rep() -> float:
@@ -154,7 +164,7 @@ def main() -> None:
         timings[name] = round(min(reps), 4)
 
     # rotating long-tail window (see ROTATION_WINDOW comment)
-    fixed = set(HEADLINE + HEAVY + ADDED_R4)
+    fixed = set(HEADLINE + HEAVY + ADDED_R4 + ADDED_R9)
     pool = sorted(set(QUERIES) - fixed)
     repo = os.path.dirname(os.path.abspath(__file__))
     round_idx = len(glob.glob(os.path.join(repo, "BENCH_r*.json")))
@@ -177,6 +187,7 @@ def main() -> None:
     total = round(sum(timings.values()), 4)
     r2_total = round(sum(timings[n] for n in HEADLINE), 4)
     r3_total = round(sum(timings[n] for n in HEADLINE + HEAVY), 4)
+    r4_total = round(sum(timings[n] for n in HEADLINE + HEAVY + ADDED_R4), 4)
     print(
         json.dumps(
             {
@@ -189,8 +200,10 @@ def main() -> None:
                 # 13 queries — compare their `value` to this subtotal.
                 "headline_r2_total": r2_total,
                 "headline_r3_total": r3_total,
+                "headline_r4_total": r4_total,
                 "added_r3": HEAVY,
                 "added_r4": ADDED_R4,
+                "added_r9": ADDED_R9,
                 # per-rep evidence: `queries` reports min(reps); a spike in
                 # one rep with a flat min is a host stall, not a plan change
                 "reps": all_reps,
