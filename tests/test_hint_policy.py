@@ -49,13 +49,22 @@ ALLOWED = {
         "dtab": 2,      # per-(query,cell) ADC tables, bounded by probe fan-out
         "centroids": 1,  # n_centroids rows (frozen-quantizer assignment)
     },
+    "operators/retrieval.py": {                          # BM25 (see module docstring)
+        "qterms": 1,    # distinct query terms: caller-literal tiny by contract
+        "qdf": 1,       # (query_id, term) rows: same bound
+        "dfreq": 1,     # one df row per DISTINCT QUERY term, never the vocab
+        "stats": 1,     # one-row N/avgdl corpus scalar
+    },
     "queries/catalog.py": {
         # constant dims
         "n": 7, "n1": 2, "n2": 2, "nation": 1, "nr": 1, "r": 3,
         # one-row aggregates / scalar thresholds
-        "total": 3, "totals": 2, "t": 2, "tot": 1, "mx": 1, "mid": 1,
+        "total": 3, "totals": 2, "t": 2, "tot": 2, "mx": 1, "mid": 1,
         "nd": 1, "anchor": 1, "avg_pos": 1, "avg_df": 1, "thresholds": 1,
         "ns": 1, "b": 2,
+        # temperature_domain_sample: one-row leftover count + per-source
+        # quotas (low-cardinality dimension, nation-class bound)
+        "leftover": 1, "quota": 1,
         # per-bounded-group fences / stats
         "fences": 2, "med": 2, "mad": 1,   # med: +1-row median (time_to_convert)
         "brow": 1,  # rfm boundary pivot: one row of <= 9 structs
