@@ -593,3 +593,52 @@ def postings_index_sink(index_path: str, text_col: str = "text", id_col: str = "
         dl.write.mode("overwrite").parquet(f"{index_path}/doclen/batch_id={batch_id}")
 
     return apply
+
+
+def txlog_merge_sink(root: str, app_id: str, key: str, version_col: str | None = None):
+    """foreachBatch body for continuous CDC-APPLY into a transactional
+    table: each micro-batch is UPSERTED by ``key`` via the pruned
+    copy-on-write ``tx_merge`` (only zone-map-matched files rewritten),
+    exactly once under the same txnAppId/txnVersion guard as
+    ``txlog_sink`` — the streaming twin of the batch `upsert_latest` /
+    `cdc_apply` entries, landing on a table readers time-travel and tail.
+
+    ``version_col``: when a CDC micro-batch can carry several updates
+    for one key, pass the ordering column and the batch is reduced to
+    latest-per-key before the merge. The column must totally order each
+    key's updates (the same contract upsert_sink pins) — equal versions
+    for one key would make the survivor partition-order-dependent.
+    Without it, tx_merge's unique-key contract applies as-is and
+    duplicates fail loudly.
+
+    Crash/retry semantics compose correctly: a replayed batch at or
+    below the committed high-water mark is skipped; a merge that loses
+    a commit race to a concurrent writer raises TxConflict, the stream
+    retries the batch, the guard sees it uncommitted, and the merge
+    re-plans against the new head — the at-least-once retry loop plus
+    the idempotence guard yields exactly-once. ``app_id`` must be scoped
+    to the checkpoint (same rule as txlog_sink)."""
+    from pyspark.sql import Window
+
+    from devcontainers_etl_node_spark.sinks.txlog import tx_merge, tx_txn_version
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id <= tx_txn_version(root, app_id):
+            return
+        updates = batch_df
+        if version_col is not None:
+            w = Window.partitionBy(key).orderBy(F.col(version_col).desc())
+            updates = (
+                batch_df.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .drop("_rn")
+            )
+        tx_merge(
+            batch_df.sparkSession,
+            updates,
+            root,
+            key=key,
+            meta={"txn_app_id": app_id, "txn_batch_id": int(batch_id)},
+        )
+
+    return apply

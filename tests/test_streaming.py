@@ -909,3 +909,69 @@ def test_streaming_postings_index_serves_bm25_identical_to_direct(spark, tmp_pat
     }
     pruned_files = [p for p in all_files if int(p.split("bucket=")[1].split("/")[0]) in qb]
     assert 0 < len(pruned_files) < len(all_files)
+
+
+def test_streaming_txlog_merge_sink_cdc_apply_exactly_once(spark, tmp_path):
+    """Continuous CDC-apply: streamed update batches UPSERT into the
+    transactional table via the pruned tx_merge — (1) final table state
+    is latest-per-key across everything streamed; (2) a replayed
+    micro-batch is absorbed by the txn guard (no version bump, no row
+    churn); (3) within-batch duplicates for one key reduce to the
+    version_col winner; (4) merge versions appear in the commit log as
+    mode=merge."""
+    from devcontainers_etl_node_spark.sinks import txlog
+    from devcontainers_etl_node_spark.streaming import txlog_merge_sink
+
+    root = str(tmp_path / "table")
+    base = spark.createDataFrame(
+        [(i, f"orig-{i}", 0) for i in range(20)], "id LONG, val STRING, ver LONG"
+    )
+    txlog.tx_write(base, root)  # v0
+
+    schema = "id long, val string, ver long"
+    cdc = [
+        (3, "first-update", 1),
+        (3, "second-update", 2),   # same key twice in one batch: ver wins
+        (7, "update", 1),
+        (99, "insert", 1),
+    ]
+    src, ckpt = tmp_path / "cdc_src", tmp_path / "ckpt"
+    spark.createDataFrame(cdc, schema).write.mode("overwrite").parquet(str(src))
+
+    sink = txlog_merge_sink(root, app_id=str(ckpt), key="id", version_col="ver")
+
+    def drain():
+        q = (
+            spark.readStream.schema(schema)
+            .parquet(str(src))
+            .writeStream.option("checkpointLocation", str(ckpt))
+            .foreachBatch(sink)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    drain()
+    got = {r["id"]: (r["val"], r["ver"]) for r in txlog.tx_read(spark, root).collect()}
+    assert len(got) == 21
+    assert got[3] == ("second-update", 2)   # within-batch latest-per-key
+    assert got[7] == ("update", 1)
+    assert got[99] == ("insert", 1)
+    assert got[0] == ("orig-0", 0)
+
+    head_after = txlog.tx_head(root)
+
+    # replay batch 0 (crash-after-commit): guard absorbs it — no new version
+    sink(spark.createDataFrame(cdc, schema), 0)
+    assert txlog.tx_head(root) == head_after
+    assert txlog.tx_read(spark, root).count() == 21
+
+    # a second stream batch advances state exactly once
+    spark.createDataFrame([(7, "newer", 5)], schema).write.mode("append").parquet(str(src))
+    drain()
+    got2 = {r["id"]: (r["val"], r["ver"]) for r in txlog.tx_read(spark, root).collect()}
+    assert got2[7] == ("newer", 5) and len(got2) == 21
+
+    # the commit log records the merges
+    modes = [h["mode"] for h in txlog.tx_history(root)]
+    assert modes.count("merge") == 2
