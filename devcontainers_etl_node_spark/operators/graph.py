@@ -303,6 +303,10 @@ def pagerank(
         .distinct()
     )
     n = nodes.count()
+    if n == 0:
+        # an empty graph has no ranks — return the empty (node, rank)
+        # relation rather than dividing by the node count below
+        return nodes.withColumn("rank", F.lit(0.0))
     out = e.groupBy("s").agg(F.count(F.lit(1)).alias("outdeg"))
     e2 = _truncate(e.join(out, "s"))
     no_out = _truncate(nodes.join(out.withColumnRenamed("s", "node"), "node", "left_anti"))

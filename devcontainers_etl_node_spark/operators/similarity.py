@@ -210,6 +210,11 @@ def ivf_topk(
         array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"),
     )
     train = c.sample(fraction=train_fraction, seed=seed) if train_fraction else c
+    if train.isEmpty():
+        raise ValueError(
+            "ivf_topk: the corpus (or its training sample) is empty — a "
+            "coarse quantizer cannot be trained on nothing"
+        )
     # a coarse quantizer doesn't need convergence, just stable lists —
     # cap Lloyd iterations (each is a full pass over the training sample)
     model = KMeans(k=n_centroids, seed=seed, maxIter=10, featuresCol="features").fit(train)
@@ -331,6 +336,11 @@ def pq_topk(
     from pyspark.sql import types as T
 
     dim_row = corpus.select(F.size(vec_col).alias("d")).first()
+    if dim_row is None:
+        raise ValueError(
+            "pq_topk: the corpus is empty — PQ codebooks cannot be trained "
+            "on nothing (a raw NoneType error here would hide the cause)"
+        )
     dim = dim_row["d"]
     sub = dim // m
 
@@ -468,7 +478,13 @@ def ivfpq_topk(
     import pandas as pd
     from pyspark.sql import types as T
 
-    dim = corpus.select(F.size(vec_col).alias("d")).first()["d"]
+    dim_row = corpus.select(F.size(vec_col).alias("d")).first()
+    if dim_row is None:
+        raise ValueError(
+            "ivfpq_topk: the corpus is empty — IVF lists and PQ codebooks "
+            "cannot be trained on nothing"
+        )
+    dim = dim_row["d"]
     if dim % m != 0:
         raise ValueError(
             f"ivfpq_topk: embedding dim {dim} is not divisible by m={m} "
@@ -693,6 +709,11 @@ def train_ivf_centroids(
 
     c = corpus.select(array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"))
     train = c.sample(fraction=train_fraction, seed=seed) if train_fraction else c
+    if train.isEmpty():
+        raise ValueError(
+            "train_ivf_centroids: the corpus (or its training sample) is "
+            "empty — a quantizer cannot be trained on nothing"
+        )
     model = KMeans(k=n_centroids, seed=seed, maxIter=max_iter, featuresCol="features").fit(train)
     centers = [(i, [float(x) for x in ctr]) for i, ctr in enumerate(model.clusterCenters())]
     return corpus.sparkSession.createDataFrame(centers, "centroid INT, ctr_vec ARRAY<DOUBLE>")

@@ -7648,6 +7648,11 @@ def quality_classifier(spark: SparkSession, sf: str) -> DataFrame:
     )
     train = data.filter(F.col("doc_id") % 5 != 0)
     test = data.filter(F.col("doc_id") % 5 == 0)
+    if train.isEmpty():
+        raise ValueError(
+            "quality_classifier: the training split is empty (no non-empty "
+            "documents) — a classifier cannot be fit on nothing"
+        )
     model = LogisticRegression(maxIter=30, regParam=0.01).fit(train)
     # Score with plain Column expressions from the driver-side weights
     # (65 doubles) instead of model.transform: the fitted model carries a
