@@ -10040,3 +10040,106 @@ def peak_concurrency(spark: SparkSession, sf: str) -> DataFrame:
             F.col("d").alias("first_peak_day"),
         )
     )
+
+
+@query(
+    "ccnet_perplexity_buckets",
+    r"""
+    WITH toks AS (
+        SELECT doc_id, lang, string_split_regex(lower(trim(text)), '\s+') AS t
+        FROM documents WHERE length(trim(text)) > 0),
+    bg AS (
+        SELECT doc_id, lang, array_to_string(t[i:i + 1], ' ') AS bigram
+        FROM (SELECT doc_id, lang, t, unnest(generate_series(1, len(t) - 1)) AS i
+              FROM toks WHERE len(t) >= 2)),
+    ref AS (SELECT bigram, COUNT(*) AS rc FROM bg WHERE doc_id % 10 = 0 GROUP BY bigram),
+    cand AS (SELECT doc_id, lang, bigram FROM bg WHERE doc_id % 10 <> 0),
+    scored AS (
+        SELECT c.doc_id, c.lang,
+               CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+               CAST(COUNT(*) - COUNT(r.rc) AS BIGINT) AS n_unseen
+        FROM cand c LEFT JOIN ref r ON c.bigram = r.bigram
+        GROUP BY c.doc_id, c.lang),
+    bucketed AS (
+        SELECT doc_id, lang, n_bigrams, n_unseen,
+               ntile(3) OVER (PARTITION BY lang
+                              ORDER BY CAST(n_unseen AS DOUBLE) / CAST(n_bigrams AS DOUBLE),
+                                       doc_id) AS tercile
+        FROM scored)
+    SELECT lang,
+           CASE tercile WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END
+             AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_unseen) AS BIGINT) AS total_unseen,
+           CAST(SUM(n_bigrams) AS BIGINT) AS total_bigrams,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc
+    FROM bucketed GROUP BY lang, bucket
+    """,
+)
+def ccnet_perplexity_buckets(spark: SparkSession, sf: str) -> DataFrame:
+    """CCNet-style per-language perplexity bucketing (Wenzek et al. 2020,
+    public pipeline): documents are scored against a reference LM (here
+    the held-slice bigram model `bigram_lm_score` builds; CCNet uses a
+    wiki-trained KenLM) and each LANGUAGE's distribution is cut into
+    head/middle/tail terciles — the head feeds pretraining, the tail is
+    dropped, the middle is the dial. The familiarity signal is the
+    unseen-bigram fraction (single IEEE division — bit-identical cross-
+    engine; CCNet buckets on exactly this OOD tail), ordering fully
+    tie-broken by doc_id so ntile is deterministic in both engines.
+    Output is the per-(lang, bucket) census with exact token mass.
+
+    Scale: the window input is ONE 24-byte row per doc (never text), and
+    the ntile sort is per-language. At extreme per-language cardinality
+    swap the rank window for broadcast thresholds from
+    operators/rankselect.py exactly as `rfm_segments` does — same
+    semantics, bounded-histogram selection instead of a full sort; the
+    window form is kept here because it is the shape CCNet's own
+    per-shard bucketing uses."""
+    docs = table(spark, sf, "documents").filter(F.length(F.trim("text")) > 0)
+    toks = docs.select(
+        "doc_id", "lang", F.split(F.lower(F.trim("text")), r"\s+").alias("t")
+    ).filter(F.size("t") >= 2)
+    bg = toks.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("t") - 1),
+                lambda i: F.concat_ws(" ", F.slice("t", i, 2)),
+            )
+        ).alias("bigram"),
+    )
+    ref = (
+        bg.filter(F.col("doc_id") % 10 == 0)
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("rc"))
+    )
+    cand = bg.filter(F.col("doc_id") % 10 != 0)
+    scored = (
+        cand.join(ref, "bigram", "left")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            (F.count(F.lit(1)) - F.count("rc")).cast("long").alias("n_unseen"),
+        )
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.col("n_unseen").cast("double") / F.col("n_bigrams").cast("double"),
+        F.col("doc_id"),
+    )
+    bucketed = scored.withColumn("tercile", F.ntile(3).over(w))
+    return (
+        bucketed.groupBy(
+            "lang",
+            F.when(F.col("tercile") == 1, "head")
+            .when(F.col("tercile") == 2, "middle")
+            .otherwise("tail")
+            .alias("bucket"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_unseen").cast("long").alias("total_unseen"),
+            F.sum("n_bigrams").cast("long").alias("total_bigrams"),
+            F.min("doc_id").cast("long").alias("first_doc"),
+        )
+    )

@@ -90,6 +90,7 @@ FAST_ORACLED = [
     "temperature_domain_sample",
     "url_canonical_dedup",
     "peak_concurrency",
+    "ccnet_perplexity_buckets",
 ]
 
 
