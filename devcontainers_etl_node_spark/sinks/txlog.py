@@ -595,6 +595,17 @@ def tx_vacuum(
     return deleted
 
 
+def _merge_inserts(updates: DataFrame, payload: DataFrame, delete_col: str | None) -> DataFrame:
+    """The rows a merge INSERTS: everything when there are no tombstones,
+    else the non-tombstoned rows with the flag column stripped (a NULL
+    flag counts as not-deleted)."""
+    if delete_col is None:
+        return payload
+    from pyspark.sql import functions as F
+
+    return updates.filter(~F.coalesce(F.col(delete_col), F.lit(False))).drop(delete_col)
+
+
 def tx_merge(
     spark: SparkSession,
     updates: DataFrame,
@@ -602,11 +613,19 @@ def tx_merge(
     key: str,
     expected_head: int | None | str = UNCHECKED,
     meta: dict | None = None,
+    delete_col: str | None = None,
 ) -> int:
     """Copy-on-write MERGE (Delta ``MERGE INTO`` with update-all /
     insert-all semantics): rows of ``updates`` REPLACE same-``key``
     table rows; keys not in the table are inserted. Returns the new
     version.
+
+    ``delete_col``: full I/U/D changelog apply — when given, ``updates``
+    carries a boolean column and TRUE rows are tombstones: their keys
+    are removed from the table and nothing is inserted (a tombstone for
+    an absent key is a no-op, Delta's whenMatchedDelete semantics). The
+    flag column is stripped before the schema check and the insert, so
+    the table schema never sees it.
 
     The scale property is FILE PRUNING: only files whose manifest zone
     map for ``key`` can contain an update key are rewritten — every
@@ -633,7 +652,8 @@ def tx_merge(
     if expected_head != UNCHECKED and head != expected_head:
         raise TxConflict(f"merge planned against v{expected_head} but head is v{head}")
     manifest = _read_manifest(root, head)
-    schema = {f.name: f.dataType.simpleString() for f in updates.schema.fields}
+    payload = updates.drop(delete_col) if delete_col else updates
+    schema = {f.name: f.dataType.simpleString() for f in payload.schema.fields}
     prev_schema = manifest.get("schema")
     if prev_schema is not None and prev_schema != schema:
         diff = [
@@ -702,10 +722,13 @@ def tx_merge(
             reader.parquet(*[os.path.join(root, p) for p in sorted(touched)]),
             manifest,
         )
+        # survivors lose EVERY update key — upserted keys are re-inserted
+        # from the batch, tombstoned keys are simply gone
         survivors = old.join(updates.select(key), key, "left_anti")
-        new_data = survivors.unionByName(updates)
+        new_data = survivors.unionByName(_merge_inserts(updates, payload, delete_col))
     else:
-        new_data = updates  # pure insert: no table file can match
+        # pure insert: no table file can match; tombstones are no-ops
+        new_data = _merge_inserts(updates, payload, delete_col)
     added = _stage_files(new_data, root)
 
     next_v = head + 1

@@ -595,7 +595,13 @@ def postings_index_sink(index_path: str, text_col: str = "text", id_col: str = "
     return apply
 
 
-def txlog_merge_sink(root: str, app_id: str, key: str, version_col: str | None = None):
+def txlog_merge_sink(
+    root: str,
+    app_id: str,
+    key: str,
+    version_col: str | None = None,
+    delete_col: str | None = None,
+):
     """foreachBatch body for continuous CDC-APPLY into a transactional
     table: each micro-batch is UPSERTED by ``key`` via the pruned
     copy-on-write ``tx_merge`` (only zone-map-matched files rewritten),
@@ -609,7 +615,9 @@ def txlog_merge_sink(root: str, app_id: str, key: str, version_col: str | None =
     key's updates (the same contract upsert_sink pins) — equal versions
     for one key would make the survivor partition-order-dependent.
     Without it, tx_merge's unique-key contract applies as-is and
-    duplicates fail loudly.
+    duplicates fail loudly. ``delete_col`` (a boolean flag in the batch)
+    turns TRUE rows into tombstones — the full I/U/D changelog apply
+    (tx_merge strips the flag before the table ever sees it).
 
     Crash/retry semantics compose correctly: a replayed batch at or
     below the committed high-water mark is skipped; a merge that loses
@@ -639,6 +647,7 @@ def txlog_merge_sink(root: str, app_id: str, key: str, version_col: str | None =
             root,
             key=key,
             meta={"txn_app_id": app_id, "txn_batch_id": int(batch_id)},
+            delete_col=delete_col,
         )
 
     return apply

@@ -587,3 +587,41 @@ def test_incremental_from_table_rejects_merged_corpus(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="MERGED"):
         incremental.run_incremental_dedup_from_table(spark, root, work)
+
+
+def test_merge_with_tombstones_applies_full_iud_changelog(spark, tmp_path):
+    """delete_col: TRUE rows remove their key, FALSE/NULL rows upsert, a
+    tombstone for an absent key is a no-op, and the flag column never
+    reaches the table schema."""
+    root = str(tmp_path / "t")
+    txlog.tx_write(_df(spark, 0, 10, "base"), root)
+
+    changelog = spark.createDataFrame(
+        [
+            (3, "updated", False),
+            (5, None, True),        # delete existing key
+            (77, "inserted", None), # NULL flag = not deleted
+            (99, None, True),       # tombstone for absent key: no-op
+        ],
+        "id LONG, batch STRING, is_delete BOOLEAN",
+    )
+    txlog.tx_merge(spark, changelog, root, key="id", delete_col="is_delete")
+
+    snap = txlog.tx_read(spark, root)
+    assert set(snap.columns) == {"id", "batch"}  # flag stripped
+    got = {r["id"]: r["batch"] for r in snap.collect()}
+    assert 5 not in got and 99 not in got
+    assert got[3] == "updated" and got[77] == "inserted"
+    assert len(got) == 10  # 10 base - 1 delete + 1 insert
+    # manifest schema stayed the table schema
+    assert "is_delete" not in txlog._read_manifest(root, 1)["schema"]
+
+
+def test_merge_delete_only_batch_can_empty_touched_file(spark, tmp_path):
+    root = str(tmp_path / "t")
+    txlog.tx_write(_df(spark, 0, 5, "a").coalesce(1), root)
+    dels = spark.createDataFrame(
+        [(i, None, True) for i in range(5)], "id LONG, batch STRING, is_delete BOOLEAN"
+    )
+    txlog.tx_merge(spark, dels, root, key="id", delete_col="is_delete")
+    assert txlog.tx_read(spark, root).count() == 0
