@@ -204,6 +204,12 @@ def cmd_table(args) -> int:
             spark, spark.read.parquet(args.updates), args.root, key=args.key
         )
         print(f"merged -> v{v}", file=sys.stderr)
+    elif args.op == "restore":
+        if args.to_version is None:
+            print("restore requires --to-version N", file=sys.stderr)
+            return 2
+        v = txlog.tx_restore(args.root, args.to_version)
+        print(f"restored v{args.to_version} -> v{v}", file=sys.stderr)
     return 0
 
 
@@ -284,12 +290,13 @@ def main(argv: list[str] | None = None) -> int:
     d.add_argument("--work", required=True, help="snapshot directory (sigs + pairs)")
 
     t = sub.add_parser("table", help="transactional-table maintenance (txlog)")
-    t.add_argument("op", choices=["history", "compact", "vacuum", "merge"])
+    t.add_argument("op", choices=["history", "compact", "vacuum", "merge", "restore"])
     t.add_argument("root", help="table root directory")
     t.add_argument("--keep-last", type=int, default=2, help="versions vacuum retains")
     t.add_argument("--retention-hours", type=float, default=24.0, help="vacuum grace window for unreferenced files")
     t.add_argument("--updates", help="merge: parquet path with the upsert rows")
     t.add_argument("--key", help="merge: unique non-null join key column")
+    t.add_argument("--to-version", type=int, help="restore: version to roll back to")
 
     e = sub.add_parser("export", help="pack corpus into WebDataset tar shards")
     e.add_argument("--sf", default=DEFAULT_SF, help="corpus directory")

@@ -48,8 +48,14 @@ Semantics provided:
 - **Copy-on-write MERGE**: ``tx_merge`` upserts by key, rewriting ONLY
   the files whose zone maps can contain an update key (everything else
   carries into the new version verbatim) — Delta's matched-file
-  rewrite; a commit race fails loudly instead of rebasing, because a
+  rewrite; ``delete_col`` tombstones make it a full I/U/D changelog
+  apply; a commit race fails loudly instead of rebasing, because a
   merge plan is only valid against the snapshot it pruned.
+- **RESTORE**: ``tx_restore(version)`` rolls the table back to an
+  earlier version's content as a new commit that re-references the old
+  file list — zero data movement, recorded as an overwrite so change
+  feeds and incremental cursors treat the rollback as the content
+  replacement it is.
 
 Scale notes: the manifest holds (path, rows, bytes) per file — ~100
 bytes/file, so a 100 TB table at 500 MB/file is a ~20 MB manifest, read
@@ -752,5 +758,47 @@ def tx_merge(
         raise TxConflict(
             f"merge lost the commit race at v{next_v} ({root}) — the rewrite "
             f"plan is stale; re-run the merge against the new head"
+        )
+    return next_v
+
+
+def tx_restore(root: str, version: int) -> int:
+    """RESTORE the table to an earlier version's content as a NEW commit
+    (Delta's RESTORE TABLE ... VERSION AS OF): the new manifest re-
+    references version N's exact file list — no data is copied, no files
+    move, and the bad versions in between stay time-travel readable
+    until vacuum. Recorded as mode="overwrite" (operation="restore"), so
+    every downstream consumer already does the right thing: tx_changes
+    resets its cumulative feed at the restore (the table's content was
+    replaced) and the incremental cursors refuse to continue over it —
+    both exactly what a content rollback demands.
+
+    Pure driver-side manifest arithmetic; the only data-dependent cost
+    is zero. Fails loudly if version N's manifest was vacuumed.
+    Concurrency: plain optimistic commit at head+1 — a racing writer
+    makes the restore lose and raise, because restoring over unseen
+    commits silently would be an overwrite with a stale basis."""
+    head = tx_head(root)
+    if head is None:
+        raise FileNotFoundError(f"no committed versions at {root}")
+    if version > head:
+        raise ValueError(f"cannot restore to v{version}: head is v{head}")
+    src = _read_manifest(root, version)  # raises FileNotFoundError if vacuumed
+    next_v = head + 1
+    out = {
+        "version": next_v,
+        "mode": "overwrite",
+        "operation": f"restore:v{version}",
+        "added": [],
+        "files": src["files"],
+        "schema": src.get("schema"),
+        "committed_at": time.time(),
+    }
+    if src.get("schema_evolved"):
+        out["schema_evolved"] = True
+    if not _try_commit(root, next_v, out):
+        raise TxConflict(
+            f"restore lost the commit race at v{next_v} ({root}) — a writer "
+            f"committed concurrently; re-check the head and re-run"
         )
     return next_v

@@ -313,3 +313,17 @@ def test_cli_table_merge_upserts_by_key(spark, tmp_path, capsys):
 
     # missing required flags is an argument error, not a crash
     assert cli.main(["table", "merge", corpus]) == 2
+
+
+def test_cli_table_restore(spark, tmp_path, capsys):
+    from devcontainers_etl_node_spark import cli
+    from devcontainers_etl_node_spark.sinks import txlog
+
+    corpus = str(tmp_path / "corpus")
+    docs = spark.createDataFrame([(i, f"t{i}") for i in range(8)], "doc_id LONG, text STRING")
+    txlog.tx_write(docs, corpus)                                          # v0
+    txlog.tx_write(docs.limit(1), corpus, mode="overwrite")               # v1 (bad)
+    assert cli.main(["table", "restore", corpus, "--to-version", "0"]) == 0
+    assert "restored v0 -> v2" in capsys.readouterr().err
+    assert txlog.tx_read(spark, corpus).count() == 8
+    assert cli.main(["table", "restore", corpus]) == 2  # missing flag

@@ -625,3 +625,32 @@ def test_merge_delete_only_batch_can_empty_touched_file(spark, tmp_path):
     )
     txlog.tx_merge(spark, dels, root, key="id", delete_col="is_delete")
     assert txlog.tx_read(spark, root).count() == 0
+
+
+def test_restore_rolls_back_content_as_a_new_commit(spark, tmp_path):
+    """tx_restore re-references an old version's files without copying
+    data: content equals the restored version, the bad version stays
+    time-travel readable, the change feed resets at the restore, and a
+    vacuumed target fails loudly."""
+    root = str(tmp_path / "t")
+    txlog.tx_write(_df(spark, 0, 10, "good"), root)                      # v0
+    txlog.tx_write(_df(spark, 0, 3, "bad"), root, mode="overwrite")      # v1
+    v = txlog.tx_restore(root, 0)                                        # v2
+    assert v == 2
+    got = txlog.tx_read(spark, root)
+    assert got.count() == 10 and {r["batch"] for r in got.collect()} == {"good"}
+    # no data was copied: v2 references exactly v0's files
+    assert txlog._read_manifest(root, 2)["files"] == txlog._read_manifest(root, 0)["files"]
+    # the bad version is still time-travelable until vacuum
+    assert txlog.tx_read(spark, root, version=1).count() == 3
+    # the feed resets at the restore (content was replaced)
+    ch = txlog.tx_changes(spark, root, since_version=1)
+    assert {r["batch"] for r in ch.collect()} == {"good"}
+
+    # restoring to a vacuumed version fails loudly
+    txlog.tx_write(_df(spark, 0, 2, "x"), root, mode="overwrite")        # v3
+    txlog.tx_vacuum(root, keep_last=1, retention_hours=0)
+    with pytest.raises(FileNotFoundError):
+        txlog.tx_restore(root, 0)
+    with pytest.raises(ValueError, match="head is"):
+        txlog.tx_restore(root, 99)
