@@ -654,3 +654,112 @@ def test_restore_rolls_back_content_as_a_new_commit(spark, tmp_path):
         txlog.tx_restore(root, 0)
     with pytest.raises(ValueError, match="head is"):
         txlog.tx_restore(root, 99)
+
+
+def test_model_based_random_ops_with_merge_and_restore(spark, tmp_path):
+    """Model-based check extended over the round-9 surface: random
+    sequences of append / overwrite / MERGE (upserts + inserts +
+    tombstones) / RESTORE / compact / vacuum against a pure-Python
+    membership model. After every op: head and every retained version
+    time-travel to the model exactly. Feeds across merges are checked by
+    property (no duplicate ids; feed ⊆ head snapshot; every id
+    inserted-or-upserted after the cursor that survives to head is fed;
+    no id whose last change after the cursor was a deletion appears) —
+    the exact-delta model only applies between merges, because a merge's
+    added files legitimately re-feed survivors of rewritten files."""
+    import random
+
+    for seed in (11, 42):
+        rng = random.Random(seed)
+        root = str(tmp_path / f"t{seed}")
+        model: dict[int, set[int]] = {}    # version -> id set
+        ups: dict[int, set[int]] = {}      # ids upserted at v (merge)
+        ins: dict[int, set[int]] = {}      # ids inserted at v (merge/append)
+        dels: dict[int, set[int]] = {}     # ids tombstoned at v
+        resets: set[int] = set()           # overwrite/compact/restore versions
+        next_id = 0
+
+        def fresh(n):
+            nonlocal next_id
+            ids = list(range(next_id, next_id + n))
+            next_id += n
+            return ids
+
+        def kv(rows):
+            return spark.createDataFrame(rows, "id LONG, batch STRING, is_delete BOOLEAN")
+
+        for step in range(12):
+            head = txlog.tx_head(root)
+            op = rng.choice(["append", "merge", "merge", "overwrite", "restore", "compact", "vacuum"])
+            if head is None:
+                op = "append"
+            if op == "append":
+                ids = fresh(rng.randint(1, 4))
+                v = txlog.tx_write(_df(spark, ids[0], ids[-1] + 1, "a"), root)
+                model[v] = (model.get(v - 1) or set()) | set(ids)
+                ins[v] = set(ids)
+            elif op == "overwrite":
+                ids = fresh(rng.randint(1, 3))
+                v = txlog.tx_write(_df(spark, ids[0], ids[-1] + 1, "o"), root, mode="overwrite")
+                model[v] = set(ids)
+                resets.add(v)
+            elif op == "merge":
+                cur = sorted(model[head])
+                k_up = rng.sample(cur, min(len(cur), rng.randint(0, 2)))
+                rest = [i for i in cur if i not in k_up]
+                k_del = rng.sample(rest, min(len(rest), rng.randint(0, 2)))
+                k_ins = fresh(rng.randint(0, 2))
+                rows = (
+                    [(i, f"up{step}", False) for i in k_up]
+                    + [(i, None, True) for i in k_del]
+                    + [(i, f"in{step}", None) for i in k_ins]
+                )
+                if not rows:
+                    rows = [(fresh(1)[0], f"in{step}", False)]
+                    k_ins = [rows[0][0]]
+                v = txlog.tx_merge(spark, kv(rows), root, key="id", delete_col="is_delete")
+                model[v] = (model[head] - set(k_del)) | set(k_up) | set(k_ins)
+                ups[v], ins[v], dels[v] = set(k_up), set(k_ins), set(k_del)
+            elif op == "restore":
+                target = rng.choice(sorted(model))
+                v = txlog.tx_restore(root, target)
+                model[v] = set(model[target])
+                resets.add(v)
+            elif op == "compact":
+                v = txlog.tx_compact(spark, root, target_file_bytes=4096)
+                model[v] = set(model[v - 1])
+                resets.add(v)  # feed-wise compact behaves like overwrite
+            elif op == "vacuum":
+                txlog.tx_vacuum(root, keep_last=3, retention_hours=0)
+                kept = {v for v in model if v > txlog.tx_head(root) - 3}
+                for d in (model, ups, ins, dels):
+                    for v in list(d):
+                        if v not in kept:
+                            d.pop(v, None)
+                resets &= kept
+
+            head = txlog.tx_head(root)
+            assert head == max(model), (seed, step)
+            for v in model:
+                got = {r.id for r in txlog.tx_read(spark, root, version=v).collect()}
+                assert got == model[v], (seed, step, v)
+
+            for since in [v for v in model if v < head]:
+                rows = txlog.tx_changes(spark, root, since_version=since).collect()
+                ids = [r.id for r in rows]
+                assert len(ids) == len(set(ids)), (seed, step, since, "dup ids in feed")
+                assert set(ids) <= model[head], (seed, step, since, "phantom rows fed")
+                # every id changed after the cursor that survives to head is fed
+                must = set()
+                gone = set()
+                for v in range(since + 1, head + 1):
+                    if v in resets:
+                        must = set(model[v])
+                        gone = set()
+                        continue
+                    must |= ups.get(v, set()) | ins.get(v, set())
+                    must -= dels.get(v, set())
+                    gone |= dels.get(v, set())
+                    gone -= ups.get(v, set()) | ins.get(v, set())
+                assert must & model[head] <= set(ids), (seed, step, since, "missing changes")
+                assert not (gone & set(ids)), (seed, step, since, "deleted id fed")
