@@ -572,6 +572,110 @@ def main_tokenizer() -> None:
         shutil.rmtree(workdir, ignore_errors=True)
 
 
+
+
+# --------------------------------------------------------------------------
+# Workload 7: BM25 retrieval — single-node pandas inverted index vs engine
+# --------------------------------------------------------------------------
+
+_BM25_QUERIES = [
+    (1, ["w17", "w4242", "w911"]),
+    (2, ["w5", "w19999"]),
+    (3, ["w777", "w1234", "w31"]),
+]
+
+
+def pandas_bm25(path: str, k: int = 5, k1: float = 1.2, b: float = 0.75) -> set:
+    """The reference-architecture way: eager read, pandas explode/groupby
+    postings, vectorized scoring — single process, whole corpus in RAM.
+    Same log-free odds idf + integer-micros fixed point as the engine, so
+    the result SETS must be identical (asserted by the caller)."""
+    import numpy as np
+
+    df = pd.read_parquet(path)
+    toks = df.assign(term=df.text.str.lower().str.strip().str.split()).explode("term")
+    post = toks.groupby(["doc_id", "term"]).size().rename("tf").reset_index()
+    dl = post.groupby("doc_id")["tf"].sum()
+    n_docs = len(dl)
+    avgdl = float(dl.sum()) / float(n_docs)
+    qterms = sorted({t for _, ts in _BM25_QUERIES for t in ts})
+    rel = post[post.term.isin(qterms)]
+    dfreq = rel.groupby("term").size()
+
+    out = set()
+    for qid, terms in _BM25_QUERIES:
+        sub = rel[rel.term.isin(terms)].merge(dl.rename("dl"), on="doc_id")
+        if sub.empty:
+            continue
+        dfq = dfreq[sub.term].to_numpy(dtype="float64")
+        idf = ((n_docs - dfq) + 0.5) / (dfq + 0.5)
+        tf = sub.tf.to_numpy(dtype="float64")
+        dlv = sub.dl.to_numpy(dtype="float64")
+        tfn = (tf * (k1 + 1.0)) / (tf + k1 * ((1.0 - b) + b * (dlv / avgdl)))
+        # HALF_UP like the engine (np.round is half-even)
+        micros = np.floor(idf * tfn * 1000000.0 + 0.5).astype("int64")
+        tot = (
+            pd.DataFrame({"doc_id": sub.doc_id.to_numpy(), "m": micros})
+            .groupby("doc_id")["m"]
+            .sum()
+            .reset_index()
+            .sort_values(["m", "doc_id"], ascending=[False, True])
+            .head(k)
+        )
+        out |= {(qid, int(r.doc_id), int(r.m)) for r in tot.itertuples()}
+    return out
+
+
+def spark_bm25(spark, path: str, k: int = 5) -> set:
+    from devcontainers_etl_node_spark.operators import retrieval
+
+    rows = retrieval.bm25_topk(
+        spark.read.parquet(path), _BM25_QUERIES, k=k
+    ).collect()
+    return {(r["query_id"], r["doc_id"], r["score_micros"]) for r in rows}
+
+
+def main_bm25() -> None:
+    import os
+    import shutil
+
+    n_runs = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+    sizes = (
+        [int(x) for x in sys.argv[3].split(",")]
+        if len(sys.argv) > 3
+        else [20_000, 80_000, 320_000]
+    )
+    spark = get_spark()
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    workdir = "/root/repo/.bench_tmp"
+    os.makedirs(workdir, exist_ok=True)
+    print("| docs | pandas bm25 | engine bm25 | ratio | results identical |")
+    print("|---|---|---|---|---|")
+    try:
+        for n in sizes:
+            path = os.path.join(workdir, f"bm25_{n}.parquet")
+            _minhash_corpus(spark, n, path)  # same 20k-vocab synthetic corpus
+            pd_times, sp_times = [], []
+            for _ in range(n_runs):
+                t0 = time.perf_counter()
+                pd_res = pandas_bm25(path)
+                pd_times.append(time.perf_counter() - t0)
+            for _ in range(n_runs):
+                t0 = time.perf_counter()
+                sp_res = spark_bm25(spark, path)
+                sp_times.append(time.perf_counter() - t0)
+            same = pd_res == sp_res
+            p, s = min(pd_times), min(sp_times)
+            print(
+                f"| {n:,} | {p:.2f}s | {s:.2f}s | {p / s:.2f}x | {same} |",
+                flush=True,
+            )
+            assert same, "pandas and engine BM25 diverged"
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "dedup":
         main_dedup()
@@ -583,5 +687,7 @@ if __name__ == "__main__":
         main_substr()
     elif len(sys.argv) > 1 and sys.argv[1] == "tokenizer":
         main_tokenizer()
+    elif len(sys.argv) > 1 and sys.argv[1] == "bm25":
+        main_bm25()
     else:
         main()
