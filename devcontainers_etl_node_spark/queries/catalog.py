@@ -10143,3 +10143,86 @@ def ccnet_perplexity_buckets(spark: SparkSession, sf: str) -> DataFrame:
             F.min("doc_id").cast("long").alias("first_doc"),
         )
     )
+
+
+@query(
+    "asof_tolerance_join",
+    """
+    WITH clicks AS (
+        SELECT event_id AS click_id, user_id, ts FROM events
+        WHERE event_type = 'click'),
+    buys AS (
+        SELECT event_id AS purchase_id, user_id, ts AS pts FROM events
+        WHERE event_type = 'purchase'),
+    pairs AS (
+        SELECT c.click_id, b.purchase_id, b.pts, c.ts,
+               row_number() OVER (PARTITION BY c.click_id
+                                  ORDER BY b.pts DESC, b.purchase_id DESC) AS rn
+        FROM clicks c JOIN buys b
+          ON c.user_id = b.user_id
+         AND b.pts <= c.ts AND b.pts >= c.ts - INTERVAL 1 HOUR)
+    SELECT c.click_id, c.user_id,
+           p.purchase_id AS purchase_within_1h,
+           CAST(date_diff('second', p.pts, c.ts) AS BIGINT) AS staleness_s
+    FROM clicks c
+    LEFT JOIN (SELECT * FROM pairs WHERE rn = 1) p ON c.click_id = p.click_id
+    """,
+)
+def asof_tolerance_join(spark: SparkSession, sf: str) -> DataFrame:
+    """As-of join with a STALENESS BOUND — the feature-store point-in-time
+    rule: a click may only use a purchase feature observed at or before
+    it AND no staler than 1 hour; older matches are NULL, not silently
+    served (bounded-staleness correctness, the thing batch feature
+    backfills get wrong when they as-of-join without a tolerance).
+
+    Plan: the same LINEAR union-and-last-value window as `asof_join`
+    (one shuffle on user_id, no join node, no clicks x purchases blowup)
+    carrying the matched purchase's TIMESTAMP alongside its id; the
+    tolerance is then one codegen'd comparison — the latest purchase
+    within tolerance is the latest purchase overall whenever one
+    qualifies (anything earlier is staler), so bounding staleness needs
+    no second window. Ties at equal ts resolve to the highest
+    purchase_id in both engines (purchases sort before clicks, ascending
+    id — the running last() sees the highest tied id last; the oracle's
+    DESC/DESC rn=1 picks the same row). Staleness emitted as integer
+    seconds (timestamps never raw in output, house rule)."""
+    ev = table(spark, sf, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("kind"),
+        F.col("event_id").alias("click_id"),
+        F.lit(None).cast("long").alias("purchase_id"),
+        F.lit(None).cast("timestamp").alias("pts"),
+    )
+    buys = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(0).alias("kind"),
+        F.lit(None).cast("long").alias("click_id"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("pts"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "kind", "purchase_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    stream = clicks.unionByName(buys).select(
+        "*",
+        F.last("purchase_id", ignorenulls=True).over(w).alias("last_pid"),
+        F.last("pts", ignorenulls=True).over(w).alias("last_pts"),
+    )
+    fresh = F.col("last_pts") >= F.col("ts") - F.expr("INTERVAL 1 HOUR")
+    return (
+        stream.filter(F.col("kind") == 1)
+        .select(
+            "click_id",
+            "user_id",
+            F.when(fresh, F.col("last_pid")).alias("purchase_within_1h"),
+            F.when(
+                fresh,
+                F.unix_timestamp("ts") - F.unix_timestamp("last_pts"),
+            ).cast("long").alias("staleness_s"),
+        )
+    )

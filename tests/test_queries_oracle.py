@@ -91,6 +91,7 @@ FAST_ORACLED = [
     "url_canonical_dedup",
     "peak_concurrency",
     "ccnet_perplexity_buckets",
+    "asof_tolerance_join",
 ]
 
 
