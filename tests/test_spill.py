@@ -95,3 +95,23 @@ def test_ranged_prefix_sum_spills_and_completes_under_skew_pressure():
     assert result["rows"] == 10_000_000  # checksum held through the spill
     assert result["memory_spilled_bytes"] > 0
     assert result["max_bucket_rows"] >= 5_000_000  # the tie really degenerated
+
+
+def test_setsim_join_spills_and_stays_exact_under_pressure():
+    """The exact similarity self-join (retrieval.setsim_join_prefix) on
+    160 k docs under the ~140 MB pool: every stage (size/freq groupBys,
+    per-doc position window, prefix self-join, verify join) must spill
+    rather than OOM, and the result must be EXACTLY the 4 000 planted
+    J=1.0 clone pairs — correctness verified THROUGH the spill. Measured
+    (PERF.md r9): ~2.9 GB memory-spill / ~0.8 GB disk-spill."""
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "spill_probe.py"), "setsim"],
+        capture_output=True,
+        text=True,
+        timeout=900,
+    )
+    assert proc.returncode == 0, f"probe died (OOM?):\n{proc.stderr[-2000:]}"
+    result = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert result["found_pairs"] == result["planted_pairs"] == 4_000
+    assert result["memory_spilled_bytes"] > 0
+    assert result["disk_spilled_bytes"] > 0

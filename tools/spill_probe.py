@@ -149,6 +149,35 @@ def main() -> None:
             for r in df.groupBy(bucket.alias("bk")).agg(F.count(F.lit(1)).alias("c")).collect()
         ]
         extra = {"n_buckets_realized": len(sizes), "max_bucket_rows": max(sizes)}
+    elif workload == "setsim":
+        from devcontainers_etl_node_spark.operators import retrieval
+
+        # the exact similarity self-join under memory pressure: 160 k
+        # docs x 40 tokens from a 100 k vocab => ~6 M positional gram
+        # rows through the size/freq groupBys, the per-doc position
+        # window, the prefix self-join and the verify join — each stage
+        # sorts ~1.5 M wide-ish rows per task against the ~35 MB budget.
+        # Every doc with id % 40 == 1 clones doc id-1's text => exactly
+        # n/40 planted J=1.0 pairs; with a 100 k vocab the chance any
+        # UNRELATED pair reaches J >= 0.9 is negligible, so the result
+        # set is self-checking THROUGH the spill.
+        n_docs = 160_000
+        base_id = F.when(F.col("id") % 40 == 1, F.col("id") - 1).otherwise(F.col("id"))
+        body = F.array_join(
+            F.transform(
+                F.sequence(F.lit(1), F.lit(40)),
+                lambda i: F.concat(
+                    F.lit("w"), F.pmod(F.xxhash64(base_id, i), F.lit(100_000))
+                ),
+            ),
+            " ",
+        )
+        docs = spark.range(n_docs).select(F.col("id").alias("doc_id"), body.alias("text"))
+        pairs = retrieval.setsim_join_prefix(docs, threshold=0.9, ngram=3)
+        found = pairs.count()
+        planted = len(range(1, n_docs, 40))
+        n = n_docs if found == planted else -found
+        extra = {"planted_pairs": planted, "found_pairs": found}
     else:
         raise SystemExit(f"unknown workload {workload!r}")
 
