@@ -131,6 +131,9 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     all_reps: dict[str, list[float]] = {}
+    all_loadavg: dict[str, list[float]] = {}
+    bench_started = time.strftime("%Y-%m-%dT%H:%M:%S%z")
+    loadavg_start = [round(x, 2) for x in os.getloadavg()]
     for name in HEADLINE + HEAVY + ADDED_R4 + ADDED_R9:
         fn = QUERIES[name]
 
@@ -142,6 +145,11 @@ def main() -> None:
             # 4 s -> 30 s spikes (NOTES.md round 3, re-measured round 4).
             gc.collect()
             spark.sparkContext._jvm.System.gc()
+            # host-noise evidence: record the 1-min loadavg at rep start so
+            # a dilated rep carries its own contention signature (the r8/r9
+            # +18-20% bench drifts were host noise provable only by
+            # out-of-band runs — now the evidence rides the artifact).
+            all_loadavg.setdefault(name, []).append(round(os.getloadavg()[0], 2))
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
             if name in SMALL_OUTPUT:
@@ -188,8 +196,7 @@ def main() -> None:
     r2_total = round(sum(timings[n] for n in HEADLINE), 4)
     r3_total = round(sum(timings[n] for n in HEADLINE + HEAVY), 4)
     r4_total = round(sum(timings[n] for n in HEADLINE + HEAVY + ADDED_R4), 4)
-    print(
-        json.dumps(
+    line = json.dumps(
             {
                 "metric": "headline_queries_total",
                 "value": total,
@@ -217,9 +224,22 @@ def main() -> None:
                 "rotation_reps": rotation_reps,
                 "rotation_total": round(sum(rotation.values()), 4),
                 "rotation_round_idx": round_idx,
+                # per-rep 1-min loadavg at rep START (parallel to `reps`):
+                # a rep that dilated while its loadavg was >1.5 is host
+                # contention, not a plan regression (r9 verdict protocol fix)
+                "loadavg": all_loadavg,
+                "loadavg_start": loadavg_start,
+                "loadavg_end": [round(x, 2) for x in os.getloadavg()],
+                "started": bench_started,
             }
         )
-    )
+    print(line)
+    # defend against stdout-tail truncation by the caller: the committed
+    # local twin always carries the FULL line (r9 verdict: BENCH_r*.json
+    # artifacts were cut mid-dict and lost the front queries)
+    local = os.path.join(repo, f"BENCH_LOCAL_r{round_idx + 1:02d}.json")
+    with open(local, "w") as f:
+        f.write(line + "\n")
 
 
 if __name__ == "__main__":
