@@ -28,15 +28,19 @@ Semantics provided:
   basis is stale) — the caller retries at the new head, same rule
   Delta applies.
 - **Incremental scans (CDF-lite)**: ``tx_changes(since_version)``
-  returns only files ADDED after a version — the feed the incremental
+  returns only rows appended or upserted after a version (merges are
+  EXACT via recorded change files) — the feed the incremental
   dedup/curation pipelines consume so history is never re-scanned.
 - **Compaction + vacuum**: ``tx_compact`` rewrites small files into a
   new version (readers of old versions unaffected; ``cluster_by`` sorts
   into range-disjoint files so skipping works); ``tx_vacuum`` deletes
   files unreferenced by the retained version window AND older than a
   retention grace period (in-flight writers protected).
-- **Data skipping**: manifests carry per-file numeric zone maps read
-  from parquet footers; ``tx_prune_files``/``tx_read_pruned`` plan
+- **Data skipping**: manifests carry per-file integral/boolean zone
+  maps read from parquet footers (floats excluded — parquet stats omit
+  NaN while Spark orders NaN above every double, so a float zone map
+  could prune rows a full scan would return; strings excluded — their
+  stats may be truncated); ``tx_prune_files``/``tx_read_pruned`` plan
   range queries from the manifest alone (row-level filter still
   applied — stats shrink the scan, never decide correctness).
 - **Schema contract + evolution**: every commit records the schema;
@@ -144,11 +148,14 @@ def _stage_files(df: DataFrame, root: str) -> list[dict]:
 
 def _parquet_footer_info(path: str) -> tuple[int, dict]:
     """Row count + per-column (min, max) zone maps from the parquet
-    FOOTER — metadata only, no scan.  Stats cover numeric/boolean leaf
+    FOOTER — metadata only, no scan.  Stats cover INTEGRAL/boolean leaf
     columns only: parquet string statistics may be truncated (a
     truncated max understates the true max, which would make pruning
-    unsound), so strings are deliberately excluded and their files are
-    never pruned."""
+    unsound), and parquet float/double statistics EXCLUDE NaN while
+    Spark's comparison semantics order NaN above every double — a float
+    zone map could therefore prune a file whose NaN rows an unpruned
+    scan's row filter would return.  Both are deliberately excluded and
+    their files never pruned: soundness over coverage."""
     import pyarrow.parquet as pq
 
     md = pq.ParquetFile(path).metadata
@@ -166,7 +173,8 @@ def _parquet_footer_info(path: str) -> tuple[int, dict]:
                 exact.discard(name)
                 continue
             lo, hi = st.min, st.max
-            if not isinstance(lo, (int, float)) or not isinstance(hi, (int, float)):
+            # bool passes (a subclass of int with no NaN); float fails
+            if not (isinstance(lo, int) and isinstance(hi, int)):
                 continue
             if rg == 0:
                 mins[name], maxs[name] = lo, hi
@@ -188,7 +196,12 @@ def _try_commit(root: str, version: int, manifest: dict) -> bool:
     tmp = f"{path}.inprogress.{uuid.uuid4().hex[:12]}"
     try:
         with open(tmp, "x") as f:
-            json.dump(manifest, f, sort_keys=True)
+            # NOT sort_keys: the manifest's "schema" dict is ORDERED (the
+            # committed column order _conform restores on read) — sorting
+            # would alphabetize it through the JSON round-trip and silently
+            # reorder every table's columns. Construction is deterministic,
+            # so the bytes are reproducible without sorting.
+            json.dump(manifest, f)
             f.flush()
             os.fsync(f.fileno())
         try:
@@ -201,6 +214,21 @@ def _try_commit(root: str, version: int, manifest: dict) -> bool:
             os.unlink(tmp)
         except OSError:
             pass
+
+
+def _carry_txns(prev: dict | None, meta: dict | None) -> dict:
+    """Per-app idempotence high-water marks, carried forward into EVERY
+    manifest (Delta's setTransaction state surviving via checkpoints):
+    :func:`tx_txn_version` reads only the HEAD manifest, so vacuuming old
+    manifests can never lose the state that makes
+    :func:`tx_write_idempotent` exactly-once.  Without the carry, a
+    multi-writer table could push an app's last commit out of the vacuum
+    window and a crash-replay of that app would re-append its batch."""
+    txns = dict((prev or {}).get("txns") or {})
+    if meta and meta.get("txn_app_id") is not None:
+        app = str(meta["txn_app_id"])
+        txns[app] = max(int(txns.get(app, -1)), int(meta.get("txn_batch_id", -1)))
+    return txns
 
 
 def tx_write(
@@ -254,8 +282,8 @@ def tx_write(
             )
         next_v = 0 if head is None else head + 1
         evolved = False
-        if mode == "append" and head is not None:
-            prev = _read_manifest(root, head)
+        prev = _read_manifest(root, head) if head is not None else None
+        if mode == "append" and prev is not None:
             files = prev["files"] + added
             prev_schema = prev.get("schema")
             changed = prev_schema is not None and prev_schema != schema
@@ -284,6 +312,7 @@ def tx_write(
             "files": files,
             "schema": schema,
             "committed_at": time.time(),
+            "txns": _carry_txns(prev, meta),
         }
         if evolved:
             manifest["schema_evolved"] = True
@@ -409,13 +438,20 @@ def tx_read_pruned(
 
 def tx_txn_version(root: str, app_id: str) -> int:
     """Highest batch id committed under ``app_id`` (the Delta
-    txnAppId/txnVersion idempotence protocol), or -1.  Driver-side
-    O(versions) manifest scan — bounded by commit count, never data;
-    vacuumed manifests are skipped (their batches predate the retained
-    window by construction)."""
+    txnAppId/txnVersion idempotence protocol), or -1.  O(1): every
+    manifest carries the per-app high-water map forward
+    (:func:`_carry_txns`), so only the HEAD manifest is read — and
+    vacuuming old manifests can never lose idempotence state, even on a
+    multi-writer table whose other writers push an app's last commit out
+    of the retained window.  Legacy manifests (no ``txns`` key) fall back
+    to the O(versions) scan, which skips vacuumed manifests and can
+    therefore under-report — the carried map exists to close that hole."""
     head = tx_head(root)
     if head is None:
         return -1
+    hm = _read_manifest(root, head)
+    if "txns" in hm:
+        return int((hm["txns"] or {}).get(app_id, -1))
     best = -1
     for v in range(head + 1):
         try:
@@ -484,15 +520,41 @@ def tx_history(root: str, since_version: int = -1) -> list[dict]:
 def tx_changes(
     spark: SparkSession, root: str, since_version: int
 ) -> DataFrame:
-    """Incremental scan (CDF-lite): rows in files ADDED by versions
-    (since_version, head] — the feed incremental dedup consumes.  Only
-    meaningful across appends/compactions; an intervening overwrite
-    resets history, so its snapshot is returned whole (everything after
-    it is 'new')."""
+    """Incremental scan (CDF-lite): the rows APPENDED OR UPSERTED by
+    versions (since_version, head], each at its LATEST committed value —
+    the feed incremental dedup consumes.  An intervening overwrite resets
+    history, so its snapshot is returned whole (everything after it is
+    'new').
+
+    Merges are EXACT, not at-least-once: a merge commit records its raw
+    changelog batch as ``change_files`` (O(changelog) extra bytes), so
+    the feed emits exactly the upserted rows — never the survivors a
+    rewrite re-staged from files committed before the cursor.  Rows the
+    cursor window appended that a later merge then updated appear ONCE,
+    post-image only; rows it appended that a later merge deleted do not
+    appear (they no longer exist — a new-docs consumer must not ingest
+    them).  Mechanically this is a fold: appended files accumulate, each
+    merge anti-joins the accumulated feed on its recorded ``merge_key``
+    against the changelog's keys and unions the changelog's non-tombstone
+    rows.  The anti-join is bounded by the changelog (broadcast-sized in
+    practice), and a pure-append window still plans as ONE parquet scan
+    of the added files — the fold only materializes joins when a merge
+    is actually in the window."""
     head = tx_head(root)
     if head is None or since_version > head:
         raise ValueError(f"since_version v{since_version} vs head {head}")
+    from pyspark.sql import functions as F
+
+    acc: DataFrame | None = None
     paths: list[str] = []
+
+    def fold_paths() -> None:
+        nonlocal acc, paths
+        if paths:
+            df = spark.read.parquet(*paths)
+            acc = df if acc is None else acc.unionByName(df, allowMissingColumns=True)
+            paths = []
+
     for v in range(since_version + 1, head + 1):
         try:
             m = _read_manifest(root, v)
@@ -505,18 +567,37 @@ def tx_changes(
             ) from None
         if m["mode"] == "overwrite":
             paths = [os.path.join(root, e["path"]) for e in m["files"]]
+            acc = None
         elif m["mode"] == "merge":
-            # a merge REPLACES its touched files: survivors were re-staged
-            # into the added files, so keeping a removed path would feed
-            # its surviving rows twice
-            removed = {os.path.join(root, p) for p in m.get("removed", [])}
-            paths = [p for p in paths if p not in removed]
-            paths += [os.path.join(root, p) for p in m["added"]]
+            cf = m.get("change_files")
+            if cf is None:
+                raise ValueError(
+                    f"merge at v{v} of {root} predates change-file "
+                    f"recording — an exact feed across it is impossible; "
+                    f"re-read the full snapshot (tx_read) and reset the "
+                    f"cursor to v{head}"
+                )
+            key = m["merge_key"]
+            raw = spark.read.parquet(*[os.path.join(root, p) for p in cf])
+            fold_paths()
+            if acc is not None:
+                # keys this merge touched (upserts AND deletes) supersede
+                # any earlier appearance in the window's feed
+                acc = acc.join(raw.select(key), key, "left_anti")
+            dcol = m.get("change_delete_col")
+            ups = (
+                raw.filter(~F.coalesce(F.col(dcol), F.lit(False))).drop(dcol)
+                if dcol
+                else raw
+            )
+            ups = _conform(ups, m)
+            acc = ups if acc is None else acc.unionByName(ups, allowMissingColumns=True)
         else:
             paths += [os.path.join(root, p) for p in m["added"]]
-    if not paths:
+    fold_paths()
+    if acc is None:
         return tx_read(spark, root, head).limit(0)
-    return spark.read.parquet(*paths)
+    return acc
 
 
 def tx_compact(
@@ -559,7 +640,11 @@ def tx_vacuum(
     """Delete data files unreferenced by the last ``keep_last`` versions
     (and stale stage scratch), plus older manifests.  Returns deleted
     paths.  Never touches files any retained version references — time
-    travel within the window survives vacuum.
+    travel within the window survives vacuum, merge CDF change files of
+    retained versions survive, and idempotence state ALWAYS survives:
+    per-app txn high-water marks are carried forward into every manifest
+    (:func:`_carry_txns`), so deleting old manifests cannot make
+    :func:`tx_write_idempotent` re-append a vacuumed app's batch.
 
     ``retention_hours`` is the in-flight-writer grace window (Delta's
     vacuum retention check): an unreferenced file or ``.stage-*`` dir
@@ -575,8 +660,12 @@ def tx_vacuum(
     keep_versions = [v for v in range(head - keep_last + 1, head + 1) if v >= 0]
     referenced = set()
     for v in keep_versions:
-        for e in _read_manifest(root, v)["files"]:
+        m = _read_manifest(root, v)
+        for e in m["files"]:
             referenced.add(e["path"])
+        # a retained merge manifest's CDF change files must survive too —
+        # tx_changes across that merge reads them
+        referenced.update(m.get("change_files") or [])
     deleted = []
     data_dir = os.path.join(root, _DATA)
     for fn in sorted(os.listdir(data_dir)):
@@ -736,6 +825,12 @@ def tx_merge(
         # pure insert: no table file can match; tombstones are no-ops
         new_data = _merge_inserts(updates, payload, delete_col)
     added = _stage_files(new_data, root)
+    # CDF change files: the raw changelog batch (tombstone flag kept) is
+    # staged alongside the rewrite so tx_changes can emit EXACTLY the
+    # upserted rows instead of every added file (which re-ships survivors
+    # from files committed before a consumer's cursor). One extra write
+    # of the updates batch — O(changelog), not O(table).
+    change = _stage_files(updates, root)
 
     next_v = head + 1
     out = {
@@ -745,9 +840,12 @@ def tx_merge(
         "merge_key": key,
         "added": [e["path"] for e in added],
         "removed": sorted(touched),
+        "change_files": [e["path"] for e in change],
+        "change_delete_col": delete_col,
         "files": untouched_entries + added,
         "schema": schema,
         "committed_at": time.time(),
+        "txns": _carry_txns(manifest, meta),
     }
     if manifest.get("schema_evolved") and touched != {e["path"] for e in entries}:
         # untouched files keep their old physical schema
@@ -793,6 +891,10 @@ def tx_restore(root: str, version: int) -> int:
         "files": src["files"],
         "schema": src.get("schema"),
         "committed_at": time.time(),
+        # idempotence state never rolls back: carry the HEAD's marks, not
+        # the restored version's — a replayed batch after a restore must
+        # still be recognized as already-committed
+        "txns": _carry_txns(_read_manifest(root, head), None),
     }
     if src.get("schema_evolved"):
         out["schema_evolved"] = True

@@ -80,25 +80,45 @@ def hourly_event_counts(events: DataFrame, watermark: str = "30 minutes") -> Dat
     )
 
 
-def user_running_totals(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+def user_running_totals(
+    events: DataFrame,
+    watermark: str = "1 hour",
+    idle_timeout_ms: int | None = None,
+) -> DataFrame:
     """Custom stateful operator (applyInPandasWithState): per-user running
     event count / value total maintained across micro-batches — the
     extension point for stateful logic Spark's built-in windows can't
     express (the Arrow-batched analogue of a custom streaming operator).
 
-    State is one (long, double) pair per user — O(active users), bounded
-    below watermark-evicted session state. Emits the updated running row
-    for every user seen in the micro-batch (update semantics).
-    """
+    State is one (long, double) pair per user.  With the default
+    ``idle_timeout_ms=None`` that state is NEVER evicted — a true
+    lifetime running total is O(all users ever seen), and on an unbounded
+    key space it grows without bound (the same unbounded-state hazard the
+    join/session operators in this module evict their way out of).  Pass
+    ``idle_timeout_ms`` to bound it: a user idle for that long (processing
+    time) has its state dropped at the next micro-batch, so a returning
+    user RESTARTS from zero — bounded state traded for lifetime exactness,
+    the only two honest options for a running total over unbounded keys.
+    Operational note: once any group registers a processing-time timeout
+    the micro-batch engine schedules batches continuously to evaluate it
+    (so ``processAllAvailable`` no longer quiesces — use a trigger
+    interval and poll the sink).  Emits the updated running row for every
+    user seen in the micro-batch (update semantics)."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     def update(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            # idle eviction: drop the state, emit nothing
+            state.remove()
+            return
         n, total = state.get if state.exists else (0, 0.0)
         for pdf in pdfs:
             n += len(pdf)
             total += float(pdf["value"].fillna(0.0).sum())
         state.update((n, total))
+        if idle_timeout_ms is not None:
+            state.setTimeoutDuration(idle_timeout_ms)
         yield pd.DataFrame(
             {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
         )
@@ -111,7 +131,11 @@ def user_running_totals(events: DataFrame, watermark: str = "1 hour") -> DataFra
             outputStructType="user_id long, n_events long, total_value double",
             stateStructType="n long, total double",
             outputMode="update",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            timeoutConf=(
+                GroupStateTimeout.ProcessingTimeTimeout
+                if idle_timeout_ms is not None
+                else GroupStateTimeout.NoTimeout
+            ),
         )
     )
 

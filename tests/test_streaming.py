@@ -114,6 +114,66 @@ def test_stream_static_enrichment_matches_batch(spark, tmp_path, event_rows):
     assert (4, "silver") in got
 
 
+def test_stateful_running_totals_idle_timeout_evicts_state(spark, tmp_path):
+    """idle_timeout_ms bounds the otherwise O(all users ever) state: a
+    user idle past the timeout has its state dropped at the next
+    micro-batch, so when they return the running total RESTARTS — bounded
+    state traded for lifetime exactness (the default None keeps lifetime
+    totals and unbounded state, as the docstring warns)."""
+    import time as _time
+
+    from devcontainers_etl_node_spark.streaming import user_running_totals
+
+    t0 = datetime.datetime(2024, 1, 1, 10, 0, 0)
+    src = tmp_path / "events_src"
+    spark.createDataFrame(
+        [(1, t0, 1, "click", 1.0, "{}")], EVENTS_SCHEMA
+    ).write.mode("overwrite").parquet(str(src))
+    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(str(src))
+    # NOTE: once any group registers a processing-time timeout the
+    # micro-batch engine schedules batches CONTINUOUSLY to evaluate it,
+    # so processAllAvailable never quiesces — poll the sink instead.
+    q = (
+        user_running_totals(stream, idle_timeout_ms=500)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("totals_evict")
+        .trigger(processingTime="250 milliseconds")
+        .start()
+    )
+
+    def wait_until(pred, what, deadline_s=90.0):
+        end = _time.time() + deadline_s
+        while _time.time() < end:
+            if pred(spark.sql("SELECT * FROM totals_evict").collect()):
+                return
+            _time.sleep(0.25)
+        raise AssertionError(f"timed out waiting for {what}")
+
+    wait_until(lambda rows: any(r.user_id == 1 for r in rows), "batch 1")
+    _time.sleep(1.5)  # let user 1 go idle past the timeout
+    # other users keep arriving; user 1's timeout fires in some batch
+    # and its state is removed (emitting nothing)
+    spark.createDataFrame(
+        [(2, t0 + datetime.timedelta(minutes=1), 2, "view", 2.0, "{}")],
+        EVENTS_SCHEMA,
+    ).write.mode("append").parquet(str(src))
+    wait_until(lambda rows: any(r.user_id == 2 for r in rows), "batch 2")
+    _time.sleep(1.0)  # ensure the timeout batch ran after user 2 landed
+    # user 1 returns: the total restarts from zero state
+    spark.createDataFrame(
+        [(3, t0 + datetime.timedelta(minutes=2), 1, "click", 4.0, "{}")],
+        EVENTS_SCHEMA,
+    ).write.mode("append").parquet(str(src))
+    wait_until(
+        lambda rows: sum(1 for r in rows if r.user_id == 1) >= 2, "user 1 return"
+    )
+    q.stop()
+    rows = spark.sql("SELECT * FROM totals_evict").collect()
+    u1 = sorted((r.n_events, r.total_value) for r in rows if r.user_id == 1)
+    assert u1 == [(1, 1.0), (1, 4.0)]  # restarted, not (2, 5.0)
+
+
 def test_stateful_running_totals_across_batches(spark, tmp_path):
     from devcontainers_etl_node_spark.streaming import user_running_totals
 

@@ -164,7 +164,8 @@ def test_manifest_is_bounded_metadata_not_data(spark, tmp_path):
     (mpath,) = glob.glob(os.path.join(root, "_txlog", "*.json"))
     m = json.load(open(mpath))
     assert set(m) == {
-        "version", "mode", "operation", "added", "files", "schema", "committed_at"
+        "version", "mode", "operation", "added", "files", "schema",
+        "committed_at", "txns",
     }
     assert m["schema"] == {"id": "bigint", "batch": "string"}
     assert all(set(e) <= {"path", "bytes", "rows", "stats"} for e in m["files"])
@@ -539,8 +540,9 @@ def test_merge_conflicts_instead_of_rebasing(spark, tmp_path):
     def stage_then_lose_race(df, r):
         entries = real_stage(df, r)
         nxt = txlog._manifest_path(root, 2)
-        with open(nxt, "x") as f:
-            _json.dump(txlog._read_manifest(root, 1) | {"version": 2}, f)
+        if not os.path.exists(nxt):  # merge stages twice (rewrite + CDF)
+            with open(nxt, "x") as f:
+                _json.dump(txlog._read_manifest(root, 1) | {"version": 2}, f)
         return entries
 
     txlog._stage_files = stage_then_lose_race
@@ -763,3 +765,117 @@ def test_model_based_random_ops_with_merge_and_restore(spark, tmp_path):
                     gone -= ups.get(v, set()) | ins.get(v, set())
                 assert must & model[head] <= set(ids), (seed, step, since, "missing changes")
                 assert not (gone & set(ids)), (seed, step, since, "deleted id fed")
+
+
+def test_committed_column_order_survives_the_manifest_roundtrip(spark, tmp_path):
+    """The manifest schema is ORDERED: a table committed with
+    non-alphabetical column order must read back in that order (the
+    sort_keys JSON round-trip used to alphabetize it, silently reordering
+    every read for position-based consumers)."""
+    root = str(tmp_path / "t")
+    df = spark.range(0, 5).select(
+        F.col("id").alias("z_last"),
+        (F.col("id") * 2).alias("m_mid"),
+        F.lit("x").alias("a_first"),
+    )
+    txlog.tx_write(df, root)
+    got = txlog.tx_read(spark, root)
+    assert got.columns == ["z_last", "m_mid", "a_first"]
+    # merge + restore preserve it too
+    upd = spark.createDataFrame(
+        [(1, 99, "u")], "z_last LONG, m_mid LONG, a_first STRING"
+    )
+    txlog.tx_merge(spark, upd, root, key="z_last")
+    assert txlog.tx_read(spark, root).columns == ["z_last", "m_mid", "a_first"]
+    txlog.tx_restore(root, 0)
+    assert txlog.tx_read(spark, root).columns == ["z_last", "m_mid", "a_first"]
+
+
+def test_txn_state_survives_vacuum_of_old_manifests(spark, tmp_path):
+    """Multi-writer idempotence vs vacuum: another writer pushes an app's
+    last commit outside the retained manifest window; the carried per-app
+    high-water marks must still recognize a crash-replay of that batch as
+    already-committed (without the carry the replay re-appends — the
+    exactly-once contract txlog_sink advertises would be violated)."""
+    root = str(tmp_path / "t")
+    txlog.tx_write_idempotent(_df(spark, 0, 10, "app_b0"), root, "appA", 0)   # v0
+    txlog.tx_write_idempotent(_df(spark, 10, 20, "app_b1"), root, "appA", 1)  # v1
+    # other writers advance the table past the vacuum window
+    for i in range(4):
+        txlog.tx_write(_df(spark, 100 + i, 101 + i, f"other{i}"), root)
+    deleted = txlog.tx_vacuum(root, keep_last=2, retention_hours=0)
+    assert any("v0000000000" in p for p in deleted)  # appA's manifests gone
+    with pytest.raises(FileNotFoundError):
+        txlog._read_manifest(root, 1)
+    # the high-water mark survived in the head manifest
+    assert txlog.tx_txn_version(root, "appA") == 1
+    before = txlog.tx_read(spark, root).count()
+    # crash-replay of batch 1: must be skipped, not re-appended
+    assert txlog.tx_write_idempotent(_df(spark, 10, 20, "app_b1"), root, "appA", 1) is None
+    assert txlog.tx_read(spark, root).count() == before
+    # genuinely new batch still lands
+    assert txlog.tx_write_idempotent(_df(spark, 20, 25, "app_b2"), root, "appA", 2) is not None
+
+
+def test_changes_feed_is_exact_across_merges_no_over_delivery(spark, tmp_path):
+    """tx_changes across a merge emits EXACTLY the upserted rows plus
+    post-cursor appends — never the survivors the rewrite re-staged from
+    files committed BEFORE the cursor (the recorded change files make the
+    merge contribution O(changelog), not O(rewritten files))."""
+    root = str(tmp_path / "t")
+    txlog.tx_write(_df(spark, 0, 10, "a").coalesce(1), root)           # v0
+    txlog.tx_write(_df(spark, 10, 20, "b").coalesce(1), root)          # v1
+    # merge touches v0's file (key 5) and inserts a new key
+    txlog.tx_merge(spark, _kv(spark, [(5, "U"), (99, "I")]), root, key="id")  # v2
+    feed = txlog.tx_changes(spark, root, since_version=1)
+    got = {r["id"]: r["batch"] for r in feed.collect()}
+    # exactly the merge's changelog — no v0 survivors (0-4, 6-9)
+    assert got == {5: "U", 99: "I"}
+    # from v0: v1's appends plus the changelog, still no v0 survivors
+    feed0 = txlog.tx_changes(spark, root, since_version=0)
+    got0 = {r["id"]: r["batch"] for r in feed0.collect()}
+    assert got0 == {**{i: "b" for i in range(10, 20)}, 5: "U", 99: "I"}
+    # no duplicate ids ever
+    assert feed0.groupBy("id").count().filter("count > 1").count() == 0
+
+
+def test_changes_feed_merge_deletes_and_updates_post_cursor_rows(spark, tmp_path):
+    """A row appended inside the cursor window then UPDATED by a later
+    merge appears once at its post-image; one DELETED by a later merge
+    does not appear at all (it no longer exists — a new-docs consumer
+    must not ingest it)."""
+    root = str(tmp_path / "t")
+    txlog.tx_write(_df(spark, 0, 10, "a").coalesce(1), root)           # v0
+    txlog.tx_write(_df(spark, 10, 20, "b").coalesce(1), root)          # v1
+    changelog = spark.createDataFrame(
+        [(12, "U2", False), (15, None, True)],
+        "id LONG, batch STRING, is_delete BOOLEAN",
+    )
+    txlog.tx_merge(spark, changelog, root, key="id", delete_col="is_delete")  # v2
+    got = {r["id"]: r["batch"] for r in txlog.tx_changes(spark, root, since_version=0).collect()}
+    expected = {i: "b" for i in range(10, 20) if i != 15}
+    expected[12] = "U2"
+    assert got == expected
+    # change files survive vacuum while their merge manifest is retained
+    txlog.tx_write(_df(spark, 50, 51, "c"), root)                      # v3
+    txlog.tx_vacuum(root, keep_last=2, retention_hours=0)
+    got2 = {r["id"]: r["batch"] for r in txlog.tx_changes(spark, root, since_version=1).collect()}
+    assert got2[12] == "U2" and 15 not in got2 and got2[50] == "c"
+
+
+def test_float_zone_maps_excluded_for_nan_soundness(spark, tmp_path):
+    """Parquet float stats exclude NaN while Spark orders NaN above every
+    double — so float columns must record NO zone map (a pruned file could
+    otherwise hide NaN rows an unpruned scan's filter would return)."""
+    root = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, float("nan")), (2, 0.5), (3, 2.5)], "id LONG, score DOUBLE"
+    ).coalesce(1)
+    txlog.tx_write(df, root)
+    entry = txlog._read_manifest(root, 0)["files"][0]
+    stats = entry.get("stats") or {}
+    assert "score" not in stats and "id" in stats
+    # pruning on the float column keeps every file (sound, not heuristic)
+    assert len(txlog.tx_prune_files(root, "score", 0.0, 1.0)) == 1
+    got = txlog.tx_read_pruned(spark, root, "score", 0.0, 1.0).collect()
+    assert [r.id for r in got] == [2]
