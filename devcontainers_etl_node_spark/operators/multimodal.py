@@ -114,41 +114,48 @@ REAL_FEATURES_SCHEMA = T.StructType(
 
 
 def decode_image_real(df: DataFrame, grid: int = 8) -> DataFrame:
-    """Real image decode via PIL over the same Arrow-batched mapInPandas
-    plumbing as the stub: payload → PIL.Image → grayscale → grid×grid
-    mean-pooled pixel feature in [0,1], plus the decoded dimensions.
+    """Real image decode over the same Arrow-batched mapInPandas plumbing
+    as the stub: payload → decoded pixels → grayscale → grid×grid pooled
+    pixel feature in [0,1], plus the decoded dimensions.
 
-    Requires Pillow on driver AND executors; checked eagerly on the
-    driver so the failure is a clear ModuleNotFoundError at call time,
-    not a buried executor stack trace (the test is importorskip-gated,
-    so environments without Pillow skip it rather than silently passing
-    a stub). Undecodable payloads (corrupt images — a fact of life in
-    any 100 TB crawl) yield NULL feature/dims instead of failing the
-    job; count them downstream with `feature IS NULL`.
+    Decoder selection (per executor, import-gated): PIL when Pillow is
+    installed (every format, C-speed resampling — the production path);
+    otherwise the stdlib PNG codec (operators/png.py — 8-bit
+    gray/RGB/alpha PNGs, Python-speed, area pooling instead of PIL's
+    resampling kernel) so the operator still REALLY decodes in
+    dependency-free environments like this sandbox, rather than raising.
+    Undecodable payloads (corrupt images, and under the fallback any
+    non-PNG format — a fact of life in any 100 TB crawl) yield NULL
+    feature/dims instead of failing the job; count them downstream with
+    `feature IS NULL`.
     """
     try:
         import PIL  # noqa: F401
-    except ModuleNotFoundError as e:
-        raise ModuleNotFoundError(
-            "decode_image_real requires Pillow (PIL) on driver and executors; "
-            "use decode_image_features (deterministic stub) when media "
-            "libraries are unavailable — the Spark-side schema/batching/"
-            "partitioning is identical."
-        ) from e
+
+        have_pil = True
+    except ModuleNotFoundError:
+        have_pil = False
 
     def _decode(payload: bytes | None):
         if payload is None:
             return (None, None, None)
-        import io
-
-        from PIL import Image
-
         try:
-            with Image.open(io.BytesIO(payload)) as img:
-                w, h = img.size
-                small = img.convert("L").resize((grid, grid))
-                px = np.asarray(small, dtype=np.float64) / 255.0
-                return (int(w), int(h), [float(v) for v in px.ravel()])
+            if have_pil:
+                import io
+
+                from PIL import Image
+
+                with Image.open(io.BytesIO(payload)) as img:
+                    w, h = img.size
+                    small = img.convert("L").resize((grid, grid))
+                    px = np.asarray(small, dtype=np.float64) / 255.0
+            else:
+                from devcontainers_etl_node_spark.operators import png
+
+                pixels = png.decode(bytes(payload))
+                h, w = pixels.shape[:2]
+                px = png.pool_gray(png.to_gray(pixels), grid)
+            return (int(w), int(h), [float(v) for v in px.ravel()])
         except Exception:
             return (None, None, None)
 

@@ -1122,6 +1122,13 @@ def minhash_neardup(spark: SparkSession, sf: str) -> DataFrame:
     # variant codegen warmup: 16/4 3.9s vs 32/8 4.6s warm — close; the
     # first measurement that showed 32/8 2x faster was a cold-compile
     # artifact, not a real effect.
+    # Round-10 scale ladder (PERF.md): 16/4 only pays BELOW ~50k docs —
+    # its est-prune is certified inactive (est_cut <= 1/bands) so the
+    # O(n^2) random band-collision floor reaches the exact verify raw
+    # (595k candidates at 250k docs); the 32/8 default prunes them and is
+    # 2.5x faster there with higher recall. This entry keeps 16/4 as the
+    # sf0.1 bench configuration only; scale callers use the library
+    # default.
     return dedup.minhash_lsh_pairs(docs, threshold=0.5, num_hashes=16, bands=4)
 
 

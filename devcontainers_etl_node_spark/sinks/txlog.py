@@ -166,13 +166,17 @@ def _parquet_footer_info(path: str) -> tuple[int, dict]:
         g = md.row_group(rg)
         for j in range(g.num_columns):
             c = g.column(j)
-            st = c.statistics
             name = c.path_in_schema
-            if st is None or not st.has_min_max:
+            try:
+                st = c.statistics
+                has = st is not None and st.has_min_max
+                lo, hi = (st.min, st.max) if has else (None, None)
+            except Exception:  # pyarrow: "Cannot extract statistics" (map/...)
+                has = False
+            if not has:
                 mins.pop(name, None)
                 exact.discard(name)
                 continue
-            lo, hi = st.min, st.max
             # bool passes (a subclass of int with no NaN); float fails
             if not (isinstance(lo, int) and isinstance(hi, int)):
                 continue

@@ -195,6 +195,226 @@ def enriched_stream(
     return events.join(side, on=key, how="left")
 
 
+def _interval_ms(interval: str) -> int:
+    """'10 minutes' / '30 seconds' / '2 hours' -> milliseconds (the
+    subset of Spark's interval grammar the streaming operators here
+    use)."""
+    qty, unit = interval.strip().split()
+    scale = {
+        "millisecond": 1,
+        "second": 1000,
+        "minute": 60_000,
+        "hour": 3_600_000,
+        "day": 86_400_000,
+    }[unit.rstrip("s")]
+    return int(qty) * scale
+
+
+def streaming_minhash_neardup_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+    shingle_k: int = 5,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Streaming twin of ``operators.dedup.minhash_lsh_pairs`` — the
+    higher-recall sibling of the simhash stream dedup: MinHash-banded
+    near-duplicate PAIR detection over a document stream, exact-Jaccard
+    verified, with state keyed by band hash and evicted at the watermark.
+
+    Mechanics (the batch pipeline folded onto applyInPandasWithState):
+
+    1. map-side, pure expressions, value-identical to the batch operator
+       (same normalization, same xxhash64 shingle hashes, same
+       ``xxhash64(seed<<48 XOR h)`` seeded family, same
+       ``xxhash64(band, rows...)`` bucket keys): each doc row grows its
+       signature, its ``bands`` band keys, and its distinct shingle-hash
+       set;
+    2. ``posexplode`` to one row per (band, band_hash) — the LSH bucket —
+       and ``groupBy(band, band_hash).applyInPandasWithState``: per
+       bucket the state holds the (id, ts, signature bands, shingle set)
+       of every doc seen within the watermark horizon;
+    3. a new arrival is compared against the bucket's residents: the
+       exact-Jaccard verify (shingle-set intersect — same arithmetic as
+       the batch verify stage) runs per candidate, and a qualifying pair
+       is emitted by exactly ONE bucket — the lowest-indexed band in
+       which the two signatures collide (both residents carry all their
+       band keys, so every colliding bucket computes the same rule
+       without a second stateful dedup operator);
+    4. state eviction is event-time: residents older than the current
+       watermark are dropped on every invocation, and an EventTimeTimeout
+       clears buckets no new data visits — state is O(docs in horizon) ×
+       O(shingles/doc), never O(stream).
+
+    Batch parity: on any doc set whose timestamps fit inside one horizon
+    the emitted (id_a, id_b, jaccard_sim) set equals
+    ``minhash_lsh_pairs(docs, ...)`` with the same knobs (pinned in
+    tests/test_streaming.py). Re-delivered doc ids are ignored
+    (replay-safe at the doc level); checkpointed state makes restarts
+    resume rather than re-emit."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    rows_per_band = num_hashes // bands
+    horizon_ms = _interval_ms(watermark)
+    # the same conditional est-prune as the batch operator: below the
+    # 1/bands floor a band collision already certifies est >= est_cut
+    est_cut = max(0.0, threshold - 2.5 * (threshold * (1 - threshold) / num_hashes) ** 0.5)
+    apply_est = est_cut > 1.0 / bands
+
+    norm = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
+    positions = F.sequence(
+        F.lit(1), F.greatest(F.length("_norm") - (shingle_k - 1), F.lit(1))
+    )
+    shingles = F.transform(
+        positions, lambda p: F.xxhash64(F.col("_norm").substr(p, F.lit(shingle_k)))
+    )
+    base = (
+        docs.withColumn("_norm", norm)
+        .withColumn("_shingles", shingles)
+        .withColumn("_shset", F.array_distinct("_shingles"))
+        .withColumn(
+            "_sig",
+            F.array(
+                *[
+                    F.array_min(
+                        F.transform(
+                            F.col("_shingles"),
+                            lambda h: F.xxhash64(
+                                F.shiftleft(F.lit(i + 1), 48).bitwiseXOR(h)
+                            ),
+                        )
+                    )
+                    for i in range(num_hashes)
+                ]
+            ),
+        )
+        .withColumn(
+            "_bhs",
+            F.array(
+                *[
+                    F.xxhash64(
+                        F.lit(b),
+                        *[F.col("_sig")[b * rows_per_band + i] for i in range(rows_per_band)],
+                    )
+                    for b in range(bands)
+                ]
+            ),
+        )
+    )
+    exploded = (
+        base.withWatermark(ts_col, watermark)
+        .select(
+            F.col(id_col).alias("_id"),
+            F.col(ts_col).alias("_ts"),
+            F.unix_millis(ts_col).alias("_ts_ms"),
+            "_sig",
+            "_bhs",
+            "_shset",
+            F.posexplode("_bhs").alias("_band", "_bh"),
+        )
+    )
+
+    def update(key, pdfs, state: GroupState):
+        band = int(key[0])
+        entries: list[tuple] = []  # (id, ts_ms, sig, bhs, shset)
+        wm = state.getCurrentWatermarkMs()
+        if state.exists:
+            ids, tss, sigs, bhss, shs = state.get
+            # residents the watermark has passed can never pair with a
+            # non-late future arrival: evict
+            entries = [
+                (
+                    int(i),
+                    int(t),
+                    [int(x) for x in sg],
+                    [int(x) for x in bh],
+                    {int(x) for x in s},
+                )
+                for i, t, sg, bh, s in zip(ids, tss, sigs, bhss, shs)
+                if int(t) >= wm
+            ]
+        out: list[tuple] = []
+        if not state.hasTimedOut:
+            rows = []
+            for pdf in pdfs:
+                for i, t, sg, bh, s in zip(
+                    pdf["_id"], pdf["_ts_ms"], pdf["_sig"], pdf["_bhs"], pdf["_shset"]
+                ):
+                    # plain-int everything: numpy scalars don't survive the
+                    # state pickle back to the JVM
+                    rows.append(
+                        (
+                            int(i),
+                            int(t),
+                            [int(x) for x in sg],
+                            [int(x) for x in bh],
+                            {int(x) for x in s},
+                        )
+                    )
+            rows.sort(key=lambda x: (x[1], x[0]))
+            seen = {e[0] for e in entries}
+            for rid, rts, rsig, rbhs, rsh in rows:
+                if rid in seen:  # re-delivered doc: replay-safe no-op
+                    continue
+                for oid, _ots, osig, obhs, osh in entries:
+                    # one-bucket emission rule: only the lowest colliding
+                    # band emits this pair
+                    first = next(
+                        (b for b in range(bands) if rbhs[b] == obhs[b]), None
+                    )
+                    if first != band:
+                        continue
+                    if apply_est:
+                        # fraction of equal minhash positions — the same
+                        # unbiased estimator the batch est-prune uses
+                        est = sum(
+                            1 for a, b in zip(rsig, osig) if a == b
+                        ) / float(num_hashes)
+                        if est < est_cut:
+                            continue
+                    n_int = len(rsh & osh)
+                    union = len(rsh) + len(osh) - n_int
+                    j = n_int / union if union else 0.0
+                    if j >= threshold:
+                        out.append((min(rid, oid), max(rid, oid), j))
+                entries.append((rid, rts, rsig, rbhs, rsh))
+                seen.add(rid)
+        if entries:
+            state.update(
+                (
+                    [e[0] for e in entries],
+                    [e[1] for e in entries],
+                    [e[2] for e in entries],
+                    [e[3] for e in entries],
+                    [sorted(e[4]) for e in entries],
+                )
+            )
+            state.setTimeoutTimestamp(max(e[1] for e in entries) + horizon_ms)
+        else:
+            state.remove()
+        if out:
+            yield pd.DataFrame(out, columns=["id_a", "id_b", "jaccard_sim"])
+
+    return (
+        exploded.groupBy("_band", "_bh")
+        .applyInPandasWithState(
+            update,
+            outputStructType="id_a long, id_b long, jaccard_sim double",
+            stateStructType=(
+                "ids array<long>, tss array<long>, sigs array<array<long>>, "
+                "bhss array<array<long>>, shs array<array<long>>"
+            ),
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
 def session_windows(events: DataFrame, gap: str = "30 minutes", watermark: str = "30 minutes") -> DataFrame:
     """Per-user session windows with an inactivity gap — the streaming
     twin of the batch sessionize query (lag + running sum)."""

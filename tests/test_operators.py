@@ -231,18 +231,40 @@ def test_media_pipeline_schema_and_determinism(spark):
     assert not any(math.isnan(x) for x in rows[1].feature)
 
 
-def test_decode_image_real_without_pil_raises_clear_error(spark):
-    """Without Pillow the real decoder must fail fast at call time with
-    guidance toward the stub — never silently degrade to fake features."""
-    import importlib.util
+def test_decode_image_real_stdlib_fallback_decodes_real_pngs(spark):
+    """Real decode with NO Pillow anywhere near the path: stdlib-encoded
+    PNGs (operators/png.py) flow through decode_image_real and come back
+    with true dimensions and exact pooled features; corrupt and NULL
+    payloads yield NULL features instead of failing the job.  Runs
+    un-skipped in this sandbox (no Pillow) — under Pillow the operator
+    prefers PIL and this path is covered by the codec unit tests."""
+    import numpy as np
 
-    if importlib.util.find_spec("PIL") is not None:
-        pytest.skip("Pillow installed — covered by test_decode_image_real_with_pil")
-    df = multimodal.attach_fake_media(
-        spark.createDataFrame([(1, "x")], ["doc_id", "text"])
+    from devcontainers_etl_node_spark.operators import png
+
+    rgb = np.zeros((6, 8, 3), dtype=np.uint8)
+    rgb[:, :, 0] = 200  # uniform red: luma = 200*299/1000 = 59.8
+    gray = np.full((4, 4), 128, dtype=np.uint8)
+    media = spark.createDataFrame(
+        [
+            (1, bytearray(png.encode(rgb))),
+            (2, bytearray(png.encode(gray))),
+            (3, bytearray(b"not an image")),
+            (4, None),
+        ],
+        "media_id long, payload binary",
     )
-    with pytest.raises(ModuleNotFoundError, match="decode_image_features"):
-        multimodal.decode_image_real(df)
+    rows = {r.media_id: r for r in multimodal.decode_image_real(media, grid=2).collect()}
+    assert (rows[1].width, rows[1].height) == (8, 6)
+    assert len(rows[1].feature) == 4
+    for v in rows[1].feature:  # uniform image -> every pooled cell exact
+        assert abs(v - 59.8 / 255.0) < 1e-6  # float32 feature column
+    assert (rows[2].width, rows[2].height) == (4, 4)
+    for v in rows[2].feature:
+        assert abs(v - 128.0 / 255.0) < 1e-6
+    assert rows[3].feature is None and rows[3].width is None
+    assert rows[3].n_bytes == len(b"not an image")
+    assert rows[4].feature is None and rows[4].n_bytes == 0
 
 
 def test_decode_image_real_with_pil(spark):

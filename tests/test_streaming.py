@@ -1035,3 +1035,174 @@ def test_streaming_txlog_merge_sink_cdc_apply_exactly_once(spark, tmp_path):
     # the commit log records the merges
     modes = [h["mode"] for h in txlog.tx_history(root)]
     assert modes.count("merge") == 2
+
+
+def _minhash_docs(t0):
+    """Near-dup families + distinct docs: family texts share a long
+    boilerplate with tiny tails (Jaccard of char-5-gram sets well above
+    0.5), distinct docs share nothing."""
+    import datetime as _dt
+
+    boiler = " ".join(f"boiler{j}word" for j in range(30))
+    rows = []
+    for fam in range(3):
+        for m in range(2):
+            rows.append(
+                (
+                    fam * 10 + m,
+                    t0 + _dt.timedelta(seconds=fam * 10 + m),
+                    f"{boiler} fam{fam} tail{m}",
+                )
+            )
+    for i in range(3):
+        rows.append(
+            (
+                100 + i,
+                t0 + _dt.timedelta(seconds=50 + i),
+                " ".join(f"unique{100 + i}x{j}" for j in range(35)),
+            )
+        )
+    return rows
+
+
+def test_streaming_minhash_neardup_batch_parity(spark, tmp_path):
+    """Streaming MinHash near-dup pairs == the batch operator on the same
+    docs (same knobs) when all timestamps fit in one watermark horizon:
+    same (id_a, id_b) set, same exact-Jaccard values, no duplicate pair
+    rows (the one-bucket emission rule replaces the batch distinct)."""
+    import datetime
+
+    from devcontainers_etl_node_spark.operators.dedup import minhash_lsh_pairs
+    from devcontainers_etl_node_spark.streaming import (
+        streaming_minhash_neardup_pairs,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    rows = _minhash_docs(t0)
+    schema = "doc_id long, ts timestamp, text string"
+    src = tmp_path / "mh_src"
+    spark.createDataFrame(rows, schema).write.mode("overwrite").parquet(str(src))
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    _run(
+        streaming_minhash_neardup_pairs(stream, watermark="10 minutes"),
+        "mh_pairs_out",
+    )
+    got = spark.sql("SELECT * FROM mh_pairs_out").collect()
+    got_pairs = {(r.id_a, r.id_b): r.jaccard_sim for r in got}
+    assert len(got) == len(got_pairs)  # no duplicate emissions
+    batch = minhash_lsh_pairs(
+        spark.createDataFrame(rows, schema),
+        threshold=0.5,
+        num_hashes=16,
+        bands=4,
+    ).collect()
+    want = {(r.id_a, r.id_b): r.jaccard_sim for r in batch}
+    assert set(got_pairs) == set(want) and len(want) >= 3  # the 3 families
+    for k in want:
+        assert abs(got_pairs[k] - want[k]) < 1e-12
+
+
+def test_streaming_minhash_neardup_watermark_evicts_state(spark, tmp_path):
+    """A near-dup re-arriving AFTER the watermark horizon does not pair:
+    the resident's state was evicted (bounded state is the contract —
+    'no near-dups within the horizon', global dedup stays batch)."""
+    import datetime
+
+    from devcontainers_etl_node_spark.streaming import (
+        streaming_minhash_neardup_pairs,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    schema = "doc_id long, ts timestamp, text string"
+    boiler = " ".join(f"evict{j}word" for j in range(30))
+    src = tmp_path / "mhev_src"
+    ckpt = tmp_path / "mhev_ckpt"
+    spark.createDataFrame(
+        [(1, t0, f"{boiler} tail one")], schema
+    ).write.mode("overwrite").parquet(str(src))
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    q = (
+        streaming_minhash_neardup_pairs(stream, watermark="10 minutes")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("mhev_out")
+        .option("checkpointLocation", str(ckpt))
+        .start()
+    )
+    q.processAllAvailable()
+    # unrelated filler advances the watermark past doc 1's timestamp
+    spark.createDataFrame(
+        [(2, t0 + datetime.timedelta(minutes=30), "totally unrelated filler words here")],
+        schema,
+    ).write.mode("append").parquet(str(src))
+    q.processAllAvailable()
+    # doc 1's near-dup arrives well past the horizon: no pair
+    spark.createDataFrame(
+        [(3, t0 + datetime.timedelta(minutes=40), f"{boiler} tail two")], schema
+    ).write.mode("append").parquet(str(src))
+    q.processAllAvailable()
+    q.stop()
+    assert spark.sql("SELECT * FROM mhev_out").collect() == []
+
+
+def test_streaming_minhash_neardup_checkpoint_resume_and_replay(spark, tmp_path):
+    """Checkpointed restart resumes instead of re-emitting: pairs found
+    before the stop are not duplicated after it, state survives (a
+    resident from batch 1 still pairs with a batch-3 arrival), and a
+    re-delivered doc_id is a no-op."""
+    import datetime
+
+    from devcontainers_etl_node_spark.streaming import (
+        streaming_minhash_neardup_pairs,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    schema = "doc_id long, ts timestamp, text string"
+    boiler = " ".join(f"resume{j}word" for j in range(30))
+    src = tmp_path / "mhr_src"
+    ckpt = tmp_path / "mhr_ckpt"
+    out = tmp_path / "mhr_out"
+
+    def start():
+        stream = spark.readStream.schema(schema).parquet(str(src))
+        return (
+            streaming_minhash_neardup_pairs(stream, watermark="10 minutes")
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", str(out))
+            .option("checkpointLocation", str(ckpt))
+            .start()
+        )
+
+    spark.createDataFrame(
+        [
+            (1, t0, f"{boiler} tail a"),
+            (2, t0 + datetime.timedelta(seconds=1), f"{boiler} tail b"),
+        ],
+        schema,
+    ).write.mode("overwrite").parquet(str(src))
+    q = start()
+    q.processAllAvailable()
+    q.stop()
+
+    # restart; re-deliver doc 2 (same id) and add a new family member
+    spark.createDataFrame(
+        [
+            (2, t0 + datetime.timedelta(seconds=2), f"{boiler} tail b"),
+            (3, t0 + datetime.timedelta(seconds=3), f"{boiler} tail c"),
+        ],
+        schema,
+    ).write.mode("append").parquet(str(src))
+    q = start()
+    q.processAllAvailable()
+    q.stop()
+
+    pairs = [
+        ((r.id_a, r.id_b), round(r.jaccard_sim, 9))
+        for r in spark.read.parquet(str(out)).collect()
+    ]
+    keys = [k for k, _ in pairs]
+    assert len(keys) == len(set(keys))  # nothing re-emitted
+    # doc 3 paired with BOTH residents (state survived the restart);
+    # the replayed doc 2 produced nothing new
+    assert set(keys) == {(1, 2), (1, 3), (2, 3)}

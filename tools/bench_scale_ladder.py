@@ -1,0 +1,232 @@
+"""End-to-end scale ladder for the heavy LLM catalog entries.
+
+The 100 TB claims for the dedup/retrieval family were argued from plan
+shape (bucketed candidate generation, bounded verify) plus targeted
+probes; this tool turns them into MEASURED scaling exponents by running
+the actual catalog entries — `minhash_neardup`, `setsim_selfjoin`,
+`dup_clusters`, `bm25_retrieval`, `pretrain_prep` — unchanged against
+synthetic corpora at 1x / 10x / 50x the sf0.1 document count (5 k /
+50 k / 250 k docs by default).
+
+Corpus design (realistic vocabulary spread, not the 31-word adversarial
+sweep corpus):
+
+- 90% unique docs of 45 words drawn ZIPF(1)-distributed from a 30 k
+  vocabulary: word j of doc id is ``w⌊V^u⌋`` with
+  ``u = pmod(xxhash64(id, j), 10^6) / 10^6`` — P(rank k) ≈ 1/(k·lnV),
+  so token frequencies have a realistic head/tail and the distinct-gram
+  space grows sub-linearly (Heaps-like), unlike a uniform draw.
+- 10% near-duplicate docs in 4-member families (38 shared boilerplate
+  words + 7 unique tail words, Jaccard ≈ 0.73 > the 0.5 threshold), so
+  the TRUE pair output is 6 pairs/family — linear in corpus size, never
+  quadratic: the ladder measures algorithm cost, not output volume.
+- lang ∈ {en 60%, de 30%, fr 10%}, source ∈ 5 values, n_chars =
+  length(text) — the full documents schema, so every entry runs as-is.
+
+For each rung each entry runs twice (gc + JVM System.gc between reps;
+rep 1 of the dedup family builds the session pair-graph memo cold, rep 2
+is the long-lived-session number — both are printed).  The summary
+table reports best-rep wall and the fitted exponent
+``alpha = ln(t_hi/t_lo) / ln(n_hi/n_lo)`` between consecutive rungs and
+end-to-end; alpha <= ~1.1 is linear scaling, >= ~1.5 flags a
+super-linear stage (fixed JVM/codegen overhead makes small-rung alphas
+UNDER-estimate; the top-gap alpha is the honest one).
+
+Spill gate (``--spill <docs_dir>``): re-runs `minhash_lsh_pairs` on the
+top-rung corpus in a memory-starved JVM (1 g driver, memory.fraction
+0.2, broadcast joins disabled — the spill_probe.py recipe) and reads the
+spill totals back from the UI REST API: the rung must COMPLETE by
+spilling, not OOM.
+
+Usage:
+    python tools/bench_scale_ladder.py [sizes_csv]      # default 5000,50000,250000
+    python tools/bench_scale_ladder.py --spill /tmp/scale_ladder/docs_250000
+
+Paste the table into PERF.md when it changes.
+"""
+
+from __future__ import annotations
+
+import gc
+import json
+import math
+import os
+import shutil
+import sys
+import time
+import urllib.request
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+ROOT = "/tmp/scale_ladder"
+ENTRIES = [
+    "minhash_neardup",
+    "setsim_selfjoin",
+    "dup_clusters",
+    "bm25_retrieval",
+    "pretrain_prep",
+]
+# small aggregate outputs are collected; row-heavy outputs go to the
+# noop sink (same methodology as bench.py)
+SMALL_OUTPUT = {"dup_clusters", "pretrain_prep", "bm25_retrieval"}
+
+
+def gen_documents(spark, n: int, out_dir: str) -> None:
+    """Write a documents.parquet twin with a Zipfian vocabulary corpus."""
+    vocab = 30_000
+    n_dup = n // 10
+    log_v = math.log(vocab)
+
+    def zipf_word(seed_col, j: int):
+        u = F.pmod(F.xxhash64(seed_col, F.lit(j)), F.lit(1_000_000)) / F.lit(1_000_000.0)
+        rank = F.floor(F.exp(u * F.lit(log_v))).cast("long")
+        return F.concat(F.lit("w"), rank.cast("string"))
+
+    fam = (F.col("id") / 4).cast("long")
+    boiler = F.concat_ws(" ", *[zipf_word(fam, 1000 + j) for j in range(38)])
+    tail = F.concat_ws(" ", *[zipf_word(F.col("id"), 2000 + j) for j in range(7)])
+    uniq = F.concat_ws(" ", *[zipf_word(F.col("id"), j) for j in range(45)])
+    text = F.when(F.col("id") < n_dup, F.concat_ws(" ", boiler, tail)).otherwise(uniq)
+    lang = (
+        F.when(F.pmod(F.xxhash64("id", F.lit(7)), F.lit(10)) < 6, "en")
+        .when(F.pmod(F.xxhash64("id", F.lit(7)), F.lit(10)) < 9, "de")
+        .otherwise("fr")
+    )
+    source = F.concat(
+        F.lit("crawl-"), F.pmod(F.xxhash64("id", F.lit(11)), F.lit(5)).cast("string")
+    )
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        text.alias("text"),
+        lang.alias("lang"),
+        source.alias("source"),
+        F.length(text).cast("long").alias("n_chars"),
+    )
+    # ~12.5k docs (~4 MB of text) per file: realistic multi-file layout
+    docs.repartition(max(1, n // 12_500)).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "documents.parquet")
+    )
+
+
+def run_ladder(sizes: list[int]) -> None:
+    from devcontainers_etl_node_spark.queries.catalog import QUERIES
+    from devcontainers_etl_node_spark.session import get_spark
+
+    spark = get_spark()
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    results: dict[int, dict[str, list[float]]] = {}
+    for n in sizes:
+        d = os.path.join(ROOT, f"docs_{n}")
+        if not os.path.exists(os.path.join(d, "documents.parquet", "_SUCCESS")):
+            gen_documents(spark, n, d)
+        results[n] = {}
+        for name in ENTRIES:
+            reps = []
+            for _ in range(2):
+                gc.collect()
+                spark.sparkContext._jvm.System.gc()
+                t0 = time.perf_counter()
+                df = QUERIES[name](spark, d)
+                if name in SMALL_OUTPUT:
+                    df.collect()
+                else:
+                    df.write.format("noop").mode("overwrite").save()
+                reps.append(round(time.perf_counter() - t0, 3))
+            results[n][name] = reps
+            print(
+                f"  n={n:>7} {name:<18} reps={reps} load={os.getloadavg()[0]:.1f}",
+                flush=True,
+            )
+
+    print("\n| entry | " + " | ".join(f"{n} docs" for n in sizes) + " | " +
+          " | ".join(
+              f"alpha {sizes[i]}->{sizes[i+1]}" for i in range(len(sizes) - 1)
+          ) + " | alpha overall |")
+    print("|---" * (len(sizes) * 2 + 1) + "|")
+    for name in ENTRIES:
+        best = [min(results[n][name]) for n in sizes]
+        alphas = [
+            math.log(best[i + 1] / best[i]) / math.log(sizes[i + 1] / sizes[i])
+            for i in range(len(sizes) - 1)
+        ]
+        overall = math.log(best[-1] / best[0]) / math.log(sizes[-1] / sizes[0])
+        print(
+            f"| {name} | "
+            + " | ".join(f"{b:.2f} s" for b in best)
+            + " | "
+            + " | ".join(f"{a:.2f}" for a in alphas)
+            + f" | {overall:.2f} |"
+        )
+    print(json.dumps({"sizes": sizes, "reps": results}))
+
+
+def run_spill(docs_dir: str) -> None:
+    """Top-rung spill gate: the band join must complete by spilling under
+    a ~35 MB/task execution budget (own JVM — heap is a start setting)."""
+    from pyspark.sql import SparkSession
+
+    # 2 g heap / fraction 0.2 => ~400 MB unified pool (~100 MB/task):
+    # far below the rung's multi-GB shuffle working set, so completion
+    # requires spilling. (1 g/0.2 is BELOW the minimum operator page
+    # budget for this pipeline at 250 k docs — hard SparkOutOfMemoryError
+    # UNABLE_TO_ACQUIRE_MEMORY, measured — so that would test the floor,
+    # not the spill path.)
+    spark = (
+        SparkSession.builder.master("local[4]")
+        .appName("scale-ladder-spill")
+        .config("spark.driver.memory", "2g")
+        .config("spark.memory.fraction", "0.2")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.sql.autoBroadcastJoinThreshold", "-1")
+        .config("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        .config("spark.ui.enabled", "true")
+        .config("spark.ui.port", "0")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    from devcontainers_etl_node_spark.operators import dedup
+
+    docs = spark.read.parquet(os.path.join(docs_dir, "documents.parquet"))
+    t0 = time.perf_counter()
+    n_pairs = dedup.minhash_lsh_pairs(
+        docs, threshold=0.5, num_hashes=16, bands=4
+    ).count()
+    wall = round(time.perf_counter() - t0, 1)
+
+    app_id = spark.sparkContext.applicationId
+    base = spark.sparkContext.uiWebUrl
+    stages = json.load(
+        urllib.request.urlopen(f"{base}/api/v1/applications/{app_id}/stages")
+    )
+    mem = sum(s.get("memoryBytesSpilled", 0) for s in stages)
+    disk = sum(s.get("diskBytesSpilled", 0) for s in stages)
+    print(
+        json.dumps(
+            {
+                "pairs": n_pairs,
+                "wall_sec": wall,
+                "memory_spilled_bytes": mem,
+                "disk_spilled_bytes": disk,
+            }
+        )
+    )
+
+
+def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "--spill":
+        run_spill(sys.argv[2])
+        return
+    sizes = (
+        [int(x) for x in sys.argv[1].split(",")]
+        if len(sys.argv) > 1
+        else [5000, 50000, 250000]
+    )
+    os.makedirs(ROOT, exist_ok=True)
+    run_ladder(sizes)
+
+
+if __name__ == "__main__":
+    main()
