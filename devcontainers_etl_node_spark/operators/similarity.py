@@ -33,7 +33,11 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    """Cosine similarity; NULL when either vector has zero norm (the
+    similarity is undefined there — under ANSI mode a plain division
+    raises DIVIDE_BY_ZERO and one degenerate embedding would kill the
+    whole job; NULL rows sort last under the desc top-k windows)."""
+    return F.try_divide(dot(a, b), norm(a) * norm(b))
 
 
 def brute_force_topk(
