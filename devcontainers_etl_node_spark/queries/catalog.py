@@ -5107,6 +5107,7 @@ def mom_growth(spark: SparkSession, sf: str) -> DataFrame:
     m = o.groupBy(
         F.date_trunc("month", "o_orderdate").cast("date").alias("month")
     ).agg(F.sum(_dec("o_totalprice")).cast("double").alias("revenue"))
+    # bounded: calendar months (single-partition window over <=O(100) rows)
     w = Window.orderBy("month")
     prev = F.lag("revenue").over(w)
     return m.select(
@@ -5662,6 +5663,7 @@ def weighted_priority_sample(spark: SparkSession, sf: str) -> DataFrame:
         "lang", "n_chars", (u / F.col("n_chars").cast("double")).alias("priority"), "doc_id"
     )
     topk = prio.select(
+        # bounded: fed by TakeOrderedAndProject(limit=100) — the window sees 100 rows
         "lang", "n_chars", F.row_number().over(Window.orderBy("priority", "doc_id")).alias("rn")
     ).filter(F.col("rn") <= 100)
     return topk.groupBy("lang").agg(
@@ -7778,6 +7780,7 @@ def vocab_tokenize(spark: SparkSession, sf: str) -> DataFrame:
         .limit(256)
         .withColumn(
             "id",
+            # bounded: the limit(256) above caps the single-partition window
             (F.row_number().over(Window.orderBy(F.col("n").desc(), "tok")) - 1).cast("long"),
         )
         .select("tok", "id")
@@ -8496,6 +8499,7 @@ def vocab_growth(spark: SparkSession, sf: str) -> DataFrame:
     b = first.groupBy(F.expr("first_doc DIV 50").alias("bucket")).agg(
         F.count(F.lit(1)).alias("new_grams")
     )
+    # bounded: DIV-50 buckets of first_doc (<=O(100) aggregate rows)
     w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
     return b.select(
         F.col("bucket").cast("long").alias("bucket"),
@@ -8781,6 +8785,7 @@ def rolling_anomaly(spark: SparkSession, sf: str) -> DataFrame:
     d = ev.groupBy(
         F.date_format(F.col("ts").cast("date"), "yyyy-MM-dd").alias("day")
     ).agg(F.count(F.lit(1)).alias("x"))
+    # bounded: calendar days (single-partition window over the daily rollup)
     win = Window.orderBy("day").rowsBetween(-7, -1)
     w = d.select(
         "day",
@@ -9119,6 +9124,7 @@ def user_growth(spark: SparkSession, sf: str) -> DataFrame:
     ev = table(spark, sf, "events")
     first = ev.groupBy("user_id").agg(F.min(F.col("ts").cast("date")).alias("first_day"))
     d = first.groupBy("first_day").agg(F.count(F.lit(1)).alias("new_users"))
+    # bounded: calendar days (one row per first-seen date)
     w = Window.orderBy("first_day").rowsBetween(Window.unboundedPreceding, 0)
     return d.select(
         F.date_format("first_day", "yyyy-MM-dd").alias("day"),
@@ -9770,6 +9776,7 @@ def temperature_domain_sample(spark: SparkSession, sf: str) -> DataFrame:
         ).alias("rem"),
     )
     leftover = quota0.agg((F.lit(100) - F.sum("base")).cast("long").alias("extra"))
+    # bounded: one row per source (<=5) — largest-remainder quota assignment
     wq = Window.orderBy(F.col("rem").desc(), F.col("source"))
     quota = (
         quota0.crossJoin(F.broadcast(leftover))
@@ -10233,3 +10240,137 @@ def asof_tolerance_join(spark: SparkSession, sf: str) -> DataFrame:
             ).cast("long").alias("staleness_s"),
         )
     )
+
+
+# =========================================================================
+# Round 10: exact merge CDF + Delta-log export, driver-visible
+# =========================================================================
+
+
+@query(
+    "txlog_cdc_merge",
+    """
+    WITH base AS (SELECT doc_id, n_chars FROM documents),
+    odds AS (SELECT * FROM base WHERE doc_id % 2 = 1)
+    SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars FROM odds
+    WHERE doc_id % 10 NOT IN (3, 5)
+    UNION ALL
+    SELECT doc_id, CAST(n_chars + 1000 AS BIGINT) FROM base WHERE doc_id % 10 = 3
+    UNION ALL
+    SELECT doc_id + 1000000, CAST(n_chars AS BIGINT) FROM base
+    WHERE doc_id % 10 = 7 AND doc_id < 100
+    """,
+)
+def txlog_cdc_merge(spark: SparkSession, sf: str) -> DataFrame:
+    """EXACT change feed across a copy-on-write MERGE (sinks/txlog.py,
+    round-10 semantics): the feed emits precisely the rows appended or
+    upserted after the cursor — never the survivors a merge rewrite
+    re-staged from files committed before it (the r9 advice's
+    at-least-once over-delivery, now closed via recorded change files).
+
+    Staging: v0 appends the even docs, v1 appends the odd docs, v2 is a
+    full I/U/D merge — doc_id%10==3 upserted with n_chars+1000,
+    doc_id%10==5 tombstoned, three-digit %10==7 keys re-inserted under
+    +1,000,000 ids. The feed from since_version=0 must then be exactly:
+    v1's odd rows minus the merge-touched odd keys, plus the upsert
+    post-images ONCE (no pre-image double-feed), plus the inserts —
+    and none of v0's even survivors, although the merge rewrote their
+    files. The oracle states that set as plain SQL filters over
+    documents, so a hash match proves the feed is exact, not just
+    plausible. (Delta CDF semantics rebuilt on the manifest table; the
+    change files cost O(changelog), not O(rewritten files).)"""
+    import tempfile
+
+    from devcontainers_etl_node_spark.sinks import txlog
+
+    docs = table(spark, sf, "documents").select(
+        "doc_id", F.col("n_chars").cast("long").alias("n_chars")
+    )
+    root = tempfile.mkdtemp(prefix="txlog_cdc_")
+    txlog.tx_write(docs.filter(F.col("doc_id") % 2 == 0), root)          # v0
+    txlog.tx_write(docs.filter(F.col("doc_id") % 2 == 1), root)          # v1
+    ups = docs.filter(F.col("doc_id") % 10 == 3).select(
+        "doc_id", (F.col("n_chars") + 1000).alias("n_chars"), F.lit(False).alias("_del")
+    )
+    dels = docs.filter(F.col("doc_id") % 10 == 5).select(
+        "doc_id", "n_chars", F.lit(True).alias("_del")
+    )
+    ins = docs.filter((F.col("doc_id") % 10 == 7) & (F.col("doc_id") < 100)).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "n_chars", F.lit(False).alias("_del")
+    )
+    txlog.tx_merge(
+        spark, ups.unionByName(dels).unionByName(ins), root,
+        key="doc_id", delete_col="_del",
+    )                                                                     # v2
+    return txlog.tx_changes(spark, root, since_version=0).select(
+        "doc_id", F.col("n_chars").cast("long").alias("n_chars")
+    )
+
+
+@query(
+    "delta_export_roundtrip",
+    """
+    WITH d AS (SELECT doc_id, n_chars FROM documents)
+    SELECT CAST(0 AS BIGINT) AS delta_version,
+           CAST(COUNT(*) AS BIGINT) AS live_rows
+    FROM d WHERE doc_id % 3 = 0
+    UNION ALL
+    SELECT 1, CAST(COUNT(*) AS BIGINT) FROM d WHERE doc_id % 3 IN (0, 1)
+    UNION ALL
+    SELECT 2, CAST(COUNT(*) AS BIGINT) FROM d WHERE doc_id % 3 = 2
+    """,
+)
+def delta_export_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """Open-format interop proven by replay (sinks/delta_export.py): the
+    txlog history (append, append, overwrite) is exported in place as a
+    standard Delta Lake ``_delta_log/`` and then RE-READ by an
+    independent replay of the action stream — the same reconstruction
+    any Delta reader performs — emitting the live row count (sum of the
+    add-actions' numRecords stats net of removes) at every Delta commit.
+    The oracle states those counts as plain SQL, so a hash match proves
+    the exported log carries the exact table history, not just
+    well-formed JSON. No Delta jars exist here, which is the point: the
+    log is validated at the protocol level; `read_delta` serves the same
+    table to any runtime that has the jars (gated with a clear error in
+    this sandbox — tests/test_delta_export.py)."""
+    import os as _os
+    import tempfile
+
+    from devcontainers_etl_node_spark.sinks import txlog
+    from devcontainers_etl_node_spark.sinks.delta_export import (
+        delta_log_snapshot,
+        tx_export_delta,
+    )
+
+    docs = table(spark, sf, "documents").select("doc_id", "n_chars")
+    root = tempfile.mkdtemp(prefix="delta_export_")
+    txlog.tx_write(docs.filter(F.col("doc_id") % 3 == 0), root)          # v0
+    txlog.tx_write(docs.filter(F.col("doc_id") % 3 == 1), root)          # v1
+    txlog.tx_write(
+        docs.filter(F.col("doc_id") % 3 == 2), root, mode="overwrite"
+    )                                                                     # v2
+    tx_export_delta(root)
+    # replay the log prefix at every commit: live rows = adds minus
+    # removes seen so far (numRecords stats, no data read at all)
+    import json as _json
+
+    log_dir = _os.path.join(root, "_delta_log")
+    live: dict[str, int] = {}
+    rows = []
+    for fn in sorted(_os.listdir(log_dir)):
+        if not fn.endswith(".json"):
+            continue
+        with open(_os.path.join(log_dir, fn)) as f:
+            for line in f:
+                a = _json.loads(line)
+                if "add" in a:
+                    add = a["add"]
+                    live[add["path"]] = _json.loads(add["stats"])["numRecords"]
+                elif "remove" in a:
+                    live.pop(a["remove"]["path"], None)
+        rows.append((int(fn[:-5]), sum(live.values())))
+    # sanity: the module's own replay agrees with the per-commit fold
+    assert sum(live.values()) == sum(
+        v["numRecords"] for v in delta_log_snapshot(root)["files"].values()
+    )
+    return spark.createDataFrame(rows, "delta_version LONG, live_rows LONG")

@@ -215,9 +215,56 @@ def run_spill(docs_dir: str) -> None:
     )
 
 
+def run_bm25_index(sizes: list[int]) -> None:
+    """BM25 BUILD+SERVE ladder: per rung, (a) build the persisted
+    inverted index (the postings_index_sink body on the whole corpus as
+    one batch — tokenize + partial-agg + bucket-partitioned write), then
+    (b) serve a 3-query top-5 batch from it (partition-pruned read).
+    The serve cost should track the QUERY TERMS' bucket sizes (Zipf head
+    terms grow linearly with the corpus; the scan is 1/64th per distinct
+    term), never the corpus tokenize."""
+    from devcontainers_etl_node_spark.operators import retrieval
+    from devcontainers_etl_node_spark.session import get_spark
+    from devcontainers_etl_node_spark.streaming import postings_index_sink
+
+    spark = get_spark()
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    queries = [(1, ["w1", "w7"]), (2, ["w123", "w55"]), (3, ["w2000", "w3"])]
+    print("| docs | index build | serve (3 queries, warm) | rows |")
+    print("|---|---|---|---|")
+    for n in sizes:
+        d = os.path.join(ROOT, f"docs_{n}")
+        docs = spark.read.parquet(os.path.join(d, "documents.parquet"))
+        idx = os.path.join(ROOT, f"bm25_idx_{n}")
+        shutil.rmtree(idx, ignore_errors=True)
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
+        t0 = time.perf_counter()
+        postings_index_sink(idx)(docs, 0)
+        t_build = time.perf_counter() - t0
+        serve_reps = []
+        rows = 0
+        for _ in range(3):
+            t0 = time.perf_counter()
+            rows = retrieval.bm25_topk_from_index(spark, idx, queries, k=5).count()
+            serve_reps.append(time.perf_counter() - t0)
+        print(
+            f"| {n} | {t_build:.2f} s | {min(serve_reps):.2f} s | {rows} |",
+            flush=True,
+        )
+
+
 def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "--spill":
         run_spill(sys.argv[2])
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "--bm25":
+        sizes = (
+            [int(x) for x in sys.argv[2].split(",")]
+            if len(sys.argv) > 2
+            else [5000, 50000, 250000]
+        )
+        run_bm25_index(sizes)
         return
     sizes = (
         [int(x) for x in sys.argv[1].split(",")]
