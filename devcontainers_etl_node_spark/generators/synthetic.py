@@ -142,3 +142,67 @@ def gen_inventory_snapshots(
         "warehouse_id",
         F.pmod(F.abs(h), F.lit(51)).cast("int").alias("stock_units"),
     )
+
+
+def gen_documents_zipf(
+    spark: SparkSession,
+    n: int,
+    vocab: int = 30_000,
+    words_per_doc: int = 45,
+    dup_fraction: float = 0.10,
+    family_size: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Documents-table twin with a ZIPF(1) vocabulary — the scale-ladder
+    corpus (tools/bench_scale_ladder.py), exposed as a library generator
+    so any probe can build a realistic text corpus at any size.
+
+    - word j of doc id is ``w⌊V^u⌋`` with ``u = pmod(xxhash64(id, j, seed),
+      10^6)/10^6``: P(rank k) ≈ 1/(k·lnV), so token frequencies have a
+      real head/tail and the distinct-gram space grows sub-linearly
+      (Heaps-like) — unlike a uniform draw, whose gram space grows
+      linearly and makes candidate-volume measurements unrealistic;
+    - the first ``dup_fraction`` of docs form ``family_size``-member
+      near-duplicate families (38 shared boilerplate words + 7 unique
+      tail words, Jaccard ≈ 0.73), so TRUE near-dup pair output is
+      LINEAR in corpus size — benchmarks over this corpus measure
+      algorithm cost, never output volume;
+    - full documents schema (doc_id, text, lang 60/30/10, source,
+      n_chars), so every catalog entry runs unchanged against a
+      directory holding this as documents.parquet.
+
+    Deterministic in (n, vocab, words_per_doc, seed): same args, same
+    corpus, any cluster size."""
+    import math
+
+    log_v = math.log(vocab)
+
+    def zipf_word(seed_col, j: int):
+        u = F.pmod(F.xxhash64(seed_col, F.lit(j), F.lit(seed)), F.lit(1_000_000)) / F.lit(
+            1_000_000.0
+        )
+        rank = F.floor(F.exp(u * F.lit(log_v))).cast("long")
+        return F.concat(F.lit("w"), rank.cast("string"))
+
+    n_dup = int(n * dup_fraction)
+    fam = (F.col("id") / family_size).cast("long")
+    boiler = F.concat_ws(" ", *[zipf_word(fam, 1000 + j) for j in range(38)])
+    tail = F.concat_ws(" ", *[zipf_word(F.col("id"), 2000 + j) for j in range(7)])
+    uniq = F.concat_ws(" ", *[zipf_word(F.col("id"), j) for j in range(words_per_doc)])
+    text = F.when(F.col("id") < n_dup, F.concat_ws(" ", boiler, tail)).otherwise(uniq)
+    lang = (
+        F.when(F.pmod(F.xxhash64("id", F.lit(7), F.lit(seed)), F.lit(10)) < 6, "en")
+        .when(F.pmod(F.xxhash64("id", F.lit(7), F.lit(seed)), F.lit(10)) < 9, "de")
+        .otherwise("fr")
+    )
+    source = F.concat(
+        F.lit("crawl-"),
+        F.pmod(F.xxhash64("id", F.lit(11), F.lit(seed)), F.lit(5)).cast("string"),
+    )
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        text.alias("text"),
+        lang.alias("lang"),
+        source.alias("source"),
+        F.length(text).cast("long").alias("n_chars"),
+    )

@@ -327,3 +327,44 @@ def test_cli_table_restore(spark, tmp_path, capsys):
     assert "restored v0 -> v2" in capsys.readouterr().err
     assert txlog.tx_read(spark, corpus).count() == 8
     assert cli.main(["table", "restore", corpus]) == 2  # missing flag
+
+
+def test_gen_documents_zipf_is_deterministic_zipfian_and_family_structured(spark):
+    """The scale-ladder corpus generator (generators/synthetic.py): full
+    documents schema, deterministic in its seed, Zipf-headed token
+    frequencies (top word ~10x the 100th), and 4-member near-dup
+    families whose members share their boilerplate but not their tails."""
+    from pyspark.sql import functions as F
+
+    from devcontainers_etl_node_spark.generators.synthetic import gen_documents_zipf
+
+    docs = gen_documents_zipf(spark, 2000, seed=7)
+    assert docs.columns == ["doc_id", "text", "lang", "source", "n_chars"]
+    assert docs.count() == 2000
+    # deterministic: same args -> identical corpus
+    again = gen_documents_zipf(spark, 2000, seed=7)
+    assert (
+        docs.exceptAll(again).count() == 0 and again.exceptAll(docs).count() == 0
+    )
+    # different seed -> different corpus
+    other = gen_documents_zipf(spark, 2000, seed=8)
+    assert docs.exceptAll(other).count() > 0
+    # Zipf head: the most frequent token dwarfs the 100th most frequent
+    freq = (
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("w")
+        .count()
+        .orderBy(F.col("count").desc())
+        .limit(100)
+        .collect()
+    )
+    assert freq[0]["count"] > 5 * freq[99]["count"]
+    # family structure: docs 0-3 share one family, 4-7 another
+    texts = {r.doc_id: r.text for r in docs.filter("doc_id < 8").collect()}
+    fam0 = {frozenset(texts[i].split()[:38]) for i in range(4)}
+    fam1 = {frozenset(texts[i].split()[:38]) for i in range(4, 8)}
+    assert len(fam0) == 1 and len(fam1) == 1 and fam0 != fam1
+    assert len({texts[i] for i in range(4)}) == 4  # tails differ
+    # langs roughly 60/30/10
+    langs = {r.lang: r.cnt for r in docs.groupBy("lang").agg(F.count("*").alias("cnt")).collect()}
+    assert set(langs) == {"en", "de", "fr"} and langs["en"] > langs["de"] > langs["fr"]

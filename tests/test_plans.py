@@ -407,3 +407,27 @@ def test_bigram_lm_score_partial_agg_and_two_shuffles(spark):
     # exactly the two designed hash shuffles; the ref model side broadcasts
     assert p.count("Exchange hashpartitioning") == 2
     assert "BroadcastHashJoin" in p
+
+
+def test_tx_changes_pure_append_window_plans_one_scan_no_join(spark, tmp_path):
+    """The exact-merge CDF fold must not tax the common case: a feed over
+    an append-only window is still ONE parquet scan of the added files —
+    no join, no union of per-version subplans (the anti-join machinery
+    materializes only when a merge is actually inside the window)."""
+    from pyspark.sql import functions as F
+
+    from devcontainers_etl_node_spark.sinks import txlog
+
+    root = str(tmp_path / "t")
+    for i in range(4):
+        txlog.tx_write(
+            spark.range(i * 10, (i + 1) * 10).select(
+                F.col("id"), F.lit(f"b{i}").alias("batch")
+            ),
+            root,
+        )
+    feed = txlog.tx_changes(spark, root, since_version=1)
+    plan = feed._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan and "Union" not in plan
+    assert plan.count("Scan parquet") == 1
+    assert feed.count() == 20  # v2 + v3 only

@@ -74,36 +74,14 @@ SMALL_OUTPUT = {"dup_clusters", "pretrain_prep", "bm25_retrieval"}
 
 
 def gen_documents(spark, n: int, out_dir: str) -> None:
-    """Write a documents.parquet twin with a Zipfian vocabulary corpus."""
-    vocab = 30_000
-    n_dup = n // 10
-    log_v = math.log(vocab)
+    """Write a documents.parquet twin with a Zipfian vocabulary corpus
+    (generators/synthetic.py:gen_documents_zipf — the library form of
+    the corpus this tool's round-10 numbers were measured on; the
+    seeded hash family differs from the round-10 in-tool draft, so dirs
+    are versioned to avoid mixing corpora across tool versions)."""
+    from devcontainers_etl_node_spark.generators.synthetic import gen_documents_zipf
 
-    def zipf_word(seed_col, j: int):
-        u = F.pmod(F.xxhash64(seed_col, F.lit(j)), F.lit(1_000_000)) / F.lit(1_000_000.0)
-        rank = F.floor(F.exp(u * F.lit(log_v))).cast("long")
-        return F.concat(F.lit("w"), rank.cast("string"))
-
-    fam = (F.col("id") / 4).cast("long")
-    boiler = F.concat_ws(" ", *[zipf_word(fam, 1000 + j) for j in range(38)])
-    tail = F.concat_ws(" ", *[zipf_word(F.col("id"), 2000 + j) for j in range(7)])
-    uniq = F.concat_ws(" ", *[zipf_word(F.col("id"), j) for j in range(45)])
-    text = F.when(F.col("id") < n_dup, F.concat_ws(" ", boiler, tail)).otherwise(uniq)
-    lang = (
-        F.when(F.pmod(F.xxhash64("id", F.lit(7)), F.lit(10)) < 6, "en")
-        .when(F.pmod(F.xxhash64("id", F.lit(7)), F.lit(10)) < 9, "de")
-        .otherwise("fr")
-    )
-    source = F.concat(
-        F.lit("crawl-"), F.pmod(F.xxhash64("id", F.lit(11)), F.lit(5)).cast("string")
-    )
-    docs = spark.range(n).select(
-        F.col("id").alias("doc_id"),
-        text.alias("text"),
-        lang.alias("lang"),
-        source.alias("source"),
-        F.length(text).cast("long").alias("n_chars"),
-    )
+    docs = gen_documents_zipf(spark, n)
     # ~12.5k docs (~4 MB of text) per file: realistic multi-file layout
     docs.repartition(max(1, n // 12_500)).write.mode("overwrite").parquet(
         os.path.join(out_dir, "documents.parquet")
@@ -119,7 +97,7 @@ def run_ladder(sizes: list[int]) -> None:
 
     results: dict[int, dict[str, list[float]]] = {}
     for n in sizes:
-        d = os.path.join(ROOT, f"docs_{n}")
+        d = os.path.join(ROOT, f"docs_v2_{n}")
         if not os.path.exists(os.path.join(d, "documents.parquet", "_SUCCESS")):
             gen_documents(spark, n, d)
         results[n] = {}
@@ -233,9 +211,9 @@ def run_bm25_index(sizes: list[int]) -> None:
     print("| docs | index build | serve (3 queries, warm) | rows |")
     print("|---|---|---|---|")
     for n in sizes:
-        d = os.path.join(ROOT, f"docs_{n}")
+        d = os.path.join(ROOT, f"docs_v2_{n}")
         docs = spark.read.parquet(os.path.join(d, "documents.parquet"))
-        idx = os.path.join(ROOT, f"bm25_idx_{n}")
+        idx = os.path.join(ROOT, f"bm25_idx_v2_{n}")
         shutil.rmtree(idx, ignore_errors=True)
         gc.collect()
         spark.sparkContext._jvm.System.gc()
