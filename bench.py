@@ -87,6 +87,16 @@ ADDED_R9 = [
     "url_canonical_dedup",   # URL canonicalization + crawl dedup
 ]
 
+# Round-10 additions: the transactional-table surface made driver-
+# visible (both stage the corpus through a tmpdir txlog table, so they
+# time real commit/merge/export work, not just a query plan).
+# Round-over-round: compare `headline_r9_total` for the pre-r10 set.
+ADDED_R10 = [
+    "txlog_cdc_merge",        # exact change feed across a full I/U/D merge
+    "delta_export_roundtrip", # txlog history -> _delta_log -> replay
+    "iceberg_export_roundtrip",  # txlog history -> Iceberg v2 tree -> replay
+]
+
 SMALL_OUTPUT = {
     "pricing_summary",
     "revenue_by_nation",
@@ -134,7 +144,7 @@ def main() -> None:
     all_loadavg: dict[str, list[float]] = {}
     bench_started = time.strftime("%Y-%m-%dT%H:%M:%S%z")
     loadavg_start = [round(x, 2) for x in os.getloadavg()]
-    for name in HEADLINE + HEAVY + ADDED_R4 + ADDED_R9:
+    for name in HEADLINE + HEAVY + ADDED_R4 + ADDED_R9 + ADDED_R10:
         fn = QUERIES[name]
 
         def one_rep() -> float:
@@ -172,7 +182,7 @@ def main() -> None:
         timings[name] = round(min(reps), 4)
 
     # rotating long-tail window (see ROTATION_WINDOW comment)
-    fixed = set(HEADLINE + HEAVY + ADDED_R4 + ADDED_R9)
+    fixed = set(HEADLINE + HEAVY + ADDED_R4 + ADDED_R9 + ADDED_R10)
     pool = sorted(set(QUERIES) - fixed)
     repo = os.path.dirname(os.path.abspath(__file__))
     round_idx = len(glob.glob(os.path.join(repo, "BENCH_r*.json")))
@@ -196,6 +206,9 @@ def main() -> None:
     r2_total = round(sum(timings[n] for n in HEADLINE), 4)
     r3_total = round(sum(timings[n] for n in HEADLINE + HEAVY), 4)
     r4_total = round(sum(timings[n] for n in HEADLINE + HEAVY + ADDED_R4), 4)
+    r9_total = round(
+        sum(timings[n] for n in HEADLINE + HEAVY + ADDED_R4 + ADDED_R9), 4
+    )
     line = json.dumps(
             {
                 "metric": "headline_queries_total",
@@ -208,9 +221,13 @@ def main() -> None:
                 "headline_r2_total": r2_total,
                 "headline_r3_total": r3_total,
                 "headline_r4_total": r4_total,
+                # pre-r10 `value` equivalent — round-over-round comparisons
+                # across the r10 boundary use this subtotal
+                "headline_r9_total": r9_total,
                 "added_r3": HEAVY,
                 "added_r4": ADDED_R4,
                 "added_r9": ADDED_R9,
+                "added_r10": ADDED_R10,
                 # per-rep evidence: `queries` reports min(reps); a spike in
                 # one rep with a flat min is a host stall, not a plan change
                 "reps": all_reps,

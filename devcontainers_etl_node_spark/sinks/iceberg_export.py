@@ -1,0 +1,381 @@
+"""Apache Iceberg interop for the txlog table: export the manifest
+history as a standard Iceberg v2 metadata tree (Hadoop-catalog layout)
+so any Iceberg reader can open the table — the second open lakehouse
+format next to ``delta_export.py``, written entirely from the PUBLIC
+Iceberg Table Spec (format-version 2) with the stdlib Avro codec in
+``avro_lite.py`` (Iceberg manifest lists and manifests are Avro
+object-container files; no Iceberg/Avro runtime ships here).
+
+Layout written IN PLACE next to the existing data files (zero data
+movement, O(manifest) driver-side work):
+
+    root/metadata/v1.metadata.json .. vN.metadata.json
+    root/metadata/version-hint.text                (Hadoop catalog pointer)
+    root/metadata/snap-<id>-1-<uuid>.avro          (manifest list per snapshot)
+    root/metadata/<uuid>-m0.avro                   (manifest per snapshot)
+
+Each retained txlog version becomes one Iceberg snapshot whose manifest
+lists the version's COMPLETE live file set (status=ADDED at that
+snapshot's sequence number) — the snapshot-complete manifest shape an
+Iceberg compaction writes.  That keeps the export mode-agnostic
+(append/overwrite/merge/restore all reduce to "this is the file set")
+and makes time travel exact at every snapshot; manifest REUSE across
+snapshots is an optimization Iceberg writers may apply, not a
+correctness requirement.  Schema evolution appends a new schema-id,
+exactly like the Delta exporter re-emits metaData.
+
+Validation without the runtime: :func:`iceberg_snapshot` replays
+version-hint → metadata JSON → manifest list (Avro) → manifest (Avro) →
+live file set, parsing the Avro through the schema each file embeds —
+tests pin the replay equal to the txlog manifest.  :func:`read_iceberg`
+is the Spark reader, gated behind a clear add-the-jars error.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+
+from devcontainers_etl_node_spark.sinks.avro_lite import read_container, write_container
+from devcontainers_etl_node_spark.sinks.delta_export import _split_top
+from devcontainers_etl_node_spark.sinks.txlog import _read_manifest, tx_head
+
+_META = "metadata"
+_TABLE_UUID_NS = uuid.UUID("00000000-0000-0000-0000-0000001ceb12")
+
+# ---------------------------------------------------------------------------
+# Iceberg schema JSON from the txlog manifest schema (simpleStrings)
+# ---------------------------------------------------------------------------
+
+_PRIMITIVE = {
+    "bigint": "long",
+    "int": "int",
+    "smallint": "int",  # Iceberg has no short/byte: widen (spec-sanctioned)
+    "tinyint": "int",
+    "string": "string",
+    "double": "double",
+    "float": "float",
+    "boolean": "boolean",
+    "binary": "binary",
+    "date": "date",
+    # catalog timestamps are UTC-normalized micros => timestamptz
+    "timestamp": "timestamptz",
+    "timestamp_ntz": "timestamp",
+}
+
+
+def _iceberg_type(simple: str, next_id: list[int]):
+    s = simple.strip()
+    if s.startswith("array<") and s.endswith(">"):
+        eid = next_id[0]
+        next_id[0] += 1
+        return {
+            "type": "list",
+            "element-id": eid,
+            "element": _iceberg_type(s[6:-1], next_id),
+            "element-required": False,
+        }
+    if s.startswith("map<") and s.endswith(">"):
+        k, v = _split_top(s[4:-1])
+        kid, vid = next_id[0], next_id[0] + 1
+        next_id[0] += 2
+        return {
+            "type": "map",
+            "key-id": kid,
+            "key": _iceberg_type(k, next_id),
+            "value-id": vid,
+            "value": _iceberg_type(v, next_id),
+            "value-required": False,
+        }
+    if s.startswith("struct<") and s.endswith(">"):
+        fields = []
+        for part in _split_top(s[7:-1]):
+            name, tp = part.split(":", 1)
+            fid = next_id[0]
+            next_id[0] += 1
+            fields.append(
+                {
+                    "id": fid,
+                    "name": name,
+                    "required": False,
+                    "type": _iceberg_type(tp, next_id),
+                }
+            )
+        return {"type": "struct", "fields": fields}
+    if s.startswith("decimal"):
+        return s.replace(",", ", ") if "," in s else s
+    return _PRIMITIVE.get(s, s)
+
+
+def _iceberg_schema(schema: dict, schema_id: int) -> tuple[dict, int]:
+    """(schema JSON, last-column-id) — top-level fields get ids 1..n,
+    nested ids continue after them (the spec's fresh-assignment rule)."""
+    fields = []
+    next_id = [len(schema or {}) + 1]
+    for i, (name, tp) in enumerate((schema or {}).items(), start=1):
+        fields.append(
+            {"id": i, "name": name, "required": False, "type": _iceberg_type(tp, next_id)}
+        )
+    return (
+        {"type": "struct", "schema-id": schema_id, "fields": fields},
+        next_id[0] - 1,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Avro schemas for v2 manifests / manifest lists (Iceberg spec appendix)
+# ---------------------------------------------------------------------------
+
+_PARTITION = {"type": "record", "name": "r102", "fields": []}  # unpartitioned
+
+_DATA_FILE = {
+    "type": "record",
+    "name": "r2",
+    "fields": [
+        {"name": "content", "type": "int", "field-id": 134},
+        {"name": "file_path", "type": "string", "field-id": 100},
+        {"name": "file_format", "type": "string", "field-id": 101},
+        {"name": "partition", "type": _PARTITION, "field-id": 102},
+        {"name": "record_count", "type": "long", "field-id": 103},
+        {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
+    ],
+}
+
+_MANIFEST_ENTRY = {
+    "type": "record",
+    "name": "manifest_entry",
+    "fields": [
+        {"name": "status", "type": "int", "field-id": 0},
+        {"name": "snapshot_id", "type": ["null", "long"], "default": None, "field-id": 1},
+        {"name": "sequence_number", "type": ["null", "long"], "default": None, "field-id": 3},
+        {"name": "file_sequence_number", "type": ["null", "long"], "default": None, "field-id": 4},
+        {"name": "data_file", "type": _DATA_FILE, "field-id": 2},
+    ],
+}
+
+_MANIFEST_FILE = {
+    "type": "record",
+    "name": "manifest_file",
+    "fields": [
+        {"name": "manifest_path", "type": "string", "field-id": 500},
+        {"name": "manifest_length", "type": "long", "field-id": 501},
+        {"name": "partition_spec_id", "type": "int", "field-id": 502},
+        {"name": "content", "type": "int", "field-id": 517},
+        {"name": "sequence_number", "type": "long", "field-id": 515},
+        {"name": "min_sequence_number", "type": "long", "field-id": 516},
+        {"name": "added_snapshot_id", "type": "long", "field-id": 503},
+        {"name": "added_files_count", "type": "int", "field-id": 504},
+        {"name": "existing_files_count", "type": "int", "field-id": 505},
+        {"name": "deleted_files_count", "type": "int", "field-id": 506},
+        {"name": "added_rows_count", "type": "long", "field-id": 512},
+        {"name": "existing_rows_count", "type": "long", "field-id": 513},
+        {"name": "deleted_rows_count", "type": "long", "field-id": 514},
+    ],
+}
+
+
+def tx_export_iceberg(root: str) -> str:
+    """Write ``root/metadata/`` translating the retained txlog history
+    into Iceberg v2 snapshots; returns the current metadata JSON path.
+
+    Snapshot i (renumbered from the oldest retained manifest, like the
+    Delta exporter) has sequence number i+1, a snapshot-complete
+    manifest of the version's live files, and an operation summary from
+    the txlog mode.  Schema changes append a new schema-id.  Re-export
+    is idempotent: the metadata directory is rebuilt from scratch (data
+    files never move)."""
+    head = tx_head(root)
+    if head is None:
+        raise FileNotFoundError(f"no committed versions at {root}")
+    retained = []
+    v = head
+    while v >= 0:
+        try:
+            retained.append(_read_manifest(root, v))
+        except FileNotFoundError:
+            break
+        v -= 1
+    retained.reverse()
+
+    location = os.path.abspath(root)
+    meta_dir = os.path.join(root, _META)
+    shutil.rmtree(meta_dir, ignore_errors=True)
+    os.makedirs(meta_dir)
+
+    schemas: list[dict] = []
+    last_column_id = 0
+    snapshots: list[dict] = []
+    snapshot_log: list[dict] = []
+    metadata_path = ""
+    prev_schema_src: dict | None = None
+    for i, m in enumerate(retained):
+        seq = i + 1
+        snap_id = 1000 + i
+        ts_ms = int(float(m.get("committed_at") or time.time()) * 1000)
+        if prev_schema_src != m.get("schema"):
+            sj, last_for_schema = _iceberg_schema(m.get("schema") or {}, len(schemas))
+            schemas.append(sj)
+            last_column_id = max(last_column_id, last_for_schema)
+            prev_schema_src = dict(m.get("schema") or {})
+        schema_id = schemas[-1]["schema-id"]
+
+        entries = [
+            {
+                "status": 1,  # ADDED at this snapshot (snapshot-complete manifest)
+                "snapshot_id": snap_id,
+                "sequence_number": seq,
+                "file_sequence_number": seq,
+                "data_file": {
+                    "content": 0,
+                    "file_path": f"{location}/{e['path']}",
+                    "file_format": "PARQUET",
+                    "partition": {},
+                    "record_count": int(e["rows"]),
+                    "file_size_in_bytes": int(e["bytes"]),
+                },
+            }
+            for e in m["files"]
+        ]
+        manifest_path = os.path.join(meta_dir, f"{uuid.uuid4().hex}-m0.avro")
+        write_container(
+            manifest_path,
+            _MANIFEST_ENTRY,
+            entries,
+            metadata={
+                "schema": json.dumps(schemas[-1]),
+                "schema-id": str(schema_id),
+                "partition-spec": "[]",
+                "partition-spec-id": "0",
+                "format-version": "2",
+                "content": "data",
+            },
+        )
+        list_path = os.path.join(
+            meta_dir, f"snap-{snap_id}-1-{uuid.uuid4().hex}.avro"
+        )
+        write_container(
+            list_path,
+            _MANIFEST_FILE,
+            [
+                {
+                    "manifest_path": manifest_path,
+                    "manifest_length": os.path.getsize(manifest_path),
+                    "partition_spec_id": 0,
+                    "content": 0,
+                    "sequence_number": seq,
+                    "min_sequence_number": seq,
+                    "added_snapshot_id": snap_id,
+                    "added_files_count": len(entries),
+                    "existing_files_count": 0,
+                    "deleted_files_count": 0,
+                    "added_rows_count": sum(e["data_file"]["record_count"] for e in entries),
+                    "existing_rows_count": 0,
+                    "deleted_rows_count": 0,
+                }
+            ],
+            metadata={
+                "format-version": "2",
+                "snapshot-id": str(snap_id),
+                "sequence-number": str(seq),
+            },
+        )
+        op = m["mode"]
+        snapshots.append(
+            {
+                "snapshot-id": snap_id,
+                "sequence-number": seq,
+                "timestamp-ms": ts_ms,
+                "manifest-list": list_path,
+                "schema-id": schema_id,
+                "summary": {
+                    "operation": "append" if op == "append" else "overwrite"
+                },
+            }
+        )
+        snapshot_log.append({"timestamp-ms": ts_ms, "snapshot-id": snap_id})
+        metadata = {
+            "format-version": 2,
+            "table-uuid": str(uuid.uuid5(_TABLE_UUID_NS, location)),
+            "location": location,
+            "last-sequence-number": seq,
+            "last-updated-ms": ts_ms,
+            "last-column-id": last_column_id,
+            "current-schema-id": schema_id,
+            "schemas": schemas,
+            "default-spec-id": 0,
+            "partition-specs": [{"spec-id": 0, "fields": []}],
+            "last-partition-id": 999,
+            "default-sort-order-id": 0,
+            "sort-orders": [{"order-id": 0, "fields": []}],
+            "properties": {"write.format.default": "parquet"},
+            "current-snapshot-id": snap_id,
+            "snapshots": snapshots,
+            "snapshot-log": snapshot_log,
+            "metadata-log": [],
+        }
+        metadata_path = os.path.join(meta_dir, f"v{seq}.metadata.json")
+        with open(metadata_path, "w") as f:
+            json.dump(metadata, f)
+    with open(os.path.join(meta_dir, "version-hint.text"), "w") as f:
+        f.write(str(len(retained)))
+    return metadata_path
+
+
+def iceberg_snapshot(root: str, snapshot_id: int | None = None) -> dict:
+    """Independent replay of the exported metadata tree — what any
+    Iceberg reader computes: version-hint → metadata JSON → (current or
+    requested) snapshot → manifest list → manifests → live data files.
+    Returns ``{"files": {path: {"size", "records"}}, "schema": <json>,
+    "snapshot_id": id, "sequence_number": n, "snapshots": [ids...]}``.
+    The Avro layers are parsed through each file's own embedded schema."""
+    meta_dir = os.path.join(root, _META)
+    with open(os.path.join(meta_dir, "version-hint.text")) as f:
+        version = int(f.read().strip())
+    with open(os.path.join(meta_dir, f"v{version}.metadata.json")) as f:
+        md = json.load(f)
+    snap_id = md["current-snapshot-id"] if snapshot_id is None else snapshot_id
+    snap = next(s for s in md["snapshots"] if s["snapshot-id"] == snap_id)
+    schema = next(s for s in md["schemas"] if s["schema-id"] == snap["schema-id"])
+    _, _, manifest_files = read_container(snap["manifest-list"])
+    files: dict[str, dict] = {}
+    for mf in manifest_files:
+        _, _, entries = read_container(mf["manifest_path"])
+        for e in entries:
+            df = e["data_file"]
+            if e["status"] == 2:  # DELETED
+                files.pop(df["file_path"], None)
+            else:
+                files[df["file_path"]] = {
+                    "size": df["file_size_in_bytes"],
+                    "records": df["record_count"],
+                }
+    return {
+        "files": files,
+        "schema": schema,
+        "snapshot_id": snap_id,
+        "sequence_number": snap["sequence-number"],
+        "snapshots": [s["snapshot-id"] for s in md["snapshots"]],
+    }
+
+
+def read_iceberg(spark, root: str):
+    """Open the exported table through Spark's Iceberg data source —
+    gated: no Iceberg runtime ships in this environment, so the attempt
+    becomes a clear, actionable error.  With
+    ``--packages org.apache.iceberg:iceberg-spark-runtime-<ver>`` and a
+    Hadoop catalog pointed at the parent directory, the same metadata
+    tree serves this table unchanged."""
+    try:
+        return spark.read.format("iceberg").load(root)
+    except Exception as e:
+        raise RuntimeError(
+            f"the Apache Iceberg runtime is not on this cluster's classpath, "
+            f"so Spark cannot open {root} as format('iceberg'). The exported "
+            f"metadata/ tree is standard Iceberg v2 (Hadoop-catalog layout): "
+            f"add org.apache.iceberg:iceberg-spark-runtime and re-run; to "
+            f"validate the export without the runtime, use "
+            f"iceberg_snapshot({root!r})."
+        ) from e

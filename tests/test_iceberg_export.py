@@ -1,0 +1,164 @@
+"""Apache Iceberg interop (sinks/iceberg_export.py + avro_lite.py): the
+txlog history exported as a standard Iceberg v2 metadata tree and
+validated by an independent replay through the Avro containers' own
+embedded schemas; the Spark reader is gated (no Iceberg jars here)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from devcontainers_etl_node_spark.sinks import avro_lite, txlog
+from devcontainers_etl_node_spark.sinks.iceberg_export import (
+    iceberg_snapshot,
+    read_iceberg,
+    tx_export_iceberg,
+)
+
+
+def _df(spark, lo, hi, tag):
+    return spark.range(lo, hi).select(F.col("id"), F.lit(tag).alias("batch"))
+
+
+def test_avro_container_roundtrip_all_types():
+    schema = {
+        "type": "record",
+        "name": "t",
+        "fields": [
+            {"name": "l", "type": "long"},
+            {"name": "i", "type": "int"},
+            {"name": "s", "type": ["null", "string"]},
+            {"name": "d", "type": "double"},
+            {"name": "b", "type": "boolean"},
+            {"name": "arr", "type": {"type": "array", "items": "long"}},
+            {"name": "m", "type": {"type": "map", "values": "string"}},
+            {
+                "name": "nested",
+                "type": {
+                    "type": "record",
+                    "name": "inner",
+                    "fields": [{"name": "x", "type": ["null", "long"]}],
+                },
+            },
+        ],
+    }
+    recs = [
+        {"l": -(2**62), "i": 42, "s": None, "d": 1.5, "b": True,
+         "arr": [1, -2], "m": {"k": "v"}, "nested": {"x": 7}},
+        {"l": 0, "i": -1, "s": "héllo", "d": -0.0, "b": False,
+         "arr": [], "m": {}, "nested": {"x": None}},
+    ]
+    avro_lite.write_container("/tmp/avro_rt.avro", schema, recs, metadata={"k": "v"})
+    got_schema, meta, got = avro_lite.read_container("/tmp/avro_rt.avro")
+    assert got == recs
+    assert got_schema == schema  # schema survives the header round-trip
+    assert meta["k"] == b"v"
+
+
+def test_export_roundtrip_matches_manifest_with_time_travel(spark, tmp_path):
+    """append/append/overwrite history: the replay of the CURRENT
+    snapshot equals the head manifest (paths, sizes, per-file record
+    counts); replaying an OLDER snapshot id equals that version's
+    manifest — Iceberg time travel from the exported tree alone."""
+    root = str(tmp_path / "t")
+    txlog.tx_write(_df(spark, 0, 10, "a").coalesce(1), root)                 # v0
+    txlog.tx_write(_df(spark, 10, 30, "b").coalesce(1), root)                # v1
+    txlog.tx_write(_df(spark, 0, 5, "c").coalesce(1), root, mode="overwrite")  # v2
+    meta_path = tx_export_iceberg(root)
+    assert os.path.basename(meta_path) == "v3.metadata.json"
+
+    def expect(version):
+        m = txlog._read_manifest(root, version)
+        return {
+            os.path.abspath(root) + "/" + e["path"]: (e["bytes"], e["rows"])
+            for e in m["files"]
+        }
+
+    snap = iceberg_snapshot(root)
+    assert snap["sequence_number"] == 3 and len(snap["snapshots"]) == 3
+    assert {p: (f["size"], f["records"]) for p, f in snap["files"].items()} == expect(2)
+    assert sum(f["records"] for f in snap["files"].values()) == 5
+    # time travel to the middle snapshot (id 1001 = second retained commit)
+    old = iceberg_snapshot(root, snapshot_id=1001)
+    assert {p: (f["size"], f["records"]) for p, f in old["files"].items()} == expect(1)
+    assert sum(f["records"] for f in old["files"].values()) == 30
+    # schema carries Iceberg field ids and mapped types
+    fields = snap["schema"]["fields"]
+    assert [(f["id"], f["name"], f["type"]) for f in fields] == [
+        (1, "id", "long"),
+        (2, "batch", "string"),
+    ]
+    # every referenced data file exists on disk
+    for p in snap["files"]:
+        assert os.path.exists(p)
+
+
+def test_export_schema_evolution_appends_schema_id(spark, tmp_path):
+    root = str(tmp_path / "t")
+    txlog.tx_write(_df(spark, 0, 5, "a"), root)
+    txlog.tx_write(
+        _df(spark, 5, 10, "b").withColumn("score", F.lit(1.5)),
+        root,
+        allow_schema_change=True,
+    )
+    tx_export_iceberg(root)
+    with open(os.path.join(root, "metadata", "v2.metadata.json")) as f:
+        md = json.load(f)
+    assert [s["schema-id"] for s in md["schemas"]] == [0, 1]
+    assert md["current-schema-id"] == 1
+    names = [f["name"] for f in md["schemas"][1]["fields"]]
+    assert names == ["id", "batch", "score"]
+    # the two snapshots reference their own schema ids
+    assert [s["schema-id"] for s in md["snapshots"]] == [0, 1]
+
+
+def test_export_nested_types_get_fresh_field_ids(spark, tmp_path):
+    root = str(tmp_path / "t")
+    df = spark.range(0, 3).select(
+        F.col("id"),
+        F.array(F.col("id").cast("double")).alias("vec"),
+        F.create_map(F.lit("k"), F.col("id")).alias("kv"),
+        F.col("id").cast("decimal(10,2)").alias("money"),
+    )
+    txlog.tx_write(df, root)
+    tx_export_iceberg(root)
+    schema = iceberg_snapshot(root)["schema"]
+    by_name = {f["name"]: f for f in schema["fields"]}
+    assert by_name["vec"]["type"]["type"] == "list"
+    assert by_name["vec"]["type"]["element"] == "double"
+    assert by_name["kv"]["type"]["type"] == "map"
+    assert by_name["money"]["type"] == "decimal(10, 2)"
+    # ids: top-level 1..4, nested continue after (unique across the schema)
+    ids = [f["id"] for f in schema["fields"]]
+    nested = [by_name["vec"]["type"]["element-id"],
+              by_name["kv"]["type"]["key-id"], by_name["kv"]["type"]["value-id"]]
+    assert ids == [1, 2, 3, 4] and len(set(ids + nested)) == 7
+
+
+def test_export_after_vacuum_renumbers_from_retained_tail(spark, tmp_path):
+    root = str(tmp_path / "t")
+    for i in range(5):
+        txlog.tx_write(_df(spark, i * 10, (i + 1) * 10, f"b{i}"), root)
+    txlog.tx_vacuum(root, keep_last=2, retention_hours=0)
+    tx_export_iceberg(root)
+    snap = iceberg_snapshot(root)
+    assert len(snap["snapshots"]) == 2 and snap["sequence_number"] == 2
+    m = txlog._read_manifest(root, txlog.tx_head(root))
+    assert set(snap["files"]) == {
+        os.path.abspath(root) + "/" + e["path"] for e in m["files"]
+    }
+
+
+def test_spark_iceberg_reader_is_gated_with_a_clear_error(spark, tmp_path):
+    root = str(tmp_path / "t")
+    txlog.tx_write(_df(spark, 0, 5, "a"), root)
+    tx_export_iceberg(root)
+    try:
+        df = read_iceberg(spark, root)
+    except RuntimeError as e:
+        assert "iceberg-spark-runtime" in str(e) and "iceberg_snapshot" in str(e)
+    else:
+        assert df.count() == 5  # a runtime WITH the jars reads it directly

@@ -67,6 +67,7 @@ ENTRIES = [
     "dup_clusters",
     "bm25_retrieval",
     "pretrain_prep",
+    "winnow_fingerprints",
 ]
 # small aggregate outputs are collected; row-heavy outputs go to the
 # noop sink (same methodology as bench.py)
