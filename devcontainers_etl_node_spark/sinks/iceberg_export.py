@@ -67,41 +67,49 @@ _PRIMITIVE = {
 }
 
 
-def _iceberg_type(simple: str, next_id: list[int]):
+def _alloc(path: str, ids: dict, counter: list[int]) -> int:
+    """Field-id for a schema path, STABLE across schema versions: Iceberg
+    readers project columns BY ID, so a column (or nested element) must
+    keep its id for the table's whole life — a per-version reassignment
+    would silently remap data after any evolution. New paths get fresh,
+    never-reused ids."""
+    if path not in ids:
+        ids[path] = counter[0]
+        counter[0] += 1
+    return ids[path]
+
+
+def _iceberg_type(simple: str, path: str, ids: dict, counter: list[int]):
     s = simple.strip()
     if s.startswith("array<") and s.endswith(">"):
-        eid = next_id[0]
-        next_id[0] += 1
         return {
             "type": "list",
-            "element-id": eid,
-            "element": _iceberg_type(s[6:-1], next_id),
+            "element-id": _alloc(f"{path}.element", ids, counter),
+            "element": _iceberg_type(s[6:-1], f"{path}.element", ids, counter),
             "element-required": False,
         }
     if s.startswith("map<") and s.endswith(">"):
         k, v = _split_top(s[4:-1])
-        kid, vid = next_id[0], next_id[0] + 1
-        next_id[0] += 2
+        kid = _alloc(f"{path}.key", ids, counter)
+        vid = _alloc(f"{path}.value", ids, counter)
         return {
             "type": "map",
             "key-id": kid,
-            "key": _iceberg_type(k, next_id),
+            "key": _iceberg_type(k, f"{path}.key", ids, counter),
             "value-id": vid,
-            "value": _iceberg_type(v, next_id),
+            "value": _iceberg_type(v, f"{path}.value", ids, counter),
             "value-required": False,
         }
     if s.startswith("struct<") and s.endswith(">"):
         fields = []
         for part in _split_top(s[7:-1]):
             name, tp = part.split(":", 1)
-            fid = next_id[0]
-            next_id[0] += 1
             fields.append(
                 {
-                    "id": fid,
+                    "id": _alloc(f"{path}.{name}", ids, counter),
                     "name": name,
                     "required": False,
-                    "type": _iceberg_type(tp, next_id),
+                    "type": _iceberg_type(tp, f"{path}.{name}", ids, counter),
                 }
             )
         return {"type": "struct", "fields": fields}
@@ -110,19 +118,25 @@ def _iceberg_type(simple: str, next_id: list[int]):
     return _PRIMITIVE.get(s, s)
 
 
-def _iceberg_schema(schema: dict, schema_id: int) -> tuple[dict, int]:
-    """(schema JSON, last-column-id) — top-level fields get ids 1..n,
-    nested ids continue after them (the spec's fresh-assignment rule)."""
-    fields = []
-    next_id = [len(schema or {}) + 1]
-    for i, (name, tp) in enumerate((schema or {}).items(), start=1):
-        fields.append(
-            {"id": i, "name": name, "required": False, "type": _iceberg_type(tp, next_id)}
-        )
-    return (
-        {"type": "struct", "schema-id": schema_id, "fields": fields},
-        next_id[0] - 1,
-    )
+def _iceberg_schema(
+    schema: dict, schema_id: int, ids: dict, counter: list[int]
+) -> dict:
+    """Schema JSON with ids drawn from the table-lifetime allocator:
+    top-level fields are allocated before any nested ids (so a fresh
+    table gets 1..n at the top level), and every path keeps its id
+    across evolutions (new columns/new nested paths get fresh ids)."""
+    for name in (schema or {}):
+        _alloc(name, ids, counter)
+    fields = [
+        {
+            "id": ids[name],
+            "name": name,
+            "required": False,
+            "type": _iceberg_type(tp, name, ids, counter),
+        }
+        for name, tp in (schema or {}).items()
+    ]
+    return {"type": "struct", "schema-id": schema_id, "fields": fields}
 
 
 # ---------------------------------------------------------------------------
@@ -206,7 +220,8 @@ def tx_export_iceberg(root: str) -> str:
     os.makedirs(meta_dir)
 
     schemas: list[dict] = []
-    last_column_id = 0
+    field_ids: dict[str, int] = {}  # path -> id, table-lifetime stable
+    id_counter = [1]
     snapshots: list[dict] = []
     snapshot_log: list[dict] = []
     metadata_path = ""
@@ -216,11 +231,12 @@ def tx_export_iceberg(root: str) -> str:
         snap_id = 1000 + i
         ts_ms = int(float(m.get("committed_at") or time.time()) * 1000)
         if prev_schema_src != m.get("schema"):
-            sj, last_for_schema = _iceberg_schema(m.get("schema") or {}, len(schemas))
-            schemas.append(sj)
-            last_column_id = max(last_column_id, last_for_schema)
+            schemas.append(
+                _iceberg_schema(m.get("schema") or {}, len(schemas), field_ids, id_counter)
+            )
             prev_schema_src = dict(m.get("schema") or {})
         schema_id = schemas[-1]["schema-id"]
+        last_column_id = id_counter[0] - 1
 
         entries = [
             {

@@ -138,6 +138,47 @@ def test_export_nested_types_get_fresh_field_ids(spark, tmp_path):
     assert ids == [1, 2, 3, 4] and len(set(ids + nested)) == 7
 
 
+def test_field_ids_stable_across_schema_evolution_with_nested_types(spark, tmp_path):
+    """Iceberg readers project BY FIELD ID: after an evolution appends a
+    column, every pre-existing path — including nested element ids —
+    must keep its id, and the new column gets a fresh one (a naive
+    per-version reassignment would shift nested ids and silently remap
+    data)."""
+    root = str(tmp_path / "t")
+    df = spark.range(0, 3).select(
+        F.col("id"), F.array(F.col("id").cast("double")).alias("vec")
+    )
+    txlog.tx_write(df, root)
+    txlog.tx_write(
+        spark.range(3, 6).select(
+            F.col("id"),
+            F.array(F.col("id").cast("double")).alias("vec"),
+            F.lit("x").alias("tag"),
+        ),
+        root,
+        allow_schema_change=True,
+    )
+    tx_export_iceberg(root)
+    with open(os.path.join(root, "metadata", "v2.metadata.json")) as f:
+        md = json.load(f)
+    s0, s1 = md["schemas"]
+
+    def ids(schema):
+        out = {}
+        for fld in schema["fields"]:
+            out[fld["name"]] = fld["id"]
+            if isinstance(fld["type"], dict) and fld["type"].get("type") == "list":
+                out[fld["name"] + ".element"] = fld["type"]["element-id"]
+        return out
+
+    i0, i1 = ids(s0), ids(s1)
+    assert i0 == {"id": 1, "vec": 2, "vec.element": 3}
+    # pre-existing paths keep their ids; the appended column is fresh
+    assert {k: i1[k] for k in i0} == i0
+    assert i1["tag"] == 4
+    assert md["last-column-id"] == 4
+
+
 def test_export_after_vacuum_renumbers_from_retained_tail(spark, tmp_path):
     root = str(tmp_path / "t")
     for i in range(5):
