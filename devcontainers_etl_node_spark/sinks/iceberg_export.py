@@ -14,15 +14,16 @@ movement, O(manifest) driver-side work):
     root/metadata/snap-<id>-1-<uuid>.avro          (manifest list per snapshot)
     root/metadata/<uuid>-m0.avro                   (manifest per snapshot)
 
-Each retained txlog version becomes one Iceberg snapshot whose manifest
-lists the version's COMPLETE live file set (status=ADDED at that
-snapshot's sequence number) — the snapshot-complete manifest shape an
-Iceberg compaction writes.  That keeps the export mode-agnostic
-(append/overwrite/merge/restore all reduce to "this is the file set")
-and makes time travel exact at every snapshot; manifest REUSE across
-snapshots is an optimization Iceberg writers may apply, not a
-correctness requirement.  Schema evolution appends a new schema-id,
-exactly like the Delta exporter re-emits metaData.
+Each retained txlog version becomes one Iceberg snapshot.  Manifests
+are REUSED the way Iceberg writers reuse them at scale: an APPEND
+commit writes one delta manifest of just its new files and carries
+every prior manifest into its manifest list verbatim (export work per
+append is O(added files), never O(table)); a commit that removes files
+(overwrite / merge / restore) resets to a snapshot-complete manifest —
+mode-agnostic and exact for time travel at every snapshot.  Schema
+evolution appends a new schema-id with TABLE-LIFETIME-STABLE field ids
+(readers project by id), exactly like the Delta exporter re-emits
+metaData.
 
 Validation without the runtime: :func:`iceberg_snapshot` replays
 version-hint → metadata JSON → manifest list (Avro) → manifest (Avro) →
@@ -226,6 +227,8 @@ def tx_export_iceberg(root: str) -> str:
     snapshot_log: list[dict] = []
     metadata_path = ""
     prev_schema_src: dict | None = None
+    prev_files: dict[str, dict] = {}
+    carried: list[dict] = []  # manifest_file records reused from the prior snapshot
     for i, m in enumerate(retained):
         seq = i + 1
         snap_id = 1000 + i
@@ -238,44 +241,55 @@ def tx_export_iceberg(root: str) -> str:
         schema_id = schemas[-1]["schema-id"]
         last_column_id = id_counter[0] - 1
 
-        entries = [
-            {
-                "status": 1,  # ADDED at this snapshot (snapshot-complete manifest)
-                "snapshot_id": snap_id,
-                "sequence_number": seq,
-                "file_sequence_number": seq,
-                "data_file": {
-                    "content": 0,
-                    "file_path": f"{location}/{e['path']}",
-                    "file_format": "PARQUET",
-                    "partition": {},
-                    "record_count": int(e["rows"]),
-                    "file_size_in_bytes": int(e["bytes"]),
+        # manifest REUSE, the Iceberg writers' scale behavior: an append
+        # commit adds ONE delta manifest of just its new files and carries
+        # every prior manifest into its manifest list verbatim — export
+        # work per append is O(added files), not O(table). A commit that
+        # REMOVES files (overwrite / merge / restore / compaction) resets
+        # to a snapshot-complete manifest: correct for every mode and
+        # keeps the replay a plain union of ADDED entries.
+        cur = {e["path"]: e for e in m["files"]}
+        removed = [p for p in prev_files if p not in cur]
+        if i > 0 and not removed:
+            new_paths = [p for p in cur if p not in prev_files]
+        else:
+            carried = []
+            new_paths = list(cur)
+
+        manifests_for_snapshot = list(carried)
+        if new_paths or not manifests_for_snapshot:
+            entries = [
+                {
+                    "status": 1,  # ADDED at this snapshot
+                    "snapshot_id": snap_id,
+                    "sequence_number": seq,
+                    "file_sequence_number": seq,
+                    "data_file": {
+                        "content": 0,
+                        "file_path": f"{location}/{p}",
+                        "file_format": "PARQUET",
+                        "partition": {},
+                        "record_count": int(cur[p]["rows"]),
+                        "file_size_in_bytes": int(cur[p]["bytes"]),
+                    },
+                }
+                for p in new_paths
+            ]
+            manifest_path = os.path.join(meta_dir, f"{uuid.uuid4().hex}-m0.avro")
+            write_container(
+                manifest_path,
+                _MANIFEST_ENTRY,
+                entries,
+                metadata={
+                    "schema": json.dumps(schemas[-1]),
+                    "schema-id": str(schema_id),
+                    "partition-spec": "[]",
+                    "partition-spec-id": "0",
+                    "format-version": "2",
+                    "content": "data",
                 },
-            }
-            for e in m["files"]
-        ]
-        manifest_path = os.path.join(meta_dir, f"{uuid.uuid4().hex}-m0.avro")
-        write_container(
-            manifest_path,
-            _MANIFEST_ENTRY,
-            entries,
-            metadata={
-                "schema": json.dumps(schemas[-1]),
-                "schema-id": str(schema_id),
-                "partition-spec": "[]",
-                "partition-spec-id": "0",
-                "format-version": "2",
-                "content": "data",
-            },
-        )
-        list_path = os.path.join(
-            meta_dir, f"snap-{snap_id}-1-{uuid.uuid4().hex}.avro"
-        )
-        write_container(
-            list_path,
-            _MANIFEST_FILE,
-            [
+            )
+            manifests_for_snapshot.append(
                 {
                     "manifest_path": manifest_path,
                     "manifest_length": os.path.getsize(manifest_path),
@@ -287,17 +301,28 @@ def tx_export_iceberg(root: str) -> str:
                     "added_files_count": len(entries),
                     "existing_files_count": 0,
                     "deleted_files_count": 0,
-                    "added_rows_count": sum(e["data_file"]["record_count"] for e in entries),
+                    "added_rows_count": sum(
+                        e["data_file"]["record_count"] for e in entries
+                    ),
                     "existing_rows_count": 0,
                     "deleted_rows_count": 0,
                 }
-            ],
+            )
+        list_path = os.path.join(
+            meta_dir, f"snap-{snap_id}-1-{uuid.uuid4().hex}.avro"
+        )
+        write_container(
+            list_path,
+            _MANIFEST_FILE,
+            manifests_for_snapshot,
             metadata={
                 "format-version": "2",
                 "snapshot-id": str(snap_id),
                 "sequence-number": str(seq),
             },
         )
+        carried = manifests_for_snapshot
+        prev_files = cur
         op = m["mode"]
         snapshots.append(
             {

@@ -732,7 +732,9 @@ def webdataset_sink(
     return apply
 
 
-def txlog_sink(root: str, app_id: str, operation: str = "stream"):
+def txlog_sink(
+    root: str, app_id: str, operation: str = "stream", export: str | None = None
+):
     """foreachBatch body committing each micro-batch to a TRANSACTIONAL
     table (sinks/txlog.py) exactly once — the streaming ingest path of
     the lakehouse story:
@@ -752,11 +754,34 @@ def txlog_sink(root: str, app_id: str, operation: str = "stream"):
     ``app_id`` must be scoped to the checkpoint (pass the checkpoint
     path or a run id): a query restarted with a FRESH checkpoint
     restarts batch numbering at 0, and an unscoped guard would silently
-    drop its batches — the same rule fingerprint_sink pins."""
+    drop its batches — the same rule fingerprint_sink pins.
+
+    ``export`` keeps an OPEN-FORMAT mirror of the table continuously
+    consumable by external readers: after every committed batch the
+    txlog history is re-exported as a standard Delta ``_delta_log``
+    (``"delta"``), an Iceberg v2 metadata tree (``"iceberg"``), or
+    ``"both"`` — driver-side O(manifest) work per batch, zero data
+    movement (the Iceberg appends reuse prior manifests, so the per-
+    batch delta is O(batch files)). The export runs even when the
+    commit was skipped as a replay, which heals a crash that landed
+    between a commit and its export."""
     from devcontainers_etl_node_spark.sinks.txlog import tx_write_idempotent
+
+    if export not in (None, "delta", "iceberg", "both"):
+        raise ValueError(f"export must be delta|iceberg|both|None, got {export!r}")
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:
         tx_write_idempotent(batch_df, root, app_id, batch_id, operation=operation)
+        if export in ("delta", "both"):
+            from devcontainers_etl_node_spark.sinks.delta_export import tx_export_delta
+
+            tx_export_delta(root)
+        if export in ("iceberg", "both"):
+            from devcontainers_etl_node_spark.sinks.iceberg_export import (
+                tx_export_iceberg,
+            )
+
+            tx_export_iceberg(root)
 
     return apply
 

@@ -203,3 +203,43 @@ def test_spark_iceberg_reader_is_gated_with_a_clear_error(spark, tmp_path):
         assert "iceberg-spark-runtime" in str(e) and "iceberg_snapshot" in str(e)
     else:
         assert df.count() == 5  # a runtime WITH the jars reads it directly
+
+
+def test_append_commits_reuse_prior_manifests(spark, tmp_path):
+    """Manifest reuse (the Iceberg writers' scale behavior): K appends
+    produce K manifests with each file listed EXACTLY ONCE across the
+    metadata dir — export work per append is O(added files), not
+    O(table) — while an overwrite resets to one snapshot-complete
+    manifest. Replay stays exact at every snapshot."""
+    root = str(tmp_path / "t")
+    for i in range(3):
+        txlog.tx_write(_df(spark, i * 10, (i + 1) * 10, f"b{i}").coalesce(1), root)
+    tx_export_iceberg(root)
+    snap = iceberg_snapshot(root)
+    _, _, mlist = avro_lite.read_container(
+        # current snapshot's manifest list
+        json.load(open(os.path.join(root, "metadata", "v3.metadata.json")))[
+            "snapshots"
+        ][-1]["manifest-list"]
+    )
+    assert len(mlist) == 3  # one delta manifest per append, all carried
+    total_entries = 0
+    for mf in mlist:
+        _, _, entries = avro_lite.read_container(mf["manifest_path"])
+        total_entries += len(entries)
+    m = txlog._read_manifest(root, txlog.tx_head(root))
+    assert total_entries == len(m["files"])  # each file listed exactly once
+    assert sum(f["records"] for f in snap["files"].values()) == 30
+    # middle snapshot replays exactly its own two appends
+    old = iceberg_snapshot(root, snapshot_id=1001)
+    assert sum(f["records"] for f in old["files"].values()) == 20
+
+    # an overwrite resets the chain to one snapshot-complete manifest
+    txlog.tx_write(_df(spark, 0, 5, "ow"), root, mode="overwrite")
+    tx_export_iceberg(root)
+    md = json.load(open(os.path.join(root, "metadata", "v4.metadata.json")))
+    _, _, mlist2 = avro_lite.read_container(md["snapshots"][-1]["manifest-list"])
+    assert len(mlist2) == 1
+    assert sum(
+        f["records"] for f in iceberg_snapshot(root)["files"].values()
+    ) == 5

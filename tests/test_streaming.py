@@ -1206,3 +1206,71 @@ def test_streaming_minhash_neardup_checkpoint_resume_and_replay(spark, tmp_path)
     # doc 3 paired with BOTH residents (state survived the restart);
     # the replayed doc 2 produced nothing new
     assert set(keys) == {(1, 2), (1, 3), (2, 3)}
+
+
+def test_txlog_sink_continuous_open_format_export(spark, tmp_path):
+    """txlog_sink(export='both'): after every micro-batch the table is
+    ALSO consumable as a standard Delta _delta_log and an Iceberg v2
+    metadata tree — replays of both mirror the head manifest exactly,
+    snapshot counts track the commits, and a replayed batch (skipped by
+    the txn guard) still leaves the exports consistent."""
+    from devcontainers_etl_node_spark.sinks import txlog
+    from devcontainers_etl_node_spark.sinks.delta_export import delta_log_snapshot
+    from devcontainers_etl_node_spark.sinks.iceberg_export import iceberg_snapshot
+    from devcontainers_etl_node_spark.streaming import txlog_sink
+
+    t0 = datetime.datetime(2024, 1, 1, 10, 0, 0)
+    src, ckpt, tbl = tmp_path / "x_src", tmp_path / "x_ckpt", str(tmp_path / "x_tbl")
+    sink = txlog_sink(tbl, app_id=str(ckpt), export="both")
+
+    def run_until_drained():
+        q = (
+            spark.readStream.schema(EVENTS_SCHEMA)
+            .parquet(str(src))
+            .writeStream.option("checkpointLocation", str(ckpt))
+            .outputMode("append")
+            .foreachBatch(sink)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    def mirrors_match():
+        m = txlog._read_manifest(tbl, txlog.tx_head(tbl))
+        want_rel = {e["path"]: e["rows"] for e in m["files"]}
+        d = delta_log_snapshot(tbl)
+        assert {p: f["numRecords"] for p, f in d["files"].items()} == want_rel
+        i = iceberg_snapshot(tbl)
+        import os as _os
+
+        prefix = _os.path.abspath(tbl) + "/"
+        assert {
+            p[len(prefix):]: f["records"] for p, f in i["files"].items()
+        } == want_rel
+        return d, i
+
+    spark.createDataFrame(
+        [(1, t0, 1, "click", 1.0, "{}")], EVENTS_SCHEMA
+    ).write.mode("overwrite").parquet(str(src))
+    run_until_drained()
+    d, i = mirrors_match()
+    assert d["version"] == 0 and len(i["snapshots"]) == 1
+
+    spark.createDataFrame(
+        [(2, t0, 2, "view", 2.0, "{}")], EVENTS_SCHEMA
+    ).write.mode("append").parquet(str(src))
+    run_until_drained()
+    d, i = mirrors_match()
+    assert d["version"] == 1 and len(i["snapshots"]) == 2
+    # the carried txn marks surface as Delta setTransaction actions
+    assert d["txns"] == {str(ckpt): 1}
+
+    # a replayed batch is skipped by the guard but the export still runs
+    # and stays consistent (heals crash-between-commit-and-export)
+    sink(spark.createDataFrame([(2, t0, 2, "view", 2.0, "{}")], EVENTS_SCHEMA), 1)
+    d, i = mirrors_match()
+    assert d["version"] == 1 and len(i["snapshots"]) == 2
+    assert txlog.tx_read(spark, tbl).count() == 2
+
+    with pytest.raises(ValueError, match="delta|iceberg"):
+        txlog_sink(tbl, app_id="x", export="parquet")
