@@ -54,6 +54,20 @@ def _docs(kind: str) -> list[tuple]:
         texts = [("a", "b", "c")[i % 3] for i in range(30)]
     elif kind == "vocab_of_one":
         texts = [" ".join(["w"] * (i + 1)) for i in range(40)]
+    elif kind == "unicode":
+        # multibyte codepoints exercise CHARACTER (not byte) substr/length
+        # semantics through every shingle/ngram/fingerprint path: CJK,
+        # emoji, combining accents, RTL, plus near-dup unicode families
+        words = ["数据", "חיפוש", "café́", "🚀rocket", "Παράδειγμα", "répétition"]
+        texts = []
+        for i in range(24):
+            fam = i // 4
+            # family-unique multibyte vocabulary: members share 12 words,
+            # families share none (cross-family jaccard ~ 0)
+            texts.append(
+                " ".join(f"{words[j % len(words)]}{fam}甲{j}" for j in range(12))
+                + f" 尾{i % 4}"
+            )
     else:
         raise AssertionError(kind)
     return [
@@ -66,7 +80,7 @@ def degenerate_sfs(spark, tmp_path_factory):
     """One sf-dir per shape: every real sf0.001 table copied, documents
     replaced by the degenerate corpus."""
     out = {}
-    for kind in ("single_doc", "all_identical", "one_char", "vocab_of_one"):
+    for kind in ("single_doc", "all_identical", "one_char", "vocab_of_one", "unicode"):
         d = tmp_path_factory.mktemp(f"sf_{kind}")
         for p in glob.glob("/root/testdata/sf0.001/*.parquet"):
             if not os.path.basename(p).startswith("documents"):
@@ -206,3 +220,26 @@ def test_planted_expectations_vocab_of_one(spark, degenerate_sfs):
     seen = {(r.id_a, r.id_b) for r in pairs}
     assert len(seen) == len(pairs)
     assert all(r.id_a < r.id_b for r in pairs)
+
+
+def test_planted_expectations_unicode(spark, degenerate_sfs):
+    """Multibyte corpus: n_chars is CHARACTER count (so Spark/DuckDB
+    substr semantics agree through the shingle paths), the 4-member
+    unicode families are found as near-dups without raw errors, and
+    exact dedup keeps all distinct texts."""
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    sf = degenerate_sfs["unicode"]
+    docs = spark.read.parquet(sf + "/documents.parquet").collect()
+    for r in docs:
+        assert r.n_chars == len(r.text)  # codepoints, not bytes
+        assert len(r.text.encode("utf-8")) > len(r.text)  # really multibyte
+    assert qs["dedup_exact"](spark, sf).count() == 24
+    pairs = qs["minhash_neardup"](spark, sf).collect()
+    # family members share 12 of 13 words: pairs stay within families
+    assert len(pairs) > 0
+    assert all(r.id_a // 4 == r.id_b // 4 for r in pairs)
+    # fingerprinting paths run clean over multibyte graphemes
+    assert qs["winnow_fingerprints"](spark, sf).count() > 0
+    assert qs["token_stats"](spark, sf).count() > 0

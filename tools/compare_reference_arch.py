@@ -676,6 +676,110 @@ def main_bm25() -> None:
         shutil.rmtree(workdir, ignore_errors=True)
 
 
+# ---------------------------------------------------------------------------
+# workload 8: transactional upsert — pandas full-rewrite vs pruned tx_merge
+# ---------------------------------------------------------------------------
+
+
+def _merge_table(spark, n: int):
+    from pyspark.sql import functions as F
+
+    return (
+        spark.range(n)
+        .select(
+            F.col("id"),
+            (F.col("id") % 1000).cast("double").alias("payload"),
+        )
+        .repartitionByRange(16, "id")
+        .sortWithinPartitions("id")
+    )
+
+
+def _merge_updates(n: int):
+    # 100 keys inside ONE clustered file's range
+    base = n // 32
+    return [(base + i, 9999.0) for i in range(100)]
+
+
+def pandas_merge(path: str, updates: list[tuple]) -> tuple[int, float]:
+    """The reference's file-table upsert architecture: read the whole
+    table, apply the changelog in memory, rewrite the whole table (its
+    DB loaders get upsert server-side; on files this is the only eager
+    single-node shape)."""
+    df = pd.read_parquet(path)
+    upd = pd.DataFrame(updates, columns=["id", "payload"])
+    df = pd.concat([df[~df["id"].isin(set(upd["id"]))], upd], ignore_index=True)
+    df.to_parquet(f"{path}/merged.parquet")  # the rewrite IS the cost
+    return len(df), float(df["payload"].sum())
+
+
+def spark_merge(spark, root: str, updates: list[tuple]) -> tuple[int, float, int]:
+    from devcontainers_etl_node_spark.sinks import txlog
+
+    upd = spark.createDataFrame(updates, "id LONG, payload DOUBLE")
+    v = txlog.tx_merge(spark, upd, root, key="id")
+    m = txlog._read_manifest(root, v)
+    out = txlog.tx_read(spark, root).agg(
+        {"payload": "sum", "*": "count"}
+    ).collect()[0]
+    return int(out["count(1)"]), float(out["sum(payload)"]), len(m["removed"])
+
+
+def main_merge() -> None:
+    import glob as _glob
+    import shutil
+    import tempfile
+
+    from devcontainers_etl_node_spark.sinks import txlog
+
+    sizes = (
+        [int(x) for x in sys.argv[2].split(",")]
+        if len(sys.argv) > 2
+        else [1_000_000, 4_000_000, 16_000_000]
+    )
+    n_runs = int(sys.argv[3]) if len(sys.argv) > 3 else 2
+    spark = get_spark()
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    workdir = tempfile.mkdtemp(prefix="arch_merge_")
+    print("| rows | pandas full-rewrite | engine tx_merge | ratio | files rewritten | same |")
+    print("|---|---|---|---|---|---|")
+    try:
+        for n in sizes:
+            updates = _merge_updates(n)
+            pd_times, sp_times = [], []
+            pd_res = sp_res = None
+            rewritten = None
+            for _ in range(n_runs):
+                # fresh tables per rep: merge mutates
+                ppath = f"{workdir}/plain_{n}"
+                shutil.rmtree(ppath, ignore_errors=True)
+                _merge_table(spark, n).write.parquet(ppath)
+                t0 = time.perf_counter()
+                pd_res = pandas_merge(ppath, updates)
+                pd_times.append(time.perf_counter() - t0)
+
+                root = f"{workdir}/tx_{n}"
+                shutil.rmtree(root, ignore_errors=True)
+                txlog.tx_write(_merge_table(spark, n), root)
+                t0 = time.perf_counter()
+                cnt, total, rewritten = spark_merge(spark, root, updates)
+                sp_times.append(time.perf_counter() - t0)
+                sp_res = (cnt, total)
+            same = (
+                pd_res[0] == sp_res[0] and abs(pd_res[1] - sp_res[1]) < 1e-6
+            )
+            p, s = min(pd_times), min(sp_times)
+            n_files = len(_glob.glob(f"{workdir}/tx_{n}/data/*.parquet"))
+            print(
+                f"| {n:,} | {p:.2f}s | {s:.2f}s | {p / s:.2f}x | "
+                f"{rewritten}/{n_files} | {same} |",
+                flush=True,
+            )
+            assert same, "pandas and engine merge results diverged"
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "dedup":
         main_dedup()
@@ -689,5 +793,7 @@ if __name__ == "__main__":
         main_tokenizer()
     elif len(sys.argv) > 1 and sys.argv[1] == "bm25":
         main_bm25()
+    elif len(sys.argv) > 1 and sys.argv[1] == "merge":
+        main_merge()
     else:
         main()
