@@ -243,3 +243,38 @@ def test_append_commits_reuse_prior_manifests(spark, tmp_path):
     assert sum(
         f["records"] for f in iceberg_snapshot(root)["files"].values()
     ) == 5
+
+
+def test_merge_and_compact_commits_reset_to_snapshot_complete_manifests(spark, tmp_path):
+    """Commits that REMOVE files (merge, compaction) cannot reuse prior
+    manifests — they reset to one snapshot-complete manifest, and the
+    replay still matches the txlog manifest exactly at head and at every
+    older snapshot."""
+    root = str(tmp_path / "t")
+    for i in range(2):
+        txlog.tx_write(_df(spark, i * 10, (i + 1) * 10, f"b{i}").coalesce(1), root)
+    changelog = spark.createDataFrame(
+        [(5, "U", False), (15, None, True)], "id LONG, batch STRING, is_delete BOOLEAN"
+    )
+    txlog.tx_merge(spark, changelog, root, key="id", delete_col="is_delete")  # v2
+    txlog.tx_compact(spark, root, target_file_bytes=1 << 20)                  # v3
+    tx_export_iceberg(root)
+    md = json.load(open(os.path.join(root, "metadata", "v4.metadata.json")))
+    lists = []
+    for s in md["snapshots"]:
+        _, _, mlist = avro_lite.read_container(s["manifest-list"])
+        lists.append(len(mlist))
+    assert lists == [1, 2, 1, 1]  # append, append(reuse), merge reset, compact reset
+    # head replay == head manifest (19 rows: 20 - 1 delete, value updated)
+    m = txlog._read_manifest(root, txlog.tx_head(root))
+    snap = iceberg_snapshot(root)
+    assert set(snap["files"]) == {
+        os.path.abspath(root) + "/" + e["path"] for e in m["files"]
+    }
+    assert sum(f["records"] for f in snap["files"].values()) == 19
+    # the pre-merge snapshot still replays its exact file set
+    old = iceberg_snapshot(root, snapshot_id=1001)
+    m1 = txlog._read_manifest(root, 1)
+    assert set(old["files"]) == {
+        os.path.abspath(root) + "/" + e["path"] for e in m1["files"]
+    }

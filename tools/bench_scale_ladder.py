@@ -40,7 +40,8 @@ spilling, not OOM.
 
 Usage:
     python tools/bench_scale_ladder.py [sizes_csv]      # default 5000,50000,250000
-    python tools/bench_scale_ladder.py --spill /tmp/scale_ladder/docs_250000
+    python tools/bench_scale_ladder.py --spill /tmp/scale_ladder/docs_v2_250000
+    python tools/bench_scale_ladder.py --bm25 [sizes_csv]
 
 Paste the table into PERF.md when it changes.
 """
