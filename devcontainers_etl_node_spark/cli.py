@@ -177,7 +177,10 @@ def cmd_table(args) -> int:
     files unreferenced by the retained window AND older than the
     retention grace period (in-flight writers protected); ``merge``
     upserts a parquet batch by key with the pruned copy-on-write
-    rewrite (tx_merge)."""
+    rewrite (tx_merge); ``export-delta`` / ``export-iceberg`` translate
+    the table's history in place into the standard open formats
+    (sinks/delta_export.py, sinks/iceberg_export.py — zero data
+    movement, any Delta/Iceberg reader can then open the table)."""
     from devcontainers_etl_node_spark.sinks import txlog
 
     if args.op == "history":
@@ -210,6 +213,19 @@ def cmd_table(args) -> int:
             return 2
         v = txlog.tx_restore(args.root, args.to_version)
         print(f"restored v{args.to_version} -> v{v}", file=sys.stderr)
+    elif args.op == "export-delta":
+        from devcontainers_etl_node_spark.sinks.delta_export import tx_export_delta
+
+        written = tx_export_delta(args.root)
+        print(
+            f"exported {len(written)} Delta commits -> {args.root}/_delta_log",
+            file=sys.stderr,
+        )
+    elif args.op == "export-iceberg":
+        from devcontainers_etl_node_spark.sinks.iceberg_export import tx_export_iceberg
+
+        path = tx_export_iceberg(args.root)
+        print(f"exported Iceberg v2 metadata -> {path}", file=sys.stderr)
     return 0
 
 
@@ -290,7 +306,7 @@ def main(argv: list[str] | None = None) -> int:
     d.add_argument("--work", required=True, help="snapshot directory (sigs + pairs)")
 
     t = sub.add_parser("table", help="transactional-table maintenance (txlog)")
-    t.add_argument("op", choices=["history", "compact", "vacuum", "merge", "restore"])
+    t.add_argument("op", choices=["history", "compact", "vacuum", "merge", "restore", "export-delta", "export-iceberg"])
     t.add_argument("root", help="table root directory")
     t.add_argument("--keep-last", type=int, default=2, help="versions vacuum retains")
     t.add_argument("--retention-hours", type=float, default=24.0, help="vacuum grace window for unreferenced files")

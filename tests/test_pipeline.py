@@ -368,3 +368,28 @@ def test_gen_documents_zipf_is_deterministic_zipfian_and_family_structured(spark
     # langs roughly 60/30/10
     langs = {r.lang: r.cnt for r in docs.groupBy("lang").agg(F.count("*").alias("cnt")).collect()}
     assert set(langs) == {"en", "de", "fr"} and langs["en"] > langs["de"] > langs["fr"]
+
+
+def test_cli_table_export_open_formats(spark, tmp_path, capsys):
+    """`table export-delta` / `table export-iceberg`: one command turns a
+    txlog table into both open formats in place; replays match the
+    manifest."""
+    from pyspark.sql import functions as F
+
+    from devcontainers_etl_node_spark import cli
+    from devcontainers_etl_node_spark.sinks import txlog
+    from devcontainers_etl_node_spark.sinks.delta_export import delta_log_snapshot
+    from devcontainers_etl_node_spark.sinks.iceberg_export import iceberg_snapshot
+
+    root = str(tmp_path / "t")
+    txlog.tx_write(
+        spark.range(0, 7).select(F.col("id"), F.lit("x").alias("b")), root
+    )
+    assert cli.main(["table", "export-delta", root]) == 0
+    assert cli.main(["table", "export-iceberg", root]) == 0
+    assert sum(
+        f["numRecords"] for f in delta_log_snapshot(root)["files"].values()
+    ) == 7
+    assert sum(
+        f["records"] for f in iceberg_snapshot(root)["files"].values()
+    ) == 7
