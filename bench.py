@@ -203,6 +203,16 @@ def main() -> None:
         rotation[name] = round(min(reps), 4)
 
     total = round(sum(timings.values()), 4)
+    # Round-11 flipped minhash_neardup (and pretrain_prep's embedded
+    # minhash stage) from the measured-quadratic 16/4 bench config to the
+    # 32/8 library default (r10 ladder: 2.2-2.5x faster at 250k docs,
+    # higher recall). Cross-r11 comparisons of any subtotal containing
+    # those two entries carry the config flip; this subtotal excludes
+    # them so the rest of the fixed set stays apples-to-apples — the
+    # headline_r4/headline_r9 boundary pattern.
+    comparable_r11 = round(
+        total - timings["minhash_neardup"] - timings["pretrain_prep"], 4
+    )
     r2_total = round(sum(timings[n] for n in HEADLINE), 4)
     r3_total = round(sum(timings[n] for n in HEADLINE + HEAVY), 4)
     r4_total = round(sum(timings[n] for n in HEADLINE + HEAVY + ADDED_R4), 4)
@@ -224,6 +234,16 @@ def main() -> None:
                 # pre-r10 `value` equivalent — round-over-round comparisons
                 # across the r10 boundary use this subtotal
                 "headline_r9_total": r9_total,
+                # r11 minhash-config boundary: fixed set MINUS the two
+                # entries whose config flipped 16/4 -> 32/8 in r11
+                # (minhash_neardup, pretrain_prep) — compare THIS across
+                # the r11 boundary, and those two entries individually
+                # knowing the flip
+                "comparable_r11_total": comparable_r11,
+                "config_changes_r11": {
+                    "minhash_neardup": "16/4 -> 32/8 library default",
+                    "pretrain_prep": "embedded minhash stage 16/4 -> 32/8",
+                },
                 "added_r3": HEAVY,
                 "added_r4": ADDED_R4,
                 "added_r9": ADDED_R9,

@@ -1116,20 +1116,19 @@ def lang_id_pred(spark: SparkSession, sf: str) -> DataFrame:
 @query("minhash_neardup")  # LSH candidate generation — rows-only check
 def minhash_neardup(spark: SparkSession, sf: str) -> DataFrame:
     docs = table(spark, sf, "documents")
-    # latency-tuned 16/4 (same per-band s^4 curve, halved OR-amplification
-    # vs the recall-first 32/8 library default; pair set identical on this
-    # corpus — pinned by tests/test_operators.py). Round-4 A/B with per-
-    # variant codegen warmup: 16/4 3.9s vs 32/8 4.6s warm — close; the
-    # first measurement that showed 32/8 2x faster was a cold-compile
-    # artifact, not a real effect.
-    # Round-10 scale ladder (PERF.md): 16/4 only pays BELOW ~50k docs —
-    # its est-prune is certified inactive (est_cut <= 1/bands) so the
-    # O(n^2) random band-collision floor reaches the exact verify raw
-    # (595k candidates at 250k docs); the 32/8 default prunes them and is
-    # 2.5x faster there with higher recall. This entry keeps 16/4 as the
-    # sf0.1 bench configuration only; scale callers use the library
-    # default.
-    return dedup.minhash_lsh_pairs(docs, threshold=0.5, num_hashes=16, bands=4)
+    # Library default 32/8 (r=4 per band, 8-way OR-amplification).
+    # History: rounds 4-10 shipped a latency-tuned 16/4 here because a
+    # round-4 warm A/B showed it ~15% faster at sf0.1 with an identical
+    # pair set. The round-10 scale ladder (PERF.md) then MEASURED 16/4's
+    # failure mode: its est-prune cutoff (<= 1/bands) is certifiably
+    # inactive, so the O(n^2) random band-collision floor reaches the
+    # exact verify raw — false candidates grew x1.88-1.93 per decade
+    # (595k at 250k docs) — while 32/8's active est-prune kept the full
+    # operator 2.2-2.5x faster there WITH higher recall (35.7k vs 29.1k
+    # pairs). Round 11 flips the shipped entry to the scale-correct
+    # config; bench continuity rides the `comparable_r11_total` subtotal
+    # (bench.py), the headline_r4/r9 pattern.
+    return dedup.minhash_lsh_pairs(docs, threshold=0.5)
 
 
 @query("simhash_fingerprints")  # rows-only check
@@ -8034,7 +8033,10 @@ def pretrain_prep(spark: SparkSession, sf: str) -> DataFrame:
     )
     got = obs.get  # both observations populated by the checkpoint job above
     # minhash_lsh_pairs localCheckpoints its own (small) pair output.
-    pairs = dd.minhash_lsh_pairs(exact, threshold=0.5, num_hashes=16, bands=4)
+    # 32/8 library default (r11 flip, with minhash_neardup): the r10
+    # ladder measured 16/4's inactive est-prune + O(n^2) collision floor;
+    # 32/8 is 2.2-2.5x faster at 250k docs with higher recall (PERF.md).
+    pairs = dd.minhash_lsh_pairs(exact, threshold=0.5)
     # Drop lists (near-dup ids, contaminated ids) are CORPUS-PROPORTIONAL:
     # at 100 TB a near-dup drop list can be billions of ids, and a forced
     # F.broadcast would OOM the driver. No hint — AQE broadcasts while the
@@ -8552,14 +8554,16 @@ def minhash_incremental(spark: SparkSession, sf: str) -> DataFrame:
     mid = docs.agg(F.expr("percentile_approx(doc_id, 0.5)")).collect()[0][0]
     old_docs = docs.filter(F.col("doc_id") <= mid)
     new_docs = docs.filter(F.col("doc_id") > mid)
+    # 32/8 library default (r11, consistent with minhash_neardup's flip —
+    # the persisted 100 TB signature table should be the scale-correct
+    # config from day one; resigning history later costs a full pass).
     old_sigs = dedup.minhash_signature_table(
         dedup.shingle_hash_rows(
             old_docs.select(F.col("doc_id").alias("_id"), F.col("text").alias("_text"))
-        ),
-        num_hashes=16,
+        )
     )
     pairs, _sigs, release = dedup.minhash_incremental_pairs(
-        old_docs, old_sigs, new_docs, threshold=0.5, num_hashes=16, bands=4
+        old_docs, old_sigs, new_docs, threshold=0.5
     )
     release()  # pairs is eagerly checkpointed; the sig cache can go now
     return pairs
@@ -10358,7 +10362,9 @@ def delta_export_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     live: dict[str, int] = {}
     rows = []
     for fn in sorted(_os.listdir(log_dir)):
-        if not fn.endswith(".json"):
+        # commit files only (%020d.json); skips the exporter's dotted
+        # bookkeeping marker, exactly as a Delta reader's listing does
+        if not fn.endswith(".json") or not fn[:-5].isdigit():
             continue
         with open(_os.path.join(log_dir, fn)) as f:
             for line in f:
