@@ -30,21 +30,35 @@ import os
 import shutil
 import uuid
 
-from devcontainers_etl_node_spark.sinks.txlog import _read_manifest, tx_head
+from devcontainers_etl_node_spark.sinks.txlog import (
+    _manifest_path,
+    _read_manifest,
+    tx_head,
+)
 
 _DELTA_LOG = "_delta_log"
+# exporter bookkeeping, ignored by Delta readers (commit files are
+# %020d.json — the dotted name never matches): maps the exported log to
+# the txlog versions it covers so re-export can APPEND new commits
+# instead of rebuilding O(history) every call (the streaming sink calls
+# this once per micro-batch)
+_EXPORT_MARKER = ".txlog_export.json"
 # deterministic table-id namespace: re-exports of the same root keep the
 # same Delta table id (readers treat an id change as a different table)
 _TABLE_ID_NS = uuid.UUID("00000000-0000-0000-0000-0000000de17a")
 
 
 def _split_top(s: str) -> list[str]:
-    """Split a simpleString type-argument list on depth-0 commas."""
+    """Split a simpleString type-argument list on depth-0 commas.
+
+    Depth counts BOTH angle brackets and parentheses: a decimal(p,s)
+    nested inside struct<>/map<> carries a comma inside its parens that
+    must not split the field list (struct<a:decimal(10,2),b:int>)."""
     parts, depth, start = [], 0, 0
     for i, ch in enumerate(s):
-        if ch == "<":
+        if ch in "<(":
             depth += 1
-        elif ch == ">":
+        elif ch in ">)":
             depth -= 1
         elif ch == "," and depth == 0:
             parts.append(s[start:i])
@@ -99,9 +113,92 @@ def _schema_string(schema: dict) -> str:
     )
 
 
+def _commit_actions(
+    root: str,
+    m: dict,
+    first: bool,
+    prev_files: dict[str, dict],
+    prev_txns: dict[str, int],
+    prev_schema: dict | None,
+) -> list[dict]:
+    """Translate ONE txlog manifest into the Delta action list for its
+    commit, diffed against the previous manifest's state (mode-agnostic —
+    append/overwrite/merge/restore all reduce to set arithmetic on
+    immutable file paths)."""
+    ts = int(float(m.get("committed_at") or 0) * 1000)
+    actions: list[dict] = [
+        {
+            "commitInfo": {
+                "timestamp": ts,
+                "operation": (m.get("operation") or m["mode"]).upper(),
+                "operationParameters": {},
+                "engineInfo": "devcontainers_etl_node_spark-txlog-export",
+            }
+        }
+    ]
+    if first:
+        actions.append({"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}})
+    if first or m.get("schema") != prev_schema:
+        actions.append(
+            {
+                "metaData": {
+                    "id": str(uuid.uuid5(_TABLE_ID_NS, os.path.abspath(root))),
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": _schema_string(m.get("schema")),
+                    "partitionColumns": [],
+                    "configuration": {},
+                    "createdTime": ts,
+                }
+            }
+        )
+    cur = {e["path"]: e for e in m["files"]}
+    for p in sorted(set(prev_files) - set(cur)):
+        actions.append(
+            {"remove": {"path": p, "deletionTimestamp": ts, "dataChange": True}}
+        )
+    for p in sorted(set(cur) - set(prev_files)):
+        e = cur[p]
+        actions.append(
+            {
+                "add": {
+                    "path": p,
+                    "partitionValues": {},
+                    "size": int(e["bytes"]),
+                    "modificationTime": ts,
+                    "dataChange": True,
+                    "stats": json.dumps({"numRecords": int(e["rows"])}),
+                }
+            }
+        )
+    for app, bid in sorted((m.get("txns") or {}).items()):
+        if prev_txns.get(app) != int(bid):
+            actions.append(
+                {"txn": {"appId": app, "version": int(bid), "lastUpdated": ts}}
+            )
+    return actions
+
+
+def _write_lines_atomic(path: str, actions: list[dict]) -> None:
+    """Commit files appear atomically: readers tailing the log never see
+    a half-written JSONL (write sidecar, fsync, rename into place)."""
+    tmp = path + ".inprogress"
+    with open(tmp, "w") as f:
+        for a in actions:
+            f.write(json.dumps(a) + "\n")
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
+
+
+def _manifest_state(m: dict) -> tuple[dict, dict, dict | None]:
+    files = {e["path"]: e for e in m["files"]}
+    txns = {a: int(b) for a, b in (m.get("txns") or {}).items()}
+    return files, txns, m.get("schema")
+
+
 def tx_export_delta(root: str) -> list[str]:
     """Write ``root/_delta_log/`` translating the retained txlog history
-    into Delta commits; returns the written log paths.
+    into Delta commits; returns the log paths written by THIS call.
 
     Commit i of the Delta log corresponds to the i-th RETAINED manifest
     (vacuum may have dropped a prefix; Delta versions are renumbered from
@@ -109,9 +206,8 @@ def tx_export_delta(root: str) -> list[str]:
     same shape as a Delta checkpoint boundary).  Per commit:
 
     - ``add`` / ``remove``: the file-list diff against the previous
-      retained manifest (mode-agnostic — append/overwrite/merge/restore
-      all reduce to set arithmetic on immutable file paths).  ``add``
-      carries ``stats`` with numRecords from the manifest's footer count.
+      retained manifest.  ``add`` carries ``stats`` with numRecords from
+      the manifest's footer count.
     - ``metaData``: first commit, and again whenever the committed schema
       changes (Delta's schema-evolution signal).
     - ``txn``: one per app whose high-water mark changed — the carried
@@ -119,11 +215,59 @@ def tx_export_delta(root: str) -> list[str]:
       idempotent writers survive the format hop.
     - ``commitInfo``: operation tag + commit timestamp.
 
-    Re-export is idempotent: the log directory is rebuilt from scratch
-    (data files are never touched)."""
+    Re-export is INCREMENTAL (r11, was a full rebuild): a marker file
+    records which txlog versions the existing log covers, and when the
+    retained tail still starts at the recorded base (no vacuum since),
+    only the commits past the exported head are appended — O(new
+    commits) work per call, and each commit file lands by atomic rename,
+    so a concurrent reader always sees a complete log (this is what
+    makes ``txlog_sink(export=...)``'s per-micro-batch refresh O(batch)
+    and glitch-free).  A vacuum that drops the renumbering base forces
+    the full rebuild, which is staged in a sidecar directory and swapped
+    in (the reader-visible gap is one rmtree+rename, not the whole
+    rebuild).  Commit content is deterministic (manifest timestamps,
+    uuid5 table id), so replaying an interrupted export rewrites
+    identical bytes."""
     head = tx_head(root)
     if head is None:
         raise FileNotFoundError(f"no committed versions at {root}")
+
+    log_dir = os.path.join(root, _DELTA_LOG)
+    marker_path = os.path.join(log_dir, _EXPORT_MARKER)
+    if os.path.exists(marker_path):
+        with open(marker_path) as f:
+            mk = json.load(f)
+        base, exported = int(mk["base"]), int(mk["exported_head"])
+        base_still_retained = os.path.exists(_manifest_path(root, base)) and (
+            base == 0 or not os.path.exists(_manifest_path(root, base - 1))
+        )
+        last_file = os.path.join(log_dir, f"{exported - base:020d}.json")
+        if base_still_retained and exported <= head and os.path.exists(last_file):
+            if exported == head:
+                return []
+            prev_files, prev_txns, prev_schema = _manifest_state(
+                _read_manifest(root, exported)
+            )
+            written: list[str] = []
+            for v in range(exported + 1, head + 1):
+                m = _read_manifest(root, v)
+                actions = _commit_actions(
+                    root, m, False, prev_files, prev_txns, prev_schema
+                )
+                path = os.path.join(log_dir, f"{v - base:020d}.json")
+                _write_lines_atomic(path, actions)
+                written.append(path)
+                prev_files, prev_txns, prev_schema = _manifest_state(m)
+                # marker after each commit: a crash loses at most the
+                # in-flight file, and its bytes are deterministic anyway
+                _write_lines_atomic(
+                    marker_path, [{"base": base, "exported_head": v}]
+                )
+            return written
+
+    # full (re)build: first export, or vacuum moved the renumbering base.
+    # Stage into a sidecar and swap — the reader-visible window is the
+    # rmtree+rename, not the whole translation.
     retained = []
     v = head
     while v >= 0:
@@ -133,73 +277,28 @@ def tx_export_delta(root: str) -> list[str]:
             break
         v -= 1
     retained.reverse()
+    base = head - len(retained) + 1
 
-    log_dir = os.path.join(root, _DELTA_LOG)
-    shutil.rmtree(log_dir, ignore_errors=True)
-    os.makedirs(log_dir)
+    stage_dir = log_dir + ".staged"
+    shutil.rmtree(stage_dir, ignore_errors=True)
+    os.makedirs(stage_dir)
 
-    written: list[str] = []
+    written = []
     prev_files: dict[str, dict] = {}
     prev_txns: dict[str, int] = {}
     prev_schema: dict | None = None
     for i, m in enumerate(retained):
-        ts = int(float(m.get("committed_at") or 0) * 1000)
-        actions: list[dict] = [
-            {
-                "commitInfo": {
-                    "timestamp": ts,
-                    "operation": (m.get("operation") or m["mode"]).upper(),
-                    "operationParameters": {},
-                    "engineInfo": "devcontainers_etl_node_spark-txlog-export",
-                }
-            }
-        ]
-        if i == 0:
-            actions.append({"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}})
-        if i == 0 or m.get("schema") != prev_schema:
-            actions.append(
-                {
-                    "metaData": {
-                        "id": str(uuid.uuid5(_TABLE_ID_NS, os.path.abspath(root))),
-                        "format": {"provider": "parquet", "options": {}},
-                        "schemaString": _schema_string(m.get("schema")),
-                        "partitionColumns": [],
-                        "configuration": {},
-                        "createdTime": ts,
-                    }
-                }
-            )
-        cur = {e["path"]: e for e in m["files"]}
-        for p in sorted(set(prev_files) - set(cur)):
-            actions.append(
-                {"remove": {"path": p, "deletionTimestamp": ts, "dataChange": True}}
-            )
-        for p in sorted(set(cur) - set(prev_files)):
-            e = cur[p]
-            actions.append(
-                {
-                    "add": {
-                        "path": p,
-                        "partitionValues": {},
-                        "size": int(e["bytes"]),
-                        "modificationTime": ts,
-                        "dataChange": True,
-                        "stats": json.dumps({"numRecords": int(e["rows"])}),
-                    }
-                }
-            )
-        for app, bid in sorted((m.get("txns") or {}).items()):
-            if prev_txns.get(app) != int(bid):
-                actions.append(
-                    {"txn": {"appId": app, "version": int(bid), "lastUpdated": ts}}
-                )
-        path = os.path.join(log_dir, f"{i:020d}.json")
+        actions = _commit_actions(root, m, i == 0, prev_files, prev_txns, prev_schema)
+        path = os.path.join(stage_dir, f"{i:020d}.json")
         with open(path, "w") as f:
             for a in actions:
                 f.write(json.dumps(a) + "\n")
-        written.append(path)
-        prev_files, prev_txns = cur, {a: int(b) for a, b in (m.get("txns") or {}).items()}
-        prev_schema = m.get("schema")
+        written.append(os.path.join(log_dir, f"{i:020d}.json"))
+        prev_files, prev_txns, prev_schema = _manifest_state(m)
+    with open(os.path.join(stage_dir, _EXPORT_MARKER), "w") as f:
+        json.dump({"base": base, "exported_head": head}, f)
+    shutil.rmtree(log_dir, ignore_errors=True)
+    os.rename(stage_dir, log_dir)
     return written
 
 

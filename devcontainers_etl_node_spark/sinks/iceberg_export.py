@@ -42,10 +42,18 @@ import uuid
 
 from devcontainers_etl_node_spark.sinks.avro_lite import read_container, write_container
 from devcontainers_etl_node_spark.sinks.delta_export import _split_top
-from devcontainers_etl_node_spark.sinks.txlog import _read_manifest, tx_head
+from devcontainers_etl_node_spark.sinks.txlog import (
+    _manifest_path,
+    _read_manifest,
+    tx_head,
+)
 
 _META = "metadata"
 _TABLE_UUID_NS = uuid.UUID("00000000-0000-0000-0000-0000001ceb12")
+# exporter bookkeeping (ignored by Iceberg readers, which only follow
+# version-hint.text): which txlog versions the tree covers, so re-export
+# appends new snapshots instead of rebuilding O(history) per call
+_EXPORT_MARKER = ".txlog_export.json"
 
 # ---------------------------------------------------------------------------
 # Iceberg schema JSON from the txlog manifest schema (simpleStrings)
@@ -192,19 +200,277 @@ _MANIFEST_FILE = {
 }
 
 
+def _collect_field_ids(type_node, path: str, ids: dict[str, int]) -> None:
+    """Rebuild the table-lifetime path→id allocator map from persisted
+    schema JSON (the inverse of ``_alloc``), so an incremental re-export
+    resumes with exactly the ids earlier exports assigned."""
+    if not isinstance(type_node, dict):
+        return
+    t = type_node.get("type")
+    if t == "struct":
+        for f in type_node["fields"]:
+            p = f"{path}.{f['name']}" if path else f["name"]
+            ids[p] = f["id"]
+            _collect_field_ids(f["type"], p, ids)
+    elif t == "list":
+        p = f"{path}.element"
+        ids[p] = type_node["element-id"]
+        _collect_field_ids(type_node["element"], p, ids)
+    elif t == "map":
+        ids[f"{path}.key"] = type_node["key-id"]
+        ids[f"{path}.value"] = type_node["value-id"]
+        _collect_field_ids(type_node["key"], f"{path}.key", ids)
+        _collect_field_ids(type_node["value"], f"{path}.value", ids)
+
+
+def _write_snapshot(
+    root: str,
+    location: str,
+    m: dict,
+    idx: int,
+    st: dict,
+    write_dir: str,
+    record_dir: str,
+) -> str:
+    """Translate ONE txlog manifest into Iceberg snapshot ``idx`` (files
+    written under ``write_dir``, paths RECORDED under ``record_dir`` — the
+    two differ only while a full rebuild stages into a sidecar).  Mutates
+    ``st`` (schemas/field_ids/snapshots/carried/prev state) and returns
+    the metadata JSON path written."""
+    seq = idx + 1
+    snap_id = 1000 + idx
+    ts_ms = int(float(m.get("committed_at") or time.time()) * 1000)
+    if st["prev_schema_src"] != m.get("schema"):
+        st["schemas"].append(
+            _iceberg_schema(
+                m.get("schema") or {}, len(st["schemas"]), st["field_ids"], st["id_counter"]
+            )
+        )
+        st["prev_schema_src"] = dict(m.get("schema") or {})
+    schema_id = st["schemas"][-1]["schema-id"]
+    last_column_id = st["id_counter"][0] - 1
+
+    # manifest REUSE, the Iceberg writers' scale behavior: an append
+    # commit adds ONE delta manifest of just its new files and carries
+    # every prior manifest into its manifest list verbatim — export
+    # work per append is O(added files), not O(table). A commit that
+    # REMOVES files (overwrite / merge / restore / compaction) resets
+    # to a snapshot-complete manifest: correct for every mode and
+    # keeps the replay a plain union of ADDED entries.
+    cur = {e["path"]: e for e in m["files"]}
+    removed = [p for p in st["prev_files"] if p not in cur]
+    if idx > 0 and not removed:
+        new_paths = [p for p in cur if p not in st["prev_files"]]
+    else:
+        st["carried"] = []
+        new_paths = list(cur)
+
+    manifests_for_snapshot = list(st["carried"])
+    if new_paths or not manifests_for_snapshot:
+        entries = [
+            {
+                "status": 1,  # ADDED at this snapshot
+                "snapshot_id": snap_id,
+                "sequence_number": seq,
+                "file_sequence_number": seq,
+                "data_file": {
+                    "content": 0,
+                    "file_path": f"{location}/{p}",
+                    "file_format": "PARQUET",
+                    "partition": {},
+                    "record_count": int(cur[p]["rows"]),
+                    "file_size_in_bytes": int(cur[p]["bytes"]),
+                },
+            }
+            for p in new_paths
+        ]
+        mname = f"{uuid.uuid4().hex}-m0.avro"
+        write_container(
+            os.path.join(write_dir, mname),
+            _MANIFEST_ENTRY,
+            entries,
+            metadata={
+                "schema": json.dumps(st["schemas"][-1]),
+                "schema-id": str(schema_id),
+                "partition-spec": "[]",
+                "partition-spec-id": "0",
+                "format-version": "2",
+                "content": "data",
+            },
+        )
+        manifests_for_snapshot.append(
+            {
+                "manifest_path": os.path.join(record_dir, mname),
+                "manifest_length": os.path.getsize(os.path.join(write_dir, mname)),
+                "partition_spec_id": 0,
+                "content": 0,
+                "sequence_number": seq,
+                "min_sequence_number": seq,
+                "added_snapshot_id": snap_id,
+                "added_files_count": len(entries),
+                "existing_files_count": 0,
+                "deleted_files_count": 0,
+                "added_rows_count": sum(
+                    e["data_file"]["record_count"] for e in entries
+                ),
+                "existing_rows_count": 0,
+                "deleted_rows_count": 0,
+            }
+        )
+    lname = f"snap-{snap_id}-1-{uuid.uuid4().hex}.avro"
+    write_container(
+        os.path.join(write_dir, lname),
+        _MANIFEST_FILE,
+        manifests_for_snapshot,
+        metadata={
+            "format-version": "2",
+            "snapshot-id": str(snap_id),
+            "sequence-number": str(seq),
+        },
+    )
+    st["carried"] = manifests_for_snapshot
+    st["prev_files"] = cur
+    op = m["mode"]
+    st["snapshots"].append(
+        {
+            "snapshot-id": snap_id,
+            "sequence-number": seq,
+            "timestamp-ms": ts_ms,
+            "manifest-list": os.path.join(record_dir, lname),
+            "schema-id": schema_id,
+            "summary": {"operation": "append" if op == "append" else "overwrite"},
+        }
+    )
+    st["snapshot_log"].append({"timestamp-ms": ts_ms, "snapshot-id": snap_id})
+    metadata = {
+        "format-version": 2,
+        "table-uuid": str(uuid.uuid5(_TABLE_UUID_NS, location)),
+        "location": location,
+        "last-sequence-number": seq,
+        "last-updated-ms": ts_ms,
+        "last-column-id": last_column_id,
+        "current-schema-id": schema_id,
+        "schemas": st["schemas"],
+        "default-spec-id": 0,
+        "partition-specs": [{"spec-id": 0, "fields": []}],
+        "last-partition-id": 999,
+        "default-sort-order-id": 0,
+        "sort-orders": [{"order-id": 0, "fields": []}],
+        "properties": {"write.format.default": "parquet"},
+        "current-snapshot-id": snap_id,
+        "snapshots": st["snapshots"],
+        "snapshot-log": st["snapshot_log"],
+        "metadata-log": [],
+    }
+    metadata_path = os.path.join(write_dir, f"v{seq}.metadata.json")
+    with open(metadata_path, "w") as f:
+        json.dump(metadata, f)
+    return os.path.join(record_dir, f"v{seq}.metadata.json")
+
+
+def _fresh_state() -> dict:
+    return {
+        "schemas": [],
+        "field_ids": {},  # path -> id, table-lifetime stable
+        "id_counter": [1],
+        "snapshots": [],
+        "snapshot_log": [],
+        "prev_schema_src": None,
+        "prev_files": {},
+        "carried": [],  # manifest_file records reused from the prior snapshot
+    }
+
+
+def _write_text_atomic(path: str, text: str) -> None:
+    tmp = path + ".inprogress"
+    with open(tmp, "w") as f:
+        f.write(text)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
+
+
 def tx_export_iceberg(root: str) -> str:
     """Write ``root/metadata/`` translating the retained txlog history
     into Iceberg v2 snapshots; returns the current metadata JSON path.
 
     Snapshot i (renumbered from the oldest retained manifest, like the
-    Delta exporter) has sequence number i+1, a snapshot-complete
-    manifest of the version's live files, and an operation summary from
-    the txlog mode.  Schema changes append a new schema-id.  Re-export
-    is idempotent: the metadata directory is rebuilt from scratch (data
-    files never move)."""
+    Delta exporter) has sequence number i+1 and an operation summary
+    from the txlog mode; appends reuse prior manifests (O(added files)
+    work), remove-commits reset to a snapshot-complete manifest.
+    Schema changes append a new schema-id with table-lifetime-stable
+    field ids.
+
+    Re-export is INCREMENTAL (r11, was a full rebuild): a marker file
+    records the covered txlog versions, and while the retained tail
+    still starts at the recorded base (no vacuum since), only snapshots
+    past the exported head are added — the allocator map / carried
+    manifests / snapshot history are reconstructed from the persisted
+    metadata JSON itself, so resumed exports assign the SAME field ids
+    earlier exports did.  New metadata files land under fresh names and
+    ``version-hint.text`` flips by atomic rename, so a concurrent
+    Hadoop-catalog reader always sees a complete tree (what makes
+    ``txlog_sink(export=...)``'s per-micro-batch refresh O(batch)).
+    A vacuum that moves the renumbering base forces a full rebuild,
+    staged in a sidecar directory and swapped in."""
     head = tx_head(root)
     if head is None:
         raise FileNotFoundError(f"no committed versions at {root}")
+    location = os.path.abspath(root)
+    meta_dir = os.path.join(root, _META)
+    marker_path = os.path.join(meta_dir, _EXPORT_MARKER)
+
+    if os.path.exists(marker_path):
+        with open(marker_path) as f:
+            mk = json.load(f)
+        base, exported = int(mk["base"]), int(mk["exported_head"])
+        base_still_retained = os.path.exists(_manifest_path(root, base)) and (
+            base == 0 or not os.path.exists(_manifest_path(root, base - 1))
+        )
+        hint = os.path.join(meta_dir, "version-hint.text")
+        if base_still_retained and exported <= head and os.path.exists(hint):
+            with open(hint) as f:
+                version = int(f.read().strip())
+            cur_meta = os.path.join(meta_dir, f"v{version}.metadata.json")
+            if version == exported - base + 1 and os.path.exists(cur_meta):
+                if exported == head:
+                    return cur_meta
+                with open(cur_meta) as f:
+                    md = json.load(f)
+                st = _fresh_state()
+                st["schemas"] = md["schemas"]
+                for sc in md["schemas"]:
+                    _collect_field_ids(sc, "", st["field_ids"])
+                st["id_counter"] = [md["last-column-id"] + 1]
+                st["snapshots"] = md["snapshots"]
+                st["snapshot_log"] = md["snapshot-log"]
+                cur_snap = next(
+                    s
+                    for s in md["snapshots"]
+                    if s["snapshot-id"] == md["current-snapshot-id"]
+                )
+                _, _, st["carried"] = read_container(cur_snap["manifest-list"])
+                prev_m = _read_manifest(root, exported)
+                st["prev_files"] = {e["path"]: e for e in prev_m["files"]}
+                st["prev_schema_src"] = prev_m.get("schema")
+                metadata_path = cur_meta
+                for v in range(exported + 1, head + 1):
+                    m = _read_manifest(root, v)
+                    metadata_path = _write_snapshot(
+                        root, location, m, v - base, st, meta_dir, meta_dir
+                    )
+                    _write_text_atomic(
+                        os.path.join(meta_dir, "version-hint.text"),
+                        str(v - base + 1),
+                    )
+                    _write_text_atomic(
+                        marker_path, json.dumps({"base": base, "exported_head": v})
+                    )
+                return metadata_path
+
+    # full (re)build: first export, or vacuum moved the renumbering base.
+    # Staged into a sidecar dir (embedded paths record the FINAL dir) and
+    # swapped — the reader-visible window is one rmtree+rename.
     retained = []
     v = head
     while v >= 0:
@@ -214,154 +480,23 @@ def tx_export_iceberg(root: str) -> str:
             break
         v -= 1
     retained.reverse()
+    base = head - len(retained) + 1
 
-    location = os.path.abspath(root)
-    meta_dir = os.path.join(root, _META)
-    shutil.rmtree(meta_dir, ignore_errors=True)
-    os.makedirs(meta_dir)
-
-    schemas: list[dict] = []
-    field_ids: dict[str, int] = {}  # path -> id, table-lifetime stable
-    id_counter = [1]
-    snapshots: list[dict] = []
-    snapshot_log: list[dict] = []
+    stage_dir = meta_dir + ".staged"
+    shutil.rmtree(stage_dir, ignore_errors=True)
+    os.makedirs(stage_dir)
+    st = _fresh_state()
     metadata_path = ""
-    prev_schema_src: dict | None = None
-    prev_files: dict[str, dict] = {}
-    carried: list[dict] = []  # manifest_file records reused from the prior snapshot
     for i, m in enumerate(retained):
-        seq = i + 1
-        snap_id = 1000 + i
-        ts_ms = int(float(m.get("committed_at") or time.time()) * 1000)
-        if prev_schema_src != m.get("schema"):
-            schemas.append(
-                _iceberg_schema(m.get("schema") or {}, len(schemas), field_ids, id_counter)
-            )
-            prev_schema_src = dict(m.get("schema") or {})
-        schema_id = schemas[-1]["schema-id"]
-        last_column_id = id_counter[0] - 1
-
-        # manifest REUSE, the Iceberg writers' scale behavior: an append
-        # commit adds ONE delta manifest of just its new files and carries
-        # every prior manifest into its manifest list verbatim — export
-        # work per append is O(added files), not O(table). A commit that
-        # REMOVES files (overwrite / merge / restore / compaction) resets
-        # to a snapshot-complete manifest: correct for every mode and
-        # keeps the replay a plain union of ADDED entries.
-        cur = {e["path"]: e for e in m["files"]}
-        removed = [p for p in prev_files if p not in cur]
-        if i > 0 and not removed:
-            new_paths = [p for p in cur if p not in prev_files]
-        else:
-            carried = []
-            new_paths = list(cur)
-
-        manifests_for_snapshot = list(carried)
-        if new_paths or not manifests_for_snapshot:
-            entries = [
-                {
-                    "status": 1,  # ADDED at this snapshot
-                    "snapshot_id": snap_id,
-                    "sequence_number": seq,
-                    "file_sequence_number": seq,
-                    "data_file": {
-                        "content": 0,
-                        "file_path": f"{location}/{p}",
-                        "file_format": "PARQUET",
-                        "partition": {},
-                        "record_count": int(cur[p]["rows"]),
-                        "file_size_in_bytes": int(cur[p]["bytes"]),
-                    },
-                }
-                for p in new_paths
-            ]
-            manifest_path = os.path.join(meta_dir, f"{uuid.uuid4().hex}-m0.avro")
-            write_container(
-                manifest_path,
-                _MANIFEST_ENTRY,
-                entries,
-                metadata={
-                    "schema": json.dumps(schemas[-1]),
-                    "schema-id": str(schema_id),
-                    "partition-spec": "[]",
-                    "partition-spec-id": "0",
-                    "format-version": "2",
-                    "content": "data",
-                },
-            )
-            manifests_for_snapshot.append(
-                {
-                    "manifest_path": manifest_path,
-                    "manifest_length": os.path.getsize(manifest_path),
-                    "partition_spec_id": 0,
-                    "content": 0,
-                    "sequence_number": seq,
-                    "min_sequence_number": seq,
-                    "added_snapshot_id": snap_id,
-                    "added_files_count": len(entries),
-                    "existing_files_count": 0,
-                    "deleted_files_count": 0,
-                    "added_rows_count": sum(
-                        e["data_file"]["record_count"] for e in entries
-                    ),
-                    "existing_rows_count": 0,
-                    "deleted_rows_count": 0,
-                }
-            )
-        list_path = os.path.join(
-            meta_dir, f"snap-{snap_id}-1-{uuid.uuid4().hex}.avro"
+        metadata_path = _write_snapshot(
+            root, location, m, i, st, stage_dir, meta_dir
         )
-        write_container(
-            list_path,
-            _MANIFEST_FILE,
-            manifests_for_snapshot,
-            metadata={
-                "format-version": "2",
-                "snapshot-id": str(snap_id),
-                "sequence-number": str(seq),
-            },
-        )
-        carried = manifests_for_snapshot
-        prev_files = cur
-        op = m["mode"]
-        snapshots.append(
-            {
-                "snapshot-id": snap_id,
-                "sequence-number": seq,
-                "timestamp-ms": ts_ms,
-                "manifest-list": list_path,
-                "schema-id": schema_id,
-                "summary": {
-                    "operation": "append" if op == "append" else "overwrite"
-                },
-            }
-        )
-        snapshot_log.append({"timestamp-ms": ts_ms, "snapshot-id": snap_id})
-        metadata = {
-            "format-version": 2,
-            "table-uuid": str(uuid.uuid5(_TABLE_UUID_NS, location)),
-            "location": location,
-            "last-sequence-number": seq,
-            "last-updated-ms": ts_ms,
-            "last-column-id": last_column_id,
-            "current-schema-id": schema_id,
-            "schemas": schemas,
-            "default-spec-id": 0,
-            "partition-specs": [{"spec-id": 0, "fields": []}],
-            "last-partition-id": 999,
-            "default-sort-order-id": 0,
-            "sort-orders": [{"order-id": 0, "fields": []}],
-            "properties": {"write.format.default": "parquet"},
-            "current-snapshot-id": snap_id,
-            "snapshots": snapshots,
-            "snapshot-log": snapshot_log,
-            "metadata-log": [],
-        }
-        metadata_path = os.path.join(meta_dir, f"v{seq}.metadata.json")
-        with open(metadata_path, "w") as f:
-            json.dump(metadata, f)
-    with open(os.path.join(meta_dir, "version-hint.text"), "w") as f:
+    with open(os.path.join(stage_dir, "version-hint.text"), "w") as f:
         f.write(str(len(retained)))
+    with open(os.path.join(stage_dir, _EXPORT_MARKER), "w") as f:
+        json.dump({"base": base, "exported_head": head}, f)
+    shutil.rmtree(meta_dir, ignore_errors=True)
+    os.rename(stage_dir, meta_dir)
     return metadata_path
 
 

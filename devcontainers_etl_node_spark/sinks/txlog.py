@@ -522,7 +522,7 @@ def tx_history(root: str, since_version: int = -1) -> list[dict]:
 
 
 def tx_changes(
-    spark: SparkSession, root: str, since_version: int
+    spark: SparkSession, root: str, since_version: int, exact: bool = True
 ) -> DataFrame:
     """Incremental scan (CDF-lite): the rows APPENDED OR UPSERTED by
     versions (since_version, head], each at its LATEST committed value —
@@ -543,7 +543,17 @@ def tx_changes(
     rows.  The anti-join is bounded by the changelog (broadcast-sized in
     practice), and a pure-append window still plans as ONE parquet scan
     of the added files — the fold only materializes joins when a merge
-    is actually in the window."""
+    is actually in the window.
+
+    ``exact=False`` is the migration path for tables whose history holds
+    merges committed BEFORE change-file recording existed (pre-r10): a
+    legacy merge then contributes its rewritten files whole — the
+    pre-r10 AT-LEAST-ONCE behavior, which can re-deliver survivor rows
+    the merge re-staged from files committed before the cursor.
+    Consumers opting in must dedup on their own key.  With the default
+    ``exact=True`` such a window raises with a reset recipe instead of
+    silently over-delivering; merges that DID record change files stay
+    exact under either flag."""
     head = tx_head(root)
     if head is None or since_version > head:
         raise ValueError(f"since_version v{since_version} vs head {head}")
@@ -575,11 +585,19 @@ def tx_changes(
         elif m["mode"] == "merge":
             cf = m.get("change_files")
             if cf is None:
+                if not exact:
+                    # legacy at-least-once fold: the merge's rewritten
+                    # files re-deliver survivors alongside the true
+                    # upserts (documented in the exact=False contract)
+                    paths += [os.path.join(root, p) for p in m["added"]]
+                    continue
                 raise ValueError(
                     f"merge at v{v} of {root} predates change-file "
                     f"recording — an exact feed across it is impossible; "
                     f"re-read the full snapshot (tx_read) and reset the "
-                    f"cursor to v{head}"
+                    f"cursor to v{head}, or pass exact=False to accept "
+                    f"the pre-r10 at-least-once feed (survivor rows may "
+                    f"re-deliver; dedup on your key)"
                 )
             key = m["merge_key"]
             raw = spark.read.parquet(*[os.path.join(root, p) for p in cf])

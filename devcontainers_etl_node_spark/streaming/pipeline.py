@@ -758,13 +758,18 @@ def txlog_sink(
 
     ``export`` keeps an OPEN-FORMAT mirror of the table continuously
     consumable by external readers: after every committed batch the
-    txlog history is re-exported as a standard Delta ``_delta_log``
+    txlog history is exported as a standard Delta ``_delta_log``
     (``"delta"``), an Iceberg v2 metadata tree (``"iceberg"``), or
-    ``"both"`` — driver-side O(manifest) work per batch, zero data
-    movement (the Iceberg appends reuse prior manifests, so the per-
-    batch delta is O(batch files)). The export runs even when the
-    commit was skipped as a replay, which heals a crash that landed
-    between a commit and its export."""
+    ``"both"``.  The export is INCREMENTAL across batches (r11): each
+    call appends only the commits past the exported head — one Delta
+    commit file / one Iceberg manifest + metadata JSON per batch, each
+    landing by atomic rename — so per-batch driver work is O(batch
+    files) (plus the O(snapshot-count) Iceberg metadata JSON, bytes not
+    files), zero data movement, and an external reader never observes a
+    missing or partial log.  Only a vacuum (which moves the renumbering
+    base) triggers a full rebuild, staged in a sidecar dir and swapped
+    in.  The export runs even when the commit was skipped as a replay,
+    which heals a crash that landed between a commit and its export."""
     from devcontainers_etl_node_spark.sinks.txlog import tx_write_idempotent
 
     if export not in (None, "delta", "iceberg", "both"):

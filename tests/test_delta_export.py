@@ -115,6 +115,45 @@ def test_export_is_idempotent_and_keeps_a_stable_table_id(spark, tmp_path):
     assert delta_log_snapshot(root)["version"] == 1
 
 
+def test_reexport_is_incremental_and_atomic(spark, tmp_path):
+    """r11 (r10 advice): re-export APPENDS only the commits past the
+    exported head — earlier commit files are not rewritten (byte-
+    identical, same inode-level content), per-call work is O(new
+    commits), and a no-op re-export writes nothing. Vacuum moves the
+    renumbering base and forces the full rebuild."""
+    root = str(tmp_path / "t")
+    txlog.tx_write(_df(spark, 0, 5, "a"), root)                         # v0
+    first = tx_export_delta(root)
+    assert len(first) == 1
+    c0 = os.path.join(root, "_delta_log", f"{0:020d}.json")
+    before = open(c0, "rb").read()
+    mtime = os.path.getmtime(c0)
+
+    txlog.tx_write(_df(spark, 5, 10, "b"), root)                        # v1
+    second = tx_export_delta(root)
+    assert [os.path.basename(p) for p in second] == [f"{1:020d}.json"]
+    assert open(c0, "rb").read() == before and os.path.getmtime(c0) == mtime
+    assert delta_log_snapshot(root)["version"] == 1
+
+    # idempotent no-op: nothing written, log unchanged
+    assert tx_export_delta(root) == []
+    assert delta_log_snapshot(root)["version"] == 1
+
+    # incremental result ≡ full rebuild (delete the marker to force one)
+    snap_inc = delta_log_snapshot(root)
+    os.remove(os.path.join(root, "_delta_log", ".txlog_export.json"))
+    rebuilt = tx_export_delta(root)
+    assert len(rebuilt) == 2
+    assert delta_log_snapshot(root) == snap_inc
+
+    # vacuum drops the base -> full rebuild renumbered from the tail
+    txlog.tx_write(_df(spark, 10, 15, "c"), root)                       # v2
+    txlog.tx_vacuum(root, keep_last=2, retention_hours=0)
+    written = tx_export_delta(root)
+    assert len(written) == 2
+    assert delta_log_snapshot(root)["version"] == 1
+
+
 def test_nested_types_translate_to_delta_schema_json(spark, tmp_path):
     root = str(tmp_path / "t")
     df = spark.range(0, 3).select(
@@ -137,6 +176,45 @@ def test_nested_types_translate_to_delta_schema_json(spark, tmp_path):
     assert fields["st"]["type"] == "struct"
     assert [f["name"] for f in fields["st"]["fields"]] == ["a", "b"]
     assert fields["money"] == "decimal(12,2)"
+
+
+def test_decimal_nested_inside_struct_map_array_exports(spark, tmp_path):
+    """r10 advice regression: _split_top counted only angle-bracket depth,
+    so the comma INSIDE decimal(p,s) split a struct<>/map<> argument list
+    and the export crashed (or emitted 'decimal(10'). Depth must also
+    track parentheses."""
+    root = str(tmp_path / "t")
+    df = spark.range(0, 3).select(
+        F.col("id"),
+        F.struct(
+            F.col("id").cast("decimal(10,2)").alias("amt"),
+            F.col("id").alias("n"),
+        ).alias("st"),
+        F.create_map(F.lit("k"), F.col("id").cast("decimal(7,3)")).alias("kv"),
+        F.array(F.col("id").cast("decimal(5,1)")).alias("arr"),
+        # single-field struct: the pre-fix code emitted 'decimal(10' here
+        F.struct(F.col("id").cast("decimal(10,2)").alias("only")).alias("s1"),
+    )
+    txlog.tx_write(df, root)
+    tx_export_delta(root)
+    fields = {f["name"]: f["type"] for f in delta_log_snapshot(root)["schema"]["fields"]}
+    assert fields["st"] == {
+        "type": "struct",
+        "fields": [
+            {"name": "amt", "type": "decimal(10,2)", "nullable": True, "metadata": {}},
+            {"name": "n", "type": "long", "nullable": True, "metadata": {}},
+        ],
+    }
+    assert fields["kv"] == {
+        "type": "map", "keyType": "string", "valueType": "decimal(7,3)",
+        "valueContainsNull": True,
+    }
+    assert fields["arr"] == {
+        "type": "array", "elementType": "decimal(5,1)", "containsNull": True
+    }
+    assert fields["s1"]["fields"] == [
+        {"name": "only", "type": "decimal(10,2)", "nullable": True, "metadata": {}}
+    ]
 
 
 def test_spark_delta_reader_is_gated_with_a_clear_error(spark, tmp_path):

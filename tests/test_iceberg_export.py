@@ -138,6 +138,96 @@ def test_export_nested_types_get_fresh_field_ids(spark, tmp_path):
     assert ids == [1, 2, 3, 4] and len(set(ids + nested)) == 7
 
 
+def test_reexport_is_incremental_with_stable_ids_and_reused_manifests(spark, tmp_path):
+    """r11 (r10 advice): re-export appends only snapshots past the
+    exported head — prior manifest/list Avro files are untouched and
+    REUSED by path, field ids resume from the persisted schemas (no
+    remap), version-hint flips atomically, and a no-op re-export returns
+    the current metadata without writing. Vacuum forces a rebuild."""
+    root = str(tmp_path / "t")
+    txlog.tx_write(
+        spark.range(0, 5).select(
+            F.col("id"), F.array(F.col("id").cast("double")).alias("vec")
+        ),
+        root,
+    )                                                                    # v0
+    tx_export_iceberg(root)
+    meta = os.path.join(root, "metadata")
+    avro_before = {
+        p: (os.path.getmtime(os.path.join(meta, p)), os.path.getsize(os.path.join(meta, p)))
+        for p in os.listdir(meta)
+        if p.endswith(".avro")
+    }
+    ids_before = {f["name"]: f["id"] for f in iceberg_snapshot(root)["schema"]["fields"]}
+    elem_id_before = next(
+        f["type"]["element-id"]
+        for f in iceberg_snapshot(root)["schema"]["fields"]
+        if f["name"] == "vec"
+    )
+
+    txlog.tx_write(
+        spark.range(5, 10).select(
+            F.col("id"), F.array(F.col("id").cast("double")).alias("vec")
+        ),
+        root,
+    )                                                                    # v1 (append)
+    path2 = tx_export_iceberg(root)
+    assert path2.endswith("v2.metadata.json")
+    # prior avro files untouched and still referenced (manifest reuse)
+    for p, sig in avro_before.items():
+        full = os.path.join(meta, p)
+        assert os.path.exists(full)
+        assert (os.path.getmtime(full), os.path.getsize(full)) == sig
+    snap = iceberg_snapshot(root)
+    assert {f["name"]: f["id"] for f in snap["schema"]["fields"]} == ids_before
+    assert next(
+        f["type"]["element-id"] for f in snap["schema"]["fields"] if f["name"] == "vec"
+    ) == elem_id_before
+    assert len(snap["files"]) >= 2 and snap["sequence_number"] == 2
+    manifest = txlog._read_manifest(root, txlog.tx_head(root))
+    loc = os.path.abspath(root)
+    assert set(snap["files"]) == {f"{loc}/{e['path']}" for e in manifest["files"]}
+
+    # no-op re-export: returns the same metadata, writes nothing new
+    files_now = set(os.listdir(meta))
+    assert tx_export_iceberg(root).endswith("v2.metadata.json")
+    assert set(os.listdir(meta)) == files_now
+
+    # incremental tree ≡ full rebuild (force one by removing the marker)
+    os.remove(os.path.join(meta, ".txlog_export.json"))
+    tx_export_iceberg(root)
+    rebuilt = iceberg_snapshot(root)
+    assert rebuilt["files"] == snap["files"]
+    assert rebuilt["schema"] == snap["schema"]
+
+    # vacuum moves the base -> rebuild renumbered from the retained tail
+    txlog.tx_write(_df(spark, 0, 1, "x").select(F.col("id"), F.array(F.col("id").cast("double")).alias("vec")), root)  # v2
+    txlog.tx_vacuum(root, keep_last=2, retention_hours=0)
+    tx_export_iceberg(root)
+    assert iceberg_snapshot(root)["sequence_number"] == 2
+
+
+def test_decimal_nested_inside_struct_and_map_exports(spark, tmp_path):
+    """r10 advice regression (shared _split_top): a decimal(p,s) nested
+    in struct<>/map<> must not be split on its internal comma."""
+    root = str(tmp_path / "t")
+    df = spark.range(0, 3).select(
+        F.col("id"),
+        F.struct(
+            F.col("id").cast("decimal(10,2)").alias("amt"),
+            F.col("id").alias("n"),
+        ).alias("st"),
+        F.create_map(F.lit("k"), F.col("id").cast("decimal(7,3)")).alias("kv"),
+    )
+    txlog.tx_write(df, root)
+    tx_export_iceberg(root)
+    by_name = {f["name"]: f for f in iceberg_snapshot(root)["schema"]["fields"]}
+    st_fields = {f["name"]: f["type"] for f in by_name["st"]["type"]["fields"]}
+    assert st_fields == {"amt": "decimal(10, 2)", "n": "long"}
+    assert by_name["kv"]["type"]["key"] == "string"
+    assert by_name["kv"]["type"]["value"] == "decimal(7, 3)"
+
+
 def test_field_ids_stable_across_schema_evolution_with_nested_types(spark, tmp_path):
     """Iceberg readers project BY FIELD ID: after an evolution appends a
     column, every pre-existing path — including nested element ids —
