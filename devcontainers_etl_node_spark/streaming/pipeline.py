@@ -217,8 +217,8 @@ def streaming_minhash_neardup_pairs(
     ts_col: str = "ts",
     watermark: str = "10 minutes",
     shingle_k: int = 5,
-    num_hashes: int = 16,
-    bands: int = 4,
+    num_hashes: int = 32,
+    bands: int = 8,
     threshold: float = 0.5,
 ) -> DataFrame:
     """Streaming twin of ``operators.dedup.minhash_lsh_pairs`` — the

@@ -1090,11 +1090,11 @@ def test_streaming_minhash_neardup_batch_parity(spark, tmp_path):
     got = spark.sql("SELECT * FROM mh_pairs_out").collect()
     got_pairs = {(r.id_a, r.id_b): r.jaccard_sim for r in got}
     assert len(got) == len(got_pairs)  # no duplicate emissions
+    # both sides at the library default (32/8 since r11) — parity is a
+    # knob-for-knob contract, pinned here at the config users get
     batch = minhash_lsh_pairs(
         spark.createDataFrame(rows, schema),
         threshold=0.5,
-        num_hashes=16,
-        bands=4,
     ).collect()
     want = {(r.id_a, r.id_b): r.jaccard_sim for r in batch}
     assert set(got_pairs) == set(want) and len(want) >= 3  # the 3 families

@@ -90,12 +90,14 @@ def gen_documents(spark, n: int, out_dir: str) -> None:
     )
 
 
-def run_ladder(sizes: list[int]) -> None:
+def run_ladder(sizes: list[int], n_reps: int = 2, entries: list[str] | None = None) -> None:
     from devcontainers_etl_node_spark.queries.catalog import QUERIES
     from devcontainers_etl_node_spark.session import get_spark
 
+    entries = entries or ENTRIES
     spark = get_spark()
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    print(f"# ladder start loadavg={os.getloadavg()[0]:.2f} reps={n_reps} entries={entries}")
 
     results: dict[int, dict[str, list[float]]] = {}
     for n in sizes:
@@ -103,9 +105,9 @@ def run_ladder(sizes: list[int]) -> None:
         if not os.path.exists(os.path.join(d, "documents.parquet", "_SUCCESS")):
             gen_documents(spark, n, d)
         results[n] = {}
-        for name in ENTRIES:
+        for name in entries:
             reps = []
-            for _ in range(2):
+            for _ in range(n_reps):
                 gc.collect()
                 spark.sparkContext._jvm.System.gc()
                 t0 = time.perf_counter()
@@ -126,7 +128,7 @@ def run_ladder(sizes: list[int]) -> None:
               f"alpha {sizes[i]}->{sizes[i+1]}" for i in range(len(sizes) - 1)
           ) + " | alpha overall |")
     print("|---" * (len(sizes) * 2 + 1) + "|")
-    for name in ENTRIES:
+    for name in entries:
         best = [min(results[n][name]) for n in sizes]
         alphas = [
             math.log(best[i + 1] / best[i]) / math.log(sizes[i + 1] / sizes[i])
@@ -171,9 +173,9 @@ def run_spill(docs_dir: str) -> None:
 
     docs = spark.read.parquet(os.path.join(docs_dir, "documents.parquet"))
     t0 = time.perf_counter()
-    n_pairs = dedup.minhash_lsh_pairs(
-        docs, threshold=0.5, num_hashes=16, bands=4
-    ).count()
+    # library default 32/8 — the shipped entry config since r11 (the r10
+    # gate ran the then-shipped 16/4; both complete by spilling)
+    n_pairs = dedup.minhash_lsh_pairs(docs, threshold=0.5).count()
     wall = round(time.perf_counter() - t0, 1)
 
     app_id = spark.sparkContext.applicationId
@@ -234,6 +236,81 @@ def run_bm25_index(sizes: list[int]) -> None:
         )
 
 
+def run_streaming_state(sizes: list[int], batches: int = 10) -> None:
+    """Streaming MinHash near-dup state-store rung (r10 verdict task 2):
+    feed each rung's corpus through ``streaming_minhash_neardup_pairs``
+    in ``batches`` event-time-ordered micro-batches spanning THREE
+    watermark horizons, and read the state-operator metrics from every
+    progress event.  The 100 TB claim under test: state is O(docs in
+    horizon), not O(stream) — peak state rows must track the horizon's
+    doc count (flat-ish per rung once the horizon fills, ~linear ACROSS
+    rungs), and rows evicted (numRowsRemoved) must be > 0 once the
+    watermark passes the first batches."""
+    import shutil as _sh
+
+    from devcontainers_etl_node_spark.session import get_spark
+    from devcontainers_etl_node_spark.streaming import (
+        streaming_minhash_neardup_pairs,
+    )
+
+    spark = get_spark()
+    print(f"# streaming-state start loadavg={os.getloadavg()[0]:.2f} batches={batches}")
+    print("| docs | horizon docs | peak state rows | peak state MB | rows removed | pairs | wall |")
+    print("|---|---|---|---|---|---|---|")
+    for n in sizes:
+        d = os.path.join(ROOT, f"docs_v2_{n}")
+        docs = spark.read.parquet(os.path.join(d, "documents.parquet"))
+        # spread event time uniformly over 30 min; watermark horizon
+        # 10 min => steady-state holds ~n/3 docs, ~2 horizons evict
+        epoch_2024 = 1704067200  # 2024-01-01T00:00:00Z
+        stamped = docs.select(
+            F.col("doc_id"),
+            F.col("text"),
+            F.timestamp_seconds(
+                F.lit(epoch_2024) + (F.col("doc_id") % 1800)
+            ).alias("ts"),
+        )
+        src = os.path.join(ROOT, f"stream_src_{n}")
+        _sh.rmtree(src, ignore_errors=True)
+        # batch files ORDERED by event time so the watermark advances
+        b = F.floor((F.col("doc_id") % 1800) / (1800 / batches)).cast("int")
+        for i in range(batches):
+            stamped.filter(b == i).write.mode("overwrite").parquet(
+                os.path.join(src, f"b{i:02d}")
+            )
+        stream = spark.readStream.schema(stamped.schema).option(
+            "maxFilesPerTrigger", "64"
+        ).parquet(os.path.join(src, "b*"))
+        out = streaming_minhash_neardup_pairs(stream, watermark="10 minutes")
+        ckpt = os.path.join(ROOT, f"stream_ck_{n}")
+        _sh.rmtree(ckpt, ignore_errors=True)
+        t_start = time.perf_counter()
+        q = (
+            out.writeStream.format("memory")
+            .queryName(f"mh_state_{n}")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        wall = round(time.perf_counter() - t_start, 1)
+        peak_rows = peak_mem = removed = 0
+        for p in q.recentProgress:
+            for so in p.get("stateOperators") or []:
+                peak_rows = max(peak_rows, so.get("numRowsTotal", 0))
+                mem = so.get("stateMemory", so.get("memoryUsedBytes", 0)) or 0
+                cu = (so.get("customMetrics") or {}).get("stateOnCurrentVersionSizeBytes", 0)
+                peak_mem = max(peak_mem, mem, cu)
+                removed += so.get("numRowsRemoved", 0)
+        pairs = spark.sql(f"SELECT count(*) c FROM mh_state_{n}").collect()[0].c
+        # horizon steady state: docs whose event time spans 10 of 30 min
+        print(
+            f"| {n} | ~{n // 3} | {peak_rows} | {peak_mem / 1e6:.1f} | "
+            f"{removed} | {pairs} | {wall} s |",
+            flush=True,
+        )
+
+
 def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "--spill":
         run_spill(sys.argv[2])
@@ -246,13 +323,29 @@ def main() -> None:
         )
         run_bm25_index(sizes)
         return
-    sizes = (
-        [int(x) for x in sys.argv[1].split(",")]
-        if len(sys.argv) > 1
-        else [5000, 50000, 250000]
-    )
+    if len(sys.argv) > 1 and sys.argv[1] == "--streaming":
+        sizes = (
+            [int(x) for x in sys.argv[2].split(",")]
+            if len(sys.argv) > 2
+            else [5000, 50000]
+        )
+        os.makedirs(ROOT, exist_ok=True)
+        run_streaming_state(sizes)
+        return
+    argv = sys.argv[1:]
+    n_reps, entries = 2, None
+    while argv and argv[0].startswith("--"):
+        if argv[0] == "--reps":
+            n_reps = int(argv[1])
+            argv = argv[2:]
+        elif argv[0] == "--entries":
+            entries = argv[1].split(",")
+            argv = argv[2:]
+        else:
+            raise SystemExit(f"unknown flag {argv[0]}")
+    sizes = [int(x) for x in argv[0].split(",")] if argv else [5000, 50000, 250000]
     os.makedirs(ROOT, exist_ok=True)
-    run_ladder(sizes)
+    run_ladder(sizes, n_reps=n_reps, entries=entries)
 
 
 if __name__ == "__main__":
