@@ -217,6 +217,129 @@ def _gram_rows(df: DataFrame, text_col: str, id_col: str, ngram: int) -> DataFra
     )
 
 
+def setsim_preflight(
+    df: DataFrame,
+    threshold: float,
+    ngram: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    head_frac: float = 0.001,
+) -> dict:
+    """Pre-flight token-statistics probe for :func:`setsim_join_prefix`
+    (r10 verdict task 4): PREDICT the prefix-filter's raw candidate
+    volume from the gram document-frequency histogram alone — two
+    aggregations over the same gram relation the operator's first
+    shuffle builds, no joins, no candidate generation.
+
+    Why it works: AllPairs orders grams rarest-first and each doc emits
+    only its ``sz - ceil(t*sz) + 1`` rarest grams as join keys.  The
+    probe mirrors that choice globally: fill the corpus's total prefix
+    mass ``P = Σ_docs (sz - ceil(t*sz) + 1)`` with grams taken in
+    ascending document frequency, and charge each taken gram its bucket
+    collisions ``df·(df-1)/2`` (the boundary frequency class is taken
+    pro-rata).  The estimate is an upper bound on the operator's raw
+    prefix collisions in the uniform-doc-length regime (a globally-rare
+    gram sits in the prefix of every doc containing it) and tracks the
+    measured volume within a small factor across corpus draws — the
+    PERF.md round-11 study correlates them on independent draws with
+    varying Zipf heads.
+
+    Returns a dict with the corpus statistics
+    (``n_docs, total_grams, distinct_grams, avg_doc_grams``), the
+    vocabulary-shape signals (``head_mass`` = share of gram occurrences
+    in the most frequent ``head_frac`` of distinct grams;
+    ``distinct_token_ratio`` = distinct/total), the fill diagnostics
+    (``prefix_mass, df_cutoff``), and the decision outputs
+    (``predicted_candidates``, ``predicted_candidates_per_doc``).
+
+    Decision rule (measured regime, PERF.md r11): AllPairs' exact
+    verify stays cheap while predicted candidates per doc is O(10);
+    beyond ~100 predicted candidates/doc the verify dominates the
+    operator and the approximate ``minhash_lsh_pairs`` (32/8, active
+    est-prune) is the right tool — its verify volume tracks TRUE pairs,
+    not prefix-bucket fan-out.  Driver-side cost: collects the
+    df-histogram only — O(distinct document-frequency VALUES), a few
+    hundred rows on any real corpus, never O(vocabulary).
+    """
+    import math
+
+    grams = _gram_rows(df, text_col, id_col, ngram)
+    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("sz"))
+    # exact corpus prefix mass: Σ (sz - ceil(t*sz) + 1)
+    stats_row = sizes.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("sz").alias("total_grams"),
+        F.sum(
+            F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz") - F.lit(1e-6)) + 1
+        ).alias("prefix_mass"),
+    ).collect()[0]
+    n_docs, total_grams, prefix_mass = (
+        int(stats_row["n_docs"]),
+        int(stats_row["total_grams"] or 0),
+        int(stats_row["prefix_mass"] or 0),
+    )
+    if n_docs == 0 or total_grams == 0:
+        return {
+            "n_docs": n_docs,
+            "total_grams": 0,
+            "distinct_grams": 0,
+            "avg_doc_grams": 0.0,
+            "head_mass": 0.0,
+            "distinct_token_ratio": 0.0,
+            "prefix_mass": 0,
+            "df_cutoff": 0,
+            "predicted_candidates": 0,
+            "predicted_candidates_per_doc": 0.0,
+            "recommend": "allpairs",
+        }
+    gfreq = grams.groupBy("gram").agg(F.count(F.lit(1)).cast("long").alias("gdf"))
+    # bounded collect: one row per distinct FREQUENCY VALUE (not per gram)
+    hist = {
+        int(r["gdf"]): int(r["n"])
+        for r in gfreq.groupBy("gdf").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    distinct_grams = sum(hist.values())
+    # head mass: occurrences carried by the top head_frac of grams
+    head_n = max(1, math.ceil(distinct_grams * head_frac))
+    taken, occ = 0, 0
+    for dfv in sorted(hist, reverse=True):
+        take = min(hist[dfv], head_n - taken)
+        occ += take * dfv
+        taken += take
+        if taken >= head_n:
+            break
+    head_mass = occ / total_grams
+    # rarest-first fill of the prefix mass; charge df*(df-1)/2 per gram
+    filled, pred = 0, 0.0
+    df_cutoff = 0
+    for dfv in sorted(hist):
+        mass = hist[dfv] * dfv
+        if filled + mass <= prefix_mass:
+            pred += hist[dfv] * dfv * (dfv - 1) / 2.0
+            filled += mass
+            df_cutoff = dfv
+        else:
+            frac = (prefix_mass - filled) / mass
+            pred += frac * hist[dfv] * dfv * (dfv - 1) / 2.0
+            filled = prefix_mass
+            df_cutoff = dfv
+            break
+    per_doc = pred / n_docs
+    return {
+        "n_docs": n_docs,
+        "total_grams": total_grams,
+        "distinct_grams": distinct_grams,
+        "avg_doc_grams": total_grams / n_docs,
+        "head_mass": round(head_mass, 4),
+        "distinct_token_ratio": round(distinct_grams / total_grams, 4),
+        "prefix_mass": prefix_mass,
+        "df_cutoff": df_cutoff,
+        "predicted_candidates": int(pred),
+        "predicted_candidates_per_doc": round(per_doc, 2),
+        "recommend": "allpairs" if per_doc <= 100 else "minhash",
+    }
+
+
 def setsim_join_prefix(
     df: DataFrame,
     threshold: float,

@@ -75,18 +75,28 @@ def write_webdataset(
     root: str,
     shard_col: str,
     key_col: str,
-    text_col: str,
+    text_col: str | None,
     meta_cols: list[str] | None = None,
     n_tasks: int | None = None,
+    binary_cols: dict[str, str] | None = None,
 ) -> None:
-    """Write ``{key}.txt`` (+ ``{key}.json`` when ``meta_cols``) samples
-    into ``root/shard-{shard:06d}.tar``, one tar per distinct
-    ``shard_col`` value.  Keys must be unique; member order inside a
-    shard is ascending ``key_col``.  ``root`` may be a plain POSIX path
-    (direct write + atomic rename) or a ``pyarrow.fs``-resolvable URI
+    """Write ``{key}.txt`` (+ ``{key}.json`` when ``meta_cols``, +
+    ``{key}.{ext}`` binary members when ``binary_cols``) samples into
+    ``root/shard-{shard:06d}.tar``, one tar per distinct ``shard_col``
+    value.  Keys must be unique; member order inside a shard is
+    ascending ``key_col``, and within a sample: ``.txt``, binary
+    extensions in sorted order, ``.json`` — deterministic, so tar bytes
+    stay reproducible.  ``binary_cols`` maps tar member extension ->
+    binary column (``{"png": "content"}`` writes ``{key}.png`` from
+    ``content``); a NULL payload skips that member (the multimodal
+    ``max_bytes`` guard NULLs oversized blobs — the sample's other
+    members still ship).  ``text_col=None`` writes no ``.txt`` member
+    (pure-media shards).  ``root`` may be a plain POSIX path (direct
+    write + atomic rename) or a ``pyarrow.fs``-resolvable URI
     (``file://``, ``s3://``, ``hdfs://`` — stage to local scratch, then
     upload; see module docstring for the atomicity contract)."""
     meta_cols = meta_cols or []
+    binary_cols = binary_cols or {}
     staged = "://" in root
     if staged:
         from pyarrow import fs as pa_fs
@@ -95,7 +105,10 @@ def write_webdataset(
         filesystem.create_dir(base, recursive=True)
     else:
         os.makedirs(root, exist_ok=True)
-    cols = [shard_col, key_col, text_col, *meta_cols]
+    cols = [shard_col, key_col]
+    if text_col is not None:
+        cols.append(text_col)
+    cols += [*meta_cols, *binary_cols.values()]
     n = n_tasks or df.sparkSession.conf.get("spark.sql.shuffle.partitions")
     arranged = (
         df.select(*cols)
@@ -160,8 +173,15 @@ def write_webdataset(
                     )
                 tar = tarfile.open(tmp, "w")
             key = str(row[key_col])
-            payload = (row[text_col] or "").encode("utf-8")
-            tar.addfile(_tarinfo(f"{key}.txt", len(payload)), io.BytesIO(payload))
+            if text_col is not None:
+                payload = (row[text_col] or "").encode("utf-8")
+                tar.addfile(_tarinfo(f"{key}.txt", len(payload)), io.BytesIO(payload))
+            for ext in sorted(binary_cols):
+                blob = row[binary_cols[ext]]
+                if blob is None:  # max_bytes-guarded payload: skip member
+                    continue
+                blob = bytes(blob)
+                tar.addfile(_tarinfo(f"{key}.{ext}", len(blob)), io.BytesIO(blob))
             if meta_cols:
                 meta = json.dumps(
                     {c: row[c] for c in meta_cols}, sort_keys=True, default=str

@@ -372,3 +372,71 @@ def test_webdataset_write_read_roundtrip(spark, tmp_path):
         ha = hashlib.sha256((tmp_path / "a" / t).read_bytes()).hexdigest()
         hs = hashlib.sha256((tmp_path / "staged" / t).read_bytes()).hexdigest()
         assert ha == hs, t
+
+
+def test_webdataset_binary_members_roundtrip(spark, tmp_path):
+    """r11 multimodal shards: binary_cols writes {key}.{ext} members from
+    binary columns (real PNG payloads), member order stays deterministic
+    (txt, sorted exts, json), a NULL payload (the max_bytes guard) skips
+    only that member, text_col=None makes pure-media shards, and the
+    payload bytes + decoded pixels survive the tar roundtrip exactly."""
+    import hashlib
+    import tarfile
+
+    import numpy as np
+
+    from devcontainers_etl_node_spark.operators import png
+    from devcontainers_etl_node_spark.sinks.webdataset import write_webdataset
+    from devcontainers_etl_node_spark.sources.webdataset import read_webdataset
+
+    def make_png(i: int) -> bytes:
+        rng = np.random.default_rng(i)
+        return png.encode(rng.integers(0, 256, (8, 8, 3), dtype=np.uint8))
+
+    rows = [(i, i % 2, f"caption {i}", make_png(i) if i != 5 else None) for i in range(8)]
+    docs = spark.createDataFrame(
+        rows, "doc_id LONG, shard LONG, text STRING, image BINARY"
+    )
+    for sub in ("a", "b"):
+        write_webdataset(
+            docs, str(tmp_path / sub), "shard", "doc_id", "text",
+            binary_cols={"png": "image"},
+        )
+    with tarfile.open(tmp_path / "a" / "shard-000001.tar") as tar:
+        names = tar.getnames()
+        # doc 5's png member skipped (NULL payload), its txt still ships
+        want = []
+        for k in (1, 3, 5, 7):
+            want.append(f"{k}.txt")
+            if k != 5:
+                want.append(f"{k}.png")
+        assert names == want
+        raw = tar.extractfile("1.png").read()
+        assert raw == make_png(1)
+        assert np.array_equal(
+            png.decode(raw), png.decode(make_png(1))
+        )
+    # reproducible bytes with binary members too
+    for t in ("shard-000000.tar", "shard-000001.tar"):
+        ha = hashlib.sha256((tmp_path / "a" / t).read_bytes()).hexdigest()
+        hb = hashlib.sha256((tmp_path / "b" / t).read_bytes()).hexdigest()
+        assert ha == hb, t
+    # engine-side read-back: png payloads byte-equal
+    back = read_webdataset(spark, str(tmp_path / "a"))
+    got = {
+        int(r["key"]): bytes(r["payload"])
+        for r in back.filter(F.col("ext") == "png").collect()
+    }
+    assert got == {i: make_png(i) for i in range(8) if i != 5}
+
+    # pure-media shards: no .txt members when text_col is None
+    write_webdataset(
+        docs.filter("image IS NOT NULL"),
+        str(tmp_path / "media_only"),
+        "shard",
+        "doc_id",
+        None,
+        binary_cols={"png": "image"},
+    )
+    with tarfile.open(tmp_path / "media_only" / "shard-000000.tar") as tar:
+        assert all(n.endswith(".png") for n in tar.getnames())
