@@ -340,6 +340,83 @@ def setsim_preflight(
     }
 
 
+def setsim_preflight_df(
+    df: DataFrame,
+    threshold: float,
+    ngram: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    head_frac: float = 0.001,
+) -> DataFrame:
+    """Distributed, INTEGER-EXACT form of :func:`setsim_preflight` — one
+    row of corpus statistics + the rarest-first-fill candidate
+    prediction, computed entirely engine-side (no driver collect), so a
+    SQL oracle can replay it bit-for-bit:
+
+    ``n_docs, total_grams, distinct_grams, prefix_mass,
+    predicted_collisions_x2, head_n, head_occ``
+
+    ``predicted_collisions_x2`` is twice the predicted raw prefix-bucket
+    collision count (kept ×2 so the pro-rata boundary stays in integer
+    arithmetic: each frequency class contributes
+    ``taken_mass · (df−1)`` where ``taken_mass`` clamps the remaining
+    prefix mass into the class).  ``head_occ`` is the gram occurrences
+    carried by the most frequent ``ceil(head_frac · distinct)`` grams —
+    the Zipf-head mass that drives the operator's vocabulary-shaped
+    constant (PERF.md r11 probe study)."""
+    grams = _gram_rows(df, text_col, id_col, ngram)
+    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("sz"))
+    corpus = sizes.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.coalesce(F.sum("sz"), F.lit(0)).cast("long").alias("total_grams"),
+        F.coalesce(
+            F.sum(
+                F.col("sz")
+                - F.ceil(F.lit(threshold) * F.col("sz") - F.lit(1e-6))
+                + 1
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("prefix_mass"),
+    )
+    gfreq = grams.groupBy("gram").agg(F.count(F.lit(1)).cast("long").alias("gdf"))
+    hist = gfreq.groupBy("gdf").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    tot = hist.agg(
+        F.coalesce(F.sum("n"), F.lit(0)).cast("long").alias("distinct_grams")
+    )
+    # bounded: the histogram has one row per distinct document-frequency
+    # VALUE (a few hundred on any corpus), never per gram — the
+    # unpartitioned windows below run on that bounded relation
+    w_asc = Window.orderBy("gdf").rowsBetween(Window.unboundedPreceding, 0)
+    w_desc = Window.orderBy(F.col("gdf").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    mass = F.col("n") * F.col("gdf")
+    fill = hist.withColumn("cum_mass", F.sum(mass).over(w_asc)).withColumn(
+        "cum_n", F.sum("n").over(w_desc)
+    )
+    head_n = F.ceil(F.col("distinct_grams") * F.lit(head_frac)).cast("long")
+    joined = fill.crossJoin(F.broadcast(corpus)).crossJoin(F.broadcast(tot))
+    taken_mass = F.greatest(
+        F.least(F.col("prefix_mass") - (F.col("cum_mass") - mass), mass), F.lit(0)
+    )
+    taken_head = F.greatest(
+        F.least(head_n - (F.col("cum_n") - F.col("n")), F.col("n")), F.lit(0)
+    )
+    return joined.groupBy(
+        "n_docs", "total_grams", "distinct_grams", "prefix_mass"
+    ).agg(
+        F.coalesce(F.sum(taken_mass * (F.col("gdf") - 1)), F.lit(0))
+        .cast("long")
+        .alias("predicted_collisions_x2"),
+        F.max(head_n).cast("long").alias("head_n"),
+        F.coalesce(F.sum(taken_head * F.col("gdf")), F.lit(0))
+        .cast("long")
+        .alias("head_occ"),
+    )
+
+
 def setsim_join_prefix(
     df: DataFrame,
     threshold: float,

@@ -9807,6 +9807,59 @@ def temperature_domain_sample(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "setsim_preflight_stats",
+    r"""
+    WITH sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   generate_series(1, greatest(len(string_split_regex(lower(trim(text)), '\s+')) - 2, 1)),
+                   i -> array_to_string(string_split_regex(lower(trim(text)), '\s+')[i:i+2], ' ')
+               )) AS grams
+        FROM documents),
+    g AS (SELECT doc_id, unnest(grams) AS gram FROM sh),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM g GROUP BY doc_id),
+    corpus AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                      CAST(COALESCE(SUM(sz), 0) AS BIGINT) AS total_grams,
+                      CAST(COALESCE(SUM(sz - CAST(ceil(0.5 * sz - 1e-6) AS BIGINT) + 1), 0) AS BIGINT) AS prefix_mass
+               FROM sizes),
+    gf AS (SELECT gram, CAST(COUNT(*) AS BIGINT) AS gdf FROM g GROUP BY gram),
+    hist AS (SELECT gdf, CAST(COUNT(*) AS BIGINT) AS n FROM gf GROUP BY gdf),
+    tot AS (SELECT CAST(COALESCE(SUM(n), 0) AS BIGINT) AS distinct_grams FROM hist),
+    fill AS (SELECT gdf, n,
+                    SUM(n * gdf) OVER (ORDER BY gdf) AS cum_mass,
+                    SUM(n) OVER (ORDER BY gdf DESC) AS cum_n
+             FROM hist)
+    SELECT c.n_docs AS n_docs, c.total_grams AS total_grams,
+           t.distinct_grams AS distinct_grams, c.prefix_mass AS prefix_mass,
+           CAST(COALESCE(SUM(GREATEST(LEAST(c.prefix_mass - (f.cum_mass - f.n * f.gdf), f.n * f.gdf), 0) * (f.gdf - 1)), 0) AS BIGINT)
+               AS predicted_collisions_x2,
+           CAST(ceil(t.distinct_grams * 0.001) AS BIGINT) AS head_n,
+           CAST(COALESCE(SUM(GREATEST(LEAST(CAST(ceil(t.distinct_grams * 0.001) AS BIGINT) - (f.cum_n - f.n), f.n), 0) * f.gdf), 0) AS BIGINT)
+               AS head_occ
+    FROM fill f, corpus c, tot t
+    GROUP BY c.n_docs, c.total_grams, t.distinct_grams, c.prefix_mass
+    """,
+)
+def setsim_preflight_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Pre-flight token-statistics probe for the AllPairs self-join
+    (r10 verdict task 4): predicts `setsim_selfjoin`'s raw prefix-bucket
+    candidate volume from the gram document-frequency HISTOGRAM alone —
+    two corpus aggregations plus windows over the bounded histogram, no
+    candidate generation, integer-exact so the DuckDB twin hashes
+    bit-for-bit (operators/retrieval.py:setsim_preflight_df; the
+    driver-side dict form is setsim_preflight). At 100 TB this is the
+    planner's cheap decision input: predicted collisions/doc in the
+    O(10) regime -> run exact AllPairs; beyond ~100 -> the verify would
+    dominate, yield to minhash_lsh_pairs (PERF.md r11 probe study
+    correlates the prediction with measured volumes across corpus
+    draws)."""
+    from devcontainers_etl_node_spark.operators import retrieval
+
+    docs = table(spark, sf, "documents")
+    return retrieval.setsim_preflight_df(docs, threshold=0.5)
+
+
+@query(
     "winnow_fingerprints",
     r"""
     WITH norm AS (

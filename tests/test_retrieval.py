@@ -185,3 +185,66 @@ def test_setsim_prune_lossless_randomized(spark):
             }
             want = _brute_pairs(texts, threshold, 3)
             assert got == want, (trial, threshold, got ^ want)
+
+
+def test_setsim_preflight_probe_and_df_agree(spark):
+    """The driver-side dict probe and the distributed integer-exact DF
+    form compute the same rarest-first fill: predicted_collisions_x2/2
+    == the dict's predicted_candidates (up to the dict's float pro-rata
+    on the boundary class), and the corpus stats match exactly.  The
+    prediction must also UPPER-bound the true raw prefix collisions on a
+    corpus with uniform doc lengths (the probe's stated regime)."""
+    import random
+
+    from pyspark.sql import Window, functions as F
+
+    from devcontainers_etl_node_spark.operators.retrieval import (
+        _gram_rows,
+        setsim_preflight,
+        setsim_preflight_df,
+    )
+
+    rng = random.Random(5)
+    vocab = [f"tok{i}" for i in range(40)]
+    texts = [
+        " ".join(rng.choice(vocab) for _ in range(10)) for _ in range(60)
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id LONG, text STRING"
+    )
+    probe = setsim_preflight(docs, 0.5)
+    row = setsim_preflight_df(docs, 0.5).collect()[0]
+    assert row["n_docs"] == probe["n_docs"] == 60
+    assert row["total_grams"] == probe["total_grams"]
+    assert row["distinct_grams"] == probe["distinct_grams"]
+    assert row["prefix_mass"] == probe["prefix_mass"]
+    assert abs(row["predicted_collisions_x2"] / 2 - probe["predicted_candidates"]) <= 1
+
+    # ground truth: raw prefix-bucket collisions from the operator's own
+    # prefix relation — the probe upper-bounds it (uniform doc lengths)
+    grams = _gram_rows(docs, "text", "doc_id", 3)
+    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    gfreq = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("gdf"))
+    prefix = (
+        grams.join(gfreq, "gram")
+        .withColumn(
+            "pos",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy(F.col("gdf"), F.col("gram"))
+            ),
+        )
+        .join(sizes, "doc_id")
+        .filter(F.col("pos") <= F.col("sz") - F.ceil(F.lit(0.5) * F.col("sz") - F.lit(1e-6)) + 1)
+    )
+    raw = (
+        prefix.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("b"))
+        .agg(F.sum(F.col("b") * (F.col("b") - 1) / 2).alias("raw"))
+        .collect()[0]["raw"]
+    )
+    assert probe["predicted_candidates"] >= raw
+
+    # empty corpus: typed zero row, no division errors
+    empty = spark.createDataFrame([], "doc_id LONG, text STRING")
+    p0 = setsim_preflight(empty, 0.5)
+    assert p0["n_docs"] == 0 and p0["predicted_candidates"] == 0
