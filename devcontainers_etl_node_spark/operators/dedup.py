@@ -180,6 +180,81 @@ def band_candidate_pairs(sig: DataFrame, num_hashes: int, bands: int) -> DataFra
     )
 
 
+def minhash_geometry(
+    threshold: float,
+    target_recall: float = 0.9,
+    n_docs: int | None = None,
+    kappa: float = 0.047,
+    max_rows_per_band: int = 16,
+    max_hashes: int = 256,
+) -> dict:
+    """Pick a banded-LSH geometry ``(num_hashes, bands)`` for a Jaccard
+    ``threshold`` and ``target_recall``, and PREDICT its random-collision
+    floor — the measured O(n²) failure mode of fixed-geometry banding
+    (PERF.md r11 1M-doc rung).
+
+    Model, calibrated on the scale-ladder corpus:
+
+    - detection: ``P(pair at j=threshold collides) = 1-(1-t^r)^b`` — for
+      each rows-per-band ``r``, the minimal band count is
+      ``b = ceil(ln(1-recall)/ln(1-t^r))``;
+    - random floor: two UNRELATED docs agree on one minhash row with
+      probability ``kappa`` (measured 0.047 on the Zipf ladder corpus —
+      from 20.06 M floor candidates at 1 M docs / 32 hashes / 8 bands:
+      ``(2·f/(b·n²))^(1/4)``), so the floor is
+      ``f(n) = b · n(n-1)/2 · kappa^r``.  The SAME kappa predicts the
+      r=8 geometry's floor at 1 M docs within noise (predicted ~1e2,
+      measured ~1e2 against 85.8 k true pairs) — the model transfers
+      across r;
+    - cost proxy: floor candidates (each est-pruned ~O(1)) + signature
+      work ``r·b·n``-ish; the floor term dominates scaling.
+
+    Returns ``{num_hashes, bands, rows_per_band, detection_at_threshold,
+    predicted_floor_candidates (None without n_docs), floor_crossover_docs
+    (n where the floor ≈ 10·n — past it the floor IS the operator)}``.
+
+    The honest caveat this function encodes: at ``threshold=0.5`` recall
+    ≥0.9 forces r=4-5, whose floor crossover sits at ~10⁶-10⁷ docs — no
+    geometry fixes that; past it, BLOCK the corpus (lang/source/length
+    partitions bound n per block) or raise the threshold (t=0.8 admits
+    r=8+, whose floor is negligible at any realistic n — measured).
+    """
+    import math
+
+    if not 0 < threshold < 1 or not 0 < target_recall < 1:
+        raise ValueError("threshold and target_recall must be in (0, 1)")
+    best = None
+    for r in range(2, max_rows_per_band + 1):
+        p_band = threshold**r
+        if p_band >= 1.0:
+            continue
+        b = max(1, math.ceil(math.log(1 - target_recall) / math.log(1 - p_band)))
+        if r * b > max_hashes:  # signature budget: sharper curves cost
+            continue  # exponentially more bands at fixed recall
+        detection = 1 - (1 - p_band) ** b
+        floor_rate = b * kappa**r  # per unordered doc pair
+        # n where floor candidates ≈ 10·n (floor becomes the operator)
+        crossover = 20 / floor_rate if floor_rate > 0 else float("inf")
+        cand = {
+            "num_hashes": r * b,
+            "bands": b,
+            "rows_per_band": r,
+            "detection_at_threshold": round(detection, 4),
+            "floor_rate_per_pair": floor_rate,
+            "floor_crossover_docs": int(crossover),
+        }
+        if n_docs is not None:
+            cand["predicted_floor_candidates"] = int(
+                b * n_docs * (n_docs - 1) / 2 * kappa**r
+            )
+        # prefer the geometry whose floor crossover is furthest out,
+        # breaking ties toward fewer hashes (cheaper signatures)
+        key = (cand["floor_crossover_docs"], -cand["num_hashes"])
+        if best is None or key > (best["floor_crossover_docs"], -best["num_hashes"]):
+            best = cand
+    return best
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",

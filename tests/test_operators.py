@@ -1155,3 +1155,41 @@ def test_substring_dedup_clean_consistent_with_spans(spark):
     # a doc with spans really lost text; an untouched doc passed verbatim
     assert any(d in spans for d in clean)
     assert any(d not in spans and clean[d].n_kept == clean[d].n_tokens for d in clean)
+
+
+def test_minhash_geometry_model_matches_measured_floor():
+    """The geometry helper's calibrated floor model must reproduce the
+    r11 1M-doc rung measurements (PERF.md): 32/8 predicted ~20M floor
+    candidates (measured 20.06M), and an r=8 geometry's floor is
+    negligible at 1M docs (measured ~1e2 against 85.8k true pairs).
+    Sanity anchors: detection math reproduces the library default's
+    recall at its own geometry; higher target recall never lowers the
+    band count at fixed r."""
+    from devcontainers_etl_node_spark.operators.dedup import minhash_geometry
+
+    n = 1_000_000
+    # the 32/8 default is r=4/b=8: its detection at j=0.5 is ~0.40
+    g = minhash_geometry(0.5, 0.40, n_docs=n, max_hashes=32)
+    assert (g["num_hashes"], g["bands"]) == (32, 8)
+    assert abs(g["detection_at_threshold"] - 0.40) < 0.02
+    measured = 20_061_738  # candidate census at 1M docs, 32/8
+    assert abs(g["predicted_floor_candidates"] - measured) / measured < 0.10
+
+    # r=8 geometry (the 64/8 census config): floor predicted ~1e2 at 1M
+    kappa = 0.047
+    floor_64_8 = 8 * n * (n - 1) / 2 * kappa**8
+    assert floor_64_8 < 1_000  # measured: 85,902 cands ~= 85,806 true pairs
+
+    # production threshold 0.8: a deep geometry's crossover clears 1e10
+    g08 = minhash_geometry(0.8, 0.9)
+    assert g08["rows_per_band"] >= 8
+    assert g08["floor_crossover_docs"] > 10_000_000_000
+
+    # errors and monotonicity
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        minhash_geometry(1.5)
+    lo = minhash_geometry(0.5, 0.5, max_hashes=64)
+    hi = minhash_geometry(0.5, 0.95, max_hashes=64)
+    assert hi["bands"] >= lo["bands"]
