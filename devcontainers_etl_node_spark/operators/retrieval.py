@@ -252,14 +252,23 @@ def setsim_preflight(
     (``prefix_mass, df_cutoff``), and the decision outputs
     (``predicted_candidates``, ``predicted_candidates_per_doc``).
 
-    Decision rule (measured regime, PERF.md r11): AllPairs' exact
-    verify stays cheap while predicted candidates per doc is O(10);
-    beyond ~100 predicted candidates/doc the verify dominates the
-    operator and the approximate ``minhash_lsh_pairs`` (32/8, active
-    est-prune) is the right tool — its verify volume tracks TRUE pairs,
-    not prefix-bucket fan-out.  Driver-side cost: collects the
-    df-histogram only — O(distinct document-frequency VALUES), a few
-    hundred rows on any real corpus, never O(vocabulary).
+    MEASURED LIMITATION (PERF.md r11 probe study — keep this honest):
+    on realistic Zipf corpora the fill lands entirely in the singleton
+    class (singleton occurrences exceed the prefix mass), so
+    ``predicted_candidates`` reads 0 while the operator still measures
+    ~1e5 raw collisions — those come from DUPLICATE-structured docs
+    whose prefixes are singleton-poor, a per-doc mixture a global
+    histogram cannot see.  Interpret ``predicted_candidates == 0`` as
+    the SINGLETON SCREEN: "random-doc prefixes are singleton-dominated;
+    any candidate volume is duplicate structure, proportional to true
+    dups".  A nonzero prediction (low-diversity corpora — boilerplate,
+    templated logs) is the dangerous regime: it lower-bounds the floor
+    and ``recommend`` flips to minhash.  For an EXACT pre-flight at
+    linear cost use :func:`setsim_candidate_census` — it computes the
+    operator's true raw prefix-collision count from the same two
+    shuffles the operator runs anyway, before committing to the
+    candidate join.  Driver-side cost here: collects the df-histogram
+    only — O(distinct document-frequency VALUES), never O(vocabulary).
     """
     import math
 
@@ -340,6 +349,58 @@ def setsim_preflight(
     }
 
 
+def _prefix_relation(
+    df: DataFrame, threshold: float, ngram: int, text_col: str, id_col: str
+) -> DataFrame:
+    """The AllPairs prefix relation — each doc's ``sz - ceil(t·sz) + 1``
+    rarest grams under the shared (df asc, gram) order; the exact stage
+    the operator joins on (kept in one place so probe and operator can
+    never drift)."""
+    grams = _gram_rows(df, text_col, id_col, ngram)
+    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("sz"))
+    gfreq = grams.groupBy("gram").agg(F.count(F.lit(1)).cast("long").alias("gdf"))
+    return (
+        grams.join(gfreq, "gram")
+        .withColumn(
+            "pos",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy(F.col("gdf"), F.col("gram"))
+            ),
+        )
+        .join(sizes, "doc_id")
+        .filter(
+            F.col("pos")
+            <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz") - F.lit(1e-6)) + 1
+        )
+    )
+
+
+def setsim_candidate_census(
+    df: DataFrame,
+    threshold: float,
+    ngram: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """EXACT pre-flight: the raw prefix-bucket collision count
+    ``Σ_g C(b_g, 2)`` the candidate join would have to process, computed
+    from the prefix relation alone — the operator's LINEAR stages (two
+    shuffles + a per-doc window), none of its quadratic-risk candidate
+    join.  One row: ``raw_prefix_collisions, n_buckets, max_bucket``.
+    This is the planner gate that works where the histogram probe is
+    blind (PERF.md r11): run it, and if collisions/doc exceed ~1e2,
+    yield to ``minhash_lsh_pairs`` before paying the join."""
+    prefix = _prefix_relation(df, threshold, ngram, text_col, id_col)
+    buckets = prefix.groupBy("gram").agg(F.count(F.lit(1)).cast("long").alias("b"))
+    return buckets.agg(
+        F.coalesce(F.sum(F.col("b") * (F.col("b") - 1) / 2), F.lit(0))
+        .cast("long")
+        .alias("raw_prefix_collisions"),
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+        F.coalesce(F.max("b"), F.lit(0)).cast("long").alias("max_bucket"),
+    )
+
+
 def setsim_preflight_df(
     df: DataFrame,
     threshold: float,
@@ -348,22 +409,25 @@ def setsim_preflight_df(
     id_col: str = "doc_id",
     head_frac: float = 0.001,
 ) -> DataFrame:
-    """Distributed, INTEGER-EXACT form of :func:`setsim_preflight` — one
-    row of corpus statistics + the rarest-first-fill candidate
-    prediction, computed entirely engine-side (no driver collect), so a
-    SQL oracle can replay it bit-for-bit:
+    """Distributed, INTEGER-EXACT pre-flight row: corpus statistics, the
+    histogram singleton-screen, AND the exact candidate census, computed
+    entirely engine-side (no driver collect) so a SQL oracle can replay
+    it bit-for-bit:
 
     ``n_docs, total_grams, distinct_grams, prefix_mass,
-    predicted_collisions_x2, head_n, head_occ``
+    singleton_screen_x2, head_n, head_occ, raw_prefix_collisions,
+    max_bucket``
 
-    ``predicted_collisions_x2`` is twice the predicted raw prefix-bucket
-    collision count (kept ×2 so the pro-rata boundary stays in integer
-    arithmetic: each frequency class contributes
-    ``taken_mass · (df−1)`` where ``taken_mass`` clamps the remaining
-    prefix mass into the class).  ``head_occ`` is the gram occurrences
-    carried by the most frequent ``ceil(head_frac · distinct)`` grams —
-    the Zipf-head mass that drives the operator's vocabulary-shaped
-    constant (PERF.md r11 probe study)."""
+    ``singleton_screen_x2`` is the histogram rarest-first fill (×2 keeps
+    the pro-rata boundary in integers): 0 on diverse corpora — a SCREEN
+    ("random-doc prefixes are singleton-dominated; candidate volume is
+    duplicate structure"), not a volume prediction — see
+    :func:`setsim_preflight` for the measured limitation.
+    ``raw_prefix_collisions`` is the EXACT census from
+    :func:`setsim_candidate_census` — the number the planner actually
+    gates on.  ``head_occ`` is the gram occurrences carried by the most
+    frequent ``ceil(head_frac · distinct)`` grams — the Zipf-head mass
+    behind the operator's vocabulary-shaped constant."""
     grams = _gram_rows(df, text_col, id_col, ngram)
     sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("sz"))
     corpus = sizes.agg(
@@ -404,17 +468,19 @@ def setsim_preflight_df(
     taken_head = F.greatest(
         F.least(head_n - (F.col("cum_n") - F.col("n")), F.col("n")), F.lit(0)
     )
-    return joined.groupBy(
+    stats = joined.groupBy(
         "n_docs", "total_grams", "distinct_grams", "prefix_mass"
     ).agg(
         F.coalesce(F.sum(taken_mass * (F.col("gdf") - 1)), F.lit(0))
         .cast("long")
-        .alias("predicted_collisions_x2"),
+        .alias("singleton_screen_x2"),
         F.max(head_n).cast("long").alias("head_n"),
         F.coalesce(F.sum(taken_head * F.col("gdf")), F.lit(0))
         .cast("long")
         .alias("head_occ"),
     )
+    census = setsim_candidate_census(df, threshold, ngram, text_col, id_col)
+    return stats.crossJoin(F.broadcast(census.drop("n_buckets")))
 
 
 def setsim_join_prefix(

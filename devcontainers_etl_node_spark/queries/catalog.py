@@ -9828,16 +9828,30 @@ def temperature_domain_sample(spark: SparkSession, sf: str) -> DataFrame:
     fill AS (SELECT gdf, n,
                     SUM(n * gdf) OVER (ORDER BY gdf) AS cum_mass,
                     SUM(n) OVER (ORDER BY gdf DESC) AS cum_n
-             FROM hist)
-    SELECT c.n_docs AS n_docs, c.total_grams AS total_grams,
-           t.distinct_grams AS distinct_grams, c.prefix_mass AS prefix_mass,
-           CAST(COALESCE(SUM(GREATEST(LEAST(c.prefix_mass - (f.cum_mass - f.n * f.gdf), f.n * f.gdf), 0) * (f.gdf - 1)), 0) AS BIGINT)
-               AS predicted_collisions_x2,
-           CAST(ceil(t.distinct_grams * 0.001) AS BIGINT) AS head_n,
-           CAST(COALESCE(SUM(GREATEST(LEAST(CAST(ceil(t.distinct_grams * 0.001) AS BIGINT) - (f.cum_n - f.n), f.n), 0) * f.gdf), 0) AS BIGINT)
-               AS head_occ
-    FROM fill f, corpus c, tot t
-    GROUP BY c.n_docs, c.total_grams, t.distinct_grams, c.prefix_mass
+             FROM hist),
+    screen AS (
+        SELECT c.n_docs AS n_docs, c.total_grams AS total_grams,
+               t.distinct_grams AS distinct_grams, c.prefix_mass AS prefix_mass,
+               CAST(COALESCE(SUM(GREATEST(LEAST(c.prefix_mass - (f.cum_mass - f.n * f.gdf), f.n * f.gdf), 0) * (f.gdf - 1)), 0) AS BIGINT)
+                   AS singleton_screen_x2,
+               CAST(ceil(t.distinct_grams * 0.001) AS BIGINT) AS head_n,
+               CAST(COALESCE(SUM(GREATEST(LEAST(CAST(ceil(t.distinct_grams * 0.001) AS BIGINT) - (f.cum_n - f.n), f.n), 0) * f.gdf), 0) AS BIGINT)
+                   AS head_occ
+        FROM fill f, corpus c, tot t
+        GROUP BY c.n_docs, c.total_grams, t.distinct_grams, c.prefix_mass),
+    prefix AS (
+        SELECT g.gram
+        FROM g
+        JOIN gf ON g.gram = gf.gram
+        JOIN sizes ON g.doc_id = sizes.doc_id
+        QUALIFY row_number() OVER (PARTITION BY g.doc_id ORDER BY gf.gdf, g.gram)
+                <= sizes.sz - CAST(ceil(0.5 * sizes.sz - 1e-6) AS BIGINT) + 1),
+    census AS (
+        SELECT CAST(COALESCE(SUM(b * (b - 1) / 2), 0) AS BIGINT) AS raw_prefix_collisions,
+               CAST(COALESCE(MAX(b), 0) AS BIGINT) AS max_bucket
+        FROM (SELECT CAST(COUNT(*) AS BIGINT) AS b FROM prefix GROUP BY gram))
+    SELECT s.*, census.raw_prefix_collisions, census.max_bucket
+    FROM screen s, census
     """,
 )
 def setsim_preflight_stats(spark: SparkSession, sf: str) -> DataFrame:

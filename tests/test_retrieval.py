@@ -218,7 +218,7 @@ def test_setsim_preflight_probe_and_df_agree(spark):
     assert row["total_grams"] == probe["total_grams"]
     assert row["distinct_grams"] == probe["distinct_grams"]
     assert row["prefix_mass"] == probe["prefix_mass"]
-    assert abs(row["predicted_collisions_x2"] / 2 - probe["predicted_candidates"]) <= 1
+    assert abs(row["singleton_screen_x2"] / 2 - probe["predicted_candidates"]) <= 1
 
     # ground truth: raw prefix-bucket collisions from the operator's own
     # prefix relation — the probe upper-bounds it (uniform doc lengths)
@@ -242,7 +242,12 @@ def test_setsim_preflight_probe_and_df_agree(spark):
         .agg(F.sum(F.col("b") * (F.col("b") - 1) / 2).alias("raw"))
         .collect()[0]["raw"]
     )
+    # the histogram screen upper-bounds raw ONLY in the iid regime this
+    # uniform corpus satisfies (the Zipf/dup-mixture case where it reads
+    # 0 is the measured limitation documented on setsim_preflight)
     assert probe["predicted_candidates"] >= raw
+    # the census column is EXACT — equal to the operator's own relation
+    assert row["raw_prefix_collisions"] == int(raw)
 
     # empty corpus: typed zero row, no division errors
     empty = spark.createDataFrame([], "doc_id LONG, text STRING")

@@ -107,23 +107,28 @@ def main() -> int:
 
     spark = get_spark()
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    from devcontainers_etl_node_spark.operators.retrieval import (
+        setsim_candidate_census,
+    )
+
     print(f"# probe study: n_docs={n} threshold={THRESHOLD} "
           f"start loadavg={os.getloadavg()[0]:.2f}")
-    print("| draw | head_mass | distinct ratio | predicted | raw measured | "
-          "pred/raw | post-filter cand | pairs | pred cand/doc | op wall | recommend |")
+    print("| draw | head_mass | distinct ratio | hist screen | census (exact) | "
+          "raw measured | post-filter cand | pairs | census/doc | census wall | op wall |")
     print("|---|---|---|---|---|---|---|---|---|---|---|")
     for label, seed, vocab in DRAWS:
         docs = gen_documents_zipf(spark, n, vocab=vocab, seed=seed).localCheckpoint()
-        t0 = time.perf_counter()
         probe = setsim_preflight(docs, THRESHOLD, ngram=NGRAM)
-        t_probe = round(time.perf_counter() - t0, 1)
+        t0 = time.perf_counter()
+        census = setsim_candidate_census(docs, THRESHOLD, ngram=NGRAM).collect()[0]
+        t_census = round(time.perf_counter() - t0, 1)
         m = measure(spark, docs, THRESHOLD)
-        ratio = probe["predicted_candidates"] / max(1, m["raw"])
         print(
             f"| {label} | {probe['head_mass']} | {probe['distinct_token_ratio']} "
-            f"| {probe['predicted_candidates']} | {m['raw']} | {ratio:.2f} "
-            f"| {m['cand']} | {m['pairs']} | {probe['predicted_candidates_per_doc']} "
-            f"| {m['wall']} s | {probe['recommend']} (probe {t_probe} s) |",
+            f"| {probe['predicted_candidates']} | {census['raw_prefix_collisions']} "
+            f"| {m['raw']} | {m['cand']} | {m['pairs']} "
+            f"| {census['raw_prefix_collisions'] / n:.2f} | {t_census} s "
+            f"| {m['wall']} s |",
             flush=True,
         )
     return 0
