@@ -54,6 +54,13 @@ _TABLE_UUID_NS = uuid.UUID("00000000-0000-0000-0000-0000001ceb12")
 # version-hint.text): which txlog versions the tree covers, so re-export
 # appends new snapshots instead of rebuilding O(history) per call
 _EXPORT_MARKER = ".txlog_export.json"
+# manifest merging, the Iceberg writers' bound on manifest-list growth
+# (the spec's commit.manifest.min-count-to-merge): once a snapshot would
+# carry this many manifests, they are rewritten into ONE manifest whose
+# entries keep their original snapshot/sequence numbers with status
+# EXISTING — per-commit list size stays O(threshold), and the r11
+# 1000-batch bench showed why (unmerged: +62 us/batch linear growth)
+_MANIFEST_MERGE_MIN = 100
 
 # ---------------------------------------------------------------------------
 # Iceberg schema JSON from the txlog manifest schema (simpleStrings)
@@ -317,6 +324,56 @@ def _write_snapshot(
                 "deleted_rows_count": 0,
             }
         )
+    if len(manifests_for_snapshot) >= _MANIFEST_MERGE_MIN:
+        merged_entries = []
+        for mf in manifests_for_snapshot:
+            # read via write_dir: during a staged rebuild the recorded
+            # (final) paths don't exist yet — same basename either way
+            _, _, es = read_container(
+                os.path.join(write_dir, os.path.basename(mf["manifest_path"]))
+            )
+            for e in es:
+                if e["status"] != 2:  # drop nothing live; deletes are
+                    e = dict(e)  # never carried in append-mode manifests
+                    e["status"] = 0  # EXISTING: original ids/seqs kept
+                    merged_entries.append(e)
+        mname = f"{uuid.uuid4().hex}-m0.avro"
+        write_container(
+            os.path.join(write_dir, mname),
+            _MANIFEST_ENTRY,
+            merged_entries,
+            metadata={
+                "schema": json.dumps(st["schemas"][-1]),
+                "schema-id": str(schema_id),
+                "partition-spec": "[]",
+                "partition-spec-id": "0",
+                "format-version": "2",
+                "content": "data",
+            },
+        )
+        manifests_for_snapshot = [
+            {
+                "manifest_path": os.path.join(record_dir, mname),
+                "manifest_length": os.path.getsize(os.path.join(write_dir, mname)),
+                "partition_spec_id": 0,
+                "content": 0,
+                "sequence_number": seq,
+                "min_sequence_number": min(
+                    (e["sequence_number"] or seq) for e in merged_entries
+                )
+                if merged_entries
+                else seq,
+                "added_snapshot_id": snap_id,
+                "added_files_count": 0,
+                "existing_files_count": len(merged_entries),
+                "deleted_files_count": 0,
+                "added_rows_count": 0,
+                "existing_rows_count": sum(
+                    e["data_file"]["record_count"] for e in merged_entries
+                ),
+                "deleted_rows_count": 0,
+            }
+        ]
     lname = f"snap-{snap_id}-1-{uuid.uuid4().hex}.avro"
     write_container(
         os.path.join(write_dir, lname),

@@ -207,6 +207,51 @@ def test_reexport_is_incremental_with_stable_ids_and_reused_manifests(spark, tmp
     assert iceberg_snapshot(root)["sequence_number"] == 2
 
 
+def test_manifest_merging_bounds_list_growth(spark, tmp_path, monkeypatch):
+    """r11 (1000-batch bench finding): append commits carry every prior
+    manifest, so the manifest LIST grows O(batches) — at the merge
+    threshold the carried manifests are rewritten into one whose entries
+    keep their ORIGINAL sequence numbers with status EXISTING (the
+    Iceberg writers' commit.manifest.min-count-to-merge behavior).
+    Post-merge: list length bounded, head file set exact, time travel to
+    pre-merge snapshots still exact (their lists reference the OLD
+    manifest files, which are never deleted)."""
+    from devcontainers_etl_node_spark.sinks import iceberg_export
+    from devcontainers_etl_node_spark.sinks.avro_lite import read_container
+
+    monkeypatch.setattr(iceberg_export, "_MANIFEST_MERGE_MIN", 4)
+    root = str(tmp_path / "t")
+    for i in range(7):
+        txlog.tx_write(_df(spark, i * 10, i * 10 + 5, f"b{i}").coalesce(1), root)
+        tx_export_iceberg(root)  # incremental append path each commit
+
+    meta = os.path.join(root, "metadata")
+    with open(os.path.join(meta, "version-hint.text")) as f:
+        md = json.load(open(os.path.join(meta, f"v{int(f.read())}.metadata.json")))
+    cur = next(s for s in md["snapshots"] if s["snapshot-id"] == md["current-snapshot-id"])
+    _, _, mlist = read_container(cur["manifest-list"])
+    # 7 appends with threshold 4: merges keep the carried list bounded
+    assert len(mlist) < 5
+    merged = [m for m in mlist if m["existing_files_count"] > 0]
+    assert merged, "a merged manifest must exist"
+    _, _, entries = read_container(merged[0]["manifest_path"])
+    # merged entries: status EXISTING, original sequence numbers kept
+    assert all(e["status"] == 0 for e in entries)
+    assert min(e["sequence_number"] for e in entries) == 1
+    assert merged[0]["min_sequence_number"] == 1
+
+    # head exact vs the txlog manifest
+    manifest = txlog._read_manifest(root, txlog.tx_head(root))
+    loc = os.path.abspath(root)
+    snap = iceberg_snapshot(root)
+    assert set(snap["files"]) == {f"{loc}/{e['path']}" for e in manifest["files"]}
+    assert sum(v["records"] for v in snap["files"].values()) == 35
+    # time travel to a pre-merge snapshot still exact
+    old = iceberg_snapshot(root, snapshot_id=1001)  # after 2nd append
+    m1 = txlog._read_manifest(root, 1)
+    assert set(old["files"]) == {f"{loc}/{e['path']}" for e in m1["files"]}
+
+
 def test_decimal_nested_inside_struct_and_map_exports(spark, tmp_path):
     """r10 advice regression (shared _split_top): a decimal(p,s) nested
     in struct<>/map<> must not be split on its internal comma."""
