@@ -128,12 +128,16 @@ def minhash_signature_table(shingle_rows: DataFrame, num_hashes: int = 32) -> Da
     )
 
 
-def banded_signatures(sig: DataFrame, num_hashes: int, bands: int) -> DataFrame:
-    """(_id, band, bh) rows: each signature cut into `bands` bands whose
-    bucket key is xxhash64(band, rows...) — the join side of LSH."""
+def banded_signatures(
+    sig: DataFrame, num_hashes: int, bands: int, key_cols: tuple = ()
+) -> DataFrame:
+    """(_id, band, bh[, *key_cols]) rows: each signature cut into `bands`
+    bands whose bucket key is xxhash64(band, rows...) — the join side of
+    LSH.  ``key_cols`` are carried through for blocked banding."""
     rows = num_hashes // bands
     return sig.select(
         "_id",
+        *key_cols,
         F.explode(
             F.array(
                 *[
@@ -145,10 +149,14 @@ def banded_signatures(sig: DataFrame, num_hashes: int, bands: int) -> DataFrame:
                 ]
             )
         ).alias("bk"),
-    ).select("_id", F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh"))
+    ).select(
+        "_id", *key_cols, F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh")
+    )
 
 
-def band_candidate_pairs(sig: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+def band_candidate_pairs(
+    sig: DataFrame, num_hashes: int, bands: int, key_cols: tuple = ()
+) -> DataFrame:
     """LSH banding + bucket self-join over a signature table.
 
     `sig` must carry (_id, _sig: array<long> of length num_hashes).
@@ -165,16 +173,18 @@ def band_candidate_pairs(sig: DataFrame, num_hashes: int, bands: int) -> DataFra
     the measured effect. Exposed as its own function so the skewed-input
     plan can be asserted without running the full text pipeline.
     """
-    banded = banded_signatures(sig, num_hashes, bands)
+    banded = banded_signatures(sig, num_hashes, bands, key_cols)
 
+    cond = (
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.bh") == F.col("b.bh"))
+        & (F.col("a._id") < F.col("b._id"))
+    )
+    for k in key_cols:  # blocked banding: buckets never span blocks
+        cond = cond & (F.col(f"a.{k}") == F.col(f"b.{k}"))
     return (
         banded.alias("a")
-        .join(
-            banded.alias("b"),
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bh") == F.col("b.bh"))
-            & (F.col("a._id") < F.col("b._id")),
-        )
+        .join(banded.alias("b"), cond)
         .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
@@ -263,8 +273,21 @@ def minhash_lsh_pairs(
     num_hashes: int = 32,
     bands: int = 8,
     threshold: float = 0.5,
+    block_cols: list[str] | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs above `threshold` exact Jaccard.
+
+    ``block_cols`` (r11): BLOCKED banding — LSH buckets never span
+    distinct values of these columns, so only same-block docs can pair.
+    This is the floor mitigation the r11 1M-doc rung points at: the
+    random band-collision floor is O(Σ n_b²) over blocks instead of
+    O(n²) — partitioning a 100 TB corpus by (lang, source, time-window)
+    bounds every n_b, while true near-dups (which overwhelmingly share
+    those attributes) stay detectable. SEMANTIC CHANGE by design:
+    cross-block near-dups are out of scope when blocking is on (that is
+    the contract the caller opts into); NULL block values group
+    together (one null block). The default (None) path is byte-
+    identical to pre-r11 behavior.
 
     Pipeline (each stage codegen'd, shuffle keys are fixed-width hashes):
       1. explode distinct shingles → (id, shingle) rows;
@@ -328,13 +351,29 @@ def minhash_lsh_pairs(
     # prune). It is tiny — num_hashes longs per doc (~128 B/doc, ~1.3 GB
     # per 10M docs) — so persist it instead of recomputing the explode+agg
     # lineage each time; disk-backed so it spills, never OOMs.
-    sig = minhash_signature_table(shingle_rows, num_hashes).persist(StorageLevel.MEMORY_AND_DISK)
+    sig = minhash_signature_table(shingle_rows, num_hashes)
+    key_cols: tuple = ()
+    if block_cols:
+        # one 8-byte block key joined onto the (tiny) signature table —
+        # null-safe: NULL block values coalesce into one shared block
+        blk = df.select(
+            F.col(id_col).alias("_id"),
+            F.xxhash64(
+                *[
+                    F.coalesce(F.col(c).cast("string"), F.lit("\x00null"))
+                    for c in block_cols
+                ]
+            ).alias("_blk"),
+        )
+        sig = sig.join(blk, "_id")
+        key_cols = ("_blk",)
+    sig = sig.persist(StorageLevel.MEMORY_AND_DISK)
     # eager materialization: the self-join scans sig concurrently, and two
     # stages racing on a cold cache each compute the full lineage. One
     # count() pins the cache before fan-out (this op is terminal anyway).
     sig.count()
 
-    cand = band_candidate_pairs(sig, num_hashes=num_hashes, bands=bands)
+    cand = band_candidate_pairs(sig, num_hashes=num_hashes, bands=bands, key_cols=key_cols)
 
     # Banding can pass far more candidates than true near-dups (vocabulary-
     # heavy corpora collide a lot). Before touching shingle ARRAYS, prune

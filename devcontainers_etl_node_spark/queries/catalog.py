@@ -1131,6 +1131,20 @@ def minhash_neardup(spark: SparkSession, sf: str) -> DataFrame:
     return dedup.minhash_lsh_pairs(docs, threshold=0.5)
 
 
+@query("minhash_neardup_blocked")  # LSH is non-SQL — rows-only check
+def minhash_neardup_blocked(spark: SparkSession, sf: str) -> DataFrame:
+    """BLOCKED banding (r11): LSH buckets never span lang values, so the
+    random band-collision floor — measured O(n²) for any fixed geometry
+    at the 1M-doc rung (PERF.md) — scales as O(Σ n_b²) over blocks. At
+    100 TB the block key is (lang, source, time-window): every n_b is
+    bounded by ingest layout while true near-dups (which overwhelmingly
+    share those attributes) stay in scope. Contract: cross-block pairs
+    are deliberately not emitted; pinned (with null-block grouping and
+    blocked ⊆ unblocked) in tests/test_operators.py."""
+    docs = table(spark, sf, "documents")
+    return dedup.minhash_lsh_pairs(docs, threshold=0.5, block_cols=["lang"])
+
+
 @query("simhash_fingerprints")  # rows-only check
 def simhash_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
     docs = table(spark, sf, "documents")

@@ -40,6 +40,43 @@ def test_minhash_finds_planted_neardup(spark):
     assert all(p.jaccard_sim >= 0.5 for p in pairs)
 
 
+def test_minhash_blocked_banding(spark):
+    """block_cols (r11 floor mitigation): buckets never span blocks —
+    a planted near-dup pair in DIFFERENT blocks is out of scope, the
+    same pair within one block is found, NULL blocks group together,
+    and the unblocked call still finds everything (default unchanged)."""
+    base = "the quick brown fox jumps over the lazy dog and runs far away into the woods tonight"
+    near = base.replace("lazy", "sleepy")
+    other = base.replace("quick", "rapid")
+    rows = [
+        (1, base, "en"),
+        (2, near, "de"),       # near-dup of 1, OTHER block
+        (3, other, "en"),      # near-dup of 1, SAME block
+        (4, base + " x", None),  # NULL block...
+        (5, near + " x", None),  # ...pairs with the other NULL-block doc
+    ] + [
+        (10 + i, f"unrelated filler document {i} with words {i * 7} only", "en")
+        for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+
+    blocked = {
+        (p.id_a, p.id_b)
+        for p in dedup.minhash_lsh_pairs(df, threshold=0.5, block_cols=["lang"]).collect()
+    }
+    assert (1, 3) in blocked          # same block: found
+    assert (1, 2) not in blocked      # cross block: out of scope
+    assert (4, 5) in blocked          # null blocks group together
+
+    unblocked = {
+        (p.id_a, p.id_b)
+        for p in dedup.minhash_lsh_pairs(df, threshold=0.5).collect()
+    }
+    assert {(1, 2), (1, 3), (4, 5)} <= unblocked
+    # blocking only ever REMOVES cross-block pairs
+    assert blocked <= unblocked
+
+
 def test_jaccard_exact_values(spark):
     df = spark.createDataFrame([(1,)], ["x"]).select(
         dedup.jaccard(F.array(F.lit("a"), F.lit("b")), F.array(F.lit("b"), F.lit("c"))).alias("j")

@@ -129,6 +129,7 @@ def test_every_query_has_callable_and_oracle_consistency():
         "approx_distinct",
         "lang_id_pred",
         "minhash_neardup",
+        "minhash_neardup_blocked",
         "simhash_fingerprints",
         "ann_lsh",
         "ann_ivf",
