@@ -54,6 +54,10 @@ ALLOWED = {
         "qdf": 1,       # (query_id, term) rows: same bound
         "dfreq": 1,     # one df row per DISTINCT QUERY term, never the vocab
         "stats": 1,     # one-row N/avgdl corpus scalar
+        # r11 setsim pre-flight (setsim_preflight_df): all one-row aggs
+        "corpus": 1,    # one-row n_docs/total_grams/prefix_mass
+        "tot": 1,       # one-row distinct_grams
+        "census": 1,    # one-row exact candidate census
     },
     "queries/catalog.py": {
         # constant dims
