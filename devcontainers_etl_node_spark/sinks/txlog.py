@@ -109,7 +109,26 @@ def _manifest_path(root: str, version: int) -> str:
 
 
 def tx_head(root: str) -> int | None:
-    """Latest committed version, or None for an empty/absent table."""
+    """Latest committed version, or None for an empty/absent table.
+
+    O(1) on the happy path (r11): commits leave an advisory HEAD.hint;
+    it is trusted only when its manifest exists AND the next version
+    does not (two stats) — a hint left one behind by a crash, or stale
+    under a concurrent writer, fails the probe and falls back to the
+    authoritative O(#manifests) listing.  This is what keeps the
+    per-micro-batch export cost flat as history grows (the 1000-batch
+    bench measured the listing as the Delta exporter's residual
+    +11 us/batch slope)."""
+    hint = os.path.join(_log_dir(root), "HEAD.hint")
+    try:
+        with open(hint) as f:
+            v = int(f.read().strip())
+        if os.path.exists(_manifest_path(root, v)) and not os.path.exists(
+            _manifest_path(root, v + 1)
+        ):
+            return v
+    except (OSError, ValueError):
+        pass
     versions = [
         int(m.group(1))
         for p in glob.glob(os.path.join(_log_dir(root), "v*.json"))
@@ -210,9 +229,25 @@ def _try_commit(root: str, version: int, manifest: dict) -> bool:
             os.fsync(f.fileno())
         try:
             os.link(tmp, path)
-            return True
         except FileExistsError:
             return False
+        # O(1) head hint for tx_head (advisory, never authoritative):
+        # written AFTER the winning link, atomically; a crash between
+        # link and hint leaves it one behind, which tx_head's existence
+        # probe detects before trusting it
+        hint_tmp = os.path.join(_log_dir(root), f".head.{uuid.uuid4().hex[:12]}")
+        try:
+            with open(hint_tmp, "w") as hf:
+                hf.write(str(version))
+                hf.flush()
+                os.fsync(hf.fileno())
+            os.replace(hint_tmp, os.path.join(_log_dir(root), "HEAD.hint"))
+        except OSError:
+            try:
+                os.unlink(hint_tmp)
+            except OSError:
+                pass
+        return True
     finally:
         try:
             os.unlink(tmp)

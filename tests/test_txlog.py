@@ -457,6 +457,34 @@ def test_model_based_random_op_sequences(spark, tmp_path):
                 assert got == sorted(expect), (seed, since)
 
 
+def test_head_hint_is_advisory_never_authoritative(spark, tmp_path):
+    """r11 O(1) tx_head: the hint is trusted only when its manifest
+    exists and the successor doesn't. A crash-stale hint (one behind), a
+    corrupted hint, a hint pointing past head, and a missing hint
+    (pre-r11 table) must all fall back to the correct answer."""
+    root = str(tmp_path / "t")
+    txlog.tx_write(_df(spark, 0, 5, "a"), root)       # v0
+    txlog.tx_write(_df(spark, 5, 10, "b"), root)      # v1
+    hint = os.path.join(root, "_txlog", "HEAD.hint")
+    assert os.path.exists(hint) and txlog.tx_head(root) == 1
+
+    with open(hint, "w") as f:                        # crash-stale: one behind
+        f.write("0")
+    assert txlog.tx_head(root) == 1
+    with open(hint, "w") as f:                        # pointing past head
+        f.write("7")
+    assert txlog.tx_head(root) == 1
+    with open(hint, "w") as f:                        # corrupted
+        f.write("not-a-number")
+    assert txlog.tx_head(root) == 1
+    os.unlink(hint)                                   # pre-r11 table
+    assert txlog.tx_head(root) == 1
+    # next commit repairs the hint
+    txlog.tx_write(_df(spark, 10, 12, "c"), root)     # v2
+    assert open(hint).read().strip() == "2"
+    assert txlog.tx_head(root) == 2
+
+
 def test_model_based_random_exports_match_manifests(spark, tmp_path):
     """r11 (verdict task 3): random op sequences (append / merge with
     deletes / overwrite / restore / evolve / compact / idempotent /
