@@ -256,6 +256,40 @@ def cmd_export(args) -> int:
     return 0
 
 
+def cmd_dedup_plan(args) -> int:
+    """Planner UX over dedup.minhash_geometry (r11): print the chosen
+    banded-LSH geometry, its detection probability, the calibrated
+    random-collision floor at the given corpus size, and the floor
+    crossover — plus the blocking advice when the crossover is near."""
+    import json as _json
+
+    from devcontainers_etl_node_spark.operators.dedup import minhash_geometry
+
+    n = int(args.docs) if args.docs else None
+    g = minhash_geometry(
+        args.threshold, args.recall, n_docs=n, max_hashes=args.max_hashes
+    )
+    if g is None:
+        print(
+            f"no geometry reaches recall {args.recall} at threshold "
+            f"{args.threshold} within {args.max_hashes} hashes — lower the "
+            f"recall target, raise the threshold, or raise --max-hashes",
+            file=sys.stderr,
+        )
+        return 2
+    print(_json.dumps(g))
+    if n is not None and n > g["floor_crossover_docs"]:
+        print(
+            f"WARNING: {n:.0f} docs is past this geometry's floor crossover "
+            f"({g['floor_crossover_docs']:.0f}) — the random band-collision "
+            f"floor will dominate. Block the corpus "
+            f"(minhash_lsh_pairs(block_cols=[...]) — floor becomes "
+            f"O(sum n_b^2)) or raise the threshold.",
+            file=sys.stderr,
+        )
+    return 0
+
+
 def cmd_generate(args) -> int:
     """G6 continuous generator fleet twin (reference data_chargers/load.py)."""
     from devcontainers_etl_node_spark.config import EngineConfig
@@ -321,6 +355,15 @@ def main(argv: list[str] | None = None) -> int:
         "--tokens-per-shard", type=int, default=4096, help="token budget per shard"
     )
 
+    dp = sub.add_parser(
+        "dedup-plan",
+        help="pick a MinHash LSH geometry for a threshold/recall/corpus size",
+    )
+    dp.add_argument("--threshold", type=float, required=True, help="Jaccard threshold")
+    dp.add_argument("--recall", type=float, default=0.9, help="target recall at threshold")
+    dp.add_argument("--docs", type=float, default=None, help="corpus size (floats ok: 1e9)")
+    dp.add_argument("--max-hashes", type=int, default=256, help="signature budget")
+
     g = sub.add_parser("generate", help="continuous generator fleet (G6 twin)")
     g.add_argument("--out", required=True, help="lakehouse root for the three sinks")
     g.add_argument("--cycles", type=int, default=0, help="cycles to run (0 = forever)")
@@ -337,6 +380,7 @@ def main(argv: list[str] | None = None) -> int:
         "dedup": cmd_dedup,
         "table": cmd_table,
         "export": cmd_export,
+        "dedup-plan": cmd_dedup_plan,
         "generate": cmd_generate,
     }[args.cmd](args)
 

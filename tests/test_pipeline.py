@@ -156,6 +156,37 @@ def test_cli_list_and_run(spark, capsys):
     assert "row" in capsys.readouterr().out.lower()
 
 
+def test_cli_dedup_plan(capsys):
+    """dedup-plan (r11): prints the geometry JSON; past the floor
+    crossover it warns toward blocking; an unreachable recall exits 2."""
+    import json
+
+    from devcontainers_etl_node_spark import cli
+
+    assert cli.main(["dedup-plan", "--threshold", "0.5", "--recall", "0.4"]) == 0
+    out, err = capsys.readouterr()
+    g = json.loads(out)
+    assert g["rows_per_band"] >= 4 and not err
+
+    assert (
+        cli.main(
+            ["dedup-plan", "--threshold", "0.5", "--recall", "0.4", "--docs", "1e9"]
+        )
+        == 0
+    )
+    _, err = capsys.readouterr()
+    assert "floor crossover" in err and "block_cols" in err
+
+    assert (
+        cli.main(
+            ["dedup-plan", "--threshold", "0.2", "--recall", "0.99", "--max-hashes", "16"]
+        )
+        == 2
+    )
+    _, err = capsys.readouterr()
+    assert "no geometry" in err
+
+
 def test_cli_export_writes_reproducible_shards(spark, tmp_path, capsys):
     """`export` — the last mile: token_shard_assign → write_webdataset.
     Shards exist under --out, every doc lands exactly once, and two runs
