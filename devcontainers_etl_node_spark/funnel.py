@@ -66,7 +66,12 @@ def _near_dedup(exact: DataFrame) -> DataFrame:
     # 32/8 library default (r11 flip): the r10 scale ladder measured the
     # old 16/4 config's inactive est-prune + O(n^2) band-collision floor;
     # 32/8 is 2.2-2.5x faster at 250k docs with higher recall (PERF.md).
-    pairs = dd.minhash_lsh_pairs(exact, threshold=0.5)
+    # LANG-BLOCKED (r11): near-dedup within language, the CCNet/
+    # RefinedWeb curation contract — and the measured floor mitigation
+    # (blocked floor is O(Σ n_b²); candidate ratio 0.461 at 250k,
+    # PERF.md). Cross-lang near-dups are out of the funnel's scope by
+    # design: a translated document is not a duplicate for training.
+    pairs = dd.minhash_lsh_pairs(exact, threshold=0.5, block_cols=["lang"])
     # no distinct: anti joins are set-semantics on the right side, and a
     # dropped id repeats only once per extra near-dup partner
     near_drop = pairs.select(F.col("id_b").alias("doc_id"))
@@ -170,7 +175,9 @@ def run_staged_funnel(
     # config is part of the stage meta: flipping it (as r11 did, 16/4 ->
     # 32/8) invalidates the memoized near_dedup stage and every stage
     # downstream — exactly the recompute the new pair set requires.
-    near_params = {"num_hashes": 32, "bands": 8, "threshold": 0.5}
+    near_params = {
+        "num_hashes": 32, "bands": 8, "threshold": 0.5, "block": "lang",
+    }
     gated = materialize(1, "quality_gate", lambda: _quality_gate(docs))
     exact = materialize(2, "exact_dedup", lambda: _exact_dedup(gated))
     neardeduped = materialize(3, "near_dedup", lambda: _near_dedup(exact), near_params)

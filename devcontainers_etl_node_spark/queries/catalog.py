@@ -8050,7 +8050,10 @@ def pretrain_prep(spark: SparkSession, sf: str) -> DataFrame:
     # 32/8 library default (r11 flip, with minhash_neardup): the r10
     # ladder measured 16/4's inactive est-prune + O(n^2) collision floor;
     # 32/8 is 2.2-2.5x faster at 250k docs with higher recall (PERF.md).
-    pairs = dd.minhash_lsh_pairs(exact, threshold=0.5)
+    # LANG-BLOCKED near-dedup (r11): the CCNet/RefinedWeb per-language
+    # curation contract AND the measured floor mitigation (O(Σ n_b²);
+    # PERF.md blocked census) — a translated doc is not a training dup.
+    pairs = dd.minhash_lsh_pairs(exact, threshold=0.5, block_cols=["lang"])
     # Drop lists (near-dup ids, contaminated ids) are CORPUS-PROPORTIONAL:
     # at 100 TB a near-dup drop list can be billions of ids, and a forced
     # F.broadcast would OOM the driver. No hint — AQE broadcasts while the
