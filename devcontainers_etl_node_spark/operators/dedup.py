@@ -462,9 +462,17 @@ def minhash_incremental_pairs(
     num_hashes: int = 32,
     bands: int = 8,
     threshold: float = 0.5,
+    block_cols: list[str] | None = None,
 ) -> tuple[DataFrame, DataFrame, Callable[[], None]]:
     """Incremental MinHash dedup: near-dup pairs INVOLVING newly arrived
     docs, reusing the persisted signature table of the historical corpus.
+
+    ``block_cols`` (r11): blocked banding, same contract as
+    :func:`minhash_lsh_pairs` — buckets never span blocks, so the
+    per-batch candidate floor is O(Σ n_b · m_b) (old×new within blocks)
+    instead of O(n·m).  Block values are read from BOTH doc sides (the
+    persisted signature snapshot stays block-free — blocking is a query
+    choice, not a snapshot property).
 
     The production cadence at 100 TB is not "re-dedup the world nightly":
     signatures are computed once per document ever (the dominant cost —
@@ -524,20 +532,41 @@ def minhash_incremental_pairs(
         )
 
     all_sigs = existing_sigs.select("_id", "_sig").unionByName(new_sigs)
+    key_cols: tuple = ()
+    if block_cols:
+        # block values come from the DOC sides (old ∪ new) — the persisted
+        # signature snapshot stays block-free; null blocks group together
+        blk_expr = F.xxhash64(
+            *[
+                F.coalesce(F.col(c).cast("string"), F.lit("\x00null"))
+                for c in block_cols
+            ]
+        ).alias("_blk")
+        blk = (
+            existing_docs.select(F.col(id_col).alias("_id"), blk_expr)
+            .unionByName(new_docs.select(F.col(id_col).alias("_id"), blk_expr))
+        )
+        all_sigs = all_sigs.join(blk, "_id")
+        new_sigs_banding = new_sigs.join(blk, "_id")
+        key_cols = ("_blk",)
+    else:
+        new_sigs_banding = new_sigs
     # band join: ALL (old∪new) against NEW only — old×old pairs never form.
     # Pair order is normalized (least, greatest) because an old id may be
     # larger or smaller than a new id; new×new pairs arise twice (once per
     # orientation) and collapse in the dropDuplicates.
-    banded_all = banded_signatures(all_sigs, num_hashes, bands)
-    banded_new = banded_signatures(new_sigs, num_hashes, bands)
+    banded_all = banded_signatures(all_sigs, num_hashes, bands, key_cols)
+    banded_new = banded_signatures(new_sigs_banding, num_hashes, bands, key_cols)
+    cond = (
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.bh") == F.col("b.bh"))
+        & (F.col("a._id") != F.col("b._id"))
+    )
+    for k in key_cols:
+        cond = cond & (F.col(f"a.{k}") == F.col(f"b.{k}"))
     cand = (
         banded_all.alias("a")
-        .join(
-            banded_new.alias("b"),
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bh") == F.col("b.bh"))
-            & (F.col("a._id") != F.col("b._id")),
-        )
+        .join(banded_new.alias("b"), cond)
         .select(
             F.least(F.col("a._id"), F.col("b._id")).alias("id_a"),
             F.greatest(F.col("a._id"), F.col("b._id")).alias("id_b"),

@@ -77,6 +77,43 @@ def test_minhash_blocked_banding(spark):
     assert blocked <= unblocked
 
 
+def test_minhash_incremental_blocked_parity(spark):
+    """Blocked incremental == blocked batch restricted to pairs touching
+    a new id; cross-block near-dups stay out of scope on both paths."""
+    base = "the quick brown fox jumps over the lazy dog and runs far away into the woods tonight"
+    rows = [
+        (1, base, "en"),
+        (2, base.replace("lazy", "sleepy"), "en"),   # old, same block as 1
+        (3, base.replace("lazy", "dozy"), "de"),     # old, other block
+    ] + [(10 + i, f"old filler {i} words {i * 3} here", "en") for i in range(6)]
+    new_rows = [
+        (100, base.replace("quick", "rapid"), "en"),  # pairs with 1,2
+        (101, base.replace("quick", "swift"), "de"),  # pairs with 3 only
+    ]
+    old_df = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    new_df = spark.createDataFrame(new_rows, ["doc_id", "text", "lang"])
+    full_df = old_df.unionByName(new_df)
+
+    batch = {
+        (p.id_a, p.id_b)
+        for p in dedup.minhash_lsh_pairs(full_df, threshold=0.5, block_cols=["lang"]).collect()
+        if p.id_a >= 100 or p.id_b >= 100
+    }
+    old_sigs = dedup.minhash_signature_table(
+        dedup.shingle_hash_rows(
+            old_df.select(F.col("doc_id").alias("_id"), F.col("text").alias("_text"))
+        )
+    )
+    pairs, _merged, release = dedup.minhash_incremental_pairs(
+        old_df, old_sigs, new_df, threshold=0.5, block_cols=["lang"]
+    )
+    got = {(p.id_a, p.id_b) for p in pairs.collect()}
+    release()
+    assert got == batch
+    assert (1, 100) in got and (3, 101) in got
+    assert (3, 100) not in got and (1, 101) not in got  # cross-block
+
+
 def test_jaccard_exact_values(spark):
     df = spark.createDataFrame([(1,)], ["x"]).select(
         dedup.jaccard(F.array(F.lit("a"), F.lit("b")), F.array(F.lit("b"), F.lit("c"))).alias("j")
