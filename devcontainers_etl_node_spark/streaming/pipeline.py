@@ -220,6 +220,7 @@ def streaming_minhash_neardup_pairs(
     num_hashes: int = 32,
     bands: int = 8,
     threshold: float = 0.5,
+    block_cols: list[str] | None = None,
 ) -> DataFrame:
     """Streaming twin of ``operators.dedup.minhash_lsh_pairs`` — the
     higher-recall sibling of the simhash stream dedup: MinHash-banded
@@ -306,6 +307,21 @@ def streaming_minhash_neardup_pairs(
             ),
         )
     )
+    # blocked banding (r11, same contract as the batch operator): the
+    # block key joins the STATE key, so buckets — and therefore state
+    # partitions — never span blocks; null blocks group together
+    blk_cols = (
+        [
+            F.xxhash64(
+                *[
+                    F.coalesce(F.col(c).cast("string"), F.lit("\x00null"))
+                    for c in block_cols
+                ]
+            ).alias("_blk")
+        ]
+        if block_cols
+        else []
+    )
     exploded = (
         base.withWatermark(ts_col, watermark)
         .select(
@@ -315,6 +331,7 @@ def streaming_minhash_neardup_pairs(
             "_sig",
             "_bhs",
             "_shset",
+            *blk_cols,
             F.posexplode("_bhs").alias("_band", "_bh"),
         )
     )
@@ -400,8 +417,9 @@ def streaming_minhash_neardup_pairs(
         if out:
             yield pd.DataFrame(out, columns=["id_a", "id_b", "jaccard_sim"])
 
+    group_keys = ["_band", "_bh"] + (["_blk"] if block_cols else [])
     return (
-        exploded.groupBy("_band", "_bh")
+        exploded.groupBy(*group_keys)
         .applyInPandasWithState(
             update,
             outputStructType="id_a long, id_b long, jaccard_sim double",

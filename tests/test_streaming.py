@@ -1102,6 +1102,52 @@ def test_streaming_minhash_neardup_batch_parity(spark, tmp_path):
         assert abs(got_pairs[k] - want[k]) < 1e-12
 
 
+def test_streaming_minhash_neardup_blocked_batch_parity(spark, tmp_path):
+    """block_cols on the streaming twin: the block key joins the STATE
+    key, so buckets never span blocks — output equals the blocked batch
+    operator, and the cross-block planted pair is out of scope."""
+    import datetime
+
+    from devcontainers_etl_node_spark.operators.dedup import minhash_lsh_pairs
+    from devcontainers_etl_node_spark.streaming import (
+        streaming_minhash_neardup_pairs,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    base = "the quick brown fox jumps over the lazy dog and runs far away into the woods tonight"
+    rows = [
+        (1, t0, base, "en"),
+        (2, t0 + datetime.timedelta(seconds=5), base.replace("lazy", "sleepy"), "en"),
+        (3, t0 + datetime.timedelta(seconds=9), base.replace("lazy", "dozy"), "de"),
+    ] + [
+        (10 + i, t0 + datetime.timedelta(seconds=20 + i),
+         f"unrelated filler {i} with words {i * 7} only", "en")
+        for i in range(8)
+    ]
+    schema = "doc_id long, ts timestamp, text string, lang string"
+    src = tmp_path / "mhb_src"
+    spark.createDataFrame(rows, schema).write.mode("overwrite").parquet(str(src))
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    _run(
+        streaming_minhash_neardup_pairs(
+            stream, watermark="10 minutes", block_cols=["lang"]
+        ),
+        "mhb_pairs_out",
+    )
+    got = {
+        (r.id_a, r.id_b)
+        for r in spark.sql("SELECT * FROM mhb_pairs_out").collect()
+    }
+    batch = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_pairs(
+            spark.createDataFrame(rows, schema), threshold=0.5, block_cols=["lang"]
+        ).collect()
+    }
+    assert got == batch
+    assert (1, 2) in got and (1, 3) not in got and (2, 3) not in got
+
+
 def test_streaming_minhash_neardup_watermark_evicts_state(spark, tmp_path):
     """A near-dup re-arriving AFTER the watermark horizon does not pair:
     the resident's state was evicted (bounded state is the contract —
