@@ -170,3 +170,43 @@ def test_prefix_sum_matches_python_cumsum(spark, key_vals):
         acc += v
         expected[rid] = acc
     assert got == expected
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.integers(0, 12), min_size=1, max_size=14),
+        min_size=1,
+        max_size=25,
+    ),
+    st.sampled_from([0.3, 0.5, 0.7]),
+)
+def test_setsim_preflight_dict_df_parity(spark, token_docs, threshold):
+    """The driver-side histogram probe and the distributed integer-exact
+    DF form agree on every corpus shape hypothesis draws: corpus stats
+    exactly, head occupancy within the dict's reported rounding, the
+    singleton-screen within the float-vs-integer pro-rata rounding of
+    the boundary class (<= 1)."""
+    from devcontainers_etl_node_spark.operators.retrieval import (
+        setsim_preflight,
+        setsim_preflight_df,
+    )
+
+    rows = [
+        (i, " ".join(f"t{t}" for t in toks)) for i, toks in enumerate(token_docs)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    probe = setsim_preflight(docs, threshold)
+    out = setsim_preflight_df(docs, threshold).collect()
+    if probe["total_grams"] == 0:
+        assert out == [] or out[0]["total_grams"] == 0
+        return
+    row = out[0]
+    assert row["n_docs"] == probe["n_docs"]
+    assert row["total_grams"] == probe["total_grams"]
+    assert row["distinct_grams"] == probe["distinct_grams"]
+    assert row["prefix_mass"] == probe["prefix_mass"]
+    assert abs(row["singleton_screen_x2"] / 2 - probe["predicted_candidates"]) <= 1
+    # dict reports head MASS (occ/total, rounded 4dp); DF reports occ
+    assert abs(row["head_occ"] - probe["head_mass"] * probe["total_grams"]) <= 1
+    assert row["raw_prefix_collisions"] >= 0
