@@ -489,8 +489,19 @@ def setsim_join_prefix(
     ngram: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_collisions_per_doc: float | None = None,
 ) -> DataFrame:
     """All pairs with word-`ngram` Jaccard >= `threshold`, exactly.
+
+    ``max_collisions_per_doc`` (r11): an enforced pre-flight budget —
+    when set, the exact candidate census
+    (:func:`setsim_candidate_census`, the operator's LINEAR stages only)
+    runs first, and a corpus whose raw prefix collisions per doc exceed
+    the budget raises ``ValueError`` naming the measured volume and the
+    minhash fallback INSTEAD of paying a quadratic-ish candidate join.
+    The measured regime (PERF.md r11): healthy corpora sit at O(1)
+    collisions/doc; boilerplate/templated corpora explode past ~1e2.
+    None (default) skips the gate — zero cost on the happy path.
 
     1. Shingle each doc to its distinct word-ngram set (size `sz`).
     2. Global token order = (document frequency asc, gram asc) — rarest
@@ -523,6 +534,23 @@ def setsim_join_prefix(
     frequency d contributes <= d(d-1)/2 collisions, and prefix grams are
     chosen to minimize d). No O(n²) stage at any point.
     """
+    if max_collisions_per_doc is not None:
+        census = setsim_candidate_census(
+            df, threshold, ngram, text_col, id_col
+        ).collect()[0]
+        n_docs = df.count()
+        if n_docs and census["raw_prefix_collisions"] > max_collisions_per_doc * n_docs:
+            raise ValueError(
+                f"setsim pre-flight budget exceeded: "
+                f"{census['raw_prefix_collisions']} raw prefix collisions over "
+                f"{n_docs} docs "
+                f"({census['raw_prefix_collisions'] / n_docs:.1f}/doc > "
+                f"{max_collisions_per_doc}/doc; max bucket "
+                f"{census['max_bucket']}) — this corpus is boilerplate-heavy "
+                f"for an exact AllPairs join at threshold {threshold}; use "
+                f"minhash_lsh_pairs (approximate, candidate volume tracks "
+                f"true pairs) or raise the budget"
+            )
     # Deliberately NOT persisted: the gram relation is corpus-sized, and a
     # cache here would pin O(corpus) rows in executor memory at 100 TB. The
     # shingling is re-derived per consumer (3 scans of cheap codegen'd

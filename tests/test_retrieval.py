@@ -253,3 +253,33 @@ def test_setsim_preflight_probe_and_df_agree(spark):
     empty = spark.createDataFrame([], "doc_id LONG, text STRING")
     p0 = setsim_preflight(empty, 0.5)
     assert p0["n_docs"] == 0 and p0["predicted_candidates"] == 0
+
+
+def test_setsim_budget_gate(spark):
+    """max_collisions_per_doc: a boilerplate corpus (every doc shares a
+    template) trips the census gate with the measured volume and the
+    minhash recommendation in the message; a diverse corpus under the
+    same budget runs; default (None) never runs the census."""
+    import pytest as _pytest
+
+    from devcontainers_etl_node_spark.operators.retrieval import setsim_join_prefix
+
+    template = "terms of service apply to all content on this page " * 3
+    boiler = spark.createDataFrame(
+        [(i, template + f"suffix {i}") for i in range(30)],
+        "doc_id LONG, text STRING",
+    )
+    with _pytest.raises(ValueError, match="pre-flight budget exceeded.*minhash"):
+        setsim_join_prefix(boiler, threshold=0.5, max_collisions_per_doc=2.0)
+    # same corpus, budget off: still computable (exact, just expensive)
+    assert setsim_join_prefix(boiler, threshold=0.5).count() > 0
+
+    import random
+
+    rng = random.Random(3)
+    vocab = [f"w{i}" for i in range(500)]
+    diverse = spark.createDataFrame(
+        [(i, " ".join(rng.choice(vocab) for _ in range(12))) for i in range(30)],
+        "doc_id LONG, text STRING",
+    )
+    setsim_join_prefix(diverse, threshold=0.5, max_collisions_per_doc=2.0).count()
