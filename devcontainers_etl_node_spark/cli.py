@@ -269,6 +269,13 @@ def cmd_dedup_plan(args) -> int:
     g = minhash_geometry(
         args.threshold, args.recall, n_docs=n, max_hashes=args.max_hashes
     )
+    if g is not None and args.blocks > 1:
+        # balanced blocking: floor = sum_b f(n/B) = f(n)/B  =>  the
+        # crossover n where floor ~ 10n moves out by exactly B
+        g["blocks"] = args.blocks
+        g["floor_crossover_docs"] *= args.blocks
+        if "predicted_floor_candidates" in g:
+            g["predicted_floor_candidates"] //= args.blocks
     if g is None:
         print(
             f"no geometry reaches recall {args.recall} at threshold "
@@ -363,6 +370,13 @@ def main(argv: list[str] | None = None) -> int:
     dp.add_argument("--recall", type=float, default=0.9, help="target recall at threshold")
     dp.add_argument("--docs", type=float, default=None, help="corpus size (floats ok: 1e9)")
     dp.add_argument("--max-hashes", type=int, default=256, help="signature budget")
+    dp.add_argument(
+        "--blocks",
+        type=int,
+        default=1,
+        help="balanced block count (block_cols blocking): floor and "
+        "crossover scale by 1/blocks and x blocks respectively",
+    )
 
     g = sub.add_parser("generate", help="continuous generator fleet (G6 twin)")
     g.add_argument("--out", required=True, help="lakehouse root for the three sinks")

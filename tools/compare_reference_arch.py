@@ -247,7 +247,9 @@ def main_rollup() -> None:
 # Run: python tools/compare_reference_arch.py minhash [n_runs] [N,...]
 # ---------------------------------------------------------------------------
 
-_MINHASH_PARAMS = dict(shingle_k=5, num_hashes=16, bands=4, threshold=0.5)
+# 32/8 = the shipped library default since the r11 flip (the measured
+# scale-correct config); the r6 table in PERF.md was the then-shipped 16/4
+_MINHASH_PARAMS = dict(shingle_k=5, num_hashes=32, bands=8, threshold=0.5)
 
 
 def _minhash_corpus(spark, n: int, path: str) -> None:
