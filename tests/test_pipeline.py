@@ -186,6 +186,18 @@ def test_cli_dedup_plan(capsys):
     _, err = capsys.readouterr()
     assert "no geometry" in err
 
+    # --blocks: balanced blocking scales the crossover out by B exactly
+    assert cli.main(["dedup-plan", "--threshold", "0.5", "--recall", "0.4"]) == 0
+    base = json.loads(capsys.readouterr()[0])
+    assert (
+        cli.main(
+            ["dedup-plan", "--threshold", "0.5", "--recall", "0.4", "--blocks", "10"]
+        )
+        == 0
+    )
+    blocked = json.loads(capsys.readouterr()[0])
+    assert blocked["floor_crossover_docs"] == base["floor_crossover_docs"] * 10
+
 
 def test_cli_export_writes_reproducible_shards(spark, tmp_path, capsys):
     """`export` — the last mile: token_shard_assign → write_webdataset.

@@ -230,8 +230,16 @@ def _verify_head(root, location, txlog, delta_log_snapshot, iceberg_snapshot):
 
 
 def main() -> int:
-    n_seq = int(sys.argv[1]) if len(sys.argv) > 1 else 200
-    n_ops = int(sys.argv[2]) if len(sys.argv) > 2 else 6
+    argv = sys.argv[1:]
+    if argv and argv[0] == "--merge-min":
+        # drive the Iceberg manifest-merge path inside random sequences
+        # (the default threshold of 100 is never reached by short ones)
+        from devcontainers_etl_node_spark.sinks import iceberg_export
+
+        iceberg_export._MANIFEST_MERGE_MIN = int(argv[1])
+        argv = argv[2:]
+    n_seq = int(argv[0]) if argv else 200
+    n_ops = int(argv[1]) if len(argv) > 1 else 6
     from devcontainers_etl_node_spark.session import get_spark
 
     spark = get_spark()
