@@ -503,6 +503,18 @@ def test_model_based_random_exports_match_manifests(spark, tmp_path):
         total += check_sequence(spark, str(tmp_path), seed, n_ops=8)
     assert total >= 20  # vacuum ops verify-only; everything else exports
 
+    # one sequence with Iceberg manifest merging forced on (the default
+    # threshold of 100 is unreachable in short sequences) — merged
+    # manifests must stay divergence-free under random ops too
+    from devcontainers_etl_node_spark.sinks import iceberg_export
+
+    old = iceberg_export._MANIFEST_MERGE_MIN
+    iceberg_export._MANIFEST_MERGE_MIN = 2
+    try:
+        check_sequence(spark, str(tmp_path / "merged"), 77, n_ops=8)
+    finally:
+        iceberg_export._MANIFEST_MERGE_MIN = old
+
 
 # ---------------------------------------------------------------------------
 # tx_merge: pruned copy-on-write upsert
