@@ -230,6 +230,7 @@ def minhash_geometry(
     r=8+, whose floor is negligible at any realistic n — measured).
     """
     import math
+    import sys
 
     if not 0 < threshold < 1 or not 0 < target_recall < 1:
         raise ValueError("threshold and target_recall must be in (0, 1)")
@@ -243,7 +244,10 @@ def minhash_geometry(
             continue  # exponentially more bands at fixed recall
         detection = 1 - (1 - p_band) ** b
         floor_rate = b * kappa**r  # per unordered doc pair
-        # n where floor candidates ≈ 10·n (floor becomes the operator)
+        # n where floor candidates ≈ 10·n (floor becomes the operator).
+        # kappa=0 (or a deep-r underflow) means "no measured floor":
+        # clamp the crossover to sys.maxsize instead of overflowing
+        # int(inf) — the geometry is then unbounded by the floor model.
         crossover = 20 / floor_rate if floor_rate > 0 else float("inf")
         cand = {
             "num_hashes": r * b,
@@ -251,7 +255,7 @@ def minhash_geometry(
             "rows_per_band": r,
             "detection_at_threshold": round(detection, 4),
             "floor_rate_per_pair": floor_rate,
-            "floor_crossover_docs": int(crossover),
+            "floor_crossover_docs": int(min(crossover, sys.maxsize)),
         }
         if n_docs is not None:
             cand["predicted_floor_candidates"] = int(
@@ -546,6 +550,28 @@ def minhash_incremental_pairs(
             existing_docs.select(F.col(id_col).alias("_id"), blk_expr)
             .unionByName(new_docs.select(F.col(id_col).alias("_id"), blk_expr))
         )
+        # coverage gate (r12, advice): the block join below is INNER on
+        # the doc sides — a persisted signature id missing from
+        # existing_docs would silently drop out of the band join, losing
+        # old-vs-new coverage with no error. Fail loudly instead (same
+        # cheap limit(5) shape as the id-disjointness gate above).
+        uncovered = [
+            r._id
+            for r in existing_sigs.select("_id")
+            .join(existing_docs.select(F.col(id_col).alias("_id")), "_id", "left_anti")
+            .limit(5)
+            .collect()
+        ]
+        if uncovered:
+            new_sigs.unpersist()
+            new_shingles.unpersist()
+            raise ValueError(
+                f"blocked incremental dedup: existing_docs is missing ids present "
+                f"in existing_sigs (e.g. {uncovered}) — their block values cannot "
+                f"be derived, so those docs would silently drop out of the band "
+                f"join; pass the full historical doc table (id + block columns) "
+                f"or run unblocked (block_cols=None)"
+            )
         all_sigs = all_sigs.join(blk, "_id")
         new_sigs_banding = new_sigs.join(blk, "_id")
         key_cols = ("_blk",)

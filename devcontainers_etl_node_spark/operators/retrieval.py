@@ -468,19 +468,36 @@ def setsim_preflight_df(
     taken_head = F.greatest(
         F.least(head_n - (F.col("cum_n") - F.col("n")), F.col("n")), F.lit(0)
     )
-    stats = joined.groupBy(
-        "n_docs", "total_grams", "distinct_grams", "prefix_mass"
-    ).agg(
+    # GLOBAL agg (not a groupBy over corpus columns): a global agg always
+    # yields exactly one row, so an EMPTY corpus (empty histogram → empty
+    # `joined`) still produces the explicit zeroed record the dict twin
+    # `setsim_preflight` returns, instead of zero rows that IndexError
+    # a `.collect()[0]` caller and diverge from the SQL oracle.
+    derived = joined.agg(
         F.coalesce(F.sum(taken_mass * (F.col("gdf") - 1)), F.lit(0))
         .cast("long")
         .alias("singleton_screen_x2"),
-        F.max(head_n).cast("long").alias("head_n"),
         F.coalesce(F.sum(taken_head * F.col("gdf")), F.lit(0))
         .cast("long")
         .alias("head_occ"),
     )
     census = setsim_candidate_census(df, threshold, ngram, text_col, id_col)
-    return stats.crossJoin(F.broadcast(census.drop("n_buckets")))
+    return (
+        corpus.crossJoin(F.broadcast(tot))  # both global aggs: 1 row always
+        .crossJoin(F.broadcast(derived))
+        .crossJoin(F.broadcast(census.drop("n_buckets")))
+        .select(
+            "n_docs",
+            "total_grams",
+            "distinct_grams",
+            "prefix_mass",
+            "singleton_screen_x2",
+            head_n.alias("head_n"),
+            "head_occ",
+            "raw_prefix_collisions",
+            "max_bucket",
+        )
+    )
 
 
 def setsim_join_prefix(

@@ -279,8 +279,10 @@ def tx_export_delta(root: str) -> list[str]:
     retained.reverse()
     base = head - len(retained) + 1
 
-    stage_dir = log_dir + ".staged"
-    shutil.rmtree(stage_dir, ignore_errors=True)
+    # unique stage suffix (pid + random): two concurrent full rebuilds
+    # each stage into their own sidecar instead of rmtree'ing each
+    # other's in-progress files; the loser's rename fails cleanly.
+    stage_dir = f"{log_dir}.staged-{os.getpid()}-{uuid.uuid4().hex[:8]}"
     os.makedirs(stage_dir)
 
     written = []
@@ -297,8 +299,18 @@ def tx_export_delta(root: str) -> list[str]:
         prev_files, prev_txns, prev_schema = _manifest_state(m)
     with open(os.path.join(stage_dir, _EXPORT_MARKER), "w") as f:
         json.dump({"base": base, "exported_head": head}, f)
-    shutil.rmtree(log_dir, ignore_errors=True)
+    # swap order matters for crash safety: rename the OLD log aside
+    # first, rename the stage in, delete the old tree LAST — a crash
+    # between the two renames leaves a recoverable `.old-*` sidecar
+    # (re-running the export rebuilds deterministically anyway), never
+    # an rmtree'd table with no _delta_log until the next export.
+    old_dir = None
+    if os.path.exists(log_dir):
+        old_dir = f"{log_dir}.old-{os.getpid()}-{uuid.uuid4().hex[:8]}"
+        os.rename(log_dir, old_dir)
     os.rename(stage_dir, log_dir)
+    if old_dir is not None:
+        shutil.rmtree(old_dir, ignore_errors=True)
     return written
 
 

@@ -539,8 +539,9 @@ def tx_export_iceberg(root: str) -> str:
     retained.reverse()
     base = head - len(retained) + 1
 
-    stage_dir = meta_dir + ".staged"
-    shutil.rmtree(stage_dir, ignore_errors=True)
+    # unique stage suffix (pid + random): concurrent full rebuilds never
+    # rmtree each other's in-progress staging (same fix as delta_export).
+    stage_dir = f"{meta_dir}.staged-{os.getpid()}-{uuid.uuid4().hex[:8]}"
     os.makedirs(stage_dir)
     st = _fresh_state()
     metadata_path = ""
@@ -552,8 +553,16 @@ def tx_export_iceberg(root: str) -> str:
         f.write(str(len(retained)))
     with open(os.path.join(stage_dir, _EXPORT_MARKER), "w") as f:
         json.dump({"base": base, "exported_head": head}, f)
-    shutil.rmtree(meta_dir, ignore_errors=True)
+    # rename old aside → rename stage in → delete old LAST: a crash
+    # mid-swap leaves a recoverable `.old-*` sidecar, never a table
+    # whose metadata dir has vanished (same fix as delta_export).
+    old_dir = None
+    if os.path.exists(meta_dir):
+        old_dir = f"{meta_dir}.old-{os.getpid()}-{uuid.uuid4().hex[:8]}"
+        os.rename(meta_dir, old_dir)
     os.rename(stage_dir, meta_dir)
+    if old_dir is not None:
+        shutil.rmtree(old_dir, ignore_errors=True)
     return metadata_path
 
 

@@ -256,7 +256,19 @@ def streaming_minhash_neardup_pairs(
     ``minhash_lsh_pairs(docs, ...)`` with the same knobs (pinned in
     tests/test_streaming.py). Re-delivered doc ids are ignored
     (replay-safe at the doc level); checkpointed state makes restarts
-    resume rather than re-emit."""
+    resume rather than re-emit.
+
+    CHECKPOINT COMPATIBILITY (r12 release note): ``num_hashes``/``bands``
+    are part of the CHECKPOINT contract, not just the output contract —
+    the state is keyed by band hash, so restarting an existing
+    checkpoint under a different geometry orphans ALL prior state
+    SILENTLY (the old band-hash group keys are simply never visited
+    again; the state schema is unchanged, so Spark raises no error) and
+    near-dup pairs spanning the restart are missed. The library default
+    flipped 16/4 → 32/8 in r11: a stream that ran under the old default
+    must either pin ``num_hashes=16, bands=4`` explicitly or start a
+    fresh checkpoint (and re-feed the horizon) when upgrading. Pin the
+    geometry explicitly in any long-lived deployment."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 

@@ -114,6 +114,59 @@ def test_minhash_incremental_blocked_parity(spark):
     assert (3, 100) not in got and (1, 101) not in got  # cross-block
 
 
+def test_minhash_incremental_blocked_requires_doc_coverage(spark):
+    """r12 advice: the blocked path derives block values from the doc
+    sides, so a persisted signature id MISSING from existing_docs must
+    raise (it would otherwise silently drop out of the band join and
+    lose old-vs-new coverage). The unblocked path is unaffected — block
+    values aren't needed there."""
+    import pytest as _pytest
+
+    base = "the quick brown fox jumps over the lazy dog and runs far away into the woods"
+    old_df = spark.createDataFrame(
+        [(1, base, "en")], ["doc_id", "text", "lang"]
+    )
+    # signatures cover ids {1, 2} but existing_docs only covers {1}
+    both = spark.createDataFrame(
+        [(1, base), (2, base.replace("lazy", "dozy"))], ["doc_id", "text"]
+    )
+    old_sigs = dedup.minhash_signature_table(
+        dedup.shingle_hash_rows(
+            both.select(F.col("doc_id").alias("_id"), F.col("text").alias("_text"))
+        )
+    )
+    new_df = spark.createDataFrame(
+        [(100, base.replace("quick", "rapid"), "en")], ["doc_id", "text", "lang"]
+    )
+    with _pytest.raises(ValueError, match="missing ids.*block"):
+        dedup.minhash_incremental_pairs(
+            old_df, old_sigs, new_df, threshold=0.5, block_cols=["lang"]
+        )
+    # unblocked: runs (verify-side coverage is a separate, documented
+    # contract), and still finds the new-vs-covered-old pair
+    pairs, _m, release = dedup.minhash_incremental_pairs(
+        old_df, old_sigs, new_df, threshold=0.5
+    )
+    got = {(p.id_a, p.id_b) for p in pairs.collect()}
+    release()
+    assert (1, 100) in got
+
+
+def test_minhash_geometry_zero_kappa_unbounded_crossover():
+    """r12 advice: kappa=0 (no measured floor) must return a geometry
+    with a clamped sentinel crossover, not raise OverflowError on
+    int(inf)."""
+    import sys
+
+    from devcontainers_etl_node_spark.operators.dedup import minhash_geometry
+
+    g = minhash_geometry(0.5, 0.9, kappa=0.0)
+    assert g is not None
+    assert g["floor_rate_per_pair"] == 0.0
+    assert g["floor_crossover_docs"] == sys.maxsize
+    assert 0 < g["detection_at_threshold"] <= 1
+
+
 def test_jaccard_exact_values(spark):
     df = spark.createDataFrame([(1,)], ["x"]).select(
         dedup.jaccard(F.array(F.lit("a"), F.lit("b")), F.array(F.lit("b"), F.lit("c"))).alias("j")

@@ -249,10 +249,19 @@ def test_setsim_preflight_probe_and_df_agree(spark):
     # the census column is EXACT — equal to the operator's own relation
     assert row["raw_prefix_collisions"] == int(raw)
 
-    # empty corpus: typed zero row, no division errors
+    # empty corpus: typed zero row, no division errors — and the DF twin
+    # returns the SAME explicit one-row zero record (r12 advice: an empty
+    # histogram previously made the groupBy produce ZERO rows, so a
+    # .collect()[0] caller IndexError'd and oracle parity diverged)
     empty = spark.createDataFrame([], "doc_id LONG, text STRING")
     p0 = setsim_preflight(empty, 0.5)
     assert p0["n_docs"] == 0 and p0["predicted_candidates"] == 0
+    zrows = setsim_preflight_df(empty, 0.5).collect()
+    assert len(zrows) == 1
+    z = zrows[0]
+    assert z["n_docs"] == 0 and z["total_grams"] == 0
+    assert z["singleton_screen_x2"] == 0 and z["raw_prefix_collisions"] == 0
+    assert z["max_bucket"] == 0 and z["head_occ"] == 0
 
 
 def test_setsim_budget_gate(spark):
