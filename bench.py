@@ -126,6 +126,8 @@ ROTATION_REPS = 2
 # SWEEP_r{N}.txt (cold session per entry) is the cold record.
 MEMO_BACKED = {
     "dup_clusters": "session-warm shared ngram pair-graph memo; cold standalone cost in SWEEP",
+    "minhash_incremental": "session-memoized historical signature snapshot (r12); "
+    "rep 1 / cadence_split_r12 carry the build cost, SWEEP has the cold record",
 }
 
 
@@ -202,6 +204,28 @@ def main() -> None:
         rotation_reps[name] = [round(t, 4) for t in reps]
         rotation[name] = round(min(reps), 4)
 
+    # r12 cadence split (verdict task 5): minhash_incremental's one-shot
+    # number bundled the historical-snapshot build that production
+    # amortizes (persisted parquet, built once per doc ever) — the r11
+    # rotation read ~10 s where the modeled cadence is ~half. The entry
+    # now session-memoizes the snapshot: rep 1 = build + incremental
+    # step (the honest cold cost, also in SWEEP), reps 2+ = the step
+    # alone. Both subtotals are reported; neither joins `value`.
+    inc_reps = []
+    for _ in range(3):
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
+        t0 = time.perf_counter()
+        QUERIES["minhash_incremental"](spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        inc_reps.append(round(time.perf_counter() - t0, 4))
+    cadence_split = {
+        "minhash_incremental_with_history_build": inc_reps[0],
+        "minhash_incremental_step": round(min(inc_reps[1:]), 4),
+        "reps": inc_reps,
+    }
+
     total = round(sum(timings.values()), 4)
     # Round-11 flipped minhash_neardup (and pretrain_prep's embedded
     # minhash stage) from the measured-quadratic 16/4 bench config to the
@@ -259,6 +283,10 @@ def main() -> None:
                 # part of `value` (keeps round-over-round comparability)
                 "rotation": rotation,
                 "rotation_reps": rotation_reps,
+                # r12: history-build vs incremental-step subtotals for
+                # minhash_incremental (session-memoized snapshot; see the
+                # cadence-split comment above)
+                "cadence_split_r12": cadence_split,
                 "rotation_total": round(sum(rotation.values()), 4),
                 "rotation_round_idx": round_idx,
                 # per-rep 1-min loadavg at rep START (parallel to `reps`):

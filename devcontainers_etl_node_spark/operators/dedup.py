@@ -190,6 +190,84 @@ def band_candidate_pairs(
     )
 
 
+def minhash_candidate_census(
+    banded: DataFrame, key_cols: tuple = (), new_flag_col: str | None = None
+) -> dict:
+    """EXACT pre-flight for banded LSH: the raw bucket-collision count the
+    band self-join would have to process — ``Σ_buckets C(b, 2)`` over the
+    ``(band, bh[, *key_cols])`` group keys — computed with ONE aggregation
+    over the already-banded signature rows, none of the quadratic-risk
+    join. The minhash twin of
+    :func:`~devcontainers_etl_node_spark.operators.retrieval.setsim_candidate_census`
+    and the number the r11 1M-doc rung showed growing at exponent 1.97
+    on unblocked fixed-geometry banding (PERF.md): this census IS the
+    floor, measured before paying it.
+
+    ``new_flag_col``: incremental form — when set (a 0/1 column on
+    ``banded``), the census counts the all×new join volume per bucket
+    (``n_all·n_new − n_new``, self-matches excluded) instead of C(b,2).
+
+    Returns ``{raw_band_collisions, n_buckets, max_bucket}``. Cost: one
+    shuffle on the (band, bh) keys the operator shuffles on anyway —
+    measured ~15-20% of the unblocked operator wall at sf0.1 (PERF.md
+    r12), and it bounds the stage that is O(n²) at scale.
+    """
+    grp = banded.groupBy(*key_cols, "band", "bh")
+    if new_flag_col is None:
+        buckets = grp.agg(F.count(F.lit(1)).alias("b"))
+        coll = F.sum(F.col("b") * (F.col("b") - 1) / 2)
+    else:
+        buckets = grp.agg(
+            F.count(F.lit(1)).alias("b"),
+            F.sum(F.col(new_flag_col)).alias("bn"),
+        )
+        coll = F.sum(F.col("b") * F.col("bn") - F.col("bn"))
+    row = buckets.agg(
+        F.coalesce(coll, F.lit(0)).cast("long").alias("raw_band_collisions"),
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+        F.coalesce(F.max("b"), F.lit(0)).cast("long").alias("max_bucket"),
+    ).collect()[0]
+    return {
+        "raw_band_collisions": int(row["raw_band_collisions"]),
+        "n_buckets": int(row["n_buckets"]),
+        "max_bucket": int(row["max_bucket"]),
+    }
+
+
+def _minhash_budget_error(
+    census: dict,
+    n_docs: int,
+    budget: float,
+    threshold: float,
+    blocked: bool,
+) -> ValueError:
+    """The refusal message for the minhash census gate: the measured
+    volume plus the two mitigations the r11 analysis proved out —
+    blocking (floor becomes O(Σ n_b²)) and a deeper-r geometry from
+    :func:`minhash_geometry` (floor ∝ kappa^r)."""
+    geo = minhash_geometry(threshold, target_recall=0.9, n_docs=n_docs)
+    per_doc = census["raw_band_collisions"] / max(n_docs, 1)
+    hint = (
+        "tighten block_cols (smaller blocks bound each n_b)"
+        if blocked
+        else "pass block_cols=[...] (lang/source/time-window) — buckets never "
+        "span blocks, so the floor becomes O(Σ n_b²) (measured 4.0x wall at "
+        "1M docs, PERF.md r11)"
+    )
+    return ValueError(
+        f"minhash pre-flight budget exceeded: {census['raw_band_collisions']} "
+        f"raw band collisions over {n_docs} docs ({per_doc:.1f}/doc > "
+        f"{budget}/doc; max bucket {census['max_bucket']}) — this corpus is "
+        f"past the random-collision floor for this banding geometry at "
+        f"threshold {threshold}; {hint}, or use a deeper-rows-per-band "
+        f"geometry: minhash_geometry(threshold={threshold}, n_docs={n_docs}) "
+        f"suggests num_hashes={geo['num_hashes']}, bands={geo['bands']} "
+        f"(r={geo['rows_per_band']}, floor crossover "
+        f"~{float(geo['floor_crossover_docs']):.2g} docs, detection "
+        f"{geo['detection_at_threshold']}), or raise the budget"
+    )
+
+
 def minhash_geometry(
     threshold: float,
     target_recall: float = 0.9,
@@ -278,8 +356,25 @@ def minhash_lsh_pairs(
     bands: int = 8,
     threshold: float = 0.5,
     block_cols: list[str] | None = None,
+    max_collisions_per_doc: float | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs above `threshold` exact Jaccard.
+
+    ``max_collisions_per_doc`` (r12): an enforced pre-flight budget —
+    the self-protecting shape ``setsim_join_prefix`` already ships,
+    closing the one `weak` the r11 verdict measured. When set, the EXACT
+    band census (:func:`minhash_candidate_census` — Σ C(bucket, 2) over
+    the banding's own group keys, one aggregation over the persisted
+    signature table, none of the quadratic-risk self-join) runs first,
+    and a corpus whose raw band collisions per doc exceed the budget
+    raises ``ValueError`` naming the measured volume, the
+    :func:`minhash_geometry` recommendation, and the blocking hint —
+    INSTEAD of silently paying the O(n²) random-collision floor the r11
+    1M-doc rung measured (candidates ×1.97 per decade past ~10^5.7
+    unblocked docs at t=0.5). The measured regime: healthy corpora sit
+    at O(1)-O(10) collisions/doc; past the floor crossover the census
+    reads ~10·n and climbing. None (default) skips the gate — zero cost
+    on the happy path.
 
     ``block_cols`` (r11): BLOCKED banding — LSH buckets never span
     distinct values of these columns, so only same-block docs can pair.
@@ -375,7 +470,18 @@ def minhash_lsh_pairs(
     # eager materialization: the self-join scans sig concurrently, and two
     # stages racing on a cold cache each compute the full lineage. One
     # count() pins the cache before fan-out (this op is terminal anyway).
-    sig.count()
+    n_docs = sig.count()
+
+    if max_collisions_per_doc is not None:
+        census = minhash_candidate_census(
+            banded_signatures(sig, num_hashes, bands, key_cols), key_cols
+        )
+        if n_docs and census["raw_band_collisions"] > max_collisions_per_doc * n_docs:
+            for cached in (shingle_rows, sig):
+                cached.unpersist()
+            raise _minhash_budget_error(
+                census, n_docs, max_collisions_per_doc, threshold, bool(block_cols)
+            )
 
     cand = band_candidate_pairs(sig, num_hashes=num_hashes, bands=bands, key_cols=key_cols)
 
@@ -467,9 +573,21 @@ def minhash_incremental_pairs(
     bands: int = 8,
     threshold: float = 0.5,
     block_cols: list[str] | None = None,
+    max_collisions_per_doc: float | None = None,
 ) -> tuple[DataFrame, DataFrame, Callable[[], None]]:
     """Incremental MinHash dedup: near-dup pairs INVOLVING newly arrived
     docs, reusing the persisted signature table of the historical corpus.
+
+    ``max_collisions_per_doc`` (r12): pre-flight budget, same contract
+    as :func:`minhash_lsh_pairs` but counted per NEW doc — the exact
+    all×new band-join volume (``Σ_buckets n_all·n_new − n_new``, one
+    aggregation over the banded union, via
+    :func:`minhash_candidate_census`) must not exceed
+    ``budget × |new_docs|``, else ``ValueError`` with the measured
+    volume and the blocking/geometry recommendation. This is the gate
+    that protects the CADENCE case: a snapshot that has quietly grown
+    past the floor crossover makes every later batch pay O(n·m) random
+    collisions — the census reads that before the join does.
 
     ``block_cols`` (r11): blocked banding, same contract as
     :func:`minhash_lsh_pairs` — buckets never span blocks, so the
@@ -517,7 +635,7 @@ def minhash_incremental_pairs(
     )
     new_shingles = shingle_hash_rows(new_base, shingle_k).persist(StorageLevel.MEMORY_AND_DISK)
     new_sigs = minhash_signature_table(new_shingles, num_hashes).persist(StorageLevel.MEMORY_AND_DISK)
-    new_sigs.count()
+    n_new = new_sigs.count()
 
     # id-disjointness gate (one semi-join over the compact sig table —
     # ~num_hashes longs/doc, far cheaper than the corruption it prevents):
@@ -577,6 +695,29 @@ def minhash_incremental_pairs(
         key_cols = ("_blk",)
     else:
         new_sigs_banding = new_sigs
+    if max_collisions_per_doc is not None:
+        # exact all×new census BEFORE the band join: flag the new rows,
+        # band the flagged union (same explode the join runs), and sum
+        # n_all·n_new − n_new per bucket — one aggregation, no join.
+        flagged = (
+            existing_sigs.select("_id", "_sig")
+            .withColumn("_is_new", F.lit(0))
+            .unionByName(new_sigs.select("_id", "_sig").withColumn("_is_new", F.lit(1)))
+        )
+        if block_cols:
+            flagged = flagged.join(blk, "_id")
+        census = minhash_candidate_census(
+            banded_signatures(flagged, num_hashes, bands, key_cols + ("_is_new",)),
+            key_cols,
+            new_flag_col="_is_new",
+        )
+        if n_new and census["raw_band_collisions"] > max_collisions_per_doc * n_new:
+            new_sigs.unpersist()
+            new_shingles.unpersist()
+            raise _minhash_budget_error(
+                census, n_new, max_collisions_per_doc, threshold, bool(block_cols)
+            )
+
     # band join: ALL (old∪new) against NEW only — old×old pairs never form.
     # Pair order is normalized (least, greatest) because an old id may be
     # larger or smaller than a new id; new×new pairs arise twice (once per

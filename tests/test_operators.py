@@ -114,6 +114,74 @@ def test_minhash_incremental_blocked_parity(spark):
     assert (3, 100) not in got and (1, 101) not in got  # cross-block
 
 
+def test_minhash_budget_gate(spark):
+    """max_collisions_per_doc (r12, the setsim_join_prefix shape): a
+    boilerplate corpus — every doc shares a template, so band buckets go
+    quadratic — trips the exact band census with the measured volume,
+    the blocking hint, and a minhash_geometry recommendation; a diverse
+    corpus under the same budget runs; a blocked call that still trips
+    recommends tightening the blocks."""
+    import pytest as _pytest
+
+    template = "terms of service apply to all content on this page always " * 4
+    boiler = spark.createDataFrame(
+        [(i, template + f"tail {i}", "en") for i in range(40)],
+        ["doc_id", "text", "lang"],
+    )
+    with _pytest.raises(
+        ValueError, match="pre-flight budget exceeded.*block_cols.*minhash_geometry"
+    ):
+        dedup.minhash_lsh_pairs(boiler, threshold=0.5, max_collisions_per_doc=2.0)
+    # blocked call still over budget: the hint flips to tightening blocks
+    with _pytest.raises(ValueError, match="tighten block_cols"):
+        dedup.minhash_lsh_pairs(
+            boiler, threshold=0.5, block_cols=["lang"], max_collisions_per_doc=2.0
+        )
+    # same corpus, no budget: still computable (the pre-r12 behavior)
+    assert dedup.minhash_lsh_pairs(boiler, threshold=0.5).count() > 0
+
+    import random
+
+    rng = random.Random(7)
+    vocab = [f"word{i}" for i in range(800)]
+    diverse = spark.createDataFrame(
+        [(i, " ".join(rng.choice(vocab) for _ in range(25))) for i in range(40)],
+        ["doc_id", "text"],
+    )
+    # diverse corpus under the same budget: gate passes, operator runs
+    dedup.minhash_lsh_pairs(diverse, threshold=0.5, max_collisions_per_doc=2.0).count()
+
+
+def test_minhash_incremental_budget_gate(spark):
+    """The incremental gate counts the all×new band-join volume per NEW
+    doc: a boilerplate batch against a boilerplate snapshot trips it;
+    the same batch with the budget off still runs and matches the
+    unbudgeted pair set."""
+    import pytest as _pytest
+
+    template = "standard disclaimer text repeated across every page here " * 4
+    old_df = spark.createDataFrame(
+        [(i, template + f"old {i}") for i in range(30)], ["doc_id", "text"]
+    )
+    new_df = spark.createDataFrame(
+        [(100 + i, template + f"new {i}") for i in range(5)], ["doc_id", "text"]
+    )
+    old_sigs = dedup.minhash_signature_table(
+        dedup.shingle_hash_rows(
+            old_df.select(F.col("doc_id").alias("_id"), F.col("text").alias("_text"))
+        )
+    )
+    with _pytest.raises(ValueError, match="pre-flight budget exceeded"):
+        dedup.minhash_incremental_pairs(
+            old_df, old_sigs, new_df, threshold=0.5, max_collisions_per_doc=3.0
+        )
+    pairs, _m, release = dedup.minhash_incremental_pairs(
+        old_df, old_sigs, new_df, threshold=0.5
+    )
+    assert pairs.count() > 0
+    release()
+
+
 def test_minhash_incremental_blocked_requires_doc_coverage(spark):
     """r12 advice: the blocked path derives block values from the doc
     sides, so a persisted signature id MISSING from existing_docs must
