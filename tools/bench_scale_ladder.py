@@ -145,9 +145,11 @@ def run_ladder(sizes: list[int], n_reps: int = 2, entries: list[str] | None = No
     print(json.dumps({"sizes": sizes, "reps": results}))
 
 
-def run_spill(docs_dir: str) -> None:
+def run_spill(docs_dir: str, block_key: str | None = None) -> None:
     """Top-rung spill gate: the band join must complete by spilling under
-    a ~35 MB/task execution budget (own JVM — heap is a start setting)."""
+    a ~35 MB/task execution budget (own JVM — heap is a start setting).
+    ``--block lang|b100`` runs the BLOCKED operator instead (r12 task 2:
+    the gate must hold on both block keys at the top rung)."""
     from pyspark.sql import SparkSession
 
     # 2 g heap / fraction 0.2 => ~400 MB unified pool (~100 MB/task):
@@ -172,10 +174,14 @@ def run_spill(docs_dir: str) -> None:
     from devcontainers_etl_node_spark.operators import dedup
 
     docs = spark.read.parquet(os.path.join(docs_dir, "documents.parquet"))
+    if block_key == "b100":
+        docs = docs.withColumn("b100", _b100_col())
     t0 = time.perf_counter()
     # library default 32/8 — the shipped entry config since r11 (the r10
     # gate ran the then-shipped 16/4; both complete by spilling)
-    n_pairs = dedup.minhash_lsh_pairs(docs, threshold=0.5).count()
+    n_pairs = dedup.minhash_lsh_pairs(
+        docs, threshold=0.5, block_cols=[block_key] if block_key else None
+    ).count()
     wall = round(time.perf_counter() - t0, 1)
 
     app_id = spark.sparkContext.applicationId
@@ -311,9 +317,165 @@ def run_streaming_state(sizes: list[int], batches: int = 10) -> None:
         )
 
 
+def _b100_col():
+    """~100-block FAMILY-CONSISTENT synthetic key: dup families are 4
+    consecutive doc_ids (generators/synthetic.py:gen_documents_zipf), so
+    hashing doc_id // 4 keeps every true near-dup pair inside one block —
+    this key measures the floor division WITHOUT trading away recall,
+    the production-shaped contract (lang/source/time-window keys are
+    family-consistent on real corpora the same way)."""
+    return F.pmod(
+        F.xxhash64(F.floor(F.col("doc_id") / 4).cast("long")), F.lit(100)
+    ).alias("b100")
+
+
+def run_blocked(sizes: list[int], n_reps: int = 2) -> None:
+    """Blocked-floor validation ladder (r12 verdict task 2): per rung,
+
+    1. the EXACT band census (``dedup.minhash_candidate_census``, the
+       r12 budget-gate aggregation) unblocked vs lang-blocked (3 blocks)
+       vs b100-blocked (~100 family-consistent blocks), with the
+       measured blocked/unblocked candidate ratio pinned against the
+       predicted ``Σ share²`` computed from the exact block histogram —
+       the r11 model hit twice at 3 blocks; this mode tests it at ~100
+       blocks and at the next corpus decade;
+    2. the BLOCKED operator walls (min of ``n_reps``) for per-decade
+       scaling exponents — the production claim is that blocking makes
+       the wall curve sub-linear where the unblocked r11 curve measured
+       exponent ~2 past 10^5.7 docs;
+    3. the census wall as a fraction of the blocked op wall (the r12
+       budget gate's cost when enabled).
+
+    The unblocked WALL is deliberately not re-run at the top rung —
+    r11 measured 145 s at 1M and the exponent is known (~2); this mode
+    measures the mitigation's curve, not the disease again."""
+    from pyspark import StorageLevel
+
+    from devcontainers_etl_node_spark.operators import dedup
+    from devcontainers_etl_node_spark.operators.skew import spread
+    from devcontainers_etl_node_spark.session import get_spark
+
+    spark = get_spark()
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    print(f"# blocked ladder start loadavg={os.getloadavg()[0]:.2f} reps={n_reps}")
+
+    results: dict[int, dict] = {}
+    for n in sizes:
+        d = os.path.join(ROOT, f"docs_v2_{n}")
+        if not os.path.exists(os.path.join(d, "documents.parquet", "_SUCCESS")):
+            gen_documents(spark, n, d)
+        docs = spark.read.parquet(os.path.join(d, "documents.parquet")).withColumn(
+            "b100", _b100_col()
+        )
+
+        # exact censuses over ONE persisted signature table (32/8 default)
+        sig = dedup.minhash_signature_table(
+            dedup.shingle_hash_rows(
+                spread(
+                    docs.select(
+                        F.col("doc_id").alias("_id"), F.col("text").alias("_text")
+                    )
+                )
+            ),
+            32,
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        sig.count()
+        t0 = time.perf_counter()
+        cen_un = dedup.minhash_candidate_census(dedup.banded_signatures(sig, 32, 8))
+        t_census = round(time.perf_counter() - t0, 2)
+        row: dict = {"unblocked_census": cen_un, "census_sec": t_census}
+        for key in ("lang", "b100"):
+            blk = docs.select(
+                F.col("doc_id").alias("_id"),
+                F.xxhash64(
+                    F.coalesce(F.col(key).cast("string"), F.lit("\x00null"))
+                ).alias("_blk"),
+            )
+            cen = dedup.minhash_candidate_census(
+                dedup.banded_signatures(sig.join(blk, "_id"), 32, 8, ("_blk",)),
+                ("_blk",),
+            )
+            hist = [r["count"] for r in docs.groupBy(key).count().collect()]
+            tot = sum(hist)
+            pred = sum(c * (c - 1) for c in hist) / (tot * (tot - 1))
+            row[key] = {
+                "census": cen,
+                "ratio": round(
+                    cen["raw_band_collisions"]
+                    / max(cen_un["raw_band_collisions"], 1),
+                    4,
+                ),
+                "predicted_share2": round(pred, 4),
+                "n_blocks": len(hist),
+            }
+            print(
+                f"  n={n:>8} census {key:<5}: {cen['raw_band_collisions']:>12} "
+                f"(ratio {row[key]['ratio']} vs pred Σshare² {pred:.4f}, "
+                f"{len(hist)} blocks; unblocked {cen_un['raw_band_collisions']})",
+                flush=True,
+            )
+        sig.unpersist()
+
+        # blocked operator walls (+ pair counts: the family-consistent
+        # b100 key should RETAIN the true pairs lang blocking drops)
+        for key in ("lang", "b100"):
+            reps, pairs = [], 0
+            for _ in range(n_reps):
+                gc.collect()
+                spark.sparkContext._jvm.System.gc()
+                t0 = time.perf_counter()
+                pairs = dedup.minhash_lsh_pairs(
+                    docs, threshold=0.5, block_cols=[key]
+                ).count()
+                reps.append(round(time.perf_counter() - t0, 1))
+            row[f"wall_{key}"] = reps
+            row[f"pairs_{key}"] = pairs
+            print(
+                f"  n={n:>8} wall {key:<5}: reps={reps} pairs={pairs} "
+                f"census_frac={t_census / min(reps):.2f} "
+                f"load={os.getloadavg()[0]:.1f}",
+                flush=True,
+            )
+        results[n] = row
+
+    print("\n| key | " + " | ".join(f"{n} docs" for n in sizes) + " | " +
+          " | ".join(
+              f"alpha {sizes[i]}->{sizes[i+1]}" for i in range(len(sizes) - 1)
+          ) + " |")
+    print("|---" * (len(sizes) + len(sizes)) + "|")
+    for key in ("lang", "b100"):
+        best = [min(results[n][f"wall_{key}"]) for n in sizes]
+        alphas = [
+            math.log(best[i + 1] / best[i]) / math.log(sizes[i + 1] / sizes[i])
+            for i in range(len(sizes) - 1)
+        ]
+        print(
+            f"| {key} | "
+            + " | ".join(f"{b:.1f} s" for b in best)
+            + " | "
+            + " | ".join(f"{a:.2f}" for a in alphas)
+            + " |"
+        )
+    print(json.dumps({"sizes": sizes, "blocked": {str(k): v for k, v in results.items()}}))
+
+
 def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "--spill":
-        run_spill(sys.argv[2])
+        block = None
+        args = sys.argv[2:]
+        if args and args[0] == "--block":
+            block = args[1]
+            args = args[2:]
+        run_spill(args[0], block_key=block)
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "--blocked":
+        sizes = (
+            [int(x) for x in sys.argv[2].split(",")]
+            if len(sys.argv) > 2
+            else [25_000, 250_000, 2_500_000]
+        )
+        os.makedirs(ROOT, exist_ok=True)
+        run_blocked(sizes)
         return
     if len(sys.argv) > 1 and sys.argv[1] == "--bm25":
         sizes = (
