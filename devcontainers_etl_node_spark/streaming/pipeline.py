@@ -221,6 +221,7 @@ def streaming_minhash_neardup_pairs(
     bands: int = 8,
     threshold: float = 0.5,
     block_cols: list[str] | None = None,
+    doc_store: DataFrame | None = None,
 ) -> DataFrame:
     """Streaming twin of ``operators.dedup.minhash_lsh_pairs`` — the
     higher-recall sibling of the simhash stream dedup: MinHash-banded
@@ -258,6 +259,30 @@ def streaming_minhash_neardup_pairs(
     (replay-safe at the doc level); checkpointed state makes restarts
     resume rather than re-emit.
 
+    SLIM STATE MODE (r12, verdict task 3): pass ``doc_store`` — a STATIC
+    DataFrame carrying (``id_col``, ``text_col``) for every doc the
+    stream ingests (the durable corpus table the pipeline already
+    maintains: the txlog/parquet store docs land in at ingest) — and the
+    state drops the per-resident SHINGLE SETS, the term the r11 rung
+    measured at ~85 KB per horizon doc. State then holds only
+    (id, ts, signature, band keys) ≈ ``8·num_hashes + 8·bands + 16``
+    bytes per resident per visited bucket (~2.6 KB/doc at 32/8 — a
+    measured ~30x reduction, the difference between a ~100 GB and a
+    ~3 TB state store at a 10 M-doc horizon), the stateful stage emits
+    est-pruned CANDIDATE pairs, and the exact-Jaccard verify runs as a
+    stream-static join against ``doc_store`` with the same shingle
+    arithmetic as the batch verify — output schema and values are
+    identical (parity pinned in tests/test_streaming.py).
+
+    ``doc_store`` contract: it is re-read every micro-batch (updates are
+    picked up) and the verify join is INNER — a candidate whose doc is
+    missing from the store is silently dropped, so the pipeline must
+    commit docs to the store at (or before) stream ingest; at 100 TB
+    bucket the store by ``id_col`` so the per-batch join prunes to the
+    candidate buckets instead of scanning the corpus. Slim and full
+    modes have DIFFERENT state schemas — never flip ``doc_store`` on an
+    existing checkpoint (see the geometry note below; same rule).
+
     CHECKPOINT COMPATIBILITY (r12 release note): ``num_hashes``/``bands``
     are part of the CHECKPOINT contract, not just the output contract —
     the state is keyed by band hash, so restarting an existing
@@ -272,6 +297,7 @@ def streaming_minhash_neardup_pairs(
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+    slim = doc_store is not None
     rows_per_band = num_hashes // bands
     horizon_ms = _interval_ms(watermark)
     # the same conditional est-prune as the batch operator: below the
@@ -286,11 +312,13 @@ def streaming_minhash_neardup_pairs(
     shingles = F.transform(
         positions, lambda p: F.xxhash64(F.col("_norm").substr(p, F.lit(shingle_k)))
     )
+    base = docs.withColumn("_norm", norm).withColumn("_shingles", shingles)
+    if not slim:
+        # full mode keeps the shingle SET in state for the in-state exact
+        # verify — the ~85 KB/horizon-doc term slim mode eliminates
+        base = base.withColumn("_shset", F.array_distinct("_shingles"))
     base = (
-        docs.withColumn("_norm", norm)
-        .withColumn("_shingles", shingles)
-        .withColumn("_shset", F.array_distinct("_shingles"))
-        .withColumn(
+        base.withColumn(
             "_sig",
             F.array(
                 *[
@@ -342,7 +370,7 @@ def streaming_minhash_neardup_pairs(
             F.unix_millis(ts_col).alias("_ts_ms"),
             "_sig",
             "_bhs",
-            "_shset",
+            *([] if slim else ["_shset"]),
             *blk_cols,
             F.posexplode("_bhs").alias("_band", "_bh"),
         )
@@ -350,10 +378,14 @@ def streaming_minhash_neardup_pairs(
 
     def update(key, pdfs, state: GroupState):
         band = int(key[0])
-        entries: list[tuple] = []  # (id, ts_ms, sig, bhs, shset)
+        entries: list[tuple] = []  # (id, ts_ms, sig, bhs[, shset — full mode])
         wm = state.getCurrentWatermarkMs()
         if state.exists:
-            ids, tss, sigs, bhss, shs = state.get
+            if slim:
+                ids, tss, sigs, bhss = state.get
+                shs: list = [None] * len(ids)
+            else:
+                ids, tss, sigs, bhss, shs = state.get
             # residents the watermark has passed can never pair with a
             # non-late future arrival: evict
             entries = [
@@ -362,7 +394,7 @@ def streaming_minhash_neardup_pairs(
                     int(t),
                     [int(x) for x in sg],
                     [int(x) for x in bh],
-                    {int(x) for x in s},
+                    None if s is None else {int(x) for x in s},
                 )
                 for i, t, sg, bh, s in zip(ids, tss, sigs, bhss, shs)
                 if int(t) >= wm
@@ -371,8 +403,9 @@ def streaming_minhash_neardup_pairs(
         if not state.hasTimedOut:
             rows = []
             for pdf in pdfs:
+                shs_in = [None] * len(pdf) if slim else pdf["_shset"]
                 for i, t, sg, bh, s in zip(
-                    pdf["_id"], pdf["_ts_ms"], pdf["_sig"], pdf["_bhs"], pdf["_shset"]
+                    pdf["_id"], pdf["_ts_ms"], pdf["_sig"], pdf["_bhs"], shs_in
                 ):
                     # plain-int everything: numpy scalars don't survive the
                     # state pickle back to the JVM
@@ -382,7 +415,7 @@ def streaming_minhash_neardup_pairs(
                             int(t),
                             [int(x) for x in sg],
                             [int(x) for x in bh],
-                            {int(x) for x in s},
+                            None if s is None else {int(x) for x in s},
                         )
                     )
             rows.sort(key=lambda x: (x[1], x[0]))
@@ -406,6 +439,11 @@ def streaming_minhash_neardup_pairs(
                         ) / float(num_hashes)
                         if est < est_cut:
                             continue
+                    if slim:
+                        # candidate only — the exact verify runs in the
+                        # stream-static join against the durable store
+                        out.append((min(rid, oid), max(rid, oid)))
+                        continue
                     n_int = len(rsh & osh)
                     union = len(rsh) + len(osh) - n_int
                     j = n_int / union if union else 0.0
@@ -414,34 +452,85 @@ def streaming_minhash_neardup_pairs(
                 entries.append((rid, rts, rsig, rbhs, rsh))
                 seen.add(rid)
         if entries:
-            state.update(
-                (
-                    [e[0] for e in entries],
-                    [e[1] for e in entries],
-                    [e[2] for e in entries],
-                    [e[3] for e in entries],
-                    [sorted(e[4]) for e in entries],
-                )
+            packed = (
+                [e[0] for e in entries],
+                [e[1] for e in entries],
+                [e[2] for e in entries],
+                [e[3] for e in entries],
             )
+            if not slim:
+                packed = packed + ([sorted(e[4]) for e in entries],)
+            state.update(packed)
             state.setTimeoutTimestamp(max(e[1] for e in entries) + horizon_ms)
         else:
             state.remove()
         if out:
-            yield pd.DataFrame(out, columns=["id_a", "id_b", "jaccard_sim"])
+            yield pd.DataFrame(
+                out, columns=["id_a", "id_b"] if slim else ["id_a", "id_b", "jaccard_sim"]
+            )
 
     group_keys = ["_band", "_bh"] + (["_blk"] if block_cols else [])
-    return (
-        exploded.groupBy(*group_keys)
-        .applyInPandasWithState(
-            update,
-            outputStructType="id_a long, id_b long, jaccard_sim double",
-            stateStructType=(
-                "ids array<long>, tss array<long>, sigs array<array<long>>, "
-                "bhss array<array<long>>, shs array<array<long>>"
-            ),
-            outputMode="append",
-            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    state_schema = (
+        "ids array<long>, tss array<long>, sigs array<array<long>>, "
+        "bhss array<array<long>>" + ("" if slim else ", shs array<array<long>>")
+    )
+    paired = exploded.groupBy(*group_keys).applyInPandasWithState(
+        update,
+        outputStructType=(
+            "id_a long, id_b long"
+            if slim
+            else "id_a long, id_b long, jaccard_sim double"
+        ),
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+    if not slim:
+        return paired
+
+    # slim mode: exact-Jaccard verify as a STREAM-STATIC join against the
+    # durable doc store — shingle sets re-derived (identical arithmetic to
+    # the batch verify: normalized char-k-grams xxhash64'd to longs) for
+    # CANDIDATE rows only, since the expressions reference the post-join
+    # text columns. The est-prune already ran in-state, so the join volume
+    # tracks true-pair density, not the band-collision floor.
+    def _shset(text):
+        nrm = F.lower(F.regexp_replace(F.trim(text), r"\s+", " "))
+        pos = F.sequence(
+            F.lit(1), F.greatest(F.length(nrm) - (shingle_k - 1), F.lit(1))
         )
+        return F.array_distinct(
+            F.transform(pos, lambda p: F.xxhash64(nrm.substr(p, F.lit(shingle_k))))
+        )
+
+    # one row per id: a store fed by at-least-once ingest can carry
+    # re-delivered ids, and a duplicate store row would FAN OUT the join
+    # (the same pair emitted once per copy). At scale the durable table
+    # is already id-unique (txlog MERGE semantics) and this dedup is a
+    # no-op shuffle the planner prunes against a unique-keyed source.
+    store = doc_store.select(
+        F.col(id_col).alias("_vid"), F.col(text_col).alias("_vtext")
+    ).dropDuplicates(["_vid"])
+    joined = (
+        paired.join(
+            store.select(F.col("_vid").alias("id_a"), F.col("_vtext").alias("_ta")),
+            "id_a",
+        )
+        .join(
+            store.select(F.col("_vid").alias("id_b"), F.col("_vtext").alias("_tb")),
+            "id_b",
+        )
+        .withColumn("_sha", _shset(F.col("_ta")))
+        .withColumn("_shb", _shset(F.col("_tb")))
+    )
+    n_int = F.size(F.array_intersect(F.col("_sha"), F.col("_shb"))).cast("double")
+    union = F.size("_sha") + F.size("_shb") - n_int
+    return (
+        joined.withColumn(
+            "jaccard_sim", F.when(union > 0, n_int / union).otherwise(F.lit(0.0))
+        )
+        .filter(F.col("jaccard_sim") >= threshold)
+        .select("id_a", "id_b", "jaccard_sim")
     )
 
 

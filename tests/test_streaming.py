@@ -1102,6 +1102,108 @@ def test_streaming_minhash_neardup_batch_parity(spark, tmp_path):
         assert abs(got_pairs[k] - want[k]) < 1e-12
 
 
+def test_streaming_minhash_neardup_slim_state_batch_parity(spark, tmp_path):
+    """SLIM state mode (r12, doc_store set): the stateful stage keeps only
+    (id, ts, sig, band keys) — no shingle sets — and the exact verify runs
+    as a stream-static join against the durable store. Output pairs AND
+    jaccard values must be identical to full mode and to the batch
+    operator (same knobs, one horizon)."""
+    import datetime
+
+    from devcontainers_etl_node_spark.operators.dedup import minhash_lsh_pairs
+    from devcontainers_etl_node_spark.streaming import (
+        streaming_minhash_neardup_pairs,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    rows = _minhash_docs(t0)
+    schema = "doc_id long, ts timestamp, text string"
+    src = tmp_path / "mhslim_src"
+    spark.createDataFrame(rows, schema).write.mode("overwrite").parquet(str(src))
+    store = spark.read.parquet(str(src))  # the durable corpus table
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    _run(
+        streaming_minhash_neardup_pairs(
+            stream, watermark="10 minutes", doc_store=store
+        ),
+        "mh_slim_out",
+    )
+    got = spark.sql("SELECT * FROM mh_slim_out").collect()
+    got_pairs = {(r.id_a, r.id_b): r.jaccard_sim for r in got}
+    assert len(got) == len(got_pairs)  # one-bucket rule still dedups
+    batch = minhash_lsh_pairs(
+        spark.createDataFrame(rows, schema), threshold=0.5
+    ).collect()
+    want = {(r.id_a, r.id_b): r.jaccard_sim for r in batch}
+    assert set(got_pairs) == set(want) and len(want) >= 3
+    for k in want:
+        assert abs(got_pairs[k] - want[k]) < 1e-12
+
+
+def test_streaming_minhash_neardup_slim_state_checkpoint_replay(spark, tmp_path):
+    """Slim mode keeps the replay/resume contract: checkpointed restart
+    resumes without re-emitting, state survives (a batch-1 resident pairs
+    with a batch-2 arrival), re-delivered ids are no-ops — and the store
+    verify still yields exact jaccard values."""
+    import datetime
+
+    from devcontainers_etl_node_spark.streaming import (
+        streaming_minhash_neardup_pairs,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    schema = "doc_id long, ts timestamp, text string"
+    boiler = " ".join(f"slimresume{j}word" for j in range(30))
+    src = tmp_path / "mhsr_src"
+    ckpt = tmp_path / "mhsr_ckpt"
+    out = tmp_path / "mhsr_out"
+
+    def start():
+        store = spark.read.parquet(str(src))  # re-read per start: grows
+        stream = spark.readStream.schema(schema).parquet(str(src))
+        return (
+            streaming_minhash_neardup_pairs(
+                stream, watermark="10 minutes", doc_store=store
+            )
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", str(out))
+            .option("checkpointLocation", str(ckpt))
+            .start()
+        )
+
+    spark.createDataFrame(
+        [
+            (1, t0, f"{boiler} tail a"),
+            (2, t0 + datetime.timedelta(seconds=1), f"{boiler} tail b"),
+        ],
+        schema,
+    ).write.mode("overwrite").parquet(str(src))
+    q = start()
+    q.processAllAvailable()
+    q.stop()
+
+    spark.createDataFrame(
+        [
+            (2, t0 + datetime.timedelta(seconds=2), f"{boiler} tail b"),
+            (3, t0 + datetime.timedelta(seconds=3), f"{boiler} tail c"),
+        ],
+        schema,
+    ).write.mode("append").parquet(str(src))
+    q = start()
+    q.processAllAvailable()
+    q.stop()
+
+    pairs = [
+        ((r.id_a, r.id_b), round(r.jaccard_sim, 9))
+        for r in spark.read.parquet(str(out)).collect()
+    ]
+    keys = [k for k, _ in pairs]
+    assert len(keys) == len(set(keys))  # nothing re-emitted
+    assert set(keys) == {(1, 2), (1, 3), (2, 3)}
+    assert all(j >= 0.5 for _, j in pairs)
+
+
 def test_streaming_minhash_neardup_blocked_batch_parity(spark, tmp_path):
     """block_cols on the streaming twin: the block key joins the STATE
     key, so buckets never span blocks — output equals the blocked batch

@@ -261,8 +261,8 @@ def run_streaming_state(sizes: list[int], batches: int = 10) -> None:
 
     spark = get_spark()
     print(f"# streaming-state start loadavg={os.getloadavg()[0]:.2f} batches={batches}")
-    print("| docs | horizon docs | peak state rows | peak state MB | rows removed | pairs | wall |")
-    print("|---|---|---|---|---|---|---|")
+    print("| docs | mode | horizon docs | peak state rows | peak state MB | KB/horizon-doc | rows removed | pairs | wall |")
+    print("|---|---|---|---|---|---|---|---|---|")
     for n in sizes:
         d = os.path.join(ROOT, f"docs_v2_{n}")
         docs = spark.read.parquet(os.path.join(d, "documents.parquet"))
@@ -284,37 +284,50 @@ def run_streaming_state(sizes: list[int], batches: int = 10) -> None:
             stamped.filter(b == i).write.mode("overwrite").parquet(
                 os.path.join(src, f"b{i:02d}")
             )
-        stream = spark.readStream.schema(stamped.schema).option(
-            "maxFilesPerTrigger", "64"
-        ).parquet(os.path.join(src, "b*"))
-        out = streaming_minhash_neardup_pairs(stream, watermark="10 minutes")
-        ckpt = os.path.join(ROOT, f"stream_ck_{n}")
-        _sh.rmtree(ckpt, ignore_errors=True)
-        t_start = time.perf_counter()
-        q = (
-            out.writeStream.format("memory")
-            .queryName(f"mh_state_{n}")
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-        wall = round(time.perf_counter() - t_start, 1)
-        peak_rows = peak_mem = removed = 0
-        for p in q.recentProgress:
-            for so in p.get("stateOperators") or []:
-                peak_rows = max(peak_rows, so.get("numRowsTotal", 0))
-                mem = so.get("stateMemory", so.get("memoryUsedBytes", 0)) or 0
-                cu = (so.get("customMetrics") or {}).get("stateOnCurrentVersionSizeBytes", 0)
-                peak_mem = max(peak_mem, mem, cu)
-                removed += so.get("numRowsRemoved", 0)
-        pairs = spark.sql(f"SELECT count(*) c FROM mh_state_{n}").collect()[0].c
-        # horizon steady state: docs whose event time spans 10 of 30 min
-        print(
-            f"| {n} | ~{n // 3} | {peak_rows} | {peak_mem / 1e6:.1f} | "
-            f"{removed} | {pairs} | {wall} s |",
-            flush=True,
-        )
+        # r12: both state modes per rung — full (shingle sets in state)
+        # vs slim (sig+band keys only; verify joins the durable store)
+        for mode in ("full", "slim"):
+            stream = spark.readStream.schema(stamped.schema).option(
+                "maxFilesPerTrigger", "64"
+            ).parquet(os.path.join(src, "b*"))
+            store = (
+                spark.read.parquet(os.path.join(src, "b*"))
+                if mode == "slim"
+                else None
+            )
+            out = streaming_minhash_neardup_pairs(
+                stream, watermark="10 minutes", doc_store=store
+            )
+            ckpt = os.path.join(ROOT, f"stream_ck_{n}_{mode}")
+            _sh.rmtree(ckpt, ignore_errors=True)
+            t_start = time.perf_counter()
+            q = (
+                out.writeStream.format("memory")
+                .queryName(f"mh_state_{n}_{mode}")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            wall = round(time.perf_counter() - t_start, 1)
+            peak_rows = peak_mem = removed = 0
+            for p in q.recentProgress:
+                for so in p.get("stateOperators") or []:
+                    peak_rows = max(peak_rows, so.get("numRowsTotal", 0))
+                    mem = so.get("stateMemory", so.get("memoryUsedBytes", 0)) or 0
+                    cu = (so.get("customMetrics") or {}).get("stateOnCurrentVersionSizeBytes", 0)
+                    peak_mem = max(peak_mem, mem, cu)
+                    removed += so.get("numRowsRemoved", 0)
+            pairs = spark.sql(
+                f"SELECT count(*) c FROM mh_state_{n}_{mode}"
+            ).collect()[0].c
+            # horizon steady state: docs whose event time spans 10 of 30 min
+            print(
+                f"| {n} | {mode} | ~{n // 3} | {peak_rows} | {peak_mem / 1e6:.1f} | "
+                f"{peak_mem / 1e3 / max(n // 3, 1):.1f} | "
+                f"{removed} | {pairs} | {wall} s |",
+                flush=True,
+            )
 
 
 def _b100_col():
