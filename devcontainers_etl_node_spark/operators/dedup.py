@@ -357,8 +357,18 @@ def minhash_lsh_pairs(
     threshold: float = 0.5,
     block_cols: list[str] | None = None,
     max_collisions_per_doc: float | None = None,
+    cross_block_recovery: bool = False,
 ) -> DataFrame:
     """Near-duplicate pairs above `threshold` exact Jaccard.
+
+    ``cross_block_recovery`` (r12, opt-in, requires ``block_cols``):
+    after the blocked pass, run :func:`minhash_crossblock_recovery` —
+    re-band one representative per blocked dup cluster GLOBALLY and
+    exact-verify the expanded cross-cluster candidates — and union the
+    recovered cross-block pairs into the result. The default (False)
+    keeps the blocked contract unchanged: cross-block near-dups out of
+    scope. See the recovery function's docstring for the cost/recall
+    contract (global floor O(n_reps²); rep-level LSH recall).
 
     ``max_collisions_per_doc`` (r12): an enforced pre-flight budget —
     the self-protecting shape ``setsim_join_prefix`` already ships,
@@ -484,16 +494,59 @@ def minhash_lsh_pairs(
             )
 
     cand = band_candidate_pairs(sig, num_hashes=num_hashes, bands=bands, key_cols=key_cols)
+    cand = _est_prune_candidates(cand, sig, num_hashes, bands, threshold)
+    # the (pruned) pair list feeds three consumers (verify output + both
+    # arms of the cand_ids union); it is 2 longs/pair — persist it rather
+    # than re-running the band self-join (+ est joins) per consumer.
+    cand = cand.persist(StorageLevel.MEMORY_AND_DISK)
+    cand.count()
 
-    # Banding can pass far more candidates than true near-dups (vocabulary-
-    # heavy corpora collide a lot). Before touching shingle ARRAYS, prune
-    # with the signature-estimated Jaccard (fraction of equal minhashes —
-    # unbiased estimator, σ ≈ sqrt(j(1-j)/num_hashes)): a zip_with equality
-    # count over the two signature arrays. Interpreted, but it runs over the
-    # candidate set only (≪ corpus) and keeps the join plan 2 columns wide —
-    # measured faster than the codegen'd num_hashes-column sum-of-whens form
-    # whose compile time dominated. The cutoff sits ~2.5σ below `threshold`
-    # so true positives survive.
+    verified = _exact_jaccard_verify(cand, shingle_rows, threshold)
+    # Materialize the (small) verified pair list, then RELEASE the three
+    # persisted intermediates — without this, repeated calls in one
+    # session (neardup_docs, pretrain_prep, gate sweeps) accumulate
+    # cached shingle/signature data indefinitely. localCheckpoint also
+    # truncates the lineage, so callers that embed this result in a
+    # bigger DAG (pretrain_prep) don't drag the whole LSH plan along.
+    out = verified.localCheckpoint(eager=True)
+    for cached in (shingle_rows, sig, cand):
+        cached.unpersist()
+    if cross_block_recovery:
+        if not block_cols:
+            raise ValueError(
+                "cross_block_recovery=True only applies with block_cols — "
+                "the unblocked operator already searches globally"
+            )
+        recovered = minhash_crossblock_recovery(
+            df,
+            out,
+            text_col=text_col,
+            id_col=id_col,
+            shingle_k=shingle_k,
+            num_hashes=num_hashes,
+            bands=bands,
+            threshold=threshold,
+            max_collisions_per_doc=max_collisions_per_doc,
+        )
+        out = out.unionByName(recovered).localCheckpoint(eager=True)
+    return out
+
+
+def _est_prune_candidates(
+    cand: DataFrame, sig: DataFrame, num_hashes: int, bands: int, threshold: float
+) -> DataFrame:
+    """Signature-estimated Jaccard prune over a candidate pair list.
+
+    Banding can pass far more candidates than true near-dups (vocabulary-
+    heavy corpora collide a lot). Before touching shingle ARRAYS, prune
+    with the signature-estimated Jaccard (fraction of equal minhashes —
+    unbiased estimator, σ ≈ sqrt(j(1-j)/num_hashes)): a zip_with equality
+    count over the two signature arrays. Interpreted, but it runs over the
+    candidate set only (≪ corpus) and keeps the join plan 2 columns wide —
+    measured faster than the codegen'd num_hashes-column sum-of-whens form
+    whose compile time dominated. The cutoff sits ~2.5σ below `threshold`
+    so true positives survive.
+    """
     est = (
         F.size(
             F.filter(F.zip_with(F.col("_sa"), F.col("_sb"), lambda a, b: a == b), lambda x: x)
@@ -515,21 +568,23 @@ def minhash_lsh_pairs(
             .filter(est >= est_cut)
             .select("id_a", "id_b")
         )
-    # the (pruned) pair list feeds three consumers (verify output + both
-    # arms of the cand_ids union); it is 2 longs/pair — persist it rather
-    # than re-running the band self-join (+ est joins) per consumer.
-    cand = cand.persist(StorageLevel.MEMORY_AND_DISK)
-    cand.count()
+    return cand
 
-    # exact verify on the shortlist only: shingle SETS are materialized
-    # just for docs that appear in a candidate pair (semi-join), again via
-    # the codegen explode+substring path + collect_set — not per-row array
-    # lambdas over the whole corpus. Sets are xxhash64-compressed to longs
-    # first: primitive-array intersects are ~2x string-array intersects and
-    # shrink the set shuffle to 8 B/shingle regardless of shingle size
-    # (exact up to 64-bit hash collisions, i.e. negligible at any corpus
-    # size that fits a cluster); |union| comes from |A|+|B|-|A∩B| so only
-    # one array op runs per pair.
+
+def _exact_jaccard_verify(
+    cand: DataFrame, shingle_rows: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact shingle-set Jaccard over a (persisted) candidate pair list.
+
+    Shingle SETS are materialized just for docs that appear in a
+    candidate pair (semi-join), via the codegen explode+substring path +
+    collect_set — not per-row array lambdas over the whole corpus. Sets
+    are xxhash64-compressed to longs first: primitive-array intersects
+    are ~2x string-array intersects and shrink the set shuffle to
+    8 B/shingle regardless of shingle size (exact up to 64-bit hash
+    collisions, i.e. negligible at any corpus size that fits a cluster);
+    |union| comes from |A|+|B|-|A∩B| so only one array op runs per pair.
+    """
     cand_ids = cand.select(F.col("id_a").alias("_id")).union(cand.select(F.col("id_b"))).distinct()
     sh = (
         shingle_rows.join(cand_ids, "_id", "left_semi")
@@ -538,7 +593,7 @@ def minhash_lsh_pairs(
         .select("_id", "_sh", F.size("_sh").alias("_n"))
     )
     n_int = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b"))).cast("double")
-    verified = (
+    return (
         cand.join(
             sh.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a"), F.col("_n").alias("na")),
             "id_a",
@@ -549,15 +604,119 @@ def minhash_lsh_pairs(
         )
         .withColumn("jaccard_sim", n_int / (F.col("na") + F.col("nb") - n_int))
         .filter(F.col("jaccard_sim") >= threshold)
+        .select("id_a", "id_b", "jaccard_sim")
     )
-    # Materialize the (small) verified pair list, then RELEASE the three
-    # persisted intermediates — without this, repeated calls in one
-    # session (neardup_docs, pretrain_prep, gate sweeps) accumulate
-    # cached shingle/signature data indefinitely. localCheckpoint also
-    # truncates the lineage, so callers that embed this result in a
-    # bigger DAG (pretrain_prep) don't drag the whole LSH plan along.
-    out = verified.select("id_a", "id_b", "jaccard_sim").localCheckpoint(eager=True)
-    for cached in (shingle_rows, sig, cand):
+
+
+def minhash_crossblock_recovery(
+    df: DataFrame,
+    blocked_pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 5,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+    max_collisions_per_doc: float | None = None,
+) -> DataFrame:
+    """Bounded second pass recovering CROSS-BLOCK near-dup pairs after a
+    blocked :func:`minhash_lsh_pairs` run (r11 verdict task 4).
+
+    Blocked banding trades cross-block recall for the O(Σ n_b²) floor —
+    the right default contract, but some corpora have dup families that
+    genuinely span blocks (the r11 250k synthetic corpus measured
+    35,792 → 16,627 pairs under lang blocking because its families draw
+    lang independently). This pass recovers those pairs WITHOUT
+    re-opening the full O(n²) floor:
+
+      1. connected components over the blocked pair graph (O(log n)
+         star contraction — :func:`..graph.connected_components_star`);
+         every doc not in any blocked pair is its own singleton cluster;
+      2. ONE representative per cluster (the component's min id) is
+         re-banded GLOBALLY (no blocks) at the same geometry — the
+         global floor is O(n_reps²), and n_reps = #clusters shrinks with
+         the corpus's dup rate (a 50%-dup crawl snapshot halves it; a
+         mostly-unique corpus keeps n_reps ≈ n, in which case this pass
+         costs what the unblocked operator would — that honesty is the
+         point, and ``max_collisions_per_doc`` gates THIS pass too);
+      3. colliding rep pairs (est-pruned) expand to member candidate
+         pairs via the cluster membership (Σ |A|·|B| over colliding
+         cluster pairs — bounded by true family structure, since
+         clusters ARE verified near-dup families);
+      4. pairs the blocked pass already emitted are anti-joined away,
+         and the remainder gets the standard exact shingle-Jaccard
+         verify — every emitted pair is TRUE (≥ threshold), never an
+         LSH guess.
+
+    Recall contract: a cross-block pair is recoverable when the two
+    docs' cluster REPS collide in some band — rep-level LSH recall, not
+    member-level (a member that drifted far from its rep may be missed).
+    Measured on the r11 250k corpus in PERF.md.
+
+    Returns (id_a, id_b, jaccard_sim) for the RECOVERED pairs only —
+    disjoint from ``blocked_pairs`` by construction; union for the full
+    set (or pass ``cross_block_recovery=True`` to ``minhash_lsh_pairs``).
+    """
+    from pyspark import StorageLevel
+
+    from devcontainers_etl_node_spark.operators.graph import connected_components_star
+    from devcontainers_etl_node_spark.operators.skew import spread
+
+    base = spread(df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_text")))
+    shingle_rows = shingle_hash_rows(base, shingle_k).persist(StorageLevel.MEMORY_AND_DISK)
+
+    # cluster membership: rep = min id of the blocked dup cluster;
+    # docs in no blocked pair are their own rep (they must stay
+    # searchable — a cross-block family can be all-singletons under
+    # blocking, e.g. a 2-member family split across two blocks)
+    cc = connected_components_star(blocked_pairs.select("id_a", "id_b"))
+    membership = (
+        base.select("_id")
+        .join(cc.withColumnRenamed("node", "_id"), "_id", "left")
+        .select("_id", F.coalesce("component", F.col("_id")).alias("_rep"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    reps = membership.select(F.col("_rep").alias("_id")).distinct()
+
+    sig = minhash_signature_table(
+        shingle_rows.join(reps, "_id", "left_semi"), num_hashes
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    n_reps = sig.count()
+
+    if max_collisions_per_doc is not None:
+        census = minhash_candidate_census(banded_signatures(sig, num_hashes, bands))
+        if n_reps and census["raw_band_collisions"] > max_collisions_per_doc * n_reps:
+            for cached in (shingle_rows, membership, sig):
+                cached.unpersist()
+            raise _minhash_budget_error(
+                census, n_reps, max_collisions_per_doc, threshold, blocked=False
+            )
+
+    rep_cand = band_candidate_pairs(sig, num_hashes=num_hashes, bands=bands)
+    rep_cand = _est_prune_candidates(rep_cand, sig, num_hashes, bands, threshold)
+
+    # expand colliding rep pairs to member pairs, drop what the blocked
+    # pass already emitted; within-cluster pairs (id_a == id_b after the
+    # rep join only happens across clusters, but least/greatest guards
+    # ordering) are already covered by the blocked pass's own clusters
+    m_a = membership.select(F.col("_rep").alias("id_a"), F.col("_id").alias("_ma"))
+    m_b = membership.select(F.col("_rep").alias("id_b"), F.col("_id").alias("_mb"))
+    cand = (
+        rep_cand.join(m_a, "id_a")
+        .join(m_b, "id_b")
+        .select(
+            F.least("_ma", "_mb").alias("id_a"),
+            F.greatest("_ma", "_mb").alias("id_b"),
+        )
+        .filter(F.col("id_a") != F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .join(blocked_pairs.select("id_a", "id_b"), ["id_a", "id_b"], "left_anti")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    cand.count()
+
+    out = _exact_jaccard_verify(cand, shingle_rows, threshold).localCheckpoint(eager=True)
+    for cached in (shingle_rows, membership, sig, cand):
         cached.unpersist()
     return out
 

@@ -1145,6 +1145,25 @@ def minhash_neardup_blocked(spark: SparkSession, sf: str) -> DataFrame:
     return dedup.minhash_lsh_pairs(docs, threshold=0.5, block_cols=["lang"])
 
 
+@query("minhash_crossblock_recovered")  # LSH is non-SQL — rows-only check
+def minhash_crossblock_recovered(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-block recall escape hatch (r12, r11 verdict task 4): the
+    blocked pass plus `minhash_crossblock_recovery` — one representative
+    per blocked dup cluster re-banded GLOBALLY, colliding rep pairs
+    expanded to members and exact-verified — so corpora whose dup
+    families genuinely span blocks recover those pairs without paying
+    the full unblocked O(n²) collision floor (global pass runs on
+    n_reps = #clusters docs, shrinking with dup rate). Semantics pinned
+    in tests/test_operators.py (recovered ∩ blocked = ∅, every
+    recovered pair exact-Jaccard ≥ threshold, planted cross-lang family
+    pairs come back); recall/cost measured on the 250k ladder corpus in
+    PERF.md r12."""
+    docs = table(spark, sf, "documents")
+    return dedup.minhash_lsh_pairs(
+        docs, threshold=0.5, block_cols=["lang"], cross_block_recovery=True
+    )
+
+
 @query("simhash_fingerprints")  # rows-only check
 def simhash_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
     docs = table(spark, sf, "documents")

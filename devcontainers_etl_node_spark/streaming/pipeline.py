@@ -263,12 +263,17 @@ def streaming_minhash_neardup_pairs(
     DataFrame carrying (``id_col``, ``text_col``) for every doc the
     stream ingests (the durable corpus table the pipeline already
     maintains: the txlog/parquet store docs land in at ingest) — and the
-    state drops the per-resident SHINGLE SETS, the term the r11 rung
-    measured at ~85 KB per horizon doc. State then holds only
-    (id, ts, signature, band keys) ≈ ``8·num_hashes + 8·bands + 16``
-    bytes per resident per visited bucket (~2.6 KB/doc at 32/8 — a
-    measured ~30x reduction, the difference between a ~100 GB and a
-    ~3 TB state store at a 10 M-doc horizon), the stateful stage emits
+    state drops the per-resident SHINGLE SETS, the dominant term the r11
+    rung measured (~84 KB per horizon doc at full state). State then
+    holds only (id, ts, signature, band keys) ≈ ``8·num_hashes +
+    8·bands + 16`` payload bytes per resident per visited bucket; the
+    r12 rung MEASURES 26.1 vs 84.2 KB/horizon-doc (3.2x, identical pair
+    output, ~25% lower wall) — the residual is the bucket fan-out (each
+    doc's sig+bhs lives in each of its ``bands`` bucket rows, needed
+    in-state for the est-prune and the one-bucket emission rule) plus
+    the state store's own per-row overhead, honestly the floor of this
+    keying. At a 10 M-doc horizon that is ~260 GB of state vs ~850 GB
+    full — shard the state store accordingly. The stateful stage emits
     est-pruned CANDIDATE pairs, and the exact-Jaccard verify runs as a
     stream-static join against ``doc_store`` with the same shingle
     arithmetic as the batch verify — output schema and values are

@@ -1,0 +1,34 @@
+"""GB media rung as a regression GATE (r11 verdict task 8).
+
+The r11 rung gave the multimodal path its first non-toy numbers (1.09 GB
+of real stdlib PNGs: ingest 484 MB/s, webdataset export 441 MB/s
+byte-identical, sampled decode pixel-exact). This test re-runs the same
+rung via tools/bench_media_rung.run_rung and pins floors well under the
+measured values, so the numbers cannot silently regress:
+
+- ingest (binaryFile + max_bytes guard) >= 300 MB/s,
+- export shards byte-identical across two writes (sha256-sampled),
+- the planted oversize blob is the one guarded row,
+- the sampled decode roundtrip is pixel-exact (asserted inside the rung).
+
+Marked `slow`: ~1 GB of I/O, a few minutes of wall. Deselect with
+`-m "not slow"` for quick iteration; the full suite runs it.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from tools.bench_media_rung import run_rung
+
+
+@pytest.mark.slow
+def test_media_rung_gb_gate(spark):
+    # the shared session fixture keeps the rung on the suite's Spark
+    # config; run_rung's own get_spark() resolves to the same singleton
+    metrics = run_rung(5500, 256)
+    assert metrics["payload_gb"] >= 1.0
+    assert metrics["ingest_mbps"] >= 300, metrics
+    assert metrics["guarded_rows"] == 1
+    assert metrics["export_identical_shards"] >= 8
+    assert metrics["decoded_ok"] >= 50

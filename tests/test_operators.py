@@ -77,6 +77,60 @@ def test_minhash_blocked_banding(spark):
     assert blocked <= unblocked
 
 
+def test_minhash_crossblock_recovery(spark):
+    """cross_block_recovery (r12 escape hatch, r11 verdict task 4): the
+    planted cross-block pair lang blocking drops is RECOVERED by the
+    rep re-banding pass; recovered pairs are disjoint from the blocked
+    set and every one is exact-verified ≥ threshold; the opt-in flag
+    unions the two sets and restores the unblocked recall on this
+    corpus; the flag without block_cols refuses."""
+    base = "the quick brown fox jumps over the lazy dog and runs far away into the woods tonight"
+    near = base.replace("lazy", "sleepy")
+    other = base.replace("quick", "rapid")
+    rows = [
+        (1, base, "en"),
+        (2, near, "de"),       # near-dup of 1, OTHER block — the drop
+        (3, other, "en"),      # near-dup of 1, same block
+        (4, base + " x", "fr"),   # 2-member family fully split across...
+        (5, near + " x", "pt"),   # ...blocks: BOTH singletons under blocking
+    ] + [
+        (10 + i, f"unrelated filler document {i} with words {i * 7} only", "en")
+        for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+
+    blocked_df = dedup.minhash_lsh_pairs(df, threshold=0.5, block_cols=["lang"])
+    blocked = {(p.id_a, p.id_b) for p in blocked_df.collect()}
+    assert (1, 2) not in blocked and (4, 5) not in blocked
+
+    recovered_rows = dedup.minhash_crossblock_recovery(
+        df, blocked_df, threshold=0.5
+    ).collect()
+    recovered = {(p.id_a, p.id_b) for p in recovered_rows}
+    assert (1, 2) in recovered            # cross-block family pair: back
+    assert (4, 5) in recovered            # all-singleton split family: back
+    assert not recovered & blocked        # disjoint by construction
+    assert all(p.jaccard_sim >= 0.5 for p in recovered_rows)  # true pairs only
+
+    full = {
+        (p.id_a, p.id_b)
+        for p in dedup.minhash_lsh_pairs(
+            df, threshold=0.5, block_cols=["lang"], cross_block_recovery=True
+        ).collect()
+    }
+    assert full == blocked | recovered
+    unblocked = {
+        (p.id_a, p.id_b)
+        for p in dedup.minhash_lsh_pairs(df, threshold=0.5).collect()
+    }
+    assert unblocked <= full              # recovery restores global recall here
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="cross_block_recovery"):
+        dedup.minhash_lsh_pairs(df, threshold=0.5, cross_block_recovery=True)
+
+
 def test_minhash_incremental_blocked_parity(spark):
     """Blocked incremental == blocked batch restricted to pairs touching
     a new id; cross-block near-dups stay out of scope on both paths."""

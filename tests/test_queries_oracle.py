@@ -130,6 +130,7 @@ def test_every_query_has_callable_and_oracle_consistency():
         "lang_id_pred",
         "minhash_neardup",
         "minhash_neardup_blocked",
+        "minhash_crossblock_recovered",
         "simhash_fingerprints",
         "ann_lsh",
         "ann_ivf",

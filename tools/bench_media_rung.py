@@ -39,10 +39,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 ROOT = "/tmp/media_rung"
 
 
-def main() -> int:
-    n_images = int(sys.argv[1]) if len(sys.argv) > 1 else 5500
-    side = int(sys.argv[2]) if len(sys.argv) > 2 else 256
-
+def run_rung(n_images: int = 5500, side: int = 256) -> dict:
+    """Run the full rung; returns the phase metrics so the pytest slow
+    gate (tests/test_media_rung.py, r11 verdict task 8) can pin the
+    throughput floor and the byte-identical export without re-parsing
+    stdout. Raises AssertionError on any correctness failure (guard
+    count, shard sha mismatch, pixel mismatch)."""
     from pyspark.sql import functions as F
 
     from devcontainers_etl_node_spark.session import get_spark
@@ -172,6 +174,21 @@ def main() -> int:
     )
     print(f"end loadavg={os.getloadavg()[0]:.2f}")
     shutil.rmtree(ROOT, ignore_errors=True)
+    return {
+        "payload_gb": payload_bytes / 1e9,
+        "gen_mbps": payload_bytes / 1e6 / t_gen,
+        "ingest_mbps": agg["read_bytes"] / 1e6 / t_ingest,
+        "guarded_rows": int(agg["nulled"]),
+        "export_mbps": payload_bytes / 1e6 / min(walls),
+        "export_identical_shards": len(sample),
+        "decoded_ok": len(checked),
+    }
+
+
+def main() -> int:
+    n_images = int(sys.argv[1]) if len(sys.argv) > 1 else 5500
+    side = int(sys.argv[2]) if len(sys.argv) > 2 else 256
+    run_rung(n_images, side)
     return 0
 
 
