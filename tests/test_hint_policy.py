@@ -56,7 +56,10 @@ ALLOWED = {
         "stats": 1,     # one-row N/avgdl corpus scalar
         # r11 setsim pre-flight (setsim_preflight_df): all one-row aggs
         "corpus": 1,    # one-row n_docs/total_grams/prefix_mass
-        "tot": 1,       # one-row distinct_grams
+        "tot": 2,       # one-row distinct_grams (histogram join + the r12
+                        # empty-corpus global-agg assembly)
+        "derived": 1,   # one-row global agg (screen/head sums; r12
+                        # empty-corpus fix — yields its row even when empty)
         "census": 1,    # one-row exact candidate census
     },
     "queries/catalog.py": {

@@ -157,13 +157,22 @@ def run_spill(docs_dir: str, block_key: str | None = None) -> None:
     # requires spilling. (1 g/0.2 is BELOW the minimum operator page
     # budget for this pipeline at 250 k docs — hard SparkOutOfMemoryError
     # UNABLE_TO_ACQUIRE_MEMORY, measured — so that would test the floor,
-    # not the spill path.)
+    # not the spill path.) Shuffle partitions scale with the rung exactly
+    # as in run_blocked (n/20k): the per-task MEMORY budget stays starved
+    # (that is the gate), but per-task DATA must not grow with the corpus
+    # — at 4M docs with the old fixed 4 partitions the signature hash-agg
+    # hit AGGREGATE_OUT_OF_MEMORY before it could fall back to sort-spill
+    # (measured); partitions are the production knob, the budget is not.
+    try:
+        n_docs_hint = int(docs_dir.rstrip("/").rsplit("_", 1)[-1])
+    except ValueError:
+        n_docs_hint = 250_000
     spark = (
         SparkSession.builder.master("local[4]")
         .appName("scale-ladder-spill")
         .config("spark.driver.memory", "2g")
         .config("spark.memory.fraction", "0.2")
-        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.sql.shuffle.partitions", str(max(4, n_docs_hint // 20_000)))
         .config("spark.sql.autoBroadcastJoinThreshold", "-1")
         .config("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
         .config("spark.ui.enabled", "true")
@@ -374,6 +383,13 @@ def run_blocked(sizes: list[int], n_reps: int = 2) -> None:
 
     results: dict[int, dict] = {}
     for n in sizes:
+        # size shuffle partitions to the rung, as a production job would
+        # (the session default 32 is right for the sf0.1 tests; at the 4M
+        # rung the lang-blocked candidate join carries ~1.5e8 rows and 32
+        # partitions put per-task hash/sort structures past the unified
+        # pool — measured: UNABLE_TO_ACQUIRE_MEMORY at 4M/32, passes at
+        # 4M/200. AQE coalesces the over-provisioned small rungs for free)
+        spark.conf.set("spark.sql.shuffle.partitions", str(max(32, n // 20_000)))
         d = os.path.join(ROOT, f"docs_v2_{n}")
         if not os.path.exists(os.path.join(d, "documents.parquet", "_SUCCESS")):
             gen_documents(spark, n, d)
