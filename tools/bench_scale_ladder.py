@@ -172,6 +172,23 @@ def run_spill(docs_dir: str, block_key: str | None = None) -> None:
         .appName("scale-ladder-spill")
         .config("spark.driver.memory", "2g")
         .config("spark.memory.fraction", "0.2")
+        # protect (almost) no storage: the operator PERSISTS its shingle
+        # and signature tables (MEMORY_AND_DISK), and at the 4M rung those
+        # blocks pin the default 0.5 storageFraction of the tiny pool —
+        # execution can only evict down to the protected share, so the
+        # signature partial-agg died AGGREGATE_OUT_OF_MEMORY (measured)
+        # while 17 GB of evictable cache sat in the other half. 0.05
+        # pushes cached blocks to disk under pressure — exactly the spill
+        # path this gate exists to exercise.
+        .config("spark.memory.storageFraction", "0.05")
+        # the scan side needs the same treatment as the shuffle side: at
+        # 4M docs a default 128 MB parquet split carries ~400k docs whose
+        # signature partial-agg hash map alone (~150 MB) exceeds the
+        # whole starved pool before the sort-fallback can engage
+        # (AGGREGATE_OUT_OF_MEMORY, measured twice). Shrink splits so
+        # per-task input — like per-task shuffle data — stays constant
+        # as the corpus grows; both are standard starved-cluster tuning.
+        .config("spark.sql.files.maxPartitionBytes", "16m")
         .config("spark.sql.shuffle.partitions", str(max(4, n_docs_hint // 20_000)))
         .config("spark.sql.autoBroadcastJoinThreshold", "-1")
         .config("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
