@@ -926,13 +926,22 @@ def minhash_incremental_pairs(
     cand_ids = cand.select(F.col("id_a").alias("_id")).union(cand.select(F.col("id_b"))).distinct()
     old_base = existing_docs.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_text"))
     old_cand_shingles = shingle_hash_rows(old_base.join(cand_ids, "_id", "left_semi"), shingle_k)
+    # persisted: `sh` feeds BOTH sides of the verify join, and unlike the
+    # batch operator's verify (whose source is the already-persisted
+    # shingle table) each evaluation here re-derives the OLD side's
+    # shingles from text — the cadence contract (production persists
+    # signatures, never shingles). One count() pins it so the text
+    # re-derivation runs once, not twice (r12: measured ~1 s of the
+    # ~5 s warm step at sf0.1).
     sh = (
         new_shingles.join(cand_ids, "_id", "left_semi")
         .unionByName(old_cand_shingles)
         .groupBy("_id")
         .agg(F.collect_set("_h").alias("_sh"))
         .select("_id", "_sh", F.size("_sh").alias("_n"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    sh.count()
     n_int = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b"))).cast("double")
     verified = (
         cand.join(
@@ -950,7 +959,7 @@ def minhash_incremental_pairs(
     # merged_sigs reuses the CACHED batch signatures — the snapshot write
     # replays the cache, not the shingle+sign pipeline (sign once, ever).
     merged_sigs = existing_sigs.select("_id", "_sig").unionByName(new_sigs)
-    for cached in (new_shingles, cand):
+    for cached in (new_shingles, cand, sh):
         cached.unpersist()
 
     def release() -> None:
