@@ -634,11 +634,16 @@ def minhash_crossblock_recovery(
          every doc not in any blocked pair is its own singleton cluster;
       2. ONE representative per cluster (the component's min id) is
          re-banded GLOBALLY (no blocks) at the same geometry — the
-         global floor is O(n_reps²), and n_reps = #clusters shrinks with
-         the corpus's dup rate (a 50%-dup crawl snapshot halves it; a
-         mostly-unique corpus keeps n_reps ≈ n, in which case this pass
-         costs what the unblocked operator would — that honesty is the
-         point, and ``max_collisions_per_doc`` gates THIS pass too);
+         global floor is O(n_reps²), and n_reps = n − (pairs the
+         blocked pass merged WITHIN blocks). Measured honestly (PERF.md
+         r12): a mostly-unique corpus keeps n_reps ≈ n (95%), and even
+         a 50%-dup corpus whose families FRAGMENT across the block key
+         keeps n_reps at 77% — the rep pass gets cheap exactly where
+         blocking already did the merging, and costs ≈ the unblocked
+         floor over reps where blocking dropped the most. That honesty
+         is the point; ``max_collisions_per_doc`` gates THIS pass too,
+         and family-consistent block keys (source/time-window) shrink
+         both the drop and the rep count;
       3. colliding rep pairs (est-pruned) expand to member candidate
          pairs via the cluster membership (Σ |A|·|B| over colliding
          cluster pairs — bounded by true family structure, since

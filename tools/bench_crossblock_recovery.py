@@ -17,7 +17,10 @@ back and what it costs:
    true).
 
 Usage:
-    python tools/bench_crossblock_recovery.py [n_docs]   # default 250000
+    python tools/bench_crossblock_recovery.py [n_docs] [dup_fraction]
+    # defaults 250000 0.10; dup_fraction 0.5 measures the HIGH-dup end,
+    # where n_reps = #clusters << n and the rep pass gets cheap — the
+    # favorable half of the cost contract.
 
 Paste the table into PERF.md when it changes.
 """
@@ -36,16 +39,31 @@ from bench_scale_ladder import ROOT, gen_documents  # noqa: E402
 
 def main() -> int:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 250_000
+    dup = float(sys.argv[2]) if len(sys.argv) > 2 else 0.10
 
     from devcontainers_etl_node_spark.operators import dedup
     from devcontainers_etl_node_spark.session import get_spark
 
     spark = get_spark()
-    d = os.path.join(ROOT, f"docs_v2_{n}")
-    if not os.path.exists(os.path.join(d, "documents.parquet", "_SUCCESS")):
-        gen_documents(spark, n, d)
+    if dup == 0.10:
+        d = os.path.join(ROOT, f"docs_v2_{n}")  # the shared ladder corpus
+        if not os.path.exists(os.path.join(d, "documents.parquet", "_SUCCESS")):
+            gen_documents(spark, n, d)
+    else:
+        from devcontainers_etl_node_spark.generators.synthetic import (
+            gen_documents_zipf,
+        )
+
+        d = os.path.join(ROOT, f"docs_dup{int(dup * 100)}_{n}")
+        if not os.path.exists(os.path.join(d, "documents.parquet", "_SUCCESS")):
+            gen_documents_zipf(spark, n, dup_fraction=dup).write.mode(
+                "overwrite"
+            ).parquet(os.path.join(d, "documents.parquet"))
     docs = spark.read.parquet(os.path.join(d, "documents.parquet"))
-    print(f"# crossblock recovery study n={n} loadavg={os.getloadavg()[0]:.2f}")
+    print(
+        f"# crossblock recovery study n={n} dup_fraction={dup} "
+        f"loadavg={os.getloadavg()[0]:.2f}"
+    )
 
     def timed(fn):
         gc.collect()
