@@ -118,13 +118,30 @@ def cmd_curate(args) -> int:
 
     spark = _spark()
     docs = table(spark, args.sf, "documents")
-    out = funnel.run_staged_funnel(spark, docs, args.work, max_tokens=args.max_tokens)
+    out = funnel.run_staged_funnel(
+        spark,
+        docs,
+        args.work,
+        max_tokens=args.max_tokens,
+        block_cols=_parse_block(args.block),
+        max_collisions_per_doc=args.budget if args.budget > 0 else None,
+    )
     if out["computed"]:
         print(f"computed stages: {', '.join(out['computed'])}", file=sys.stderr)
     else:
         print("all stages already complete — reusing staged outputs", file=sys.stderr)
     out["report"].show(truncate=False)
     return 0
+
+
+def _parse_block(raw: str) -> list[str] | str | None:
+    """``--block`` value → block_cols: 'auto' stays the sentinel, 'none'
+    means unblocked, anything else is a comma-separated column list."""
+    if raw == "auto":
+        return "auto"
+    if raw == "none":
+        return None
+    return [c.strip() for c in raw.split(",") if c.strip()]
 
 
 def cmd_dedup(args) -> int:
@@ -141,7 +158,14 @@ def cmd_dedup(args) -> int:
       corpus the current snapshot covers (text read only for candidate
       verify).
     Either way the verified pair list lands under --work/pairs/run_N
-    and the merged snapshot commits for the next run."""
+    and the merged snapshot commits for the next run.
+
+    ``--block``/``--budget`` (r13): blocked banding + the census budget
+    gate, the pipeline-level defaults the 4M ladder justified ('auto' =
+    the composite lang,source key where the corpus carries those
+    columns; budget 32/doc — funnel.DEFAULT_NEARDUP_BUDGET). 'none' /
+    a budget <= 0 opt out (the library primitive's contract)."""
+    from devcontainers_etl_node_spark import funnel as _funnel
     from devcontainers_etl_node_spark.catalog import table
     from devcontainers_etl_node_spark.incremental import (
         run_incremental_dedup,
@@ -149,8 +173,25 @@ def cmd_dedup(args) -> int:
     )
 
     spark = _spark()
+    budget = args.budget if args.budget > 0 else None
     if args.table:
-        out = run_incremental_dedup_from_table(spark, args.table, args.work)
+        block = _parse_block(args.block)
+        if block == "auto":
+            from devcontainers_etl_node_spark.sinks import txlog
+
+            head = txlog.tx_head(args.table)
+            block = (
+                _funnel.default_block_cols(txlog.tx_read(spark, args.table, version=head))
+                if head is not None
+                else []
+            )
+        out = run_incremental_dedup_from_table(
+            spark,
+            args.table,
+            args.work,
+            block_cols=block or None,
+            max_collisions_per_doc=budget,
+        )
         if out.get("no_new_data"):
             print(
                 f"corpus unchanged at v{out['corpus_version']} — nothing to do",
@@ -163,7 +204,17 @@ def cmd_dedup(args) -> int:
             return 2
         new_docs = table(spark, args.new, "documents")
         old_docs = table(spark, args.old, "documents") if args.old else None
-        out = run_incremental_dedup(spark, new_docs, args.work, old_docs=old_docs)
+        block = _parse_block(args.block)
+        if block == "auto":
+            block = _funnel.default_block_cols(new_docs)
+        out = run_incremental_dedup(
+            spark,
+            new_docs,
+            args.work,
+            old_docs=old_docs,
+            block_cols=block or None,
+            max_collisions_per_doc=budget,
+        )
     print(f"snapshot v{out['version']} committed: {out['n_pairs']} near-dup pairs", file=sys.stderr)
     out["pairs"].show(20, truncate=False)
     return 0
@@ -339,12 +390,38 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--sf", default=DEFAULT_SF, help="corpus directory")
     c.add_argument("--work", required=True, help="staging directory for per-stage parquet")
     c.add_argument("--max-tokens", type=int, default=512, help="packing budget")
+    c.add_argument(
+        "--block",
+        default="auto",
+        help="near-dedup block key: 'auto' (composite lang,source where "
+        "present), 'none' (unblocked), or a comma-separated column list",
+    )
+    c.add_argument(
+        "--budget",
+        type=float,
+        default=32.0,
+        help="census budget gate, max raw band collisions per doc "
+        "(<=0 disables; default funnel.DEFAULT_NEARDUP_BUDGET)",
+    )
 
     d = sub.add_parser("dedup", help="snapshot-backed incremental MinHash dedup")
     d.add_argument("--new", default=None, help="corpus directory of the arriving batch")
     d.add_argument("--old", default=None, help="corpus directory the snapshot covers")
     d.add_argument("--table", default=None, help="txlog corpus root: consume its change feed instead of --new/--old")
     d.add_argument("--work", required=True, help="snapshot directory (sigs + pairs)")
+    d.add_argument(
+        "--block",
+        default="auto",
+        help="blocked banding key: 'auto' (composite lang,source where "
+        "present), 'none' (unblocked), or a comma-separated column list",
+    )
+    d.add_argument(
+        "--budget",
+        type=float,
+        default=32.0,
+        help="census budget gate, max raw band collisions per NEW doc "
+        "(<=0 disables)",
+    )
 
     t = sub.add_parser("table", help="transactional-table maintenance (txlog)")
     t.add_argument("op", choices=["history", "compact", "vacuum", "merge", "restore", "export-delta", "export-iceberg"])

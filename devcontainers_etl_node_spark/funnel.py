@@ -46,6 +46,41 @@ from devcontainers_etl_node_spark.sinks import txlog
 
 STAGES = ("quality_gate", "exact_dedup", "near_dedup", "decontaminated", "packed")
 
+# Funnel-level near-dedup defaults (r13, closing the r12 `weak`): the 4M
+# blocked ladder (PERF.md r12) proved that a FEW big blocks (lang: 3)
+# divide the quadratic band-collision floor by a small constant without
+# changing the exponent (wall alpha -> 0.96 at 4M docs, 148.6M floor
+# candidates ~= 37/doc), while ~100 family-consistent blocks make the
+# wall track the linear signature stage (alpha 1.09). So the funnel
+# defaults to the COMPOSITE production-shaped key (lang x source, ~100
+# blocks on this corpus shape) and refuses — before the self-join — any
+# corpus whose measured floor exceeds a budget:
+#
+# - measured healthy rates on the bench corpora (r13): 0.02-0.11
+#   collisions/doc under (lang, source), 0.3-2.3 under lang alone;
+# - the geometry model defines "the floor IS the operator" at ~10/doc
+#   (minhash_geometry's crossover: floor ~= 10n);
+# - the proven-quadratic 4M lang regime reads ~37/doc.
+#
+# 32/doc is therefore generous (>10x headroom over every healthy
+# measurement, 3x the crossover definition) yet refuses exactly the
+# measured scale-killer. The PRIMITIVE (minhash_lsh_pairs) keeps its
+# opt-in None default — the gate is a pipeline-level protection.
+DEFAULT_NEARDUP_BUDGET = 32.0
+_AUTO_BLOCK_CANDIDATES = ("lang", "source")
+
+
+def default_block_cols(docs: DataFrame) -> list[str]:
+    """The composite near-dedup block key the funnel uses when the caller
+    passes ``block_cols="auto"``: ``["lang", "source"]`` restricted to
+    columns the corpus actually has. ``lang`` is always present for a
+    funnel input (packing groups by it); ``source`` joins the key when the
+    corpus carries one, multiplying the block count by the source
+    cardinality — the measured requirement is ~10²⁺ family-consistent
+    blocks (PERF.md r12 4M ladder), which lang alone (3-5 values) cannot
+    provide."""
+    return [c for c in _AUTO_BLOCK_CANDIDATES if c in docs.columns]
+
 
 def _stage_dir(workdir: str, idx: int, name: str) -> str:
     return os.path.join(workdir, f"{idx:02d}_{name}")
@@ -59,19 +94,35 @@ def _exact_dedup(gated: DataFrame) -> DataFrame:
     return dd.exact_dedup(gated)
 
 
-def _near_dedup(exact: DataFrame) -> DataFrame:
+def _near_dedup(
+    exact: DataFrame,
+    block_cols: list[str],
+    max_collisions_per_doc: float | None,
+) -> DataFrame:
     # The drop list is corpus-proportional (billions of ids at 100 TB) —
     # never force-broadcast it; AQE broadcasts while it fits and degrades
     # gracefully to a shuffled left-anti beyond that.
     # 32/8 library default (r11 flip): the r10 scale ladder measured the
     # old 16/4 config's inactive est-prune + O(n^2) band-collision floor;
     # 32/8 is 2.2-2.5x faster at 250k docs with higher recall (PERF.md).
-    # LANG-BLOCKED (r11): near-dedup within language, the CCNet/
-    # RefinedWeb curation contract — and the measured floor mitigation
-    # (blocked floor is O(Σ n_b²); candidate ratio 0.461 at 250k,
-    # PERF.md). Cross-lang near-dups are out of the funnel's scope by
-    # design: a translated document is not a duplicate for training.
-    pairs = dd.minhash_lsh_pairs(exact, threshold=0.5, block_cols=["lang"])
+    # BLOCKED (r11 lang-only; r13 composite default + budget gate): the
+    # within-block contract is CCNet/RefinedWeb curation (a translated
+    # document is not a training dup) AND the floor mitigation — but the
+    # 4M ladder (PERF.md r12) proved lang ALONE keeps the quadratic
+    # exponent (3 blocks divide the floor by only ~2.2, wall alpha ->
+    # 0.96) while ~100 family-consistent blocks track the linear
+    # signature stage (alpha 1.09). The funnel therefore defaults to the
+    # composite (lang, source) key and enforces the census budget: a
+    # corpus past the floor crossover for the chosen key is REFUSED with
+    # the measured volume + blocking/geometry advice instead of silently
+    # going quadratic (DEFAULT_NEARDUP_BUDGET rationale above).
+    # Cross-block near-dups stay out of the funnel's scope by design.
+    pairs = dd.minhash_lsh_pairs(
+        exact,
+        threshold=0.5,
+        block_cols=block_cols or None,
+        max_collisions_per_doc=max_collisions_per_doc,
+    )
     # no distinct: anti joins are set-semantics on the right side, and a
     # dropped id repeats only once per extra near-dup partner
     near_drop = pairs.select(F.col("id_b").alias("doc_id"))
@@ -120,8 +171,25 @@ def run_staged_funnel(
     workdir: str,
     max_tokens: int = 512,
     input_fingerprint: str | None = None,
+    block_cols: list[str] | str | None = "auto",
+    max_collisions_per_doc: float | None = DEFAULT_NEARDUP_BUDGET,
 ) -> dict:
     """Run (or resume) the staged funnel under `workdir`.
+
+    ``block_cols`` (r13): the near-dedup blocking key. ``"auto"`` (the
+    default) picks :func:`default_block_cols` — the composite
+    ``["lang", "source"]`` key restricted to columns the corpus has (the
+    measured requirement is ~10²⁺ family-consistent blocks; PERF.md r12
+    4M ladder). Pass an explicit list to override, or ``None``/``[]``
+    for unblocked (small corpora only — unblocked is O(n²) past the
+    floor crossover). ``max_collisions_per_doc`` is the enforced census
+    budget (default :data:`DEFAULT_NEARDUP_BUDGET` = 32/doc — see the
+    rationale at its definition); a corpus past the floor for the chosen
+    key raises BEFORE the candidate self-join with the measured volume
+    and blocking/geometry advice. ``None`` disables the gate (the
+    primitive's opt-in contract — not recommended for pipelines). Both
+    are recorded in the near_dedup stage meta, so changing either
+    invalidates that stage and everything downstream on resume.
 
     Returns {"tables": {stage: DataFrame}, "report": DataFrame,
     "computed": [stage names actually recomputed this run]} — `report`
@@ -145,6 +213,15 @@ def run_staged_funnel(
     the source table's version or a manifest digest) for that case.
     """
     docs = spread(docs)
+    if block_cols == "auto":
+        block_cols = default_block_cols(docs)
+    block_cols = list(block_cols or [])
+    missing = [c for c in block_cols if c not in docs.columns]
+    if missing:
+        raise ValueError(
+            f"block_cols {missing} not in the corpus columns {docs.columns} — "
+            "pass columns the documents table carries (or 'auto')"
+        )
     if input_fingerprint is None:
         input_fingerprint = str(docs.semanticHash())
     computed: list[str] = []
@@ -173,14 +250,21 @@ def run_staged_funnel(
         return txlog.tx_read(spark, path)
 
     # config is part of the stage meta: flipping it (as r11 did, 16/4 ->
-    # 32/8) invalidates the memoized near_dedup stage and every stage
-    # downstream — exactly the recompute the new pair set requires.
+    # 32/8; as r13 does, lang -> composite blocked+gated) invalidates the
+    # memoized near_dedup stage and every stage downstream — exactly the
+    # recompute the new pair set requires.
     near_params = {
-        "num_hashes": 32, "bands": 8, "threshold": 0.5, "block": "lang",
+        "num_hashes": 32, "bands": 8, "threshold": 0.5,
+        "block": ",".join(block_cols), "budget": max_collisions_per_doc,
     }
     gated = materialize(1, "quality_gate", lambda: _quality_gate(docs))
     exact = materialize(2, "exact_dedup", lambda: _exact_dedup(gated))
-    neardeduped = materialize(3, "near_dedup", lambda: _near_dedup(exact), near_params)
+    neardeduped = materialize(
+        3,
+        "near_dedup",
+        lambda: _near_dedup(exact, block_cols, max_collisions_per_doc),
+        near_params,
+    )
     clean = materialize(4, "decontaminated", lambda: _decontaminate(neardeduped, docs))
     packed = materialize(
         5, "packed", lambda: _pack(clean, max_tokens), {"max_tokens": max_tokens}

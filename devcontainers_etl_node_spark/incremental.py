@@ -77,6 +77,8 @@ def run_incremental_dedup(
     num_hashes: int = 32,
     bands: int = 8,
     threshold: float = 0.5,
+    block_cols: list[str] | None = None,
+    max_collisions_per_doc: float | None = None,
 ) -> dict:
     """Dedup one ingest batch against the committed signature snapshot.
 
@@ -84,6 +86,22 @@ def run_incremental_dedup(
     over (text is touched only for semi-joined verify candidates); it is
     required whenever a snapshot exists. Returns ``{"pairs": DataFrame,
     "version": int, "n_pairs": int}`` with the NEW snapshot committed.
+
+    ``block_cols`` / ``max_collisions_per_doc`` (r13, closing the r12
+    `weak` at the pipeline layer): blocked banding + the census budget
+    gate, passed straight to
+    :func:`~devcontainers_etl_node_spark.operators.dedup.minhash_incremental_pairs`.
+    Blocking is a QUERY choice, not a snapshot property (the persisted
+    signature table stays block-free; block values are read from the doc
+    sides per run), so neither parameter joins the ``_MANIFEST`` pin —
+    but a cadence that flips the block key mid-history emits pair sets
+    under different contracts across runs; keep it stable per workdir.
+    The budget gate protects the cadence case the r12 census measured: a
+    snapshot quietly grown past the floor crossover makes EVERY later
+    batch pay O(n·m) random collisions — the gate refuses with the
+    measured volume before the band join runs. With ``block_cols`` set,
+    ``old_docs`` must carry the block columns for every snapshot id (the
+    coverage gate in the operator fails loudly otherwise).
     """
     os.makedirs(workdir, exist_ok=True)
     params = {
@@ -111,7 +129,10 @@ def run_incremental_dedup(
         existing_docs = old_docs
     else:
         existing_sigs = spark.createDataFrame([], "_id LONG, _sig ARRAY<BIGINT>")
-        existing_docs = new_docs.select(id_col, text_col).limit(0)
+        # full schema, not just (id, text): blocked runs derive block
+        # values from BOTH doc sides, so the empty history must carry the
+        # block columns too
+        existing_docs = new_docs.limit(0)
 
     pairs, merged_sigs, release = dd.minhash_incremental_pairs(
         existing_docs,
@@ -123,6 +144,8 @@ def run_incremental_dedup(
         num_hashes=num_hashes,
         bands=bands,
         threshold=threshold,
+        block_cols=block_cols,
+        max_collisions_per_doc=max_collisions_per_doc,
     )
     version = (cur or 0) + 1
     # write the new snapshot fully, THEN commit the pointer — a crash

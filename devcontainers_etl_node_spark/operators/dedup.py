@@ -434,6 +434,14 @@ def minhash_lsh_pairs(
     """
     from pyspark import StorageLevel
 
+    # validate the flag combination BEFORE any DataFrame work (r12 advice:
+    # raising after the full LSH pass wasted the entire compute)
+    if cross_block_recovery and not block_cols:
+        raise ValueError(
+            "cross_block_recovery=True only applies with block_cols — "
+            "the unblocked operator already searches globally"
+        )
+
     base = df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_text"))
     # small single-file inputs arrive as ONE split — spread the (CPU-heavy)
     # signature compute across the cluster; no-op when the scan already
@@ -509,26 +517,29 @@ def minhash_lsh_pairs(
     # truncates the lineage, so callers that embed this result in a
     # bigger DAG (pretrain_prep) don't drag the whole LSH plan along.
     out = verified.localCheckpoint(eager=True)
-    for cached in (shingle_rows, sig, cand):
+    # the recovery pass re-reads the full-corpus shingle table (its rep
+    # signatures + exact verify) — keep it persisted and THREAD it through
+    # (r12 advice: recomputing it was a second complete corpus scan +
+    # shingle pass per call); everything else releases now.
+    for cached in (sig, cand):
         cached.unpersist()
-    if cross_block_recovery:
-        if not block_cols:
-            raise ValueError(
-                "cross_block_recovery=True only applies with block_cols — "
-                "the unblocked operator already searches globally"
+    try:
+        if cross_block_recovery:
+            recovered = minhash_crossblock_recovery(
+                df,
+                out,
+                text_col=text_col,
+                id_col=id_col,
+                shingle_k=shingle_k,
+                num_hashes=num_hashes,
+                bands=bands,
+                threshold=threshold,
+                max_collisions_per_doc=max_collisions_per_doc,
+                shingle_rows=shingle_rows,
             )
-        recovered = minhash_crossblock_recovery(
-            df,
-            out,
-            text_col=text_col,
-            id_col=id_col,
-            shingle_k=shingle_k,
-            num_hashes=num_hashes,
-            bands=bands,
-            threshold=threshold,
-            max_collisions_per_doc=max_collisions_per_doc,
-        )
-        out = out.unionByName(recovered).localCheckpoint(eager=True)
+            out = out.unionByName(recovered).localCheckpoint(eager=True)
+    finally:
+        shingle_rows.unpersist()
     return out
 
 
@@ -618,9 +629,18 @@ def minhash_crossblock_recovery(
     bands: int = 8,
     threshold: float = 0.5,
     max_collisions_per_doc: float | None = None,
+    shingle_rows: DataFrame | None = None,
 ) -> DataFrame:
     """Bounded second pass recovering CROSS-BLOCK near-dup pairs after a
     blocked :func:`minhash_lsh_pairs` run (r11 verdict task 4).
+
+    ``shingle_rows`` (r13, advice fix): the already-persisted
+    ``shingle_hash_rows`` table from the blocked pass — when provided
+    (``minhash_lsh_pairs(cross_block_recovery=True)`` threads its own),
+    the recovery pass reuses it instead of re-running a second complete
+    corpus scan + shingle pass; the caller keeps ownership (this function
+    does not unpersist it). Values are identical either way (same
+    normalization + hash arithmetic).
 
     Blocked banding trades cross-block recall for the O(Σ n_b²) floor —
     the right default contract, but some corpora have dup families that
@@ -668,7 +688,11 @@ def minhash_crossblock_recovery(
     from devcontainers_etl_node_spark.operators.skew import spread
 
     base = spread(df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_text")))
-    shingle_rows = shingle_hash_rows(base, shingle_k).persist(StorageLevel.MEMORY_AND_DISK)
+    owns_shingles = shingle_rows is None
+    if owns_shingles:
+        shingle_rows = shingle_hash_rows(base, shingle_k).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
 
     # cluster membership: rep = min id of the blocked dup cluster;
     # docs in no blocked pair are their own rep (they must stay
@@ -691,7 +715,7 @@ def minhash_crossblock_recovery(
     if max_collisions_per_doc is not None:
         census = minhash_candidate_census(banded_signatures(sig, num_hashes, bands))
         if n_reps and census["raw_band_collisions"] > max_collisions_per_doc * n_reps:
-            for cached in (shingle_rows, membership, sig):
+            for cached in ([shingle_rows] if owns_shingles else []) + [membership, sig]:
                 cached.unpersist()
             raise _minhash_budget_error(
                 census, n_reps, max_collisions_per_doc, threshold, blocked=False
@@ -721,7 +745,7 @@ def minhash_crossblock_recovery(
     cand.count()
 
     out = _exact_jaccard_verify(cand, shingle_rows, threshold).localCheckpoint(eager=True)
-    for cached in (shingle_rows, membership, sig, cand):
+    for cached in ([shingle_rows] if owns_shingles else []) + [membership, sig, cand]:
         cached.unpersist()
     return out
 

@@ -8037,7 +8037,8 @@ def pretrain_prep(spark: SparkSession, sf: str) -> DataFrame:
         "doc_id",
         "text",
         "lang",  # column-pruned before the checkpoint: only what the
-        tx.token_count("text").alias("n_tokens"),  # funnel actually reads
+        "source",  # funnel actually reads (source: near-dedup block key)
+        tx.token_count("text").alias("n_tokens"),
         ((F.length("text") >= 50) & (tx.quality_score("text") >= 0.2)).alias("_gate"),
     ).observe(
         obs,
@@ -8069,10 +8070,23 @@ def pretrain_prep(spark: SparkSession, sf: str) -> DataFrame:
     # 32/8 library default (r11 flip, with minhash_neardup): the r10
     # ladder measured 16/4's inactive est-prune + O(n^2) collision floor;
     # 32/8 is 2.2-2.5x faster at 250k docs with higher recall (PERF.md).
-    # LANG-BLOCKED near-dedup (r11): the CCNet/RefinedWeb per-language
-    # curation contract AND the measured floor mitigation (O(Σ n_b²);
-    # PERF.md blocked census) — a translated doc is not a training dup.
-    pairs = dd.minhash_lsh_pairs(exact, threshold=0.5, block_cols=["lang"])
+    # COMPOSITE-BLOCKED + budget-gated near-dedup (r13, closing the r12
+    # `weak`): within-block dedup is the CCNet/RefinedWeb contract (a
+    # translated doc is not a training dup), and the 4M ladder proved
+    # lang ALONE keeps the quadratic floor exponent (alpha -> 0.96) while
+    # ~100 family-consistent blocks track the linear signature stage —
+    # so the pipeline defaults to (lang, source) with the enforced
+    # census budget (funnel.DEFAULT_NEARDUP_BUDGET rationale), identical
+    # to funnel.run_staged_funnel's defaults (parity pinned in
+    # tests/test_funnel.py).
+    from devcontainers_etl_node_spark import funnel as _funnel
+
+    pairs = dd.minhash_lsh_pairs(
+        exact,
+        threshold=0.5,
+        block_cols=_funnel.default_block_cols(exact) or None,
+        max_collisions_per_doc=_funnel.DEFAULT_NEARDUP_BUDGET,
+    )
     # Drop lists (near-dup ids, contaminated ids) are CORPUS-PROPORTIONAL:
     # at 100 TB a near-dup drop list can be billions of ids, and a forced
     # F.broadcast would OOM the driver. No hint — AQE broadcasts while the

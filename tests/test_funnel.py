@@ -134,3 +134,65 @@ def test_staged_funnel_invalidates_on_changed_input(spark, tmp_path):
         spark, halved, str(tmp_path), input_fingerprint="snapshot-v2"
     )
     assert rerun3["computed"] == []
+
+
+def test_staged_funnel_block_key_is_part_of_stage_meta(spark, tmp_path):
+    """r13: block_cols/budget are near_dedup stage parameters — 'auto'
+    resolves to the composite (lang, source) key on this corpus, an
+    explicit identical key reuses every stage, and changing the key
+    invalidates near_dedup + everything downstream (never upstream)."""
+    docs = table(spark, SF_SMALL, "documents")
+    funnel.run_staged_funnel(spark, docs, str(tmp_path))  # auto
+    explicit = funnel.run_staged_funnel(
+        spark, docs, str(tmp_path), block_cols=["lang", "source"]
+    )
+    assert explicit["computed"] == []  # auto == explicit composite key
+    rerun = funnel.run_staged_funnel(spark, docs, str(tmp_path), block_cols=["lang"])
+    assert rerun["computed"] == ["near_dedup", "decontaminated", "packed"]
+    # disabling the budget is also a parameter change
+    rerun2 = funnel.run_staged_funnel(
+        spark, docs, str(tmp_path), block_cols=["lang"], max_collisions_per_doc=None
+    )
+    assert rerun2["computed"] == ["near_dedup", "decontaminated", "packed"]
+
+
+def test_staged_funnel_rejects_missing_block_column(spark, tmp_path):
+    import pytest
+
+    docs = table(spark, SF_SMALL, "documents")
+    with pytest.raises(ValueError, match="block_cols.*not in the corpus"):
+        funnel.run_staged_funnel(
+            spark, docs, str(tmp_path), block_cols=["no_such_col"]
+        )
+
+
+def test_funnel_budget_gate_refuses_boilerplate_corpus(spark, tmp_path):
+    """r12 verdict task 1 done-criterion: a planted boilerplate corpus
+    (every doc shares a template -> the band census goes quadratic even
+    under the composite block key) must be REFUSED by the funnel's
+    default budget with the blocking recommendation — not silently paid.
+    Nothing past the exact_dedup stage may commit."""
+    import pytest
+
+    template = (
+        "terms of service apply to all content on this page without exception " * 4
+    )
+    rows = [
+        (i, template + f"unique tail {i}", "en", "src0") for i in range(80)
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "lang", "source"])
+    with pytest.raises(ValueError, match="pre-flight budget exceeded.*tighten block_cols"):
+        funnel.run_staged_funnel(spark, docs, str(tmp_path))
+    # upstream stages committed (resumable), the gated stage did not
+    from devcontainers_etl_node_spark.sinks import txlog
+
+    assert txlog.tx_head(funnel._stage_dir(str(tmp_path), 2, "exact_dedup")) is not None
+    assert txlog.tx_head(funnel._stage_dir(str(tmp_path), 3, "near_dedup")) is None
+    # the same corpus with the budget disabled runs to completion (the
+    # caller's explicit, informed opt-out)
+    out = funnel.run_staged_funnel(
+        spark, docs, str(tmp_path), max_collisions_per_doc=None
+    )
+    assert {r.stage for r in out["report"].collect()} == {
+        "raw", "quality_gate", "exact_dedup", "near_dedup", "decontaminated", "packed"
+    }

@@ -347,3 +347,51 @@ def test_cdf_feed_substr_twin(spark, tmp_path):
 
     r3 = run_incremental_substr_from_table(spark, corpus, wd)
     assert r3["no_new_data"] and r3["n_docs"] == 0
+
+
+def test_incremental_wrapper_plumbs_blocking_and_budget(spark, tmp_path):
+    """r13 (closing the r12 `weak` at the pipeline layer): the snapshot
+    wrapper accepts block_cols + max_collisions_per_doc and threads them
+    to the operator — first run with EMPTY history must work blocked
+    (the empty history carries the full schema, so block values derive),
+    pairs must respect the block contract, and a boilerplate batch must
+    trip the budget BEFORE any snapshot state is written."""
+    wd = str(tmp_path / "blk_snap")
+    rows = [
+        (1, BASE, "en"),
+        (2, BASE.replace("lazy", "sleepy"), "en"),
+        (3, BASE.replace("quick", "rapid"), "de"),  # near-dup but cross-block
+        (10, "totally different historical filler text with its own words", "en"),
+    ]
+    a = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    r1 = run_incremental_dedup(spark, a, wd, block_cols=["lang"])
+    got = {(r.id_a, r.id_b) for r in r1["pairs"].collect()}
+    assert (1, 2) in got
+    assert not any(3 in p for p in got)  # cross-block pair out of contract
+
+    # second batch, still blocked: old_docs carries the block column
+    b = spark.createDataFrame(
+        [(101, BASE.replace("tonight", "today"), "en")], ["doc_id", "text", "lang"]
+    )
+    r2 = run_incremental_dedup(spark, b, wd, old_docs=a, block_cols=["lang"])
+    got2 = {(r.id_a, r.id_b) for r in r2["pairs"].collect()}
+    assert (1, 101) in got2 and (2, 101) in got2
+
+    # budget gate: a boilerplate batch refuses before the band join and
+    # commits NOTHING (pointer still at v2)
+    template = "identical boilerplate body repeated across every doc here " * 4
+    boiler = spark.createDataFrame(
+        [(200 + i, template + f"tail {i}", "en") for i in range(30)],
+        ["doc_id", "text", "lang"],
+    )
+    with pytest.raises(ValueError, match="pre-flight budget exceeded"):
+        run_incremental_dedup(
+            spark,
+            boiler,
+            wd,
+            old_docs=a.unionByName(b),
+            block_cols=["lang"],
+            max_collisions_per_doc=2.0,
+        )
+    with open(os.path.join(wd, "CURRENT")) as f:
+        assert f.read().strip() == "2"

@@ -901,7 +901,7 @@ def test_funnel_drop_list_anti_joins_unhinted(spark):
         )
     ]
     docs = spark.createDataFrame(rows, ["doc_id", "lang", "text"])
-    nd = fn._near_dedup(docs)
+    nd = fn._near_dedup(docs, ["lang"], None)
     nd_plan = nd._jdf.queryExecution().analyzed().toString()
     assert "LeftAnti" in nd_plan
     assert "ResolvedHint" not in nd_plan  # strategy unpinned → AQE decides
