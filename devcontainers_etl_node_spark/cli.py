@@ -311,10 +311,16 @@ def cmd_dedup_plan(args) -> int:
     """Planner UX over dedup.minhash_geometry (r11): print the chosen
     banded-LSH geometry, its detection probability, the calibrated
     random-collision floor at the given corpus size, and the floor
-    crossover — plus the blocking advice when the crossover is near."""
+    crossover — plus the blocking advice when the crossover is near, and
+    (r13) the PARTITION-SIZING rule the 4M rung taught: per-task data
+    must stay constant as the corpus grows (shuffle partitions ~n/20k;
+    scan splits sized to ~20k docs when --avg-doc-bytes is given)."""
     import json as _json
 
-    from devcontainers_etl_node_spark.operators.dedup import minhash_geometry
+    from devcontainers_etl_node_spark.operators.dedup import (
+        minhash_geometry,
+        minhash_partition_plan,
+    )
 
     n = int(args.docs) if args.docs else None
     g = minhash_geometry(
@@ -335,6 +341,27 @@ def cmd_dedup_plan(args) -> int:
             file=sys.stderr,
         )
         return 2
+    if n is not None:
+        # sizing advice rides the same JSON line so scripted callers get
+        # geometry + partitioning in one parse
+        g["partitioning"] = minhash_partition_plan(
+            n, avg_doc_bytes=args.avg_doc_bytes
+        )
+        print(
+            f"partitioning: set spark.sql.shuffle.partitions="
+            f"{g['partitioning']['shuffle_partitions']} (~"
+            f"{g['partitioning']['docs_per_task']} docs/task — per-task "
+            f"data constant as the corpus grows; the 4M-doc rung OOM'd at "
+            f"the 32-partition session default and passed at n/20k, "
+            f"PERF.md r12)"
+            + (
+                f"; spark.sql.files.maxPartitionBytes="
+                f"{g['partitioning']['max_partition_bytes']}"
+                if g["partitioning"]["max_partition_bytes"]
+                else ""
+            ),
+            file=sys.stderr,
+        )
     print(_json.dumps(g))
     if n is not None and n > g["floor_crossover_docs"]:
         print(
@@ -447,6 +474,13 @@ def main(argv: list[str] | None = None) -> int:
     dp.add_argument("--recall", type=float, default=0.9, help="target recall at threshold")
     dp.add_argument("--docs", type=float, default=None, help="corpus size (floats ok: 1e9)")
     dp.add_argument("--max-hashes", type=int, default=256, help="signature budget")
+    dp.add_argument(
+        "--avg-doc-bytes",
+        type=int,
+        default=None,
+        help="average document size; adds a scan-split "
+        "(maxPartitionBytes) recommendation sized to ~20k docs/split",
+    )
     dp.add_argument(
         "--blocks",
         type=int,

@@ -347,6 +347,49 @@ def minhash_geometry(
     return best
 
 
+# per-task document budget: the 4M rung passed (starved AND healthy) at
+# ~20k docs/task; the number is deliberately round — the point is the
+# CONSTANT, not the precise value
+DOCS_PER_TASK = 20_000
+
+
+def minhash_partition_plan(n_docs: int, avg_doc_bytes: int | None = None) -> dict:
+    """Partition-sizing rule for a MinHash dedup run — the knob the 4M
+    ladder rung taught (PERF.md r12): PER-TASK DATA MUST STAY CONSTANT AS
+    THE CORPUS GROWS. At 4M docs the lang-blocked candidate join carried
+    ~1.5e8 rows, and the session-default 32 shuffle partitions put each
+    task's hash/sort structures past the unified memory pool
+    (``UNABLE_TO_ACQUIRE_MEMORY`` — a hard operator-page failure, which
+    unlike shuffle spill has no graceful degradation); the same rung
+    passes at n/20k partitions. The scan side obeys the same rule: a
+    default 128 MB parquet split at 4M docs carried ~400k docs whose
+    signature partial-agg hash map alone exceeded a starved pool before
+    the sort-fallback could engage (``AGGREGATE_OUT_OF_MEMORY``, measured
+    twice) — shrink ``spark.sql.files.maxPartitionBytes`` so splits carry
+    ~:data:`DOCS_PER_TASK` docs.
+
+    Returns ``{shuffle_partitions, docs_per_task, max_partition_bytes
+    (None without avg_doc_bytes)}``. Blocking does not change the rule:
+    partitions are sized by TOTAL rows (blocks share the shuffle), and
+    AQE coalesces over-provisioned small runs for free — so the
+    recommendation is safe to apply unconditionally.
+    """
+    if n_docs <= 0:
+        raise ValueError("n_docs must be positive")
+    plan = {
+        "shuffle_partitions": max(32, n_docs // DOCS_PER_TASK),
+        "docs_per_task": DOCS_PER_TASK,
+        "max_partition_bytes": None,
+    }
+    if avg_doc_bytes:
+        # clamp to [4 MB, 128 MB]: below 4 MB listing/task overhead
+        # dominates; 128 MB is the Spark default (no need to grow it)
+        plan["max_partition_bytes"] = int(
+            min(max(avg_doc_bytes * DOCS_PER_TASK, 4 << 20), 128 << 20)
+        )
+    return plan
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",

@@ -13,9 +13,19 @@ measured values, so the numbers cannot silently regress:
 
 Marked `slow`: ~1 GB of I/O, a few minutes of wall. Deselect with
 `-m "not slow"` for quick iteration; the full suite runs it.
+
+The CORRECTNESS invariants (guarded row, identical shards, decode) gate
+unconditionally. The MB/s floor is host-dependent (r12 advice: an
+absolute threshold flakes on slower or busy boxes with correctness
+unaffected), so it is tunable via SPARK_GRAFT_MEDIA_MBPS_FLOOR (default
+300) and skipped automatically when the box is already loaded
+(1-min loadavg > half the CPU count) — a loaded box measures the host,
+not the code.
 """
 
 from __future__ import annotations
+
+import os
 
 import pytest
 
@@ -27,8 +37,20 @@ def test_media_rung_gb_gate(spark):
     # the shared session fixture keeps the rung on the suite's Spark
     # config; run_rung's own get_spark() resolves to the same singleton
     metrics = run_rung(5500, 256)
+    # correctness gates: unconditional
     assert metrics["payload_gb"] >= 1.0
-    assert metrics["ingest_mbps"] >= 300, metrics
     assert metrics["guarded_rows"] == 1
     assert metrics["export_identical_shards"] >= 8
     assert metrics["decoded_ok"] >= 50
+    # throughput floor: env-tunable, waived on a loaded box
+    floor = float(os.environ.get("SPARK_GRAFT_MEDIA_MBPS_FLOOR", "300"))
+    load = os.getloadavg()[0]
+    busy = load > (os.cpu_count() or 8) / 2
+    if floor > 0 and not busy:
+        assert metrics["ingest_mbps"] >= floor, metrics
+    elif busy:
+        pytest.skip(
+            f"loadavg {load:.1f} — MB/s floor waived on a busy host "
+            f"(correctness gates above still ran); measured "
+            f"{metrics['ingest_mbps']:.0f} MB/s"
+        )

@@ -436,3 +436,47 @@ def test_cli_table_export_open_formats(spark, tmp_path, capsys):
     assert sum(
         f["records"] for f in iceberg_snapshot(root)["files"].values()
     ) == 7
+
+
+def test_cli_dedup_plan_partition_sizing(capsys):
+    """r13 (the 4M-rung lesson as planner output): --docs adds the
+    partition-sizing recommendation — shuffle partitions scale ~n/20k
+    (never below the 32 floor), and --avg-doc-bytes sizes scan splits to
+    ~20k docs, clamped to [4 MB, 128 MB]."""
+    import json
+
+    from devcontainers_etl_node_spark import cli
+    from devcontainers_etl_node_spark.operators.dedup import minhash_partition_plan
+
+    # the rule scales with n: 10x the docs -> 10x the partitions
+    assert minhash_partition_plan(4_000_000)["shuffle_partitions"] == 200
+    assert minhash_partition_plan(40_000_000)["shuffle_partitions"] == 2000
+    assert minhash_partition_plan(1000)["shuffle_partitions"] == 32  # floor
+    # split sizing: 2 KB docs -> 40 MB splits; tiny docs clamp at 4 MB,
+    # huge docs clamp at the 128 MB Spark default
+    assert minhash_partition_plan(10**6, avg_doc_bytes=2048)[
+        "max_partition_bytes"
+    ] == 2048 * 20_000
+    assert minhash_partition_plan(10**6, avg_doc_bytes=10)["max_partition_bytes"] == 4 << 20
+    assert minhash_partition_plan(10**6, avg_doc_bytes=10**6)[
+        "max_partition_bytes"
+    ] == 128 << 20
+
+    assert (
+        cli.main(
+            [
+                "dedup-plan", "--threshold", "0.5", "--recall", "0.4",
+                "--docs", "4e6", "--avg-doc-bytes", "2048",
+            ]
+        )
+        == 0
+    )
+    out, err = capsys.readouterr()
+    g = json.loads(out)
+    assert g["partitioning"]["shuffle_partitions"] == 200
+    assert g["partitioning"]["max_partition_bytes"] == 2048 * 20_000
+    assert "spark.sql.shuffle.partitions=200" in err
+    import pytest
+
+    with pytest.raises(ValueError):
+        minhash_partition_plan(0)
