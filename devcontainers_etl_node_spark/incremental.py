@@ -79,8 +79,30 @@ def run_incremental_dedup(
     threshold: float = 0.5,
     block_cols: list[str] | None = None,
     max_collisions_per_doc: float | None = None,
+    persist_shingles: bool = False,
 ) -> dict:
     """Dedup one ingest batch against the committed signature snapshot.
+
+    ``persist_shingles`` (r13, space-for-time): also persist the exploded
+    ``(_id, _h)`` shingle rows as per-batch delta dirs
+    ``<workdir>/shingles_b<N>/`` (each run writes only ITS batch — O(batch)
+    I/O; the reader unions the committed deltas, whose ids are disjoint by
+    the id gate), and feed the union back as the verify stage's old side
+    on later runs — the old-side
+    candidate re-shingle is the largest single term of the per-batch step
+    (~2 s of the ~5.2 s sf0.1 step, PERF.md r12 cadence split). The cost
+    is snapshot SIZE: ~8 bytes per character of corpus text (one long
+    per shingle position) vs ~128 bytes per DOC for signatures alone —
+    the option trades that storage for never touching historical text
+    (with it on and unblocked, ``old_docs`` is not needed at all). Like
+    the LSH parameters it is part of the snapshot contract (recorded in
+    the manifest; a mismatched rerun fails loudly — flipping it would
+    silently verify against a missing/stale table otherwise). Both
+    shingle and signature tables commit in the same version, so the
+    operator's coverage invariant (every sig id has shingle rows) holds
+    by construction. The batch's shingles are re-derived once for the
+    write (one batch-sized pass — the save is corpus-side, the cost is
+    batch-side).
 
     ``old_docs`` must be the corpus the committed snapshot was built
     over (text is touched only for semi-joined verify candidates); it is
@@ -109,24 +131,46 @@ def run_incremental_dedup(
         "num_hashes": num_hashes,
         "bands": bands,
         "threshold": threshold,
+        "persist_shingles": persist_shingles,
     }
     mpath = os.path.join(workdir, _MANIFEST)
     cur = _read_current(workdir)
+    existing_shingles = None
     if cur is not None:
         try:
             with open(mpath) as f:
                 committed = json.load(f)
         except (OSError, ValueError):
             raise ValueError(f"snapshot v{cur} exists but {_MANIFEST} is unreadable")
+        # pre-r13 manifests predate the persist_shingles key: they mean False
+        committed.setdefault("persist_shingles", False)
         if committed != params:
             raise ValueError(
                 f"snapshot v{cur} was built with {committed}; rerun with those "
                 f"parameters or a fresh workdir (got {params})"
             )
-        if old_docs is None:
-            raise ValueError("old_docs is required when a snapshot exists (candidate verify)")
+        if old_docs is None and (block_cols or not persist_shingles):
+            raise ValueError(
+                "old_docs is required when a snapshot exists (candidate verify"
+                + (", block values" if block_cols else "")
+                + ") — only an unblocked persist_shingles=True cadence can omit it"
+            )
         existing_sigs = spark.read.parquet(os.path.join(workdir, f"sigs_v{cur}"))
-        existing_docs = old_docs
+        existing_docs = (
+            old_docs if old_docs is not None else new_docs.limit(0)
+        )
+        if persist_shingles:
+            # per-BATCH delta dirs (shingles_b1..b<cur>), never a merged
+            # rewrite: each run writes only ITS batch's rows (O(batch)
+            # I/O), and the reader unions the committed deltas — ids are
+            # disjoint across batches by the id-disjointness gate, so the
+            # union IS the corpus shingle table
+            existing_shingles = spark.read.parquet(
+                *[
+                    os.path.join(workdir, f"shingles_b{v}")
+                    for v in range(1, cur + 1)
+                ]
+            )
     else:
         existing_sigs = spark.createDataFrame([], "_id LONG, _sig ARRAY<BIGINT>")
         # full schema, not just (id, text): blocked runs derive block
@@ -146,6 +190,7 @@ def run_incremental_dedup(
         threshold=threshold,
         block_cols=block_cols,
         max_collisions_per_doc=max_collisions_per_doc,
+        existing_shingles=existing_shingles,
     )
     version = (cur or 0) + 1
     # write the new snapshot fully, THEN commit the pointer — a crash
@@ -153,6 +198,17 @@ def run_incremental_dedup(
     # The write replays the batch signatures from cache (signed once);
     # release() drops that cache only after the snapshot is on disk.
     merged_sigs.write.mode("overwrite").parquet(os.path.join(workdir, f"sigs_v{version}"))
+    if persist_shingles:
+        # same-version commit as the sigs (coverage invariant), O(batch)
+        # write: only THIS batch's rows land, as the delta dir the next
+        # run's union reads. The batch is re-shingled once here — a
+        # batch-sized pass; the per-step save is corpus-side.
+        dd.shingle_hash_rows(
+            new_docs.select(
+                F.col(id_col).alias("_id"), F.col(text_col).alias("_text")
+            ),
+            shingle_k,
+        ).write.mode("overwrite").parquet(os.path.join(workdir, f"shingles_b{version}"))
     release()
     pairs.write.mode("overwrite").parquet(os.path.join(workdir, "pairs", f"run_{version}"))
     with open(mpath, "w") as f:

@@ -805,9 +805,24 @@ def minhash_incremental_pairs(
     threshold: float = 0.5,
     block_cols: list[str] | None = None,
     max_collisions_per_doc: float | None = None,
+    existing_shingles: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame, Callable[[], None]]:
     """Incremental MinHash dedup: near-dup pairs INVOLVING newly arrived
     docs, reusing the persisted signature table of the historical corpus.
+
+    ``existing_shingles`` (r13, the space-for-time option): the persisted
+    exploded ``(_id, _h)`` shingle table of the historical corpus (same
+    ``shingle_k``, same hash arithmetic — ``shingle_hash_rows`` output).
+    When provided, the verify stage's old side reads candidate rows from
+    it by semi-join instead of re-shingling ``old_docs`` text — the
+    largest single term of the per-batch step (measured ~2 s of the
+    ~5.2 s sf0.1 step, PERF.md r12 cadence split). Coverage contract:
+    it must contain rows for EVERY id in ``existing_sigs`` (the snapshot
+    writer in ``incremental.py`` maintains this by construction — both
+    tables commit in the same version); a missing id would silently
+    drop that doc's pairs, so hand-fed callers own the invariant.
+    ``existing_docs`` is then only consulted for block values (blocked
+    mode); unblocked callers may pass an empty frame.
 
     ``max_collisions_per_doc`` (r12): pre-flight budget, same contract
     as :func:`minhash_lsh_pairs` but counted per NEW doc — the exact
@@ -996,8 +1011,19 @@ def minhash_incremental_pairs(
     # existing_docs AFTER a semi-join down to candidate members (the only
     # touch of historical text, proportional to candidates, not corpus).
     cand_ids = cand.select(F.col("id_a").alias("_id")).union(cand.select(F.col("id_b"))).distinct()
-    old_base = existing_docs.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_text"))
-    old_cand_shingles = shingle_hash_rows(old_base.join(cand_ids, "_id", "left_semi"), shingle_k)
+    if existing_shingles is not None:
+        # persisted-shingle path: candidate old-side rows come from the
+        # snapshot's shingle table — no historical TEXT is touched at all
+        old_cand_shingles = existing_shingles.select("_id", "_h").join(
+            cand_ids, "_id", "left_semi"
+        )
+    else:
+        old_base = existing_docs.select(
+            F.col(id_col).alias("_id"), F.col(text_col).alias("_text")
+        )
+        old_cand_shingles = shingle_hash_rows(
+            old_base.join(cand_ids, "_id", "left_semi"), shingle_k
+        )
     # persisted: `sh` feeds BOTH sides of the verify join, and unlike the
     # batch operator's verify (whose source is the already-persisted
     # shingle table) each evaluation here re-derives the OLD side's

@@ -395,3 +395,64 @@ def test_incremental_wrapper_plumbs_blocking_and_budget(spark, tmp_path):
         )
     with open(os.path.join(wd, "CURRENT")) as f:
         assert f.read().strip() == "2"
+
+
+def test_persist_shingles_parity_and_contract(spark, tmp_path):
+    """r13 space-for-time option: a persist_shingles cadence emits pair
+    sets IDENTICAL to the text-reshingle cadence, never needs old_docs
+    (unblocked), writes per-batch shingle deltas in the same version as
+    the sigs, and treats the flag as part of the snapshot contract
+    (mismatch fails loudly; pre-r13 manifests read as False)."""
+    import json
+
+    a, b = _corpus_a(spark), _corpus_b(spark)
+
+    wd_ps = str(tmp_path / "ps")
+    r1 = run_incremental_dedup(spark, a, wd_ps, persist_shingles=True)
+    # second batch: NO old_docs — the persisted shingles carry the verify
+    r2 = run_incremental_dedup(spark, b, wd_ps, persist_shingles=True)
+    wd_tx = str(tmp_path / "tx")
+    t1 = run_incremental_dedup(spark, a, wd_tx)
+    t2 = run_incremental_dedup(spark, b, wd_tx, old_docs=a)
+    for r, t in ((r1, t1), (r2, t2)):
+        assert {(p.id_a, p.id_b, round(p.jaccard_sim, 9)) for p in r["pairs"].collect()} == {
+            (p.id_a, p.id_b, round(p.jaccard_sim, 9)) for p in t["pairs"].collect()
+        }
+    # delta dirs exist per version; their union covers every sig id
+    assert os.path.exists(os.path.join(wd_ps, "shingles_b1", "_SUCCESS"))
+    assert os.path.exists(os.path.join(wd_ps, "shingles_b2", "_SUCCESS"))
+    sig_ids = {
+        r._id for r in spark.read.parquet(os.path.join(wd_ps, "sigs_v2")).collect()
+    }
+    sh_ids = {
+        r._id
+        for r in spark.read.parquet(
+            os.path.join(wd_ps, "shingles_b1"), os.path.join(wd_ps, "shingles_b2")
+        )
+        .select("_id")
+        .distinct()
+        .collect()
+    }
+    assert sig_ids == sh_ids
+
+    # contract: flipping the flag on an existing workdir fails loudly
+    with pytest.raises(ValueError, match="was built with"):
+        run_incremental_dedup(spark, b, wd_tx, old_docs=a, persist_shingles=True)
+    with pytest.raises(ValueError, match="was built with"):
+        run_incremental_dedup(spark, _corpus_b(spark), wd_ps)
+    # a text cadence still demands old_docs once a snapshot exists
+    with pytest.raises(ValueError, match="old_docs is required"):
+        run_incremental_dedup(spark, b, wd_tx)
+    # pre-r13 manifest (no persist_shingles key) keeps reading as False
+    mpath = os.path.join(wd_tx, "_MANIFEST.json")
+    with open(mpath) as f:
+        m = json.load(f)
+    m.pop("persist_shingles")
+    with open(mpath, "w") as f:
+        json.dump(m, f)
+    c = spark.createDataFrame(
+        [(500, "a brand new unique document body with its very own words entirely")],
+        ["doc_id", "text"],
+    )
+    out = run_incremental_dedup(spark, c, wd_tx, old_docs=a.unionByName(b))
+    assert out["version"] == 3
