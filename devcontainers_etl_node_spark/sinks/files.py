@@ -45,6 +45,46 @@ def write_bucketed_table(
     )
 
 
+def write_doc_store(
+    docs: DataFrame,
+    root: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 64,
+    mode: str = "overwrite",
+) -> None:
+    """Durable doc store laid out for CANDIDATE-PRUNED lookups: parquet
+    hive-partitioned by ``bkt = pmod(xxhash64(id), n_buckets)``, rows
+    sorted by id within each bucket (parquet min/max row-group skipping
+    on the id), plus a ``_STORE_MANIFEST.json`` pinning the layout so
+    readers derive the SAME bucket for an id.
+
+    This is the store :func:`..streaming.pipeline.minhash_slim_verify_sink`
+    reads: a micro-batch's candidate ids select ≤ n_buckets partition
+    directories at LISTING time, so verify-scan bytes track the
+    candidates' buckets, never the store size (measured in PERF.md r13).
+    At 100 TB size ``n_buckets`` so a bucket is a few hundred MB — the
+    prune is by directory, so finer buckets = finer prune.
+    """
+    import json
+    import os
+
+    keyed = docs.select(
+        F.col(id_col).alias("_sid"),
+        F.col(text_col).alias("_stext"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_buckets)).alias("bkt"),
+    )
+    (
+        keyed.repartition("bkt")
+        .sortWithinPartitions("_sid")
+        .write.mode(mode)
+        .partitionBy("bkt")
+        .parquet(root)
+    )
+    with open(os.path.join(root, "_STORE_MANIFEST.json"), "w") as f:
+        json.dump({"n_buckets": n_buckets, "id_col": id_col, "text_col": text_col}, f)
+
+
 def write_inventory_tree(df: DataFrame, root: str, mode: str = "overwrite") -> None:
     """CSV snapshot tree partitioned by year/month (K6)."""
     (

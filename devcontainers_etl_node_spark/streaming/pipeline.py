@@ -210,6 +210,134 @@ def _interval_ms(interval: str) -> int:
     return int(qty) * scale
 
 
+def _shingle_set_expr(text, shingle_k: int):
+    """Distinct xxhash64'd char-k-gram set of (whitespace-normalized)
+    text — the exact arithmetic of the batch verify
+    (operators/dedup.py:shingle_hash_rows), as one Column expression."""
+    nrm = F.lower(F.regexp_replace(F.trim(text), r"\s+", " "))
+    pos = F.sequence(F.lit(1), F.greatest(F.length(nrm) - (shingle_k - 1), F.lit(1)))
+    return F.array_distinct(
+        F.transform(pos, lambda p: F.xxhash64(nrm.substr(p, F.lit(shingle_k))))
+    )
+
+
+def minhash_slim_verify_sink(
+    store_root: str,
+    out_path: str,
+    shingle_k: int = 5,
+    threshold: float = 0.5,
+    max_candidate_rows: int = 5_000_000,
+):
+    """foreachBatch body verifying a SLIM-CANDIDATE stream
+    (``streaming_minhash_neardup_pairs(slim_candidates=True)``) against a
+    BUCKETED doc store (``sinks.files.write_doc_store`` layout), reading
+    ONLY the candidate ids' buckets — the verify-scan prune the inline
+    stream-static join cannot do (r12 verdict task 3): a static join side
+    is planned once and cannot receive a per-batch dynamic filter, so the
+    inline slim verify re-scans the whole store every micro-batch. Here
+    the per-batch recipe is:
+
+      1. one tiny Spark job derives the DISTINCT store buckets of the
+         batch's candidate ids (``pmod(xxhash64(id), n_buckets)`` — the
+         writer's own expression, ≤ n_buckets rows collected);
+      2. the store scan filters ``bkt IN (<those literals>)`` — a
+         PARTITION-COLUMN predicate, pruned at file LISTING time, so scan
+         bytes track the candidates' buckets, never the store
+         (apply.metrics records selected vs total bytes per batch);
+      3. candidates join the pruned store (candidate side is est-pruned
+         and micro-batch-bounded — AQE broadcasts it), shingle sets are
+         re-derived for candidate rows only, exact Jaccard filters at
+         ``threshold`` — values identical to the batch verify;
+      4. pairs land under ``out_path/batch_id=N`` with OVERWRITE — the
+         postings_index_sink replay recipe: a replayed batch rewrites its
+         directory instead of duplicating pairs.
+
+    A batch with more than ``max_candidate_rows`` candidates skips the
+    prune and joins the full store (the isin list stays ≤ n_buckets
+    literals either way, but a candidate set that large means most
+    buckets are touched — the prune would buy nothing; the full-scan
+    fallback avoids the extra bucket-derivation job).
+
+    ``apply.metrics`` (list of per-batch dicts: n_candidates,
+    n_buckets_selected, selected_bytes, total_bytes, n_pairs) is the
+    measurement hook the scale ladder reads; local paths only (byte
+    accounting lists the filesystem), None fields elsewhere.
+    """
+    import glob as _glob
+    import json
+    import os
+
+    with open(os.path.join(store_root, "_STORE_MANIFEST.json")) as f:
+        manifest = json.load(f)
+    n_buckets = int(manifest["n_buckets"])
+
+    def _dir_bytes(path: str) -> int:
+        return sum(
+            os.path.getsize(p)
+            for p in _glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+        )
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        cand = batch_df.select("id_a", "id_b").localCheckpoint(eager=True)
+        n_cand = cand.count()
+        bkts: list[int] | None = None
+        if 0 < n_cand <= max_candidate_rows:
+            bkts = [
+                r.bkt
+                for r in cand.select(
+                    F.explode(F.array("id_a", "id_b")).alias("_cid")
+                )
+                .select(F.pmod(F.xxhash64("_cid"), F.lit(n_buckets)).alias("bkt"))
+                .distinct()
+                .collect()  # bounded: <= n_buckets rows
+            ]
+        store = spark.read.parquet(store_root)
+        if bkts is not None:
+            store = store.filter(F.col("bkt").isin(bkts))
+        sh = _shingle_set_expr(F.col("_stext"), shingle_k)
+        joined = (
+            cand.join(
+                store.select(F.col("_sid").alias("id_a"), sh.alias("_sha")), "id_a"
+            ).join(
+                store.select(F.col("_sid").alias("id_b"), sh.alias("_shb")), "id_b"
+            )
+        )
+        n_int = F.size(F.array_intersect(F.col("_sha"), F.col("_shb"))).cast("double")
+        union = F.size("_sha") + F.size("_shb") - n_int
+        pairs = (
+            joined.withColumn(
+                "jaccard_sim", F.when(union > 0, n_int / union).otherwise(F.lit(0.0))
+            )
+            .filter(F.col("jaccard_sim") >= threshold)
+            .select("id_a", "id_b", "jaccard_sim")
+        )
+        out_dir = f"{out_path}/batch_id={batch_id}"
+        pairs.write.mode("overwrite").parquet(out_dir)
+        try:
+            selected = (
+                sum(_dir_bytes(os.path.join(store_root, f"bkt={b}")) for b in bkts)
+                if bkts is not None
+                else _dir_bytes(store_root)
+            )
+            total = _dir_bytes(store_root)
+        except OSError:
+            selected = total = None
+        apply.metrics.append(
+            {
+                "batch_id": batch_id,
+                "n_candidates": n_cand,
+                "n_buckets_selected": len(bkts) if bkts is not None else n_buckets,
+                "selected_bytes": selected,
+                "total_bytes": total,
+                "n_pairs": spark.read.parquet(out_dir).count(),
+            }
+        )
+
+    apply.metrics = []
+    return apply
+
+
 def streaming_minhash_neardup_pairs(
     docs: DataFrame,
     text_col: str = "text",
@@ -222,6 +350,7 @@ def streaming_minhash_neardup_pairs(
     threshold: float = 0.5,
     block_cols: list[str] | None = None,
     doc_store: DataFrame | None = None,
+    slim_candidates: bool = False,
 ) -> DataFrame:
     """Streaming twin of ``operators.dedup.minhash_lsh_pairs`` — the
     higher-recall sibling of the simhash stream dedup: MinHash-banded
@@ -298,11 +427,28 @@ def streaming_minhash_neardup_pairs(
     flipped 16/4 → 32/8 in r11: a stream that ran under the old default
     must either pin ``num_hashes=16, bands=4`` explicitly or start a
     fresh checkpoint (and re-feed the horizon) when upgrading. Pin the
-    geometry explicitly in any long-lived deployment."""
+    geometry explicitly in any long-lived deployment.
+
+    ``slim_candidates=True`` (r13): slim STATE without the stream-static
+    verify — the stateful stage's est-pruned CANDIDATE pair stream
+    (``id_a, id_b``) is returned as-is, for an external verify such as
+    :func:`minhash_slim_verify_sink` (foreachBatch against a BUCKETED
+    doc store, reading only the candidate ids' buckets — the verify-scan
+    prune the inline stream-static join cannot do, because a static join
+    side cannot receive a per-batch dynamic filter). State schema is
+    identical to slim mode (checkpoint-compatible with it, NOT with full
+    mode)."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-    slim = doc_store is not None
+    if slim_candidates and doc_store is not None:
+        raise ValueError(
+            "slim_candidates=True returns the unverified candidate stream — "
+            "pass doc_store=None and verify externally "
+            "(minhash_slim_verify_sink), or drop slim_candidates to use the "
+            "inline stream-static verify"
+        )
+    slim = doc_store is not None or slim_candidates
     rows_per_band = num_hashes // bands
     horizon_ms = _interval_ms(watermark)
     # the same conditional est-prune as the batch operator: below the
@@ -492,6 +638,8 @@ def streaming_minhash_neardup_pairs(
     )
     if not slim:
         return paired
+    if slim_candidates:
+        return paired  # external verify (minhash_slim_verify_sink)
 
     # slim mode: exact-Jaccard verify as a STREAM-STATIC join against the
     # durable doc store — shingle sets re-derived (identical arithmetic to
@@ -500,13 +648,7 @@ def streaming_minhash_neardup_pairs(
     # text columns. The est-prune already ran in-state, so the join volume
     # tracks true-pair density, not the band-collision floor.
     def _shset(text):
-        nrm = F.lower(F.regexp_replace(F.trim(text), r"\s+", " "))
-        pos = F.sequence(
-            F.lit(1), F.greatest(F.length(nrm) - (shingle_k - 1), F.lit(1))
-        )
-        return F.array_distinct(
-            F.transform(pos, lambda p: F.xxhash64(nrm.substr(p, F.lit(shingle_k))))
-        )
+        return _shingle_set_expr(text, shingle_k)
 
     # one row per id: a store fed by at-least-once ingest can carry
     # re-delivered ids, and a duplicate store row would FAN OUT the join

@@ -1422,3 +1422,88 @@ def test_txlog_sink_continuous_open_format_export(spark, tmp_path):
 
     with pytest.raises(ValueError, match="delta|iceberg"):
         txlog_sink(tbl, app_id="x", export="parquet")
+
+
+def test_streaming_minhash_slim_candidates_bucketed_store_verify(spark, tmp_path):
+    """r13 (r12 verdict task 3): slim_candidates mode + the bucketed-store
+    foreachBatch verify — pairs and jaccard values identical to the batch
+    operator, the store scan PRUNES to the candidate ids' buckets
+    (selected_bytes < total_bytes, buckets selected < n_buckets), and a
+    replayed batch_id overwrites its directory instead of duplicating."""
+    import datetime
+
+    from devcontainers_etl_node_spark.operators.dedup import minhash_lsh_pairs
+    from devcontainers_etl_node_spark.sinks import write_doc_store
+    from devcontainers_etl_node_spark.streaming import (
+        minhash_slim_verify_sink,
+        streaming_minhash_neardup_pairs,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    rows = _minhash_docs(t0)
+    schema = "doc_id long, ts timestamp, text string"
+    src = tmp_path / "mhb_src"
+    spark.createDataFrame(rows, schema).write.mode("overwrite").parquet(str(src))
+    store_root = str(tmp_path / "mhb_store")
+    write_doc_store(spark.read.parquet(str(src)), store_root, n_buckets=16)
+
+    out_path = str(tmp_path / "mhb_pairs")
+    sink = minhash_slim_verify_sink(store_root, out_path)
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    cand = streaming_minhash_neardup_pairs(
+        stream, watermark="10 minutes", slim_candidates=True
+    )
+    q = (
+        cand.writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "mhb_ck"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    got = spark.read.parquet(out_path).collect()
+    got_pairs = {(r.id_a, r.id_b): r.jaccard_sim for r in got}
+    assert len(got) == len(got_pairs)
+    batch = minhash_lsh_pairs(
+        spark.createDataFrame(rows, schema), threshold=0.5
+    ).collect()
+    want = {(r.id_a, r.id_b): r.jaccard_sim for r in batch}
+    assert set(got_pairs) == set(want) and len(want) >= 3
+    for k in want:
+        assert abs(got_pairs[k] - want[k]) < 1e-12
+
+    # the prune actually pruned: fewer buckets than the store has, fewer
+    # bytes than a full scan (candidate ids cluster into few of the 16)
+    m = [x for x in sink.metrics if x["n_candidates"] > 0]
+    assert m, sink.metrics
+    for x in m:
+        assert x["n_buckets_selected"] < 16
+        assert x["selected_bytes"] < x["total_bytes"]
+        assert x["n_pairs"] >= 0
+
+    # replay idempotence: re-applying the DATA-BEARING batch (same
+    # batch_id, same rows — the streaming replay contract) overwrites its
+    # directory instead of appending a double
+    n_before = spark.read.parquet(out_path).count()
+    replay_df = spark.createDataFrame(
+        [(r.id_a, r.id_b) for r in got], "id_a long, id_b long"
+    )
+    bid = m[0]["batch_id"]
+    sink(replay_df, bid)
+    assert spark.read.parquet(out_path).count() == n_before
+    assert {
+        (r.id_a, r.id_b)
+        for r in spark.read.parquet(f"{out_path}/batch_id={bid}").collect()
+    } == set(want)
+
+    # flag combination guard
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="slim_candidates"):
+        streaming_minhash_neardup_pairs(
+            spark.readStream.schema(schema).parquet(str(src)),
+            watermark="10 minutes",
+            doc_store=spark.read.parquet(str(src)),
+            slim_candidates=True,
+        )

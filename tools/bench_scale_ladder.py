@@ -363,9 +363,134 @@ def _b100_col():
     this key measures the floor division WITHOUT trading away recall,
     the production-shaped contract (lang/source/time-window keys are
     family-consistent on real corpora the same way)."""
-    return F.pmod(
-        F.xxhash64(F.floor(F.col("doc_id") / 4).cast("long")), F.lit(100)
-    ).alias("b100")
+    return _bn_col(100).alias("b100")
+
+
+def _bn_col(n_blocks: int):
+    """Family-consistent synthetic key with ``n_blocks`` blocks — the
+    generalization of :func:`_b100_col` (same doc_id//4 family hash)."""
+    return F.pmod(F.xxhash64(F.floor(F.col("doc_id") / 4).cast("long")), F.lit(n_blocks))
+
+
+def run_census(sizes: list[int], wall_top_key: str | None = "b1000") -> None:
+    """Census-only rungs (r12 verdict task 2 follow-through): the Σ share²
+    law is proven at 3 (lang) and ~100 blocks; the PRODUCTION claim
+    ("crossover 10⁶ → 10⁹ under ~10³ blocks") is about ~10³ — this mode
+    measures the EXACT band census (the cheap one-aggregation pre-flight,
+    no operator wall needed) for lang / b100 / b1000 at each rung, pins
+    the measured blocked/unblocked ratio against the predicted Σ share²
+    floor share, and reports the kappa the unblocked census implies
+    (``(2f / (b·n²))^(1/4)`` — the geometry model's calibration constant,
+    0.047 on this corpus family since r11; drift would move every
+    crossover the planner prints).
+
+    ``wall_top_key``: additionally run the blocked OPERATOR wall at the
+    TOP rung under that key (one rep cold + one warm) — the "one
+    operator wall at the top rung" the r12 verdict asked for.
+    """
+    from pyspark import StorageLevel
+
+    from devcontainers_etl_node_spark.operators import dedup
+    from devcontainers_etl_node_spark.operators.skew import spread
+    from devcontainers_etl_node_spark.session import get_spark
+
+    spark = get_spark()
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    print(f"# census ladder start loadavg={os.getloadavg()[0]:.2f}")
+    keys = (("lang", None), ("b100", 100), ("b1000", 1000))
+    results: dict[int, dict] = {}
+    for n in sizes:
+        spark.conf.set("spark.sql.shuffle.partitions", str(max(32, n // 20_000)))
+        d = os.path.join(ROOT, f"docs_v2_{n}")
+        if not os.path.exists(os.path.join(d, "documents.parquet", "_SUCCESS")):
+            t0 = time.perf_counter()
+            gen_documents(spark, n, d)
+            print(f"  n={n:>9} corpus generated in {time.perf_counter() - t0:.0f} s", flush=True)
+        docs = spark.read.parquet(os.path.join(d, "documents.parquet"))
+
+        sig = dedup.minhash_signature_table(
+            dedup.shingle_hash_rows(
+                spread(docs.select(F.col("doc_id").alias("_id"), F.col("text").alias("_text")))
+            ),
+            32,
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        t0 = time.perf_counter()
+        n_docs = sig.count()
+        t_sig = round(time.perf_counter() - t0, 1)
+        t0 = time.perf_counter()
+        cen_un = dedup.minhash_candidate_census(dedup.banded_signatures(sig, 32, 8))
+        t_census = round(time.perf_counter() - t0, 1)
+        # implied kappa: f = b * n(n-1)/2 * kappa^r  (r=4, b=8)
+        kappa = (
+            2 * cen_un["raw_band_collisions"] / (8.0 * n_docs * (n_docs - 1))
+        ) ** 0.25
+        row: dict = {
+            "unblocked_census": cen_un,
+            "sig_sec": t_sig,
+            "census_sec": t_census,
+            "implied_kappa": round(kappa, 4),
+        }
+        print(
+            f"  n={n:>9} unblocked census {cen_un['raw_band_collisions']:>14} "
+            f"({cen_un['raw_band_collisions']/n_docs:.1f}/doc, max bucket "
+            f"{cen_un['max_bucket']}) implied kappa {kappa:.4f} "
+            f"[sig {t_sig}s census {t_census}s]",
+            flush=True,
+        )
+        for key, nb in keys:
+            keyed = (
+                docs.select(F.col("doc_id").alias("_id"), F.col(key).alias("_k"))
+                if nb is None
+                else docs.select(F.col("doc_id").alias("_id"), _bn_col(nb).alias("_k"))
+            )
+            blk = keyed.select("_id", F.xxhash64(F.col("_k").cast("string")).alias("_blk"))
+            cen = dedup.minhash_candidate_census(
+                dedup.banded_signatures(sig.join(blk, "_id"), 32, 8, ("_blk",)),
+                ("_blk",),
+            )
+            hist = [r["count"] for r in keyed.groupBy("_k").count().collect()]
+            tot = sum(hist)
+            pred = sum(c * (c - 1) for c in hist) / (tot * (tot - 1))
+            ratio = cen["raw_band_collisions"] / max(cen_un["raw_band_collisions"], 1)
+            row[key] = {
+                "census": cen,
+                "ratio": round(ratio, 5),
+                "predicted_share2": round(pred, 5),
+                "n_blocks": len(hist),
+                "max_bucket": cen["max_bucket"],
+            }
+            print(
+                f"  n={n:>9} census {key:<5}: {cen['raw_band_collisions']:>12} "
+                f"(ratio {ratio:.5f} vs pred Σshare² {pred:.5f}, "
+                f"{len(hist)} blocks, max bucket {cen['max_bucket']})",
+                flush=True,
+            )
+        sig.unpersist()
+        results[n] = row
+
+    if wall_top_key:
+        n = sizes[-1]
+        d = os.path.join(ROOT, f"docs_v2_{n}")
+        docs = spark.read.parquet(os.path.join(d, "documents.parquet")).withColumn(
+            wall_top_key, _bn_col(int(wall_top_key.lstrip("b")))
+        )
+        reps = []
+        for _ in range(2):
+            gc.collect()
+            spark.sparkContext._jvm.System.gc()
+            t0 = time.perf_counter()
+            pairs = dedup.minhash_lsh_pairs(
+                docs, threshold=0.5, block_cols=[wall_top_key]
+            ).count()
+            reps.append(round(time.perf_counter() - t0, 1))
+            print(
+                f"  n={n:>9} wall {wall_top_key}: {reps[-1]} s pairs={pairs} "
+                f"load={os.getloadavg()[0]:.1f}",
+                flush=True,
+            )
+        results[n][f"wall_{wall_top_key}"] = reps
+        results[n][f"pairs_{wall_top_key}"] = pairs
+    print(json.dumps({"sizes": sizes, "census": {str(k): v for k, v in results.items()}}))
 
 
 def run_blocked(sizes: list[int], n_reps: int = 2) -> None:
@@ -522,6 +647,15 @@ def main() -> None:
         )
         os.makedirs(ROOT, exist_ok=True)
         run_blocked(sizes)
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "--census":
+        sizes = (
+            [int(x) for x in sys.argv[2].split(",")]
+            if len(sys.argv) > 2
+            else [4_000_000, 10_000_000]
+        )
+        os.makedirs(ROOT, exist_ok=True)
+        run_census(sizes, wall_top_key=sys.argv[3] if len(sys.argv) > 3 else "b1000")
         return
     if len(sys.argv) > 1 and sys.argv[1] == "--bm25":
         sizes = (
