@@ -268,6 +268,16 @@ def main() -> None:
                     "minhash_neardup": "16/4 -> 32/8 library default",
                     "pretrain_prep": "embedded minhash stage 16/4 -> 32/8",
                 },
+                # r13 config boundary: pretrain_prep's near-dedup moved
+                # lang-blocked -> composite (lang,source)-blocked + the
+                # enforced census budget gate (closing the r12 `weak`).
+                # comparable_r11_total already excludes pretrain_prep, so
+                # it REMAINS the cross-boundary subtotal; this key just
+                # names the flip for the reader.
+                "config_changes_r13": {
+                    "pretrain_prep": "near-dedup block key lang -> (lang,source) "
+                    "+ census budget gate (DEFAULT_NEARDUP_BUDGET)",
+                },
                 "added_r3": HEAVY,
                 "added_r4": ADDED_R4,
                 "added_r9": ADDED_R9,

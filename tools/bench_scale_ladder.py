@@ -268,7 +268,7 @@ def run_bm25_index(sizes: list[int]) -> None:
         )
 
 
-def run_streaming_state(sizes: list[int], batches: int = 10) -> None:
+def run_streaming_state(sizes: list[int], batches: int = 10, modes: tuple = ("full", "slim")) -> None:
     """Streaming MinHash near-dup state-store rung (r10 verdict task 2):
     feed each rung's corpus through ``streaming_minhash_neardup_pairs``
     in ``batches`` event-time-ordered micro-batches spanning THREE
@@ -311,8 +311,11 @@ def run_streaming_state(sizes: list[int], batches: int = 10) -> None:
                 os.path.join(src, f"b{i:02d}")
             )
         # r12: both state modes per rung — full (shingle sets in state)
-        # vs slim (sig+band keys only; verify joins the durable store)
-        for mode in ("full", "slim"):
+        # vs slim (sig+band keys only; verify joins the durable store).
+        # r13: --streaming-slim runs slim only (the 500k rung's full-mode
+        # state would be ~14 GB for no new information — the full-mode
+        # curve is pinned at 5k/50k).
+        for mode in modes:
             stream = spark.readStream.schema(stamped.schema).option(
                 "maxFilesPerTrigger", "64"
             ).parquet(os.path.join(src, "b*"))
@@ -364,6 +367,88 @@ def _b100_col():
     the production-shaped contract (lang/source/time-window keys are
     family-consistent on real corpora the same way)."""
     return _bn_col(100).alias("b100")
+
+
+def run_slim_bucketed(store_sizes: list[int], stream_docs: int = 5000, batches: int = 5) -> None:
+    """Verify-scan prune rung (r12 verdict task 3 done-criterion): stream
+    a FIXED small doc window (the first ``stream_docs`` ids of the rung
+    corpus, in ``batches`` event-time micro-batches) against doc STORES
+    10x apart, via slim_candidates + minhash_slim_verify_sink over a
+    write_doc_store layout (buckets sized ~500 docs each). The 100 TB
+    claim under test: verify-scan bytes track the micro-batch's CANDIDATE
+    buckets, never the store — selected_bytes should stay ~flat while
+    total store bytes grow 10x (sublinear ratio), with pair output
+    identical to the inline stream-static slim verify."""
+    import shutil as _sh
+
+    from devcontainers_etl_node_spark.session import get_spark
+    from devcontainers_etl_node_spark.sinks import write_doc_store
+    from devcontainers_etl_node_spark.streaming import (
+        minhash_slim_verify_sink,
+        streaming_minhash_neardup_pairs,
+    )
+
+    spark = get_spark()
+    print(f"# slim-bucketed rung start loadavg={os.getloadavg()[0]:.2f}")
+    print("| store docs | buckets | total store MB | mean selected MB/batch | selected/total | pairs | wall |")
+    print("|---|---|---|---|---|---|---|")
+    epoch_2024 = 1704067200
+    for n in store_sizes:
+        d = os.path.join(ROOT, f"docs_v2_{n}")
+        if not os.path.exists(os.path.join(d, "documents.parquet", "_SUCCESS")):
+            gen_documents(spark, n, d)
+        docs = spark.read.parquet(os.path.join(d, "documents.parquet"))
+        n_buckets = max(16, n // 500)
+        store_root = os.path.join(ROOT, f"doc_store_{n}")
+        if not os.path.exists(os.path.join(store_root, "_STORE_MANIFEST.json")):
+            write_doc_store(docs, store_root, n_buckets=n_buckets)
+        # the streamed window: first stream_docs ids (their dup families
+        # are id-consecutive, so candidates form within the window)
+        stamped = docs.filter(F.col("doc_id") < stream_docs).select(
+            "doc_id",
+            "text",
+            F.timestamp_seconds(
+                F.lit(epoch_2024) + (F.col("doc_id") % 540)
+            ).alias("ts"),
+        )
+        src = os.path.join(ROOT, f"slimb_src_{n}")
+        _sh.rmtree(src, ignore_errors=True)
+        b = F.floor((F.col("doc_id") % 540) / (540 / batches)).cast("int")
+        for i in range(batches):
+            stamped.filter(b == i).write.mode("overwrite").parquet(
+                os.path.join(src, f"b{i:02d}")
+            )
+        out_path = os.path.join(ROOT, f"slimb_pairs_{n}")
+        ckpt = os.path.join(ROOT, f"slimb_ck_{n}")
+        _sh.rmtree(out_path, ignore_errors=True)
+        _sh.rmtree(ckpt, ignore_errors=True)
+        sink = minhash_slim_verify_sink(store_root, out_path)
+        stream = spark.readStream.schema(stamped.schema).option(
+            "maxFilesPerTrigger", "64"
+        ).parquet(os.path.join(src, "b*"))
+        cand = streaming_minhash_neardup_pairs(
+            stream, watermark="10 minutes", slim_candidates=True
+        )
+        t0 = time.perf_counter()
+        q = (
+            cand.writeStream.outputMode("append")
+            .foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        wall = round(time.perf_counter() - t0, 1)
+        data = [m for m in sink.metrics if m["n_candidates"] > 0]
+        tot = data[0]["total_bytes"] if data else 0
+        sel = sum(m["selected_bytes"] for m in data) / max(len(data), 1)
+        pairs = spark.read.parquet(out_path).count() if data else 0
+        print(
+            f"| {n} | {n_buckets} | {tot / 1e6:.1f} | {sel / 1e6:.2f} | "
+            f"{sel / max(tot, 1):.4f} | {pairs} | {wall} s |",
+            flush=True,
+        )
+        print(f"  per-batch: {data}", flush=True)
 
 
 def _bn_col(n_blocks: int):
@@ -648,6 +733,41 @@ def main() -> None:
         os.makedirs(ROOT, exist_ok=True)
         run_blocked(sizes)
         return
+    if len(sys.argv) > 1 and sys.argv[1] == "--slim-bucketed":
+        sizes = (
+            [int(x) for x in sys.argv[2].split(",")]
+            if len(sys.argv) > 2
+            else [50_000, 500_000]
+        )
+        os.makedirs(ROOT, exist_ok=True)
+        run_slim_bucketed(sizes)
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "--wall":
+        # blocked operator walls only (corpora must exist): --wall SIZES KEY
+        sizes = [int(x) for x in sys.argv[2].split(",")]
+        key = sys.argv[3] if len(sys.argv) > 3 else "b1000"
+        from devcontainers_etl_node_spark.operators import dedup as _dd
+        from devcontainers_etl_node_spark.session import get_spark as _gs
+
+        spark = _gs()
+        spark.range(1_000_000).selectExpr("sum(id)").collect()
+        print(f"# wall start loadavg={os.getloadavg()[0]:.2f} key={key}")
+        for n in sizes:
+            spark.conf.set("spark.sql.shuffle.partitions", str(max(32, n // 20_000)))
+            docs = spark.read.parquet(
+                os.path.join(ROOT, f"docs_v2_{n}", "documents.parquet")
+            ).withColumn(key, _bn_col(int(key.lstrip("b"))))
+            for _ in range(2):
+                gc.collect()
+                spark.sparkContext._jvm.System.gc()
+                t0 = time.perf_counter()
+                pairs = _dd.minhash_lsh_pairs(docs, threshold=0.5, block_cols=[key]).count()
+                print(
+                    f"  n={n:>9} wall {key}: {round(time.perf_counter() - t0, 1)} s "
+                    f"pairs={pairs} load={os.getloadavg()[0]:.1f}",
+                    flush=True,
+                )
+        return
     if len(sys.argv) > 1 and sys.argv[1] == "--census":
         sizes = (
             [int(x) for x in sys.argv[2].split(",")]
@@ -664,6 +784,15 @@ def main() -> None:
             else [5000, 50000, 250000]
         )
         run_bm25_index(sizes)
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "--streaming-slim":
+        sizes = (
+            [int(x) for x in sys.argv[2].split(",")]
+            if len(sys.argv) > 2
+            else [500_000]
+        )
+        os.makedirs(ROOT, exist_ok=True)
+        run_streaming_state(sizes, modes=("slim",))
         return
     if len(sys.argv) > 1 and sys.argv[1] == "--streaming":
         sizes = (
