@@ -369,7 +369,7 @@ def _b100_col():
     return _bn_col(100).alias("b100")
 
 
-def run_slim_bucketed(store_sizes: list[int], stream_docs: int = 5000, batches: int = 5) -> None:
+def run_slim_bucketed(store_sizes: list[int], stream_docs: int = 1000, batches: int = 10) -> None:
     """Verify-scan prune rung (r12 verdict task 3 done-criterion): stream
     a FIXED small doc window (the first ``stream_docs`` ids of the rung
     corpus, in ``batches`` event-time micro-batches) against doc STORES
@@ -413,9 +413,13 @@ def run_slim_bucketed(store_sizes: list[int], stream_docs: int = 5000, batches: 
         )
         src = os.path.join(ROOT, f"slimb_src_{n}")
         _sh.rmtree(src, ignore_errors=True)
+        # one FILE per micro-batch (coalesce(1) + maxFilesPerTrigger=1):
+        # the prune story is per-micro-batch candidate volume ≪ buckets —
+        # collapsing the window into one giant batch would select every
+        # bucket and measure nothing
         b = F.floor((F.col("doc_id") % 540) / (540 / batches)).cast("int")
         for i in range(batches):
-            stamped.filter(b == i).write.mode("overwrite").parquet(
+            stamped.filter(b == i).coalesce(1).write.mode("overwrite").parquet(
                 os.path.join(src, f"b{i:02d}")
             )
         out_path = os.path.join(ROOT, f"slimb_pairs_{n}")
@@ -424,7 +428,7 @@ def run_slim_bucketed(store_sizes: list[int], stream_docs: int = 5000, batches: 
         _sh.rmtree(ckpt, ignore_errors=True)
         sink = minhash_slim_verify_sink(store_root, out_path)
         stream = spark.readStream.schema(stamped.schema).option(
-            "maxFilesPerTrigger", "64"
+            "maxFilesPerTrigger", "1"
         ).parquet(os.path.join(src, "b*"))
         cand = streaming_minhash_neardup_pairs(
             stream, watermark="10 minutes", slim_candidates=True
