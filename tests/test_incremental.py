@@ -456,3 +456,70 @@ def test_persist_shingles_parity_and_contract(spark, tmp_path):
     )
     out = run_incremental_dedup(spark, c, wd_tx, old_docs=a.unionByName(b))
     assert out["version"] == 3
+
+
+def test_cdf_feed_production_cadence_blocked_gated_persisted(spark, tmp_path):
+    """r13 composition gate: the full production cadence — a txlog corpus
+    table's CHANGE FEED driving blocked + budget-gated + persist_shingles
+    incremental dedup across three appends — produces exactly the
+    blocked full-batch pair set restricted to new-id pairs, never touches
+    state on a no-op, and keeps the shingle deltas covering every sig id
+    at each version."""
+    from devcontainers_etl_node_spark.incremental import (
+        run_incremental_dedup_from_table,
+    )
+    from devcontainers_etl_node_spark.sinks import txlog
+
+    corpus = str(tmp_path / "corpus")
+    wd = str(tmp_path / "dedup_prod")
+    kw = dict(
+        block_cols=["lang"], max_collisions_per_doc=50.0, persist_shingles=True
+    )
+
+    def docs(rows):
+        return spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+
+    a = docs(
+        [(1, BASE, "en"), (2, BASE.replace("lazy", "sleepy"), "en"),
+         (3, BASE.replace("quick", "rapid"), "de"),
+         (10, "historical filler body with enough distinct words to stand alone", "en")]
+    )
+    b = docs([(101, BASE.replace("tonight", "today"), "en"),
+              (102, BASE.replace("dog", "cat"), "de")])
+    c = docs([(201, BASE.replace("woods", "hills"), "de")])
+
+    txlog.tx_write(a, corpus)  # v0
+    seen = set()
+    for i, batch in enumerate((None, b, c)):  # None = first run consumes v0
+        if batch is not None:
+            txlog.tx_write(batch, corpus)
+        out = run_incremental_dedup_from_table(spark, corpus, wd, **kw)
+        seen |= {(r.id_a, r.id_b) for r in out["pairs"].collect()}
+        assert out["version"] == i + 1
+
+    whole = a.unionByName(b).unionByName(c)
+    want = {
+        (r.id_a, r.id_b)
+        for r in dedup.minhash_lsh_pairs(
+            whole, threshold=0.5, block_cols=["lang"]
+        ).collect()
+    }
+    # union of per-run outputs == blocked full-batch pair set (every pair
+    # is new at exactly one cadence step)
+    assert seen == want
+    assert (1, 2) in want and (3, 102) in want  # en-en and de-de
+    assert not any({p[0], p[1]} == {3, 101} for p in want)  # cross-block
+    # shingle deltas cover the sig snapshot at the head version
+    sig_ids = {
+        r._id for r in spark.read.parquet(os.path.join(wd, "sigs_v3")).collect()
+    }
+    sh_ids = {
+        r._id
+        for r in spark.read.parquet(
+            *[os.path.join(wd, f"shingles_b{v}") for v in (1, 2, 3)]
+        ).select("_id").distinct().collect()
+    }
+    assert sig_ids == sh_ids == {1, 2, 3, 10, 101, 102, 201}
+    # no-op run touches nothing
+    out = run_incremental_dedup_from_table(spark, corpus, wd, **kw)
+    assert out["no_new_data"] and out["version"] == 3
