@@ -118,13 +118,16 @@ def cmd_curate(args) -> int:
 
     spark = _spark()
     docs = table(spark, args.sf, "documents")
+    budget = (
+        args.budget if args.budget is not None else funnel.DEFAULT_NEARDUP_BUDGET
+    )
     out = funnel.run_staged_funnel(
         spark,
         docs,
         args.work,
         max_tokens=args.max_tokens,
         block_cols=_parse_block(args.block),
-        max_collisions_per_doc=args.budget if args.budget > 0 else None,
+        max_collisions_per_doc=budget if budget > 0 else None,
     )
     if out["computed"]:
         print(f"computed stages: {', '.join(out['computed'])}", file=sys.stderr)
@@ -142,6 +145,37 @@ def _parse_block(raw: str) -> list[str] | str | None:
     if raw == "none":
         return None
     return [c.strip() for c in raw.split(",") if c.strip()]
+
+
+def _pin_block_choice(workdir: str, block: list[str] | None) -> list[str] | None:
+    """Persist the RESOLVED block key per dedup workdir (``_BLOCK.json``).
+
+    Blocking is a query choice the snapshot manifest deliberately does
+    not pin — but an incremental CADENCE that flips the key mid-history
+    emits pair sets under different contracts across runs (the operator
+    docstring's warning). The CLI's ``--block auto`` re-resolves from
+    each batch's columns, so without this pin a batch that happens to
+    carry an extra column would silently change the contract. First run
+    records the choice; later runs must match it or fail loudly (pass
+    the recorded key explicitly, or start a fresh workdir)."""
+    import json as _json
+
+    os.makedirs(workdir, exist_ok=True)
+    path = os.path.join(workdir, "_BLOCK.json")
+    if os.path.exists(path):
+        with open(path) as f:
+            committed = _json.load(f)
+        if committed != (block or []):
+            raise SystemExit(
+                f"dedup workdir {workdir} committed block key {committed}; "
+                f"this run resolved {block or []} — rerun with "
+                f"--block {','.join(committed) if committed else 'none'} "
+                f"or start a fresh workdir"
+            )
+    else:
+        with open(path, "w") as f:
+            _json.dump(block or [], f)
+    return block
 
 
 def cmd_dedup(args) -> int:
@@ -173,7 +207,10 @@ def cmd_dedup(args) -> int:
     )
 
     spark = _spark()
-    budget = args.budget if args.budget > 0 else None
+    raw_budget = (
+        args.budget if args.budget is not None else _funnel.DEFAULT_NEARDUP_BUDGET
+    )
+    budget = raw_budget if raw_budget > 0 else None
     if args.table:
         block = _parse_block(args.block)
         if block == "auto":
@@ -185,6 +222,7 @@ def cmd_dedup(args) -> int:
                 if head is not None
                 else []
             )
+        block = _pin_block_choice(args.work, block or None)
         out = run_incremental_dedup_from_table(
             spark,
             args.table,
@@ -207,6 +245,7 @@ def cmd_dedup(args) -> int:
         block = _parse_block(args.block)
         if block == "auto":
             block = _funnel.default_block_cols(new_docs)
+        block = _pin_block_choice(args.work, block or None)
         out = run_incremental_dedup(
             spark,
             new_docs,
@@ -426,7 +465,7 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument(
         "--budget",
         type=float,
-        default=32.0,
+        default=None,
         help="census budget gate, max raw band collisions per doc "
         "(<=0 disables; default funnel.DEFAULT_NEARDUP_BUDGET)",
     )
@@ -445,9 +484,9 @@ def main(argv: list[str] | None = None) -> int:
     d.add_argument(
         "--budget",
         type=float,
-        default=32.0,
+        default=None,
         help="census budget gate, max raw band collisions per NEW doc "
-        "(<=0 disables)",
+        "(<=0 disables; default funnel.DEFAULT_NEARDUP_BUDGET)",
     )
 
     t = sub.add_parser("table", help="transactional-table maintenance (txlog)")

@@ -8032,13 +8032,20 @@ def pretrain_prep(spark: SparkSession, sf: str) -> DataFrame:
     # checkpoints and two report jobs collapse into zero extra passes.
     # At 100 TB that is one full-corpus write (the dominated cost of a
     # curation pass) saved outright.
+    from devcontainers_etl_node_spark import funnel as _funnel
+
     obs = Observation()
-    ann = spread(table(spark, sf, "documents")).select(
+    _docs = table(spark, sf, "documents")
+    # the composite near-dedup block key, restricted to columns the
+    # corpus actually carries (a source-less corpus blocks by lang alone
+    # — the graceful degradation default_block_cols encodes)
+    _block_cols = _funnel.default_block_cols(_docs)
+    ann = spread(_docs).select(
         "doc_id",
         "text",
         "lang",  # column-pruned before the checkpoint: only what the
-        "source",  # funnel actually reads (source: near-dedup block key)
-        tx.token_count("text").alias("n_tokens"),
+        *[c for c in _block_cols if c not in ("doc_id", "text", "lang")],
+        tx.token_count("text").alias("n_tokens"),  # funnel reads
         ((F.length("text") >= 50) & (tx.quality_score("text") >= 0.2)).alias("_gate"),
     ).observe(
         obs,
@@ -8079,12 +8086,10 @@ def pretrain_prep(spark: SparkSession, sf: str) -> DataFrame:
     # census budget (funnel.DEFAULT_NEARDUP_BUDGET rationale), identical
     # to funnel.run_staged_funnel's defaults (parity pinned in
     # tests/test_funnel.py).
-    from devcontainers_etl_node_spark import funnel as _funnel
-
     pairs = dd.minhash_lsh_pairs(
         exact,
         threshold=0.5,
-        block_cols=_funnel.default_block_cols(exact) or None,
+        block_cols=_block_cols or None,
         max_collisions_per_doc=_funnel.DEFAULT_NEARDUP_BUDGET,
     )
     # Drop lists (near-dup ids, contaminated ids) are CORPUS-PROPORTIONAL:

@@ -69,6 +69,21 @@ def write_doc_store(
     import json
     import os
 
+    layout = {"n_buckets": n_buckets, "id_col": id_col, "text_col": text_col}
+    mpath = os.path.join(root, "_STORE_MANIFEST.json")
+    if mode == "append" and os.path.exists(mpath):
+        # the bucket expression is part of the LAYOUT: appending under a
+        # different n_buckets would place new rows where readers derive
+        # the OLD buckets for old ids (and vice versa) — candidate pairs
+        # would silently vanish from the pruned verify scan. Fail loudly.
+        with open(mpath) as f:
+            committed = json.load(f)
+        if committed != layout:
+            raise ValueError(
+                f"doc store at {root} was written with {committed}; append "
+                f"must use the same layout (got {layout}) — or rewrite the "
+                f"store with mode='overwrite'"
+            )
     keyed = docs.select(
         F.col(id_col).alias("_sid"),
         F.col(text_col).alias("_stext"),
@@ -81,8 +96,8 @@ def write_doc_store(
         .partitionBy("bkt")
         .parquet(root)
     )
-    with open(os.path.join(root, "_STORE_MANIFEST.json"), "w") as f:
-        json.dump({"n_buckets": n_buckets, "id_col": id_col, "text_col": text_col}, f)
+    with open(mpath, "w") as f:
+        json.dump(layout, f)
 
 
 def write_inventory_tree(df: DataFrame, root: str, mode: str = "overwrite") -> None:

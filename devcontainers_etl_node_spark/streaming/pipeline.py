@@ -258,10 +258,15 @@ def minhash_slim_verify_sink(
     buckets are touched — the prune would buy nothing; the full-scan
     fallback avoids the extra bucket-derivation job).
 
-    ``apply.metrics`` (list of per-batch dicts: n_candidates,
-    n_buckets_selected, selected_bytes, total_bytes, n_pairs) is the
-    measurement hook the scale ladder reads; local paths only (byte
-    accounting lists the filesystem), None fields elsewhere.
+    ``apply.metrics`` (per-batch dicts: n_candidates, n_buckets_selected,
+    selected_bytes, total_bytes, n_pairs; bounded to the last 1000
+    batches) is the measurement hook the scale ladder reads; local paths
+    only (byte accounting lists the filesystem once at construction for
+    the total, per selected bucket per batch), None fields elsewhere.
+    Empty micro-batches short-circuit: the batch dir is still written
+    (replay idempotence) but the store is never scanned. The store side
+    is deduped on id per batch (same rationale as the inline slim
+    verify: an at-least-once-fed store must not fan out the join).
     """
     import glob as _glob
     import json
@@ -277,12 +282,29 @@ def minhash_slim_verify_sink(
             for p in _glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
         )
 
+    # the store is static for the life of the sink: walk it once for the
+    # total-bytes metric, not once per micro-batch (O(store files) of
+    # filesystem work for a constant)
+    try:
+        total_bytes = _dir_bytes(store_root)
+    except OSError:
+        total_bytes = None
+
     def apply(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         cand = batch_df.select("id_a", "id_b").localCheckpoint(eager=True)
         n_cand = cand.count()
+        out_dir = f"{out_path}/batch_id={batch_id}"
+        if n_cand == 0:
+            # idle stream: write the (empty) batch dir for replay
+            # idempotence and skip the store scan + join entirely
+            cand.withColumn("jaccard_sim", F.lit(0.0)).write.mode(
+                "overwrite"
+            ).parquet(out_dir)
+            _record(batch_id, 0, 0, 0, 0)
+            return
         bkts: list[int] | None = None
-        if 0 < n_cand <= max_candidate_rows:
+        if n_cand <= max_candidate_rows:
             bkts = [
                 r.bkt
                 for r in cand.select(
@@ -295,6 +317,13 @@ def minhash_slim_verify_sink(
         store = spark.read.parquet(store_root)
         if bkts is not None:
             store = store.filter(F.col("bkt").isin(bkts))
+        # one row per id (same rationale as the inline slim verify): a
+        # store fed by at-least-once ingest can carry re-delivered ids,
+        # and a duplicate store row would FAN OUT the join — the same
+        # pair emitted once per copy. At scale the durable table is
+        # already id-unique (txlog MERGE semantics) and this dedup is a
+        # cheap shuffle over the PRUNED buckets only.
+        store = store.dropDuplicates(["_sid"])
         sh = _shingle_set_expr(F.col("_stext"), shingle_k)
         joined = (
             cand.join(
@@ -312,27 +341,37 @@ def minhash_slim_verify_sink(
             .filter(F.col("jaccard_sim") >= threshold)
             .select("id_a", "id_b", "jaccard_sim")
         )
-        out_dir = f"{out_path}/batch_id={batch_id}"
         pairs.write.mode("overwrite").parquet(out_dir)
         try:
             selected = (
                 sum(_dir_bytes(os.path.join(store_root, f"bkt={b}")) for b in bkts)
                 if bkts is not None
-                else _dir_bytes(store_root)
+                else total_bytes
             )
-            total = _dir_bytes(store_root)
         except OSError:
-            selected = total = None
+            selected = None
+        _record(
+            batch_id,
+            n_cand,
+            len(bkts) if bkts is not None else n_buckets,
+            selected,
+            spark.read.parquet(out_dir).count(),
+        )
+
+    def _record(batch_id, n_cand, n_sel, selected, n_pairs) -> None:
         apply.metrics.append(
             {
                 "batch_id": batch_id,
                 "n_candidates": n_cand,
-                "n_buckets_selected": len(bkts) if bkts is not None else n_buckets,
+                "n_buckets_selected": n_sel,
                 "selected_bytes": selected,
-                "total_bytes": total,
-                "n_pairs": spark.read.parquet(out_dir).count(),
+                "total_bytes": total_bytes,
+                "n_pairs": n_pairs,
             }
         )
+        # bounded: a long-lived stream must not grow driver memory here
+        if len(apply.metrics) > 1000:
+            del apply.metrics[: len(apply.metrics) - 1000]
 
     apply.metrics = []
     return apply

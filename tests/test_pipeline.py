@@ -480,3 +480,20 @@ def test_cli_dedup_plan_partition_sizing(capsys):
 
     with pytest.raises(ValueError):
         minhash_partition_plan(0)
+
+
+def test_cli_dedup_pins_block_choice_per_workdir(tmp_path):
+    """r13 review fix: the dedup CLI records the resolved block key in
+    the workdir; a later run that resolves (or passes) a different key
+    fails loudly instead of silently flipping the pair-set contract."""
+    import pytest
+
+    from devcontainers_etl_node_spark.cli import _pin_block_choice
+
+    wd = str(tmp_path / "wd")
+    assert _pin_block_choice(wd, ["lang", "source"]) == ["lang", "source"]
+    assert _pin_block_choice(wd, ["lang", "source"]) == ["lang", "source"]
+    with pytest.raises(SystemExit, match="committed block key"):
+        _pin_block_choice(wd, ["lang"])
+    with pytest.raises(SystemExit, match="committed block key"):
+        _pin_block_choice(wd, None)

@@ -496,3 +496,23 @@ def test_quality_classifier_beats_majority_baseline(spark):
     majority = max(n_pos, total - n_pos) / total
     assert acc >= 0.72, (acc, cm)
     assert acc >= majority + 0.10, (acc, majority, cm)
+
+
+def test_pretrain_prep_degrades_to_lang_blocking_without_source(spark, tmp_path):
+    """r13 review fix: a documents corpus WITHOUT a source column must
+    still run pretrain_prep (blocking degrades to lang alone via
+    default_block_cols) instead of failing analysis on a hard-selected
+    column."""
+    rows = [
+        (i, " ".join(f"w{i}x{j}" for j in range(30)), "en")
+        for i in range(1, 30)
+    ]
+    d = tmp_path / "nosrc"
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string"
+    ).coalesce(1).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+    out = {r.stage: r for r in QUERIES["pretrain_prep"](spark, str(d)).collect()}
+    assert set(out) == {
+        "raw", "quality_gate", "exact_dedup", "near_dedup", "decontaminated", "packed"
+    }
+    assert out["raw"].docs == 29

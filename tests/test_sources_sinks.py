@@ -440,3 +440,21 @@ def test_webdataset_binary_members_roundtrip(spark, tmp_path):
     )
     with tarfile.open(tmp_path / "media_only" / "shard-000000.tar") as tar:
         assert all(n.endswith(".png") for n in tar.getnames())
+
+
+def test_write_doc_store_append_guards_layout(spark, tmp_path):
+    """r13 review fix: appending under a DIFFERENT n_buckets would place
+    new rows where readers derive the old buckets — the manifest guard
+    must refuse; a same-layout append extends the store."""
+    import pytest
+
+    from devcontainers_etl_node_spark.sinks import write_doc_store
+
+    root = str(tmp_path / "store")
+    a = spark.createDataFrame([(1, "alpha"), (2, "beta")], "doc_id long, text string")
+    b = spark.createDataFrame([(3, "gamma")], "doc_id long, text string")
+    write_doc_store(a, root, n_buckets=8)
+    with pytest.raises(ValueError, match="same layout"):
+        write_doc_store(b, root, n_buckets=4, mode="append")
+    write_doc_store(b, root, n_buckets=8, mode="append")
+    assert spark.read.parquet(root).count() == 3
