@@ -128,6 +128,7 @@ def cmd_curate(args) -> int:
         max_tokens=args.max_tokens,
         block_cols=_parse_block(args.block),
         max_collisions_per_doc=budget if budget > 0 else None,
+        cross_block_recovery=args.cross_block_recovery,
     )
     if out["computed"]:
         print(f"computed stages: {', '.join(out['computed'])}", file=sys.stderr)
@@ -147,20 +148,24 @@ def _parse_block(raw: str) -> list[str] | str | None:
     return [c.strip() for c in raw.split(",") if c.strip()]
 
 
-def _pin_block_choice(workdir: str, block: list[str] | None) -> list[str] | None:
-    """Persist the RESOLVED block key per dedup workdir (``_BLOCK.json``).
+def _check_block_pin(workdir: str, block: list[str] | None):
+    """Validate the run's block key against the workdir pin (``_BLOCK.json``)
+    and return a ``commit()`` that records it — called only AFTER the
+    dedup run commits (r13 advice fix: pinning before the run meant a
+    failed first run — a budget-gate refusal, a missing corpus — left a
+    permanent pin for a contract the user never established, and the
+    next run's mismatch error then steered them wrong).
 
     Blocking is a query choice the snapshot manifest deliberately does
     not pin — but an incremental CADENCE that flips the key mid-history
     emits pair sets under different contracts across runs (the operator
     docstring's warning). The CLI's ``--block auto`` re-resolves from
     each batch's columns, so without this pin a batch that happens to
-    carry an extra column would silently change the contract. First run
-    records the choice; later runs must match it or fail loudly (pass
-    the recorded key explicitly, or start a fresh workdir)."""
+    carry an extra column would silently change the contract. The first
+    SUCCESSFUL run records the choice; later runs must match it or fail
+    loudly (pass the recorded key explicitly, or start a fresh workdir)."""
     import json as _json
 
-    os.makedirs(workdir, exist_ok=True)
     path = os.path.join(workdir, "_BLOCK.json")
     if os.path.exists(path):
         with open(path) as f:
@@ -172,10 +177,13 @@ def _pin_block_choice(workdir: str, block: list[str] | None) -> list[str] | None
                 f"--block {','.join(committed) if committed else 'none'} "
                 f"or start a fresh workdir"
             )
-    else:
+
+    def commit() -> None:
+        os.makedirs(workdir, exist_ok=True)
         with open(path, "w") as f:
             _json.dump(block or [], f)
-    return block
+
+    return block, commit
 
 
 def cmd_dedup(args) -> int:
@@ -222,7 +230,7 @@ def cmd_dedup(args) -> int:
                 if head is not None
                 else []
             )
-        block = _pin_block_choice(args.work, block or None)
+        block, commit_pin = _check_block_pin(args.work, block or None)
         out = run_incremental_dedup_from_table(
             spark,
             args.table,
@@ -236,6 +244,7 @@ def cmd_dedup(args) -> int:
                 file=sys.stderr,
             )
             return 0
+        commit_pin()
     else:
         if not args.new:
             print("one of --table or --new is required", file=sys.stderr)
@@ -245,7 +254,7 @@ def cmd_dedup(args) -> int:
         block = _parse_block(args.block)
         if block == "auto":
             block = _funnel.default_block_cols(new_docs)
-        block = _pin_block_choice(args.work, block or None)
+        block, commit_pin = _check_block_pin(args.work, block or None)
         out = run_incremental_dedup(
             spark,
             new_docs,
@@ -254,6 +263,7 @@ def cmd_dedup(args) -> int:
             block_cols=block or None,
             max_collisions_per_doc=budget,
         )
+        commit_pin()
     print(f"snapshot v{out['version']} committed: {out['n_pairs']} near-dup pairs", file=sys.stderr)
     out["pairs"].show(20, truncate=False)
     return 0
@@ -365,6 +375,21 @@ def cmd_dedup_plan(args) -> int:
     g = minhash_geometry(
         args.threshold, args.recall, n_docs=n, max_hashes=args.max_hashes
     )
+    if g is not None and n is not None:
+        # blocking advice rides EVERY --docs invocation (r13 verdict task
+        # 5: the ~10²⁺-family-consistent-blocks rule the 4M ladder proved
+        # appeared only in refusal messages) — the UNBLOCKED numbers,
+        # before any --blocks adjustment below
+        unblocked_per_doc = g.get("predicted_floor_candidates", 0) / max(n, 1)
+        print(
+            f"blocking: at n={n:.0f} the unblocked random-collision floor "
+            f"≈ {unblocked_per_doc:.1f} candidates/doc (crossover "
+            f"{g['floor_crossover_docs']:.0f} docs) — block on a "
+            f"family-consistent key with ≳100 values (e.g. lang×source): "
+            f"the floor scales by 1/blocks, the crossover by ×blocks "
+            f"(measured at 4M/10M docs, PERF.md r12-r13)",
+            file=sys.stderr,
+        )
     if g is not None and args.blocks > 1:
         # balanced blocking: floor = sum_b f(n/B) = f(n)/B  =>  the
         # crossover n where floor ~ 10n moves out by exactly B
@@ -468,6 +493,14 @@ def main(argv: list[str] | None = None) -> int:
         default=None,
         help="census budget gate, max raw band collisions per doc "
         "(<=0 disables; default funnel.DEFAULT_NEARDUP_BUDGET)",
+    )
+    c.add_argument(
+        "--cross-block-recovery",
+        action="store_true",
+        help="after the blocked near-dedup pass, recover cross-block "
+        "pairs via the bounded rep-per-cluster global re-band "
+        "(measured recall 0.98 of blocking-dropped pairs; requires a "
+        "non-empty block key)",
     )
 
     d = sub.add_parser("dedup", help="snapshot-backed incremental MinHash dedup")

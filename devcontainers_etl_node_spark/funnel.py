@@ -36,6 +36,7 @@ benchmark decontamination (doc_id%10==0 stand-in slice, 3-gram overlap)
 from __future__ import annotations
 
 import os
+from contextlib import nullcontext as _nullcontext
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
@@ -98,6 +99,7 @@ def _near_dedup(
     exact: DataFrame,
     block_cols: list[str],
     max_collisions_per_doc: float | None,
+    cross_block_recovery: bool = False,
 ) -> DataFrame:
     # The drop list is corpus-proportional (billions of ids at 100 TB) —
     # never force-broadcast it; AQE broadcasts while it fits and degrades
@@ -122,6 +124,7 @@ def _near_dedup(
         threshold=0.5,
         block_cols=block_cols or None,
         max_collisions_per_doc=max_collisions_per_doc,
+        cross_block_recovery=cross_block_recovery,
     )
     # no distinct: anti joins are set-semantics on the right side, and a
     # dropped id repeats only once per extra near-dup partner
@@ -173,8 +176,31 @@ def run_staged_funnel(
     input_fingerprint: str | None = None,
     block_cols: list[str] | str | None = "auto",
     max_collisions_per_doc: float | None = DEFAULT_NEARDUP_BUDGET,
+    cross_block_recovery: bool = False,
+    auto_partition: bool = True,
 ) -> dict:
     """Run (or resume) the staged funnel under `workdir`.
+
+    ``cross_block_recovery`` (r14, opt-in, requires a non-empty block
+    key): after the blocked near-dedup pass, run the bounded
+    rep-per-cluster global re-band (``dedup.minhash_crossblock_recovery``
+    — measured recall 0.981/0.980 of blocking-dropped pairs, PERF.md r12)
+    and drop the recovered cross-block partners too. Recorded in the
+    near_dedup stage meta, so flipping it invalidates that stage and
+    everything downstream on resume. The census budget covers the
+    recovery's rep pass as well (the primitive threads it through).
+
+    ``auto_partition`` (r14, closing the r13 `weak`): size the near-dedup
+    stage's shuffle partitions and scan splits with
+    ``dedup.minhash_partition_plan`` — n_docs and on-disk bytes read for
+    FREE from the exact_dedup stage's txlog manifest (zero extra jobs) —
+    applied scoped to the stage and restored after
+    (``dedup.applied_partition_plan``; monotone toward finer tasks, a
+    no-op at bench scale). The 4M ladder measured the failure this
+    prevents: ``UNABLE_TO_ACQUIRE_MEMORY`` at the 32-partition session
+    default, double ``AGGREGATE_OUT_OF_MEMORY`` at default 128 MB splits
+    (PERF.md r12). Geometry does not change results, so it is NOT part
+    of the stage meta (resume-compatible with r13 workdirs).
 
     ``block_cols`` (r13): the near-dedup blocking key. ``"auto"`` (the
     default) picks :func:`default_block_cols` — the composite
@@ -222,6 +248,13 @@ def run_staged_funnel(
             f"block_cols {missing} not in the corpus columns {docs.columns} — "
             "pass columns the documents table carries (or 'auto')"
         )
+    if cross_block_recovery and not block_cols:
+        # the primitive raises the same way, but AFTER the caller paid for
+        # two stages — validate at entry (the r12 advice lesson)
+        raise ValueError(
+            "cross_block_recovery=True only applies with a non-empty block "
+            "key — the unblocked funnel already searches globally"
+        )
     if input_fingerprint is None:
         input_fingerprint = str(docs.semanticHash())
     computed: list[str] = []
@@ -257,14 +290,32 @@ def run_staged_funnel(
         "num_hashes": 32, "bands": 8, "threshold": 0.5,
         "block": ",".join(block_cols), "budget": max_collisions_per_doc,
     }
+    if cross_block_recovery:
+        # absent key ≡ False: r13 workdirs (which predate the flag) stay
+        # resume-valid, while opting IN invalidates the stage + downstream
+        near_params["cross_block_recovery"] = True
     gated = materialize(1, "quality_gate", lambda: _quality_gate(docs))
     exact = materialize(2, "exact_dedup", lambda: _exact_dedup(gated))
-    neardeduped = materialize(
-        3,
-        "near_dedup",
-        lambda: _near_dedup(exact, block_cols, max_collisions_per_doc),
-        near_params,
-    )
+    # r14: geometry for the dedup stage from the exact stage's manifest —
+    # (rows, bytes) are driver-side commit metadata, zero Spark jobs
+    if auto_partition:
+        stats = txlog.tx_stats(_stage_dir(workdir, 2, "exact_dedup"))
+        geometry = dd.applied_partition_plan(
+            spark,
+            max(1, stats["rows"]),
+            avg_doc_bytes=(stats["bytes"] // stats["rows"]) if stats["rows"] else None,
+        )
+    else:
+        geometry = _nullcontext()
+    with geometry:
+        neardeduped = materialize(
+            3,
+            "near_dedup",
+            lambda: _near_dedup(
+                exact, block_cols, max_collisions_per_doc, cross_block_recovery
+            ),
+            near_params,
+        )
     clean = materialize(4, "decontaminated", lambda: _decontaminate(neardeduped, docs))
     packed = materialize(
         5, "packed", lambda: _pack(clean, max_tokens), {"max_tokens": max_tokens}

@@ -30,6 +30,7 @@ from __future__ import annotations
 
 import json
 import os
+from contextlib import nullcontext as _nullcontext
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
@@ -80,8 +81,22 @@ def run_incremental_dedup(
     block_cols: list[str] | None = None,
     max_collisions_per_doc: float | None = None,
     persist_shingles: bool = False,
+    auto_partition: bool = True,
 ) -> dict:
     """Dedup one ingest batch against the committed signature snapshot.
+
+    ``auto_partition`` (r14, closing the r13 `weak`): run the band join +
+    verify under :func:`~devcontainers_etl_node_spark.operators.dedup.applied_partition_plan`
+    sized to history + batch — history row count comes FREE from the
+    committed manifest's ``_stats`` (recorded at each commit; a pre-r14
+    manifest falls back to one cheap count over the ~128 B/doc signature
+    table), the batch is counted once (one batch-sized scan, ≪ the
+    shingle pass it precedes), and on-disk batch bytes size the scan
+    splits. Scoped set-then-restore; monotone toward finer tasks; a
+    no-op at bench scale. The failure this prevents is measured: the 4M
+    first run (the whole corpus as one batch) at session defaults is the
+    exact ``UNABLE_TO_ACQUIRE_MEMORY`` configuration of PERF.md r12.
+    Geometry never changes results — not part of the manifest contract.
 
     ``persist_shingles`` (r13, space-for-time): also persist the exploded
     ``(_id, _h)`` shingle rows as per-batch delta dirs
@@ -136,6 +151,7 @@ def run_incremental_dedup(
     mpath = os.path.join(workdir, _MANIFEST)
     cur = _read_current(workdir)
     existing_shingles = None
+    n_hist = 0
     if cur is not None:
         try:
             with open(mpath) as f:
@@ -144,11 +160,15 @@ def run_incremental_dedup(
             raise ValueError(f"snapshot v{cur} exists but {_MANIFEST} is unreadable")
         # pre-r13 manifests predate the persist_shingles key: they mean False
         committed.setdefault("persist_shingles", False)
-        if committed != params:
+        # "_"-prefixed keys are bookkeeping (r14 _stats: committed doc
+        # count for partition sizing), not part of the LSH contract
+        committed_core = {k: v for k, v in committed.items() if not k.startswith("_")}
+        if committed_core != params:
             raise ValueError(
-                f"snapshot v{cur} was built with {committed}; rerun with those "
-                f"parameters or a fresh workdir (got {params})"
+                f"snapshot v{cur} was built with {committed_core}; rerun with "
+                f"those parameters or a fresh workdir (got {params})"
             )
+        n_hist = (committed.get("_stats") or {}).get("n_docs")
         if old_docs is None and (block_cols or not persist_shingles):
             raise ValueError(
                 "old_docs is required when a snapshot exists (candidate verify"
@@ -178,43 +198,85 @@ def run_incremental_dedup(
         # block columns too
         existing_docs = new_docs.limit(0)
 
-    pairs, merged_sigs, release = dd.minhash_incremental_pairs(
-        existing_docs,
-        existing_sigs,
-        new_docs,
-        text_col=text_col,
-        id_col=id_col,
-        shingle_k=shingle_k,
-        num_hashes=num_hashes,
-        bands=bands,
-        threshold=threshold,
-        block_cols=block_cols,
-        max_collisions_per_doc=max_collisions_per_doc,
-        existing_shingles=existing_shingles,
-    )
-    version = (cur or 0) + 1
-    # write the new snapshot fully, THEN commit the pointer — a crash
-    # between the two leaves the previous snapshot current and intact.
-    # The write replays the batch signatures from cache (signed once);
-    # release() drops that cache only after the snapshot is on disk.
-    merged_sigs.write.mode("overwrite").parquet(os.path.join(workdir, f"sigs_v{version}"))
-    if persist_shingles:
-        # same-version commit as the sigs (coverage invariant), O(batch)
-        # write: only THIS batch's rows land, as the delta dir the next
-        # run's union reads. The batch is re-shingled once here — a
-        # batch-sized pass; the per-step save is corpus-side.
-        dd.shingle_hash_rows(
-            new_docs.select(
-                F.col(id_col).alias("_id"), F.col(text_col).alias("_text")
-            ),
-            shingle_k,
-        ).write.mode("overwrite").parquet(os.path.join(workdir, f"shingles_b{version}"))
-    release()
-    pairs.write.mode("overwrite").parquet(os.path.join(workdir, "pairs", f"run_{version}"))
+    if auto_partition:
+        if n_hist is None:  # pre-r14 manifest: one count over ~128 B/doc rows
+            n_hist = existing_sigs.count()
+        n_new = new_docs.count()
+        geometry = dd.applied_partition_plan(
+            spark,
+            max(1, n_hist + n_new),
+            avg_doc_bytes=_avg_file_bytes_per_row(new_docs, n_new),
+        )
+        n_total = n_hist + n_new
+    else:
+        geometry = _nullcontext()
+        n_total = None
+    with geometry:
+        pairs, merged_sigs, release = dd.minhash_incremental_pairs(
+            existing_docs,
+            existing_sigs,
+            new_docs,
+            text_col=text_col,
+            id_col=id_col,
+            shingle_k=shingle_k,
+            num_hashes=num_hashes,
+            bands=bands,
+            threshold=threshold,
+            block_cols=block_cols,
+            max_collisions_per_doc=max_collisions_per_doc,
+            existing_shingles=existing_shingles,
+        )
+        version = (cur or 0) + 1
+        # write the new snapshot fully, THEN commit the pointer — a crash
+        # between the two leaves the previous snapshot current and intact.
+        # The write replays the batch signatures from cache (signed once);
+        # release() drops that cache only after the snapshot is on disk.
+        merged_sigs.write.mode("overwrite").parquet(os.path.join(workdir, f"sigs_v{version}"))
+        if persist_shingles:
+            # same-version commit as the sigs (coverage invariant), O(batch)
+            # write: only THIS batch's rows land, as the delta dir the next
+            # run's union reads. The batch is re-shingled once here — a
+            # batch-sized pass; the per-step save is corpus-side.
+            dd.shingle_hash_rows(
+                new_docs.select(
+                    F.col(id_col).alias("_id"), F.col(text_col).alias("_text")
+                ),
+                shingle_k,
+            ).write.mode("overwrite").parquet(os.path.join(workdir, f"shingles_b{version}"))
+        release()
+        pairs.write.mode("overwrite").parquet(os.path.join(workdir, "pairs", f"run_{version}"))
+    if n_total is not None:
+        # committed doc count: the NEXT run's history size, read back for
+        # free (no count job) by its auto_partition sizing
+        params = {**params, "_stats": {"n_docs": int(n_total)}}
     with open(mpath, "w") as f:
         json.dump(params, f)
     _commit_current(workdir, version)
     return {"pairs": pairs, "version": version, "n_pairs": pairs.count()}
+
+
+def _avg_file_bytes_per_row(df: DataFrame, n_rows: int) -> int | None:
+    """Best-effort on-disk bytes per row of a file-backed DataFrame —
+    exactly the unit scan-split sizing needs (Spark splits files by TOTAL
+    file bytes, all columns included, so compressed-bytes-per-doc is the
+    right divisor for docs-per-split). None for non-local/non-file plans;
+    sizing then falls back to shuffle partitions alone."""
+    if not n_rows:
+        return None
+    try:
+        total = 0
+        for uri in df.inputFiles():
+            path = uri
+            if path.startswith("file:"):
+                path = path[len("file:"):]
+                while path.startswith("//"):
+                    path = path[1:]
+            elif "://" in path:
+                return None
+            total += os.path.getsize(path)
+        return max(1, total // n_rows) if total else None
+    except Exception:
+        return None
 
 
 _CURSOR = "CORPUS_CURSOR.json"

@@ -14,6 +14,7 @@ no Python). No collect(), no driver-side loops.
 
 from __future__ import annotations
 
+import contextlib
 from typing import Callable
 
 from pyspark.sql import DataFrame, Column, Window, functions as F
@@ -388,6 +389,66 @@ def minhash_partition_plan(n_docs: int, avg_doc_bytes: int | None = None) -> dic
             min(max(avg_doc_bytes * DOCS_PER_TASK, 4 << 20), 128 << 20)
         )
     return plan
+
+
+@contextlib.contextmanager
+def applied_partition_plan(
+    spark, n_docs: int, avg_doc_bytes: int | None = None
+):
+    """Scope-apply :func:`minhash_partition_plan` to the session, restoring
+    the previous conf values on exit — the wiring that closes the r13
+    `weak`: the 4M ladder measured ``UNABLE_TO_ACQUIRE_MEMORY`` at the
+    32-partition session default and a double ``AGGREGATE_OUT_OF_MEMORY``
+    at default 128 MB scan splits (PERF.md r12), and the rule that fixes
+    both was planner output only — no pipeline entry point applied it.
+    ``funnel.run_staged_funnel``, ``queries.catalog:pretrain_prep`` and
+    ``incremental.run_incremental_dedup`` now run their dedup stage inside
+    this context by default.
+
+    The application is MONOTONE toward finer tasks, never coarser:
+    shuffle partitions only ever rise above the session value, and
+    ``maxPartitionBytes`` only ever shrinks below it — so a session
+    deliberately tuned finer than the rule keeps its tuning, and at bench
+    scale (n ≤ 20k·32) the context is an exact no-op. Over-provisioning on
+    small corpora is free: AQE coalesces post-shuffle partitions at
+    runtime (enabled in session.py). Restore is in ``finally`` so a
+    budget-gate refusal or mid-stage failure never leaks geometry into
+    the caller's session.
+    """
+    plan = minhash_partition_plan(n_docs, avg_doc_bytes=avg_doc_bytes)
+    confs: dict[str, str] = {}
+    cur_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    if plan["shuffle_partitions"] > cur_shuffle:
+        confs["spark.sql.shuffle.partitions"] = str(plan["shuffle_partitions"])
+    if plan["max_partition_bytes"]:
+        cur_split = spark.conf.get("spark.sql.files.maxPartitionBytes")
+        # the conf accepts byte suffixes ("128m"); normalize for compare
+        cur_bytes = _parse_byte_conf(cur_split)
+        if plan["max_partition_bytes"] < cur_bytes:
+            confs["spark.sql.files.maxPartitionBytes"] = str(
+                plan["max_partition_bytes"]
+            )
+    saved = {k: spark.conf.get(k) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        yield plan
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+
+
+def _parse_byte_conf(raw: str) -> int:
+    """'134217728' / '128m' / '1g' → bytes (the subset of Spark's byte-
+    string grammar its own defaults use)."""
+    raw = raw.strip().lower()
+    for suffix, mult in (
+        ("kb", 1 << 10), ("mb", 1 << 20), ("gb", 1 << 30),
+        ("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30), ("b", 1),
+    ):
+        if raw.endswith(suffix):
+            return int(float(raw[: -len(suffix)]) * mult)
+    return int(raw)
 
 
 def minhash_lsh_pairs(

@@ -7974,8 +7974,17 @@ def xml_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     return parsed.select("event_id", F.col("s.et").alias("et"), F.col("s.uid").alias("uid"))
 
 
+_DEFAULT = object()  # sentinel: funnel.DEFAULT_NEARDUP_BUDGET, bound at call time
+
+
 @query("pretrain_prep")  # minhash stage is non-SQL — rows-only; invariants in tests
-def pretrain_prep(spark: SparkSession, sf: str) -> DataFrame:
+def pretrain_prep(
+    spark: SparkSession,
+    sf: str,
+    block_cols: list[str] | str | None = "auto",
+    max_collisions_per_doc: float | None = _DEFAULT,  # type: ignore[assignment]
+    auto_partition: bool = True,
+) -> DataFrame:
     """The full pretraining-data preparation funnel as ONE lazy DAG — the
     flagship composition of the engine's LLM operators, end to end:
 
@@ -8034,12 +8043,22 @@ def pretrain_prep(spark: SparkSession, sf: str) -> DataFrame:
     # curation pass) saved outright.
     from devcontainers_etl_node_spark import funnel as _funnel
 
+    # r14 (advice fix): the blocked+gated defaults now have the same
+    # informed opt-out run_staged_funnel ships — a legitimately
+    # duplicate-heavy corpus (the main target of dedup) can raise the
+    # budget or pass None instead of editing the source.
+    if max_collisions_per_doc is _DEFAULT:
+        max_collisions_per_doc = _funnel.DEFAULT_NEARDUP_BUDGET
+
     obs = Observation()
     _docs = table(spark, sf, "documents")
     # the composite near-dedup block key, restricted to columns the
     # corpus actually carries (a source-less corpus blocks by lang alone
     # — the graceful degradation default_block_cols encodes)
-    _block_cols = _funnel.default_block_cols(_docs)
+    if block_cols == "auto":
+        _block_cols = _funnel.default_block_cols(_docs)
+    else:
+        _block_cols = list(block_cols or [])
     ann = spread(_docs).select(
         "doc_id",
         "text",
@@ -8086,12 +8105,26 @@ def pretrain_prep(spark: SparkSession, sf: str) -> DataFrame:
     # census budget (funnel.DEFAULT_NEARDUP_BUDGET rationale), identical
     # to funnel.run_staged_funnel's defaults (parity pinned in
     # tests/test_funnel.py).
-    pairs = dd.minhash_lsh_pairs(
-        exact,
-        threshold=0.5,
-        block_cols=_block_cols or None,
-        max_collisions_per_doc=_funnel.DEFAULT_NEARDUP_BUDGET,
+    # r14 (closing the r13 `weak`): the minhash stage — the measured 4M
+    # OOM site — runs under the partition plan sized to the exact-dedup
+    # survivor count, which the observe aggregates just produced for FREE
+    # (no count job; avg bytes unavailable here — the stage reads the
+    # localCheckpoint, not a file scan, so splits don't apply). Scoped
+    # set-then-restore; no-op at bench scale (n <= 20k*32).
+    from contextlib import nullcontext as _nullcontext
+
+    _geom = (
+        dd.applied_partition_plan(spark, max(1, int(obs_exact.get["docs"])))
+        if auto_partition
+        else _nullcontext()
     )
+    with _geom:
+        pairs = dd.minhash_lsh_pairs(
+            exact,
+            threshold=0.5,
+            block_cols=_block_cols or None,
+            max_collisions_per_doc=max_collisions_per_doc,
+        )
     # Drop lists (near-dup ids, contaminated ids) are CORPUS-PROPORTIONAL:
     # at 100 TB a near-dup drop list can be billions of ids, and a forced
     # F.broadcast would OOM the driver. No hint — AQE broadcasts while the

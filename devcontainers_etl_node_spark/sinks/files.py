@@ -65,11 +65,32 @@ def write_doc_store(
     candidates' buckets, never the store size (measured in PERF.md r13).
     At 100 TB size ``n_buckets`` so a bucket is a few hundred MB — the
     prune is by directory, so finer buckets = finer prune.
+
+    Bucket derivation is TYPE-sensitive (r13 advice fix):
+    ``xxhash64(int)`` ≠ ``xxhash64(long)`` for the same value, and the
+    verify sink hashes candidate ids forced to LONG by the streaming
+    output schema — so integral ids are cast to long HERE (making the
+    writer's buckets match the sink's derivation for byte/short/int/long
+    corpora alike), and the id type lands in the manifest so a reader
+    whose key type cannot match fails loudly instead of silently pruning
+    to the wrong buckets and emitting zero pairs.
     """
     import json
     import os
 
-    layout = {"n_buckets": n_buckets, "id_col": id_col, "text_col": text_col}
+    from pyspark.sql import types as T
+
+    id_type = docs.schema[id_col].dataType
+    integral = isinstance(
+        id_type, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+    )
+    key = F.col(id_col).cast("long") if integral else F.col(id_col)
+    layout = {
+        "n_buckets": n_buckets,
+        "id_col": id_col,
+        "text_col": text_col,
+        "id_type": "long" if integral else id_type.simpleString(),
+    }
     mpath = os.path.join(root, "_STORE_MANIFEST.json")
     if mode == "append" and os.path.exists(mpath):
         # the bucket expression is part of the LAYOUT: appending under a
@@ -78,6 +99,10 @@ def write_doc_store(
         # would silently vanish from the pruned verify scan. Fail loudly.
         with open(mpath) as f:
             committed = json.load(f)
+        # pre-r14 manifests predate id_type; every store this sink ever
+        # matched was long-keyed (the only type whose hash agreed), so
+        # absent means "long"
+        committed.setdefault("id_type", "long")
         if committed != layout:
             raise ValueError(
                 f"doc store at {root} was written with {committed}; append "
@@ -85,9 +110,9 @@ def write_doc_store(
                 f"store with mode='overwrite'"
             )
     keyed = docs.select(
-        F.col(id_col).alias("_sid"),
+        key.alias("_sid"),
         F.col(text_col).alias("_stext"),
-        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_buckets)).alias("bkt"),
+        F.pmod(F.xxhash64(key), F.lit(n_buckets)).alias("bkt"),
     )
     (
         keyed.repartition("bkt")

@@ -532,6 +532,23 @@ def tx_meta(root: str, version: int | None = None) -> dict | None:
     return _read_manifest(root, head if version is None else version).get("meta")
 
 
+def tx_stats(root: str, version: int | None = None) -> dict:
+    """Σ rows / Σ bytes over a committed version's live files — driver-side
+    manifest arithmetic, ZERO Spark jobs (the manifest records per-file
+    (path, rows, bytes) at commit time). This is what lets pipeline entry
+    points size their partition geometry (``minhash_partition_plan``) from
+    a staged table for free instead of paying a count job per run.
+    Returns ``{"rows": int, "bytes": int}``."""
+    head = tx_head(root)
+    if head is None:
+        raise FileNotFoundError(f"no committed versions at {root}")
+    m = _read_manifest(root, head if version is None else version)
+    return {
+        "rows": sum(e["rows"] for e in m["files"]),
+        "bytes": sum(e["bytes"] for e in m["files"]),
+    }
+
+
 def tx_history(root: str, since_version: int = -1) -> list[dict]:
     """Commit metadata for versions in ``(since_version, head]`` —
     (version, mode, operation) per manifest, oldest first.  Driver-side

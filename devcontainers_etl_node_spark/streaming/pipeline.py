@@ -275,6 +275,23 @@ def minhash_slim_verify_sink(
     with open(os.path.join(store_root, "_STORE_MANIFEST.json")) as f:
         manifest = json.load(f)
     n_buckets = int(manifest["n_buckets"])
+    # r13 advice fix: candidate ids arrive LONG (the streaming output
+    # schema forces it), and xxhash64 is type-sensitive — a store whose
+    # ids hashed as anything else places docs in buckets this sink will
+    # never derive, so the prune would silently select wrong buckets and
+    # the verify join would emit zero pairs. write_doc_store casts
+    # integral ids to long and records the type; refuse everything else
+    # at construction. Absent key = pre-r14 manifest = long (the only
+    # type whose hashes ever agreed with this sink).
+    store_id_type = manifest.get("id_type", "long")
+    if store_id_type != "long":
+        raise ValueError(
+            f"doc store at {store_root} is keyed by {store_id_type} ids; "
+            f"this sink's candidates are long (streaming schema) and "
+            f"xxhash64 bucket derivation is type-sensitive — rewrite the "
+            f"store from a corpus with integral ids (write_doc_store casts "
+            f"them to long)"
+        )
 
     def _dir_bytes(path: str) -> int:
         return sum(

@@ -196,3 +196,124 @@ def test_funnel_budget_gate_refuses_boilerplate_corpus(spark, tmp_path):
     assert {r.stage for r in out["report"].collect()} == {
         "raw", "quality_gate", "exact_dedup", "near_dedup", "decontaminated", "packed"
     }
+
+
+def test_funnel_applies_partition_plan_scoped(spark, tmp_path, monkeypatch):
+    """r14 (closing the r13 `weak`): run_staged_funnel sizes the
+    near-dedup stage with minhash_partition_plan — n and avg bytes come
+    from the exact_dedup stage's txlog manifest (zero extra jobs), the
+    confs are live INSIDE the stage, and the session values are restored
+    after. DOCS_PER_TASK is shrunk so the tiny test corpus crosses the
+    32-partition floor and the conf change is observable end-to-end."""
+    from devcontainers_etl_node_spark.operators import dedup as dd
+    from devcontainers_etl_node_spark.sinks import txlog
+
+    monkeypatch.setattr(dd, "DOCS_PER_TASK", 4)
+    seen: dict = {}
+    real = dd.applied_partition_plan
+
+    def spy(s, n_docs, avg_doc_bytes=None):
+        import contextlib
+
+        @contextlib.contextmanager
+        def run():
+            with real(s, n_docs, avg_doc_bytes=avg_doc_bytes) as plan:
+                seen.update(
+                    n=n_docs,
+                    avg=avg_doc_bytes,
+                    plan=plan,
+                    shuffle_inside=s.conf.get("spark.sql.shuffle.partitions"),
+                    split_inside=s.conf.get("spark.sql.files.maxPartitionBytes"),
+                )
+                yield plan
+
+        return run()
+
+    monkeypatch.setattr(dd, "applied_partition_plan", spy)
+
+    docs = table(spark, SF_SMALL, "documents")
+    orig_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    orig_split = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    out = funnel.run_staged_funnel(spark, docs, str(tmp_path))
+    assert out["computed"] == list(funnel.STAGES)
+
+    # n/avg were read from the exact stage's committed manifest
+    stats = txlog.tx_stats(funnel._stage_dir(str(tmp_path), 2, "exact_dedup"))
+    assert seen["n"] == stats["rows"] > 0
+    assert seen["avg"] == stats["bytes"] // stats["rows"] > 0
+    # the conf actually moved inside the stage (n/4 docs-per-task > 32)
+    assert int(seen["shuffle_inside"]) == max(32, stats["rows"] // 4) > 32
+    assert int(seen["split_inside"].rstrip("b")) == max(seen["avg"] * 4, 4 << 20)
+    # and restored after
+    assert spark.conf.get("spark.sql.shuffle.partitions") == orig_shuffle
+    assert spark.conf.get("spark.sql.files.maxPartitionBytes") == orig_split
+
+    # auto_partition=False is the no-op opt-out; geometry is not stage
+    # meta, so the r13-compatible workdir resumes with zero recompute
+    seen.clear()
+    again = funnel.run_staged_funnel(spark, docs, str(tmp_path), auto_partition=False)
+    assert again["computed"] == []
+    assert not seen
+
+
+def test_funnel_cross_block_recovery_flag(spark, tmp_path):
+    """r14 (verdict task 4): cross_block_recovery reaches the funnel —
+    validated at entry (unblocked + recovery is a contradiction), part of
+    the near_dedup stage meta (flipping it invalidates the stage and
+    everything downstream), and the recovered run never keeps MORE docs
+    than the blocked run (recovery only adds drop pairs)."""
+    import pytest
+
+    docs = table(spark, SF_SMALL, "documents")
+    with pytest.raises(ValueError, match="cross_block_recovery.*block"):
+        funnel.run_staged_funnel(
+            spark, docs, str(tmp_path), block_cols=None, cross_block_recovery=True
+        )
+
+    base = funnel.run_staged_funnel(spark, docs, str(tmp_path))
+    base_rows = {r.stage: r.docs for r in base["report"].collect()}
+    rec = funnel.run_staged_funnel(
+        spark, docs, str(tmp_path), cross_block_recovery=True
+    )
+    assert rec["computed"] == ["near_dedup", "decontaminated", "packed"]
+    rec_rows = {r.stage: r.docs for r in rec["report"].collect()}
+    assert rec_rows["near_dedup"] <= base_rows["near_dedup"]
+    assert rec_rows["exact_dedup"] == base_rows["exact_dedup"]
+    # recorded in stage meta: an identical re-run reuses every stage
+    rerun = funnel.run_staged_funnel(
+        spark, docs, str(tmp_path), cross_block_recovery=True
+    )
+    assert rerun["computed"] == []
+    # and flipping back invalidates again
+    back = funnel.run_staged_funnel(spark, docs, str(tmp_path))
+    assert back["computed"] == ["near_dedup", "decontaminated", "packed"]
+
+
+def test_pretrain_prep_budget_and_block_opt_out(spark, tmp_path):
+    """r14 advice fix: pretrain_prep now mirrors run_staged_funnel's
+    informed opt-out — a legitimately duplicate-heavy corpus raises
+    under the default budget but runs to completion with
+    max_collisions_per_doc=None, without editing the source."""
+    import pytest
+
+    template = (
+        "terms of service apply to all content on this page without exception " * 4
+    )
+    rows = [(i, template + f"unique tail {i}", "en", "src0") for i in range(80)]
+    sf = str(tmp_path / "sf")
+    spark.createDataFrame(rows, ["doc_id", "text", "lang", "source"]).write.parquet(
+        f"{sf}/documents.parquet"
+    )
+    with pytest.raises(ValueError, match="pre-flight budget exceeded"):
+        QUERIES["pretrain_prep"](spark, sf)
+    out = QUERIES["pretrain_prep"](
+        spark, sf, max_collisions_per_doc=None
+    )
+    assert {r.stage for r in out.collect()} == {
+        "raw", "quality_gate", "exact_dedup", "near_dedup", "decontaminated", "packed"
+    }
+    # explicit block_cols override is plumbed too (lang-only key here)
+    out2 = QUERIES["pretrain_prep"](
+        spark, sf, block_cols=["lang"], max_collisions_per_doc=None
+    )
+    assert out2.count() == 6

@@ -476,24 +476,99 @@ def test_cli_dedup_plan_partition_sizing(capsys):
     assert g["partitioning"]["shuffle_partitions"] == 200
     assert g["partitioning"]["max_partition_bytes"] == 2048 * 20_000
     assert "spark.sql.shuffle.partitions=200" in err
+    # r14 (verdict task 5): the blocking rule rides EVERY --docs
+    # invocation, not just past-crossover refusals
+    assert "family-consistent key" in err
+    assert "candidates/doc" in err
     import pytest
 
     with pytest.raises(ValueError):
         minhash_partition_plan(0)
 
 
-def test_cli_dedup_pins_block_choice_per_workdir(tmp_path):
-    """r13 review fix: the dedup CLI records the resolved block key in
-    the workdir; a later run that resolves (or passes) a different key
-    fails loudly instead of silently flipping the pair-set contract."""
+def test_applied_partition_plan_scoped_set_then_restore(spark):
+    """r14 (closing the r13 `weak`): the partition-sizing rule is now an
+    applicable CONTEXT — scope-set, restored after (also on error), and
+    MONOTONE toward finer tasks: it never lowers the session's shuffle
+    partitions nor raises its scan-split size."""
     import pytest
 
-    from devcontainers_etl_node_spark.cli import _pin_block_choice
+    from devcontainers_etl_node_spark.operators.dedup import applied_partition_plan
+
+    orig_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    orig_split = spark.conf.get("spark.sql.files.maxPartitionBytes")
+
+    with applied_partition_plan(spark, 4_000_000, avg_doc_bytes=2048) as plan:
+        # the conf values scale with n: 4M docs -> n/20k = 200 partitions,
+        # 2 KB docs -> ~40 MB splits
+        assert plan["shuffle_partitions"] == 200
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "200"
+        assert spark.conf.get("spark.sql.files.maxPartitionBytes") == str(2048 * 20_000)
+    assert spark.conf.get("spark.sql.shuffle.partitions") == orig_shuffle
+    assert spark.conf.get("spark.sql.files.maxPartitionBytes") == orig_split
+
+    # MONOTONE: the plan never LOWERS a finer session shuffle setting and
+    # never RAISES the session's split size (a >=128 MB recommendation is
+    # a no-op against the 128 MB default)
+    spark.conf.set("spark.sql.shuffle.partitions", "4096")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "8388608")
+    try:
+        with applied_partition_plan(spark, 1000, avg_doc_bytes=100_000_000):
+            # plan says 32 partitions / 128 MB splits; session is finer
+            assert spark.conf.get("spark.sql.shuffle.partitions") == "4096"
+            assert spark.conf.get("spark.sql.files.maxPartitionBytes") == "8388608"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", orig_shuffle)
+        spark.conf.set("spark.sql.files.maxPartitionBytes", orig_split)
+
+    # restore must survive a failure inside the scope (budget refusals)
+    with pytest.raises(RuntimeError, match="boom"):
+        with applied_partition_plan(spark, 4_000_000, avg_doc_bytes=2048):
+            assert spark.conf.get("spark.sql.shuffle.partitions") == "200"
+            raise RuntimeError("boom")
+    assert spark.conf.get("spark.sql.shuffle.partitions") == orig_shuffle
+    assert spark.conf.get("spark.sql.files.maxPartitionBytes") == orig_split
+
+
+def test_parse_byte_conf_grammar():
+    from devcontainers_etl_node_spark.operators.dedup import _parse_byte_conf
+
+    assert _parse_byte_conf("134217728") == 128 << 20
+    assert _parse_byte_conf("134217728b") == 128 << 20
+    assert _parse_byte_conf("128m") == 128 << 20
+    assert _parse_byte_conf("128mb") == 128 << 20
+    assert _parse_byte_conf("1g") == 1 << 30
+    assert _parse_byte_conf("64k") == 64 << 10
+
+
+def test_cli_dedup_pins_block_choice_per_workdir(tmp_path):
+    """r13 review fix + r14 advice fix: the dedup CLI records the
+    resolved block key in the workdir AFTER a successful run; a later
+    run that resolves (or passes) a different key fails loudly instead
+    of silently flipping the pair-set contract — and a FAILED first run
+    (budget refusal, missing corpus) leaves NO pin, so it cannot
+    permanently commit a contract the user never established."""
+    import os
+
+    import pytest
+
+    from devcontainers_etl_node_spark.cli import _check_block_pin
 
     wd = str(tmp_path / "wd")
-    assert _pin_block_choice(wd, ["lang", "source"]) == ["lang", "source"]
-    assert _pin_block_choice(wd, ["lang", "source"]) == ["lang", "source"]
+    os.makedirs(wd)
+    # check passes but nothing is pinned until commit() — the failed-run
+    # path simply never calls commit()
+    block, commit = _check_block_pin(wd, ["lang", "source"])
+    assert block == ["lang", "source"]
+    assert not os.path.exists(os.path.join(wd, "_BLOCK.json"))
+    # a "failed" first run: no commit — a different key is still allowed
+    block2, commit2 = _check_block_pin(wd, ["lang"])
+    assert block2 == ["lang"]
+    commit2()  # the successful run pins ITS key
+    assert os.path.exists(os.path.join(wd, "_BLOCK.json"))
+    # same key re-checks fine; a different one now fails loudly
+    _check_block_pin(wd, ["lang"])
     with pytest.raises(SystemExit, match="committed block key"):
-        _pin_block_choice(wd, ["lang"])
+        _check_block_pin(wd, ["lang", "source"])
     with pytest.raises(SystemExit, match="committed block key"):
-        _pin_block_choice(wd, None)
+        _check_block_pin(wd, None)

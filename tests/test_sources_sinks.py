@@ -458,3 +458,58 @@ def test_write_doc_store_append_guards_layout(spark, tmp_path):
         write_doc_store(b, root, n_buckets=4, mode="append")
     write_doc_store(b, root, n_buckets=8, mode="append")
     assert spark.read.parquet(root).count() == 3
+
+
+def test_write_doc_store_bucket_derivation_id_type(spark, tmp_path):
+    """r14 advice fix: bucket derivation is xxhash64-TYPE-sensitive, and
+    the slim verify sink hashes candidate ids as LONG — so integral ids
+    are cast to long at write (int- and long-id corpora land in
+    IDENTICAL buckets), the manifest records the id type, and the sink
+    refuses a store whose key type cannot match instead of silently
+    pruning to the wrong buckets."""
+    import json
+
+    import pytest
+
+    from devcontainers_etl_node_spark.sinks import write_doc_store
+    from devcontainers_etl_node_spark.streaming import minhash_slim_verify_sink
+
+    rows = [(i, f"document body number {i}") for i in range(20)]
+    int_docs = spark.createDataFrame(rows, "doc_id int, text string")
+    long_docs = spark.createDataFrame(rows, "doc_id long, text string")
+    int_root = str(tmp_path / "int_store")
+    long_root = str(tmp_path / "long_store")
+    write_doc_store(int_docs, int_root, n_buckets=8)
+    write_doc_store(long_docs, long_root, n_buckets=8)
+
+    def layout(root):
+        df = spark.read.parquet(root)
+        return {r._sid: r.bkt for r in df.select("_sid", "bkt").collect()}
+
+    assert layout(int_root) == layout(long_root)  # same buckets, same ids
+    m = json.load(open(f"{int_root}/_STORE_MANIFEST.json"))
+    assert m["id_type"] == "long"
+    # the sink accepts a long-keyed store...
+    minhash_slim_verify_sink(long_root, str(tmp_path / "out"))
+
+    # ...and refuses a string-keyed one at construction
+    str_docs = spark.createDataFrame(
+        [(str(i), f"document body number {i}") for i in range(5)],
+        "doc_id string, text string",
+    )
+    str_root = str(tmp_path / "str_store")
+    write_doc_store(str_docs, str_root, n_buckets=8)
+    assert json.load(open(f"{str_root}/_STORE_MANIFEST.json"))["id_type"] == "string"
+    with pytest.raises(ValueError, match="type-sensitive"):
+        minhash_slim_verify_sink(str_root, str(tmp_path / "out2"))
+
+    # pre-r14 manifests (no id_type) mean long: append still works
+    m.pop("id_type")
+    json.dump(m, open(f"{int_root}/_STORE_MANIFEST.json", "w"))
+    write_doc_store(
+        spark.createDataFrame([(99, "late arrival")], "doc_id int, text string"),
+        int_root,
+        n_buckets=8,
+        mode="append",
+    )
+    assert spark.read.parquet(int_root).count() == 21

@@ -369,7 +369,12 @@ def _b100_col():
     return _bn_col(100).alias("b100")
 
 
-def run_slim_bucketed(store_sizes: list[int], stream_docs: int = 1000, batches: int = 10) -> None:
+def run_slim_bucketed(
+    store_sizes: list[int],
+    stream_docs: int = 1000,
+    batches: int = 10,
+    fallback_max_rows: int | None = None,
+) -> None:
     """Verify-scan prune rung (r12 verdict task 3 done-criterion): stream
     a FIXED small doc window (the first ``stream_docs`` ids of the rung
     corpus, in ``batches`` event-time micro-batches) against doc STORES
@@ -378,7 +383,14 @@ def run_slim_bucketed(store_sizes: list[int], stream_docs: int = 1000, batches: 
     claim under test: verify-scan bytes track the micro-batch's CANDIDATE
     buckets, never the store — selected_bytes should stay ~flat while
     total store bytes grow 10x (sublinear ratio), with pair output
-    identical to the inline stream-static slim verify."""
+    identical to the inline stream-static slim verify.
+
+    ``fallback_max_rows`` (r13 verdict task 3): re-run the SAME stream
+    against the same store with the sink's ``max_candidate_rows`` forced
+    below every batch's candidate count, proving the >threshold fallback
+    is GRACEFUL — full-store scan per batch (selected == total) with a
+    pair set identical to the pruned run, never an error or a silent
+    truncation."""
     import shutil as _sh
 
     from devcontainers_etl_node_spark.session import get_spark
@@ -444,8 +456,10 @@ def run_slim_bucketed(store_sizes: list[int], stream_docs: int = 1000, batches: 
         q.awaitTermination()
         wall = round(time.perf_counter() - t0, 1)
         data = [m for m in sink.metrics if m["n_candidates"] > 0]
-        tot = data[0]["total_bytes"] if data else 0
-        sel = sum(m["selected_bytes"] for m in data) / max(len(data), 1)
+        # the sink records None byte fields on OSError — coalesce to 0
+        # instead of letting a TypeError kill the rung mid-ladder
+        tot = (data[0]["total_bytes"] or 0) if data else 0
+        sel = sum((m["selected_bytes"] or 0) for m in data) / max(len(data), 1)
         pairs = spark.read.parquet(out_path).count() if data else 0
         print(
             f"| {n} | {n_buckets} | {tot / 1e6:.1f} | {sel / 1e6:.2f} | "
@@ -453,6 +467,55 @@ def run_slim_bucketed(store_sizes: list[int], stream_docs: int = 1000, batches: 
             flush=True,
         )
         print(f"  per-batch: {data}", flush=True)
+
+        if fallback_max_rows is not None:
+            # same stream, max_candidate_rows forced below every batch —
+            # the fallback path must full-scan gracefully with identical pairs
+            out_fb = os.path.join(ROOT, f"slimb_pairs_fb_{n}")
+            ckpt_fb = os.path.join(ROOT, f"slimb_ck_fb_{n}")
+            _sh.rmtree(out_fb, ignore_errors=True)
+            _sh.rmtree(ckpt_fb, ignore_errors=True)
+            sink_fb = minhash_slim_verify_sink(
+                store_root, out_fb, max_candidate_rows=fallback_max_rows
+            )
+            stream_fb = spark.readStream.schema(stamped.schema).option(
+                "maxFilesPerTrigger", "1"
+            ).parquet(os.path.join(src, "b*"))
+            cand_fb = streaming_minhash_neardup_pairs(
+                stream_fb, watermark="10 minutes", slim_candidates=True
+            )
+            t0 = time.perf_counter()
+            q = (
+                cand_fb.writeStream.outputMode("append")
+                .foreachBatch(sink_fb)
+                .option("checkpointLocation", ckpt_fb)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            wall_fb = round(time.perf_counter() - t0, 1)
+            data_fb = [m for m in sink_fb.metrics if m["n_candidates"] > 0]
+            sel_fb = sum((m["selected_bytes"] or 0) for m in data_fb) / max(len(data_fb), 1)
+            pruned = {
+                (r.id_a, r.id_b, round(r.jaccard_sim, 9))
+                for r in spark.read.parquet(out_path).collect()
+            }
+            full = {
+                (r.id_a, r.id_b, round(r.jaccard_sim, 9))
+                for r in spark.read.parquet(out_fb).collect()
+            }
+            assert full == pruned, (
+                f"fallback pair set diverged: {len(full)} vs {len(pruned)}"
+            )
+            fell_back = [m for m in data_fb if m["n_buckets_selected"] == n_buckets]
+            print(
+                f"  fallback (max_candidate_rows={fallback_max_rows}): "
+                f"{len(fell_back)}/{len(data_fb)} batches full-scanned, mean "
+                f"selected {sel_fb / 1e6:.1f} MB/batch "
+                f"(= store {tot / 1e6:.1f} MB), pairs identical "
+                f"({len(full)}), wall {wall_fb} s",
+                flush=True,
+            )
 
 
 def _bn_col(n_blocks: int):
@@ -743,8 +806,9 @@ def main() -> None:
             if len(sys.argv) > 2
             else [50_000, 500_000]
         )
+        fb = int(sys.argv[3]) if len(sys.argv) > 3 else None
         os.makedirs(ROOT, exist_ok=True)
-        run_slim_bucketed(sizes)
+        run_slim_bucketed(sizes, fallback_max_rows=fb)
         return
     if len(sys.argv) > 1 and sys.argv[1] == "--wall":
         # blocked operator walls only (corpora must exist): --wall SIZES KEY
