@@ -572,3 +572,48 @@ def test_cli_dedup_pins_block_choice_per_workdir(tmp_path):
         _check_block_pin(wd, ["lang", "source"])
     with pytest.raises(SystemExit, match="committed block key"):
         _check_block_pin(wd, None)
+
+
+def test_cli_dedup_failed_run_leaves_no_pin(spark, tmp_path):
+    """r14 advice fix, CLI-level: a budget-gate refusal must not pin the
+    block key — the workdir stays uncommitted, and a later informed run
+    (budget disabled) succeeds and records ITS contract."""
+    import os
+
+    import pytest
+
+    from devcontainers_etl_node_spark import cli
+    from devcontainers_etl_node_spark.sinks import txlog
+
+    corpus = str(tmp_path / "corpus")
+    work = str(tmp_path / "work")
+    template = "terms of service apply to all content without exception " * 4
+    docs = spark.createDataFrame(
+        [(i, template + f"tail {i}") for i in range(80)], ["doc_id", "text"]
+    )
+    txlog.tx_write(docs, corpus)
+    with pytest.raises(ValueError, match="pre-flight budget exceeded"):
+        cli.main(["dedup", "--table", corpus, "--work", work])
+    assert not os.path.exists(os.path.join(work, "_BLOCK.json"))
+    # informed opt-out now succeeds and pins the (unblocked) contract
+    assert cli.main(["dedup", "--table", corpus, "--work", work, "--budget", "0"]) == 0
+    assert os.path.exists(os.path.join(work, "_BLOCK.json"))
+
+
+def test_cli_curate_cross_block_recovery_flag(tmp_path, capsys):
+    """r14: the curate CLI plumbs --cross-block-recovery into the staged
+    funnel (full run at sf0.001; the API-level semantics are pinned in
+    tests/test_funnel.py)."""
+    from devcontainers_etl_node_spark import cli
+
+    assert (
+        cli.main(
+            [
+                "curate", "--sf", "/root/testdata/sf0.001",
+                "--work", str(tmp_path / "wd"), "--cross-block-recovery",
+            ]
+        )
+        == 0
+    )
+    out = capsys.readouterr().out
+    assert "near_dedup" in out and "packed" in out
