@@ -219,6 +219,10 @@ def cmd_dedup(args) -> int:
         args.budget if args.budget is not None else _funnel.DEFAULT_NEARDUP_BUDGET
     )
     budget = raw_budget if raw_budget > 0 else None
+    store_kw = dict(
+        persist_shingles=args.persist_shingles or bool(args.store_buckets),
+        store_buckets=args.store_buckets,
+    )
     if args.table:
         block = _parse_block(args.block)
         if block == "auto":
@@ -237,6 +241,7 @@ def cmd_dedup(args) -> int:
             args.work,
             block_cols=block or None,
             max_collisions_per_doc=budget,
+            **store_kw,
         )
         if out.get("no_new_data"):
             print(
@@ -262,6 +267,7 @@ def cmd_dedup(args) -> int:
             old_docs=old_docs,
             block_cols=block or None,
             max_collisions_per_doc=budget,
+            **store_kw,
         )
         commit_pin()
     print(f"snapshot v{out['version']} committed: {out['n_pairs']} near-dup pairs", file=sys.stderr)
@@ -520,6 +526,22 @@ def main(argv: list[str] | None = None) -> int:
         default=None,
         help="census budget gate, max raw band collisions per NEW doc "
         "(<=0 disables; default funnel.DEFAULT_NEARDUP_BUDGET)",
+    )
+    d.add_argument(
+        "--persist-shingles",
+        action="store_true",
+        help="also persist per-batch shingle deltas so later steps never "
+        "re-read historical text (space-for-time; part of the snapshot "
+        "contract)",
+    )
+    d.add_argument(
+        "--store-buckets",
+        type=int,
+        default=None,
+        help="bucketed store layout (implies --persist-shingles): sig + "
+        "shingle DELTA dirs partitioned into N id-hash buckets — O(batch) "
+        "writes, candidate-bucket-pruned verify reads, --old never needed; "
+        "the block key joins the snapshot contract",
     )
 
     t = sub.add_parser("table", help="transactional-table maintenance (txlog)")

@@ -81,9 +81,35 @@ def run_incremental_dedup(
     block_cols: list[str] | None = None,
     max_collisions_per_doc: float | None = None,
     persist_shingles: bool = False,
+    store_buckets: int | None = None,
     auto_partition: bool = True,
 ) -> dict:
     """Dedup one ingest batch against the committed signature snapshot.
+
+    ``store_buckets`` (r14, the bucketed-store layout — "v2"): store the
+    snapshot as per-batch DELTA dirs bucketed by
+    ``pmod(xxhash64(cast(id as string)), store_buckets)``:
+
+    - ``<workdir>/sigs_b<N>/_bkt=*/``     — signature deltas (each run
+      writes only ITS batch — the O(history) snapshot rewrite of the
+      legacy layout becomes an O(batch) append); blocked runs persist
+      the batch's ``_blk`` block values IN the sig rows;
+    - ``<workdir>/shingles_b<N>/_bkt=*/`` — shingle deltas, now
+      partitioned so the verify stage's old side reads only the
+      candidate ids' buckets (O(candidates) selected bytes instead of a
+      full scan of the largest store, ~2 B per corpus char);
+    - ``old_docs`` is NEVER required — blocked or not, history block
+      values come from the store (cold text AND cold doc tables stay
+      cold; the change-feed wrapper stops time-traveling the corpus).
+
+    Requires ``persist_shingles=True`` (the store IS the verify source).
+    Because block values are persisted, ``block_cols`` joins the
+    manifest pin in this mode (exact list, order included — the hash is
+    order-sensitive): a cadence structurally cannot flip the block key
+    mid-history. What stays O(history) per step is banding + census CPU
+    over the compact signature union (~76 B/doc) — the measured linear
+    wall (α = 1.008, PERF.md r13), now the ONLY history-proportional
+    term of the step.
 
     ``auto_partition`` (r14, closing the r13 `weak`): run the band join +
     verify under :func:`~devcontainers_etl_node_spark.operators.dedup.applied_partition_plan`
@@ -141,13 +167,29 @@ def run_incremental_dedup(
     coverage gate in the operator fails loudly otherwise).
     """
     os.makedirs(workdir, exist_ok=True)
+    if store_buckets is not None:
+        if store_buckets <= 0:
+            raise ValueError(f"store_buckets must be positive (got {store_buckets})")
+        if not persist_shingles:
+            raise ValueError(
+                "store_buckets requires persist_shingles=True — the bucketed "
+                "store IS the verify stage's old side; without persisted "
+                "shingles there is nothing to bucket"
+            )
     params = {
         "shingle_k": shingle_k,
         "num_hashes": num_hashes,
         "bands": bands,
         "threshold": threshold,
         "persist_shingles": persist_shingles,
+        "store_buckets": store_buckets,
     }
+    if store_buckets:
+        # block values are PERSISTED in the sig deltas, so the block key is
+        # a snapshot property here (exact list, order included — the block
+        # hash concatenates in order); legacy layout deliberately leaves it
+        # a per-query choice
+        params["block_cols"] = list(block_cols) if block_cols else None
     mpath = os.path.join(workdir, _MANIFEST)
     cur = _read_current(workdir)
     existing_shingles = None
@@ -160,6 +202,8 @@ def run_incremental_dedup(
             raise ValueError(f"snapshot v{cur} exists but {_MANIFEST} is unreadable")
         # pre-r13 manifests predate the persist_shingles key: they mean False
         committed.setdefault("persist_shingles", False)
+        # pre-r14 manifests predate the bucketed layout: legacy layout
+        committed.setdefault("store_buckets", None)
         # "_"-prefixed keys are bookkeeping (r14 _stats: committed doc
         # count for partition sizing), not part of the LSH contract
         committed_core = {k: v for k, v in committed.items() if not k.startswith("_")}
@@ -169,17 +213,28 @@ def run_incremental_dedup(
                 f"those parameters or a fresh workdir (got {params})"
             )
         n_hist = (committed.get("_stats") or {}).get("n_docs")
-        if old_docs is None and (block_cols or not persist_shingles):
+        if old_docs is None and not store_buckets and (block_cols or not persist_shingles):
             raise ValueError(
                 "old_docs is required when a snapshot exists (candidate verify"
                 + (", block values" if block_cols else "")
-                + ") — only an unblocked persist_shingles=True cadence can omit it"
+                + ") — only an unblocked persist_shingles=True cadence or a "
+                "bucketed store (store_buckets) can omit it"
             )
-        existing_sigs = spark.read.parquet(os.path.join(workdir, f"sigs_v{cur}"))
         existing_docs = (
             old_docs if old_docs is not None else new_docs.limit(0)
         )
-        if persist_shingles:
+        if store_buckets:
+            # bucketed layout: per-batch DELTA dirs for sigs AND shingles,
+            # read as per-dir unions (each dir is _bkt-partitioned; the
+            # verify prune's partition filter pushes through the union to
+            # every leg's listing)
+            existing_sigs = _union_dirs(
+                spark, workdir, "sigs_b", cur, drop_bkt=True
+            )
+            existing_shingles = _union_dirs(spark, workdir, "shingles_b", cur)
+        else:
+            existing_sigs = spark.read.parquet(os.path.join(workdir, f"sigs_v{cur}"))
+        if persist_shingles and not store_buckets:
             # per-BATCH delta dirs (shingles_b1..b<cur>), never a merged
             # rewrite: each run writes only ITS batch's rows (O(batch)
             # I/O), and the reader unions the committed deltas — ids are
@@ -192,7 +247,11 @@ def run_incremental_dedup(
                 ]
             )
     else:
-        existing_sigs = spark.createDataFrame([], "_id LONG, _sig ARRAY<BIGINT>")
+        sig_schema = "_id LONG, _sig ARRAY<BIGINT>"
+        if store_buckets and block_cols:
+            # bucketed blocked history carries persisted block values
+            sig_schema += ", _blk BIGINT"
+        existing_sigs = spark.createDataFrame([], sig_schema)
         # full schema, not just (id, text): blocked runs derive block
         # values from BOTH doc sides, so the empty history must carry the
         # block columns too
@@ -225,24 +284,46 @@ def run_incremental_dedup(
             block_cols=block_cols,
             max_collisions_per_doc=max_collisions_per_doc,
             existing_shingles=existing_shingles,
+            store_buckets=store_buckets,
         )
         version = (cur or 0) + 1
         # write the new snapshot fully, THEN commit the pointer — a crash
         # between the two leaves the previous snapshot current and intact.
         # The write replays the batch signatures from cache (signed once);
         # release() drops that cache only after the snapshot is on disk.
-        merged_sigs.write.mode("overwrite").parquet(os.path.join(workdir, f"sigs_v{version}"))
-        if persist_shingles:
-            # same-version commit as the sigs (coverage invariant), O(batch)
-            # write: only THIS batch's rows land, as the delta dir the next
-            # run's union reads. The batch is re-shingled once here — a
-            # batch-sized pass; the per-step save is corpus-side.
+        if store_buckets:
+            # bucketed layout: merged_sigs is the batch DELTA (the operator's
+            # store_buckets contract) — an O(batch) append, never a rewrite.
+            # Both deltas land under the same version as partition-bucketed
+            # dirs; the bucket hash string-casts the id so the value is
+            # id-type-stable across batches (the verify-sink lesson).
+            _bkt = F.pmod(
+                F.xxhash64(F.col("_id").cast("string")), F.lit(store_buckets)
+            ).cast("int")
+            merged_sigs.withColumn("_bkt", _bkt).write.partitionBy("_bkt").mode(
+                "overwrite"
+            ).parquet(os.path.join(workdir, f"sigs_b{version}"))
             dd.shingle_hash_rows(
                 new_docs.select(
                     F.col(id_col).alias("_id"), F.col(text_col).alias("_text")
                 ),
                 shingle_k,
-            ).write.mode("overwrite").parquet(os.path.join(workdir, f"shingles_b{version}"))
+            ).withColumn("_bkt", _bkt).write.partitionBy("_bkt").mode(
+                "overwrite"
+            ).parquet(os.path.join(workdir, f"shingles_b{version}"))
+        else:
+            merged_sigs.write.mode("overwrite").parquet(os.path.join(workdir, f"sigs_v{version}"))
+            if persist_shingles:
+                # same-version commit as the sigs (coverage invariant), O(batch)
+                # write: only THIS batch's rows land, as the delta dir the next
+                # run's union reads. The batch is re-shingled once here — a
+                # batch-sized pass; the per-step save is corpus-side.
+                dd.shingle_hash_rows(
+                    new_docs.select(
+                        F.col(id_col).alias("_id"), F.col(text_col).alias("_text")
+                    ),
+                    shingle_k,
+                ).write.mode("overwrite").parquet(os.path.join(workdir, f"shingles_b{version}"))
         release()
         pairs.write.mode("overwrite").parquet(os.path.join(workdir, "pairs", f"run_{version}"))
     if n_total is not None:
@@ -253,6 +334,25 @@ def run_incremental_dedup(
         json.dump(params, f)
     _commit_current(workdir, version)
     return {"pairs": pairs, "version": version, "n_pairs": pairs.count()}
+
+
+def _union_dirs(
+    spark: SparkSession, workdir: str, prefix: str, cur: int, drop_bkt: bool = False
+) -> DataFrame:
+    """Union of the committed per-batch delta dirs ``<prefix>1..<prefix>cur``
+    as PER-DIR reads (each dir is its own ``_bkt``-partitioned root —
+    multi-path partition discovery is not relied on; a partition filter
+    pushes through the union into every leg's file listing). Ids are
+    disjoint across deltas by the id-disjointness gate, so the union IS
+    the table."""
+    from functools import reduce
+
+    parts = [
+        spark.read.parquet(os.path.join(workdir, f"{prefix}{v}"))
+        for v in range(1, cur + 1)
+    ]
+    out = reduce(DataFrame.unionByName, parts)
+    return out.drop("_bkt") if drop_bkt else out
 
 
 def _avg_file_bytes_per_row(df: DataFrame, n_rows: int) -> int | None:
@@ -392,7 +492,12 @@ def run_incremental_dedup_from_table(
     Cursor/crash semantics in :func:`_run_from_cdf`.  Returns
     ``run_incremental_dedup``'s dict plus ``corpus_version``; when no
     new corpus version exists, returns ``{"pairs": None, "n_pairs": 0,
-    "no_new_data": True, ...}`` without touching state."""
+    "no_new_data": True, ...}`` without touching state.
+
+    With ``store_buckets`` (the r14 bucketed layout) the historical
+    corpus snapshot is never time-traveled at all — block values and
+    verify shingles both live in the store, so each step reads ONLY the
+    change-feed files plus the candidate buckets."""
     return _run_from_cdf(
         spark,
         corpus_root,
@@ -400,7 +505,7 @@ def run_incremental_dedup_from_table(
         lambda new_docs, old_docs: run_incremental_dedup(
             spark, new_docs, workdir, old_docs=old_docs, **lsh_params
         ),
-        needs_old_docs=True,
+        needs_old_docs=not lsh_params.get("store_buckets"),
         noop_result={"pairs": None, "n_pairs": 0},
     )
 

@@ -867,9 +867,45 @@ def minhash_incremental_pairs(
     block_cols: list[str] | None = None,
     max_collisions_per_doc: float | None = None,
     existing_shingles: DataFrame | None = None,
+    store_buckets: int | None = None,
 ) -> tuple[DataFrame, DataFrame, Callable[[], None]]:
     """Incremental MinHash dedup: near-dup pairs INVOLVING newly arrived
     docs, reusing the persisted signature table of the historical corpus.
+
+    ``store_buckets`` (r14, the bucketed-store layout): set when the
+    snapshot is stored as BUCKETED delta dirs (``incremental.py`` v2
+    layout — every store row carries an ``_bkt`` partition column equal
+    to ``pmod(xxhash64(cast(_id as string)), store_buckets)``; the
+    string cast makes the hash id-type-stable, the lesson of the r13
+    verify-sink advice). Three behavior changes, each killing one of the
+    per-step O(history) terms the r14 cadence rung measured:
+
+    - **verify prune**: the old-side candidate semi-join over
+      ``existing_shingles`` — the LARGEST store, ~2 B per corpus char
+      on-disk — is preceded by an ``_bkt IN (candidate buckets)``
+      partition filter, so the scan reads O(candidates) bytes instead of
+      the whole shingle store (the same listing-time prune the streaming
+      slim-verify sink measured at 1.01% selected on a 5M-doc store).
+      The candidate bucket list is bounded by ``min(|cand_ids|,
+      store_buckets)`` rows — the one driver-side collect this adds.
+    - **persisted block values**: in blocked mode ``existing_sigs``
+      already carries ``_blk`` (written with the sigs at commit time),
+      so the O(history) block-value join against ``existing_docs`` — and
+      the coverage gate it needed — disappear; ``existing_docs`` is not
+      consulted at all. Only NEW rows derive ``_blk`` from ``new_docs``.
+    - **delta return**: the second element of the returned tuple is the
+      NEW batch's signature rows (with ``_blk`` when blocked) — the
+      O(batch) delta the caller appends — instead of the merged
+      history∪batch table it would rewrite in full.
+
+    What stays O(history) per step, deliberately: banding + census run
+    over the full compact signature union (~76 B/doc on-disk) — band
+    keys must be recomputed because a bucket-level prune cannot help
+    (a batch's band keys touch every hash bucket once the batch exceeds
+    ~store_buckets/8 docs), and the r13 ladder measured this linear
+    signature/banding stage as exactly the wall that scales (α = 1.008
+    at 4M→10M). The terms this mode removes are the ones that scale
+    with corpus TEXT volume, not doc count.
 
     ``existing_shingles`` (r13, the space-for-time option): the persisted
     exploded ``(_id, _h)`` shingle table of the historical corpus (same
@@ -960,59 +996,85 @@ def minhash_incremental_pairs(
             "dedup against a fresh id range or rebuild the snapshot"
         )
 
-    all_sigs = existing_sigs.select("_id", "_sig").unionByName(new_sigs)
     key_cols: tuple = ()
     if block_cols:
-        # block values come from the DOC sides (old ∪ new) — the persisted
-        # signature snapshot stays block-free; null blocks group together
         blk_expr = F.xxhash64(
             *[
                 F.coalesce(F.col(c).cast("string"), F.lit("\x00null"))
                 for c in block_cols
             ]
         ).alias("_blk")
-        blk = (
-            existing_docs.select(F.col(id_col).alias("_id"), blk_expr)
-            .unionByName(new_docs.select(F.col(id_col).alias("_id"), blk_expr))
-        )
-        # coverage gate (r12, advice): the block join below is INNER on
-        # the doc sides — a persisted signature id missing from
-        # existing_docs would silently drop out of the band join, losing
-        # old-vs-new coverage with no error. Fail loudly instead (same
-        # cheap limit(5) shape as the id-disjointness gate above).
-        uncovered = [
-            r._id
-            for r in existing_sigs.select("_id")
-            .join(existing_docs.select(F.col(id_col).alias("_id")), "_id", "left_anti")
-            .limit(5)
-            .collect()
-        ]
-        if uncovered:
-            new_sigs.unpersist()
-            new_shingles.unpersist()
-            raise ValueError(
-                f"blocked incremental dedup: existing_docs is missing ids present "
-                f"in existing_sigs (e.g. {uncovered}) — their block values cannot "
-                f"be derived, so those docs would silently drop out of the band "
-                f"join; pass the full historical doc table (id + block columns) "
-                f"or run unblocked (block_cols=None)"
+        if store_buckets:
+            # bucketed store: history block values were PERSISTED with the
+            # sigs at commit time (coverage by construction — same-version
+            # write), so only the batch derives _blk and existing_docs is
+            # never consulted. This kills the O(history) block join below.
+            new_sigs_banding = new_sigs.join(
+                new_docs.select(F.col(id_col).alias("_id"), blk_expr), "_id"
             )
-        all_sigs = all_sigs.join(blk, "_id")
-        new_sigs_banding = new_sigs.join(blk, "_id")
+            all_sigs = existing_sigs.select("_id", "_sig", "_blk").unionByName(
+                new_sigs_banding.select("_id", "_sig", "_blk")
+            )
+        else:
+            # block values come from the DOC sides (old ∪ new) — the
+            # legacy signature snapshot stays block-free; null blocks
+            # group together
+            blk = (
+                existing_docs.select(F.col(id_col).alias("_id"), blk_expr)
+                .unionByName(new_docs.select(F.col(id_col).alias("_id"), blk_expr))
+            )
+            # coverage gate (r12, advice): the block join below is INNER on
+            # the doc sides — a persisted signature id missing from
+            # existing_docs would silently drop out of the band join, losing
+            # old-vs-new coverage with no error. Fail loudly instead (same
+            # cheap limit(5) shape as the id-disjointness gate above).
+            uncovered = [
+                r._id
+                for r in existing_sigs.select("_id")
+                .join(existing_docs.select(F.col(id_col).alias("_id")), "_id", "left_anti")
+                .limit(5)
+                .collect()
+            ]
+            if uncovered:
+                new_sigs.unpersist()
+                new_shingles.unpersist()
+                raise ValueError(
+                    f"blocked incremental dedup: existing_docs is missing ids present "
+                    f"in existing_sigs (e.g. {uncovered}) — their block values cannot "
+                    f"be derived, so those docs would silently drop out of the band "
+                    f"join; pass the full historical doc table (id + block columns) "
+                    f"or run unblocked (block_cols=None)"
+                )
+            all_sigs = (
+                existing_sigs.select("_id", "_sig").unionByName(new_sigs).join(blk, "_id")
+            )
+            new_sigs_banding = new_sigs.join(blk, "_id")
         key_cols = ("_blk",)
     else:
+        all_sigs = existing_sigs.select("_id", "_sig").unionByName(new_sigs)
         new_sigs_banding = new_sigs
     if max_collisions_per_doc is not None:
         # exact all×new census BEFORE the band join: flag the new rows,
         # band the flagged union (same explode the join runs), and sum
         # n_all·n_new − n_new per bucket — one aggregation, no join.
-        flagged = (
-            existing_sigs.select("_id", "_sig")
-            .withColumn("_is_new", F.lit(0))
-            .unionByName(new_sigs.select("_id", "_sig").withColumn("_is_new", F.lit(1)))
-        )
-        if block_cols:
-            flagged = flagged.join(blk, "_id")
+        if block_cols and store_buckets:
+            flagged = (
+                existing_sigs.select("_id", "_sig", "_blk")
+                .withColumn("_is_new", F.lit(0))
+                .unionByName(
+                    new_sigs_banding.select("_id", "_sig", "_blk").withColumn(
+                        "_is_new", F.lit(1)
+                    )
+                )
+            )
+        else:
+            flagged = (
+                existing_sigs.select("_id", "_sig")
+                .withColumn("_is_new", F.lit(0))
+                .unionByName(new_sigs.select("_id", "_sig").withColumn("_is_new", F.lit(1)))
+            )
+            if block_cols:
+                flagged = flagged.join(blk, "_id")
         census = minhash_candidate_census(
             banded_signatures(flagged, num_hashes, bands, key_cols + ("_is_new",)),
             key_cols,
@@ -1075,7 +1137,30 @@ def minhash_incremental_pairs(
     if existing_shingles is not None:
         # persisted-shingle path: candidate old-side rows come from the
         # snapshot's shingle table — no historical TEXT is touched at all
-        old_cand_shingles = existing_shingles.select("_id", "_h").join(
+        shingle_src = existing_shingles
+        if store_buckets:
+            # bucketed store: partition-prune the shingle scan to the
+            # candidate ids' buckets BEFORE the row-level semi-join — the
+            # store is ~2 B per corpus char, the largest per-step read,
+            # and candidates are batch-shaped, so selected bytes are
+            # O(candidates) not O(corpus). The bucket list is bounded by
+            # min(|cand_ids|, store_buckets) values (new-side ids add a
+            # few never-matching buckets rather than an extra filter job).
+            cand_buckets = [
+                r._b
+                for r in cand_ids.select(
+                    F.pmod(
+                        F.xxhash64(F.col("_id").cast("string")),
+                        F.lit(store_buckets),
+                    )
+                    .cast("int")
+                    .alias("_b")
+                )
+                .distinct()
+                .collect()
+            ]
+            shingle_src = existing_shingles.filter(F.col("_bkt").isin(cand_buckets))
+        old_cand_shingles = shingle_src.select("_id", "_h").join(
             cand_ids, "_id", "left_semi"
         )
     else:
@@ -1115,9 +1200,15 @@ def minhash_incremental_pairs(
         .filter(F.col("jaccard_sim") >= threshold)
     )
     pairs = verified.select("id_a", "id_b", "jaccard_sim").localCheckpoint(eager=True)
-    # merged_sigs reuses the CACHED batch signatures — the snapshot write
-    # replays the cache, not the shingle+sign pipeline (sign once, ever).
-    merged_sigs = existing_sigs.select("_id", "_sig").unionByName(new_sigs)
+    if store_buckets:
+        # bucketed store: the caller appends DELTAS, never rewrites the
+        # snapshot — return only the batch's rows (with _blk when blocked,
+        # the persisted-block-value contract above). Rides the cache.
+        merged_sigs = new_sigs_banding if block_cols else new_sigs
+    else:
+        # merged_sigs reuses the CACHED batch signatures — the snapshot write
+        # replays the cache, not the shingle+sign pipeline (sign once, ever).
+        merged_sigs = existing_sigs.select("_id", "_sig").unionByName(new_sigs)
     for cached in (new_shingles, cand, sh):
         cached.unpersist()
 

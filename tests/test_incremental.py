@@ -614,3 +614,187 @@ def test_incremental_auto_partition_opt_out(spark, tmp_path, monkeypatch):
     wd = str(tmp_path / "wd")
     out = run_incremental_dedup(spark, _corpus_a(spark), wd, auto_partition=False)
     assert out["version"] == 1
+
+
+# ---------------------------------------------------------------------------
+# Bucketed store layout (r14: store_buckets)
+# ---------------------------------------------------------------------------
+
+
+def test_bucketed_store_parity_and_layout(spark, tmp_path):
+    """r14 bucketed layout: pair sets (jaccard included) identical to the
+    legacy persist_shingles cadence, sig + shingle deltas land as
+    _bkt-partitioned per-batch dirs (no sigs_v* rewrite ever), and the
+    layout is part of the snapshot contract in BOTH directions."""
+    a, b = _corpus_a(spark), _corpus_b(spark)
+
+    wd = str(tmp_path / "v2")
+    r1 = run_incremental_dedup(spark, a, wd, persist_shingles=True, store_buckets=8)
+    r2 = run_incremental_dedup(spark, b, wd, persist_shingles=True, store_buckets=8)
+    wd_ps = str(tmp_path / "legacy")
+    t1 = run_incremental_dedup(spark, a, wd_ps, persist_shingles=True)
+    t2 = run_incremental_dedup(spark, b, wd_ps, persist_shingles=True)
+    for r, t in ((r1, t1), (r2, t2)):
+        assert {(p.id_a, p.id_b, round(p.jaccard_sim, 9)) for p in r["pairs"].collect()} == {
+            (p.id_a, p.id_b, round(p.jaccard_sim, 9)) for p in t["pairs"].collect()
+        }
+
+    # layout: per-batch deltas, partitioned; NO monolithic snapshot dirs
+    for v in (1, 2):
+        for prefix in ("sigs_b", "shingles_b"):
+            d = os.path.join(wd, f"{prefix}{v}")
+            assert os.path.exists(os.path.join(d, "_SUCCESS"))
+            assert any(e.startswith("_bkt=") for e in os.listdir(d))
+        assert not os.path.exists(os.path.join(wd, f"sigs_v{v}"))
+    # the delta union == a from-scratch signature rebuild over the corpus
+    # (per-dir reads: each delta is its own partitioned root, same as the
+    # production reader — a single multi-path read would trip Spark's
+    # CONFLICTING_DIRECTORY_STRUCTURES partition discovery)
+    snap = spark.read.parquet(os.path.join(wd, "sigs_b1")).unionByName(
+        spark.read.parquet(os.path.join(wd, "sigs_b2"))
+    )
+    rebuilt = dedup.minhash_signature_table(
+        dedup.shingle_hash_rows(
+            _corpus_a(spark).unionByName(_corpus_b(spark)).selectExpr(
+                "doc_id as _id", "text as _text"
+            )
+        )
+    )
+    assert {r._id: list(r._sig) for r in snap.select("_id", "_sig").collect()} == {
+        r._id: list(r._sig) for r in rebuilt.collect()
+    }
+
+    # contract: the layout flag (and bucket count) pin the workdir
+    with pytest.raises(ValueError, match="was built with"):
+        run_incremental_dedup(spark, b, wd, persist_shingles=True)  # drop buckets
+    with pytest.raises(ValueError, match="was built with"):
+        run_incremental_dedup(spark, b, wd, persist_shingles=True, store_buckets=16)
+    with pytest.raises(ValueError, match="was built with"):
+        run_incremental_dedup(spark, b, wd_ps, persist_shingles=True, store_buckets=8)
+    # invalid combinations fail before any state is touched
+    with pytest.raises(ValueError, match="requires persist_shingles"):
+        run_incremental_dedup(spark, b, str(tmp_path / "x"), store_buckets=8)
+    with pytest.raises(ValueError, match="must be positive"):
+        run_incremental_dedup(
+            spark, b, str(tmp_path / "x"), persist_shingles=True, store_buckets=0
+        )
+
+
+def test_bucketed_store_blocked_never_needs_old_docs(spark, tmp_path):
+    """Blocked bucketed cadence: history block values come from the store
+    (persisted with the sigs), so old_docs is never passed — pairs match
+    the blocked full-batch set restricted to new ids, the block key joins
+    the manifest pin (flip fails loudly), and a budget refusal commits
+    nothing."""
+    rows = [
+        (1, BASE, "en"),
+        (2, BASE.replace("lazy", "sleepy"), "en"),
+        (3, BASE.replace("quick", "rapid"), "de"),  # near-dup but cross-block
+        (10, "totally different historical filler text with its own words", "en"),
+    ]
+    a = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    b = spark.createDataFrame(
+        [(101, BASE.replace("tonight", "today"), "en"),
+         (102, BASE.replace("dog", "cat"), "de")],
+        ["doc_id", "text", "lang"],
+    )
+    wd = str(tmp_path / "v2blk")
+    kw = dict(
+        block_cols=["lang"],
+        persist_shingles=True,
+        store_buckets=8,
+        max_collisions_per_doc=50.0,
+    )
+    r1 = run_incremental_dedup(spark, a, wd, **kw)
+    r2 = run_incremental_dedup(spark, b, wd, **kw)  # NO old_docs
+    got = {(r.id_a, r.id_b) for r in r1["pairs"].collect()} | {
+        (r.id_a, r.id_b) for r in r2["pairs"].collect()
+    }
+    want = {
+        (r.id_a, r.id_b)
+        for r in dedup.minhash_lsh_pairs(
+            a.unionByName(b), threshold=0.5, block_cols=["lang"]
+        ).collect()
+    }
+    assert got == want
+    assert (1, 101) in got and (3, 102) in got
+    assert not any({p[0], p[1]} == {3, 101} for p in got)  # cross-block
+
+    # the block key is part of the snapshot contract in this mode
+    with pytest.raises(ValueError, match="was built with"):
+        run_incremental_dedup(spark, b, wd, **{**kw, "block_cols": None})
+    # budget refusal: nothing committed
+    template = "identical boilerplate body repeated across every doc here " * 4
+    boiler = spark.createDataFrame(
+        [(200 + i, template + f"tail {i}", "en") for i in range(30)],
+        ["doc_id", "text", "lang"],
+    )
+    with pytest.raises(ValueError, match="pre-flight budget exceeded"):
+        run_incremental_dedup(spark, boiler, wd, **{**kw, "max_collisions_per_doc": 2.0})
+    with open(os.path.join(wd, "CURRENT")) as f:
+        assert f.read().strip() == "2"
+    assert not os.path.exists(os.path.join(wd, "sigs_b3"))
+
+
+def test_bucketed_store_cdf_cadence(spark, tmp_path):
+    """Change-feed cadence on the bucketed layout: the corpus snapshot is
+    never time-traveled (tx_read of history is skipped entirely), the
+    union of per-run pair outputs equals the blocked full-batch set, and
+    a no-op run touches nothing."""
+    from unittest import mock
+
+    from devcontainers_etl_node_spark.incremental import (
+        run_incremental_dedup_from_table,
+    )
+    from devcontainers_etl_node_spark.sinks import txlog
+
+    corpus = str(tmp_path / "corpus")
+    wd = str(tmp_path / "wd")
+    kw = dict(
+        block_cols=["lang"],
+        max_collisions_per_doc=50.0,
+        persist_shingles=True,
+        store_buckets=8,
+    )
+
+    def docs(rows):
+        return spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+
+    a = docs(
+        [(1, BASE, "en"), (2, BASE.replace("lazy", "sleepy"), "en"),
+         (3, BASE.replace("quick", "rapid"), "de"),
+         (10, "historical filler body with enough distinct words to stand alone", "en")]
+    )
+    b = docs([(101, BASE.replace("tonight", "today"), "en"),
+              (102, BASE.replace("dog", "cat"), "de")])
+    c = docs([(201, BASE.replace("woods", "hills"), "de")])
+
+    txlog.tx_write(a, corpus)
+    seen = set()
+    real_tx_read = txlog.tx_read
+    for i, batch in enumerate((None, b, c)):
+        if batch is not None:
+            txlog.tx_write(batch, corpus)
+        # the bucketed cadence must not time-travel the corpus: tx_read
+        # is only legitimate for the FIRST run (cursor bootstrap reads
+        # the head version as the first batch)
+        with mock.patch.object(txlog, "tx_read", side_effect=real_tx_read) as tr:
+            out = run_incremental_dedup_from_table(spark, corpus, wd, **kw)
+            if i > 0:
+                assert not any(
+                    kwargs.get("version") is not None and kwargs.get("version") < i
+                    for _, kwargs in tr.call_args_list
+                ), "history snapshot was time-traveled"
+        seen |= {(r.id_a, r.id_b) for r in out["pairs"].collect()}
+        assert out["version"] == i + 1
+
+    whole = a.unionByName(b).unionByName(c)
+    want = {
+        (r.id_a, r.id_b)
+        for r in dedup.minhash_lsh_pairs(
+            whole, threshold=0.5, block_cols=["lang"]
+        ).collect()
+    }
+    assert seen == want
+    out = run_incremental_dedup_from_table(spark, corpus, wd, **kw)
+    assert out["no_new_data"] and out["version"] == 3
