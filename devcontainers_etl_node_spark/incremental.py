@@ -265,11 +265,28 @@ def run_incremental_dedup(
             spark,
             max(1, n_hist + n_new),
             avg_doc_bytes=_avg_file_bytes_per_row(new_docs, n_new),
+            # bucketed stores are many small files; without a realistic
+            # open cost the plan's shrunk splits degenerate to
+            # one-task-per-file (measured 10x step blowup, PERF.md r14)
+            open_cost_bytes=65536 if store_buckets else None,
         )
         n_total = n_hist + n_new
     else:
         geometry = _nullcontext()
         n_total = None
+    if store_buckets and cur is not None:
+        # the sig-store union is consulted ~5x per step (id gate, census,
+        # band join, both est lookups); cache it for the step instead of
+        # re-listing and re-reading the many-file store each time, and
+        # drop the cache when the step scope exits (success OR refusal)
+        from contextlib import ExitStack
+        from pyspark import StorageLevel
+
+        existing_sigs = existing_sigs.persist(StorageLevel.MEMORY_AND_DISK)
+        scope = ExitStack()
+        scope.callback(existing_sigs.unpersist)
+        scope.enter_context(geometry)
+        geometry = scope
     with geometry:
         pairs, merged_sigs, release = dd.minhash_incremental_pairs(
             existing_docs,
@@ -300,17 +317,21 @@ def run_incremental_dedup(
             _bkt = F.pmod(
                 F.xxhash64(F.col("_id").cast("string")), F.lit(store_buckets)
             ).cast("int")
-            merged_sigs.withColumn("_bkt", _bkt).write.partitionBy("_bkt").mode(
-                "overwrite"
-            ).parquet(os.path.join(workdir, f"sigs_b{version}"))
+            # repartition ON the partition column first: each bucket then
+            # lives in exactly one task, so partitionBy writes <=1 file per
+            # bucket per delta - without it every task spills a file into
+            # every bucket dir it touches (tasks x buckets small files)
+            merged_sigs.withColumn("_bkt", _bkt).repartition("_bkt").write.partitionBy(
+                "_bkt"
+            ).mode("overwrite").parquet(os.path.join(workdir, f"sigs_b{version}"))
             dd.shingle_hash_rows(
                 new_docs.select(
                     F.col(id_col).alias("_id"), F.col(text_col).alias("_text")
                 ),
                 shingle_k,
-            ).withColumn("_bkt", _bkt).write.partitionBy("_bkt").mode(
-                "overwrite"
-            ).parquet(os.path.join(workdir, f"shingles_b{version}"))
+            ).withColumn("_bkt", _bkt).repartition("_bkt").write.partitionBy(
+                "_bkt"
+            ).mode("overwrite").parquet(os.path.join(workdir, f"shingles_b{version}"))
         else:
             merged_sigs.write.mode("overwrite").parquet(os.path.join(workdir, f"sigs_v{version}"))
             if persist_shingles:

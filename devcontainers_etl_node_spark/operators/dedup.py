@@ -393,7 +393,8 @@ def minhash_partition_plan(n_docs: int, avg_doc_bytes: int | None = None) -> dic
 
 @contextlib.contextmanager
 def applied_partition_plan(
-    spark, n_docs: int, avg_doc_bytes: int | None = None
+    spark, n_docs: int, avg_doc_bytes: int | None = None,
+    open_cost_bytes: int | None = None,
 ):
     """Scope-apply :func:`minhash_partition_plan` to the session, restoring
     the previous conf values on exit — the wiring that closes the r13
@@ -428,6 +429,15 @@ def applied_partition_plan(
             confs["spark.sql.files.maxPartitionBytes"] = str(
                 plan["max_partition_bytes"]
             )
+    if open_cost_bytes is not None:
+        # small-file stores (the r14 bucketed delta layout): Spark charges
+        # every file spark.sql.files.openCostInBytes (default 4 MB) when
+        # packing scan splits, so a plan that also SHRINKS
+        # maxPartitionBytes to ~4 MB degenerates to one-task-per-file over
+        # a many-thousand-file bucketed store (measured 10x step blowup at
+        # the 1M/100k rung). Scope-set a realistic open cost so small
+        # files pack by their actual bytes.
+        confs["spark.sql.files.openCostInBytes"] = str(open_cost_bytes)
     saved = {k: spark.conf.get(k) for k in confs}
     for k, v in confs.items():
         spark.conf.set(k, v)

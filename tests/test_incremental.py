@@ -540,12 +540,14 @@ def test_incremental_applies_partition_plan_and_records_stats(spark, tmp_path, m
     seen: list[dict] = []
     real = dd.applied_partition_plan
 
-    def spy(s, n_docs, avg_doc_bytes=None):
+    def spy(s, n_docs, avg_doc_bytes=None, open_cost_bytes=None):
         import contextlib
 
         @contextlib.contextmanager
         def run():
-            with real(s, n_docs, avg_doc_bytes=avg_doc_bytes) as plan:
+            with real(
+                s, n_docs, avg_doc_bytes=avg_doc_bytes, open_cost_bytes=open_cost_bytes
+            ) as plan:
                 seen.append(
                     dict(
                         n=n_docs,

@@ -617,3 +617,58 @@ def test_cli_curate_cross_block_recovery_flag(tmp_path, capsys):
     )
     out = capsys.readouterr().out
     assert "near_dedup" in out and "packed" in out
+
+
+def test_cli_dedup_bucketed_store_flags(spark, tmp_path, capsys):
+    """r14: `dedup --store-buckets N` runs the bucketed delta layout
+    through the change feed — sig/shingle deltas land as _bkt-partitioned
+    dirs, a second append never needs --old, and the implied
+    persist_shingles joins the manifest contract (a later run without the
+    flag fails loudly)."""
+    import os
+
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    from devcontainers_etl_node_spark import cli
+    from devcontainers_etl_node_spark.sinks import txlog
+
+    corpus = str(tmp_path / "corpus")
+    work = str(tmp_path / "work")
+    base = "the quick brown fox jumps over the lazy dog tonight " * 3
+    docs = spark.createDataFrame(
+        [(1, base), (2, base.replace("lazy", "sleepy"))]
+        + [(10 + i, f"cli filler doc {i} with words {i * 17}") for i in range(6)],
+        ["doc_id", "text"],
+    )
+    txlog.tx_write(docs, corpus)
+    args = ["dedup", "--table", corpus, "--work", work, "--store-buckets", "8"]
+    assert cli.main(args) == 0
+    assert "snapshot v1 committed" in capsys.readouterr().err
+    d = os.path.join(work, "sigs_b1")
+    assert os.path.exists(os.path.join(d, "_SUCCESS"))
+    assert any(e.startswith("_bkt=") for e in os.listdir(d))
+    assert not os.path.exists(os.path.join(work, "sigs_v1"))
+
+    txlog.tx_write(
+        docs.filter(F.col("doc_id") == 1).withColumn(
+            "doc_id", F.lit(100).cast("long")
+        ),
+        corpus,
+    )
+    assert cli.main(args) == 0
+    assert "snapshot v2 committed" in capsys.readouterr().err
+    assert os.path.exists(os.path.join(work, "shingles_b2", "_SUCCESS"))
+
+    # dropping the flag mid-cadence = a different snapshot contract
+    # (needs an unconsumed append — an unchanged corpus no-ops before
+    # the manifest is ever read)
+    txlog.tx_write(
+        docs.filter(F.col("doc_id") == 2).withColumn(
+            "doc_id", F.lit(101).cast("long")
+        ),
+        corpus,
+    )
+    with pytest.raises(ValueError, match="was built with"):
+        cli.main(["dedup", "--table", corpus, "--work", work])

@@ -27,9 +27,15 @@ This tool measures that composition at a real rung:
 Defaults: 1,000,000 history / 100,000 per batch (the verdict's asked-for
 rung). Paste the printed table into PERF.md.
 
+``--bucketed N`` (r14): run the same composition on the bucketed store
+layout (store_buckets=N) — O(batch) snapshot appends, candidate-bucket-
+pruned verify, no corpus time travel. ``--steps-only`` skips the kill +
+clean-twin phases (for the flatness-in-history comparison, where only
+build + warm-step walls matter).
+
 Usage:
-    python tools/bench_cadence_rung.py [n_hist] [n_batch]
-    python tools/bench_cadence_rung.py --child ROOT WD   # internal (kill target)
+    python tools/bench_cadence_rung.py [n_hist] [n_batch] [--bucketed N] [--steps-only]
+    python tools/bench_cadence_rung.py --child ROOT WD BUCKETS  # internal (kill target)
 """
 
 from __future__ import annotations
@@ -56,34 +62,34 @@ def _dir_bytes(path: str) -> int:
     return total
 
 
-def _run_step(spark, root: str, wd: str) -> dict:
+def _run_step(spark, root: str, wd: str, bucketed: int | None = None) -> dict:
     from devcontainers_etl_node_spark.incremental import (
         run_incremental_dedup_from_table,
     )
 
-    t0 = time.perf_counter()
-    out = run_incremental_dedup_from_table(
-        spark,
-        root,
-        wd,
+    kw = dict(
         block_cols=["lang", "source"],
         max_collisions_per_doc=BUDGET,
         persist_shingles=True,
     )
+    if bucketed:
+        kw["store_buckets"] = bucketed
+    t0 = time.perf_counter()
+    out = run_incremental_dedup_from_table(spark, root, wd, **kw)
     out["wall"] = round(time.perf_counter() - t0, 1)
     return out
 
 
-def _child(root: str, wd: str) -> int:
+def _child(root: str, wd: str, bucketed: int | None) -> int:
     """Kill target: run one cadence step, print nothing fancy."""
     from devcontainers_etl_node_spark.session import get_spark
 
-    out = _run_step(get_spark(), root, wd)
+    out = _run_step(get_spark(), root, wd, bucketed)
     print(f"child done v{out.get('version')} pairs={out.get('n_pairs')}")
     return 0
 
 
-def main(n_hist: int, n_batch: int) -> int:
+def main(n_hist: int, n_batch: int, bucketed: int | None = None, steps_only: bool = False) -> int:
     from pyspark.sql import functions as F
 
     from devcontainers_etl_node_spark.generators.synthetic import gen_documents_zipf
@@ -94,6 +100,7 @@ def main(n_hist: int, n_batch: int) -> int:
     spark.range(1_000_000).selectExpr("sum(id)").collect()  # JVM warm
     print(
         f"# cadence rung start n_hist={n_hist} n_batch={n_batch} "
+        f"mode={'bucketed:' + str(bucketed) if bucketed else 'legacy'} "
         f"loadavg={os.getloadavg()[0]:.2f} shuffle_default="
         f"{spark.conf.get('spark.sql.shuffle.partitions')}"
     )
@@ -109,9 +116,10 @@ def main(n_hist: int, n_batch: int) -> int:
         print(f"  corpus generated in {time.perf_counter() - t0:.0f} s", flush=True)
     docs = spark.read.parquet(os.path.join(src, "documents.parquet"))
 
-    root = os.path.join(ROOT, f"cadence_corpus_{n_total}")
-    wd = os.path.join(ROOT, f"cadence_wd_{n_total}")
-    wd_clean = os.path.join(ROOT, f"cadence_wd_clean_{n_total}")
+    tag = f"{n_total}_b{bucketed}" if bucketed else str(n_total)
+    root = os.path.join(ROOT, f"cadence_corpus_{tag}")
+    wd = os.path.join(ROOT, f"cadence_wd_{tag}")
+    wd_clean = os.path.join(ROOT, f"cadence_wd_clean_{tag}")
     for p in (root, wd, wd_clean):
         shutil.rmtree(p, ignore_errors=True)
 
@@ -124,7 +132,7 @@ def main(n_hist: int, n_batch: int) -> int:
     steps = []
 
     # ---- step 1: snapshot build (whole history as one batch) ----
-    out1 = _run_step(spark, root, wd)
+    out1 = _run_step(spark, root, wd, bucketed)
     steps.append(("build(1M hist)", n_hist, out1))
     print(
         f"  step1 build: wall {out1['wall']} s, v{out1['version']}, "
@@ -133,17 +141,22 @@ def main(n_hist: int, n_batch: int) -> int:
 
     # ---- step 2: one ingest batch through the composition ----
     txlog.tx_write(docs.filter(part == k), root, mode="append")
-    out2 = _run_step(spark, root, wd)
+    out2 = _run_step(spark, root, wd, bucketed)
     steps.append(("batch", n_batch, out2))
     print(
         f"  step2 batch: wall {out2['wall']} s, v{out2['version']}, "
         f"{out2['n_pairs']} pairs", flush=True
     )
 
-    # snapshot growth accounting
-    sig_bytes = {
-        v: _dir_bytes(os.path.join(wd, f"sigs_v{v}")) for v in (1, 2)
-    }
+    # snapshot growth accounting (bucketed mode appends sig DELTAS, so v2
+    # "size" is cumulative b1+b2 — the comparable on-disk footprint)
+    if bucketed:
+        sig_bytes = {1: _dir_bytes(os.path.join(wd, "sigs_b1"))}
+        sig_bytes[2] = sig_bytes[1] + _dir_bytes(os.path.join(wd, "sigs_b2"))
+    else:
+        sig_bytes = {
+            v: _dir_bytes(os.path.join(wd, f"sigs_v{v}")) for v in (1, 2)
+        }
     shingle_bytes = {
         v: _dir_bytes(os.path.join(wd, f"shingles_b{v}")) for v in (1, 2)
     }
@@ -157,6 +170,13 @@ def main(n_hist: int, n_batch: int) -> int:
         flush=True,
     )
 
+    if steps_only:
+        print("\n| step | docs | wall s | pairs | version |")
+        print("|---|---|---|---|---|")
+        for name, nd, o in steps:
+            print(f"| {name} | {nd} | {o['wall']} | {o['n_pairs']} | v{o['version']} |")
+        return 0
+
     # ---- step 3: mid-run kill + resume (write-ahead-intent at scale) ----
     txlog.tx_write(docs.filter(part == k + 1), root, mode="append")
     cursor_before = json.load(open(os.path.join(wd, "CORPUS_CURSOR.json")))
@@ -164,7 +184,7 @@ def main(n_hist: int, n_batch: int) -> int:
     # aim the kill at the middle of the step proper
     kill_after = 25.0 + out2["wall"] * 0.5
     child = subprocess.Popen(
-        [sys.executable, os.path.abspath(__file__), "--child", root, wd],
+        [sys.executable, os.path.abspath(__file__), "--child", root, wd, str(bucketed or 0)],
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         stdout=subprocess.DEVNULL,
         stderr=subprocess.DEVNULL,
@@ -185,7 +205,7 @@ def main(n_hist: int, n_batch: int) -> int:
             f"commit — cursor still {cursor_mid}, CURRENT still "
             f"v{current_mid}", flush=True
         )
-        out3 = _run_step(spark, root, wd)
+        out3 = _run_step(spark, root, wd, bucketed)
         steps.append(("batch(resumed)", n_batch, out3))
         assert out3["version"] == out2["version"] + 1
     else:
@@ -197,7 +217,7 @@ def main(n_hist: int, n_batch: int) -> int:
             f"  step3 kill: child killed AFTER commit (CURRENT v{current_mid}) "
             f"— asserting the no-double-processing side", flush=True
         )
-        out3 = _run_step(spark, root, wd)
+        out3 = _run_step(spark, root, wd, bucketed)
         assert out3.get("no_new_data"), "resume after committed kill must no-op"
         committed_pairs = spark.read.parquet(
             os.path.join(wd, "pairs", f"run_{current_mid}")
@@ -208,7 +228,7 @@ def main(n_hist: int, n_batch: int) -> int:
             "wall": kill_after,
         }
         steps.append(("batch(child-committed)", n_batch, out3))
-    out4 = _run_step(spark, root, wd)
+    out4 = _run_step(spark, root, wd, bucketed)
     assert out4.get("no_new_data"), "4th run must be a no-op"
     print(
         f"  step3 resume: wall {out3['wall']} s, v{out3['version']}, "
@@ -220,7 +240,7 @@ def main(n_hist: int, n_batch: int) -> int:
     # same history + batch through a FRESH workdir in two steps; the killed
     # +resumed run must emit the same pair count for its batch
     txlog_head = txlog.tx_head(root)
-    r1 = _run_step(spark, root, wd_clean)  # consumes v1..head in one gulp
+    r1 = _run_step(spark, root, wd_clean, bucketed)  # consumes v1..head in one gulp
     staged_total = out1["n_pairs"] + out2["n_pairs"] + out3["n_pairs"]
     print(
         f"  clean twin (whole corpus, one step): wall {r1['wall']} s, "
@@ -241,7 +261,15 @@ def main(n_hist: int, n_batch: int) -> int:
 
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--child":
-        raise SystemExit(_child(sys.argv[2], sys.argv[3]))
-    nh = int(float(sys.argv[1])) if len(sys.argv) > 1 else 1_000_000
-    nb = int(float(sys.argv[2])) if len(sys.argv) > 2 else 100_000
-    raise SystemExit(main(nh, nb))
+        raise SystemExit(_child(sys.argv[2], sys.argv[3], int(sys.argv[4]) or None))
+    argv = list(sys.argv[1:])
+    bucketed = None
+    if "--bucketed" in argv:
+        i = argv.index("--bucketed")
+        bucketed = int(float(argv[i + 1]))
+        del argv[i : i + 2]
+    steps_only = "--steps-only" in argv
+    argv = [a for a in argv if a != "--steps-only"]
+    nh = int(float(argv[0])) if argv else 1_000_000
+    nb = int(float(argv[1])) if len(argv) > 1 else 100_000
+    raise SystemExit(main(nh, nb, bucketed=bucketed, steps_only=steps_only))
