@@ -163,19 +163,49 @@ def _check_block_pin(workdir: str, block: list[str] | None):
     each batch's columns, so without this pin a batch that happens to
     carry an extra column would silently change the contract. The first
     SUCCESSFUL run records the choice; later runs must match it or fail
-    loudly (pass the recorded key explicitly, or start a fresh workdir)."""
+    loudly (pass the recorded key explicitly, or start a fresh workdir).
+
+    The pin is WRITE-AHEAD (r14 review fix): checking also records an
+    intent ``{"key": ..., "for_version": next}`` so a run killed between
+    the snapshot commit and ``commit()`` still pins its key — the next
+    invocation promotes the intent if the snapshot version it named
+    actually committed, and discards it otherwise (the same
+    intent-vs-pointer resolution as the change-feed cursor). Without
+    this, a kill in that window left a committed snapshot with NO pin,
+    and a later run could silently flip the contract."""
     import json as _json
 
+    from devcontainers_etl_node_spark.incremental import _read_current
+
     path = os.path.join(workdir, "_BLOCK.json")
+    committed = None
     if os.path.exists(path):
         with open(path) as f:
-            committed = _json.load(f)
-        if committed != (block or []):
-            raise SystemExit(
-                f"dedup workdir {workdir} committed block key {committed}; "
-                f"this run resolved {block or []} — rerun with "
-                f"--block {','.join(committed) if committed else 'none'} "
-                f"or start a fresh workdir"
+            raw = _json.load(f)
+        if isinstance(raw, dict):
+            # leftover write-ahead intent: promoted iff its run committed
+            cur = _read_current(workdir)
+            if cur is not None and cur >= raw["for_version"]:
+                committed = raw["key"]
+                with open(path, "w") as f:
+                    _json.dump(committed, f)
+            else:
+                os.remove(path)
+        else:
+            committed = raw
+    if committed is not None and committed != (block or []):
+        raise SystemExit(
+            f"dedup workdir {workdir} committed block key {committed}; "
+            f"this run resolved {block or []} — rerun with "
+            f"--block {','.join(committed) if committed else 'none'} "
+            f"or start a fresh workdir"
+        )
+    if committed is None:
+        os.makedirs(workdir, exist_ok=True)
+        with open(path, "w") as f:
+            _json.dump(
+                {"key": block or [], "for_version": (_read_current(workdir) or 0) + 1},
+                f,
             )
 
     def commit() -> None:
@@ -214,6 +244,20 @@ def cmd_dedup(args) -> int:
         run_incremental_dedup_from_table,
     )
 
+    if args.compact_store:
+        from devcontainers_etl_node_spark.incremental import compact_dedup_store
+
+        out = compact_dedup_store(_spark(), args.work)
+        if out["folded_dirs"]:
+            print(
+                f"compacted through v{out['compacted_through']}: folded "
+                f"{out['folded_dirs']} delta dirs into {out['sig_files']} sig + "
+                f"{out['shingle_files']} shingle files",
+                file=sys.stderr,
+            )
+        else:
+            print("nothing to fold — store already compact", file=sys.stderr)
+        return 0
     spark = _spark()
     raw_budget = (
         args.budget if args.budget is not None else _funnel.DEFAULT_NEARDUP_BUDGET
@@ -542,6 +586,12 @@ def main(argv: list[str] | None = None) -> int:
         "shingle DELTA dirs partitioned into N id-hash buckets — O(batch) "
         "writes, candidate-bucket-pruned verify reads, --old never needed; "
         "the block key joins the snapshot contract",
+    )
+    d.add_argument(
+        "--compact-store",
+        action="store_true",
+        help="fold the bucketed store's per-batch delta dirs into one "
+        "compacted base (bounds per-step listing/plan growth), then exit",
     )
 
     t = sub.add_parser("table", help="transactional-table maintenance (txlog)")

@@ -241,6 +241,9 @@ def run_staged_funnel(
     docs = spread(docs)
     if block_cols == "auto":
         block_cols = default_block_cols(docs)
+    if isinstance(block_cols, str):
+        # a bare string is one column name, not an iterable of characters
+        block_cols = [block_cols]
     block_cols = list(block_cols or [])
     missing = [c for c in block_cols if c not in docs.columns]
     if missing:

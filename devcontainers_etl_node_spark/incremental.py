@@ -60,6 +60,16 @@ def _read_current(workdir: str) -> int | None:
         )
 
 
+def _write_manifest(mpath: str, params: dict) -> None:
+    """Atomic manifest write (tmp + rename): a crash mid-``json.dump``
+    would otherwise leave a truncated manifest that bricks the workdir
+    (every later run reads it as corrupt)."""
+    tmp = mpath + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(params, f)
+    os.replace(tmp, mpath)
+
+
 def _commit_current(workdir: str, version: int) -> None:
     tmp = os.path.join(workdir, _CURRENT + ".tmp")
     with open(tmp, "w") as f:
@@ -87,20 +97,27 @@ def run_incremental_dedup(
     """Dedup one ingest batch against the committed signature snapshot.
 
     ``store_buckets`` (r14, the bucketed-store layout — "v2"): store the
-    snapshot as per-batch DELTA dirs bucketed by
-    ``pmod(xxhash64(cast(id as string)), store_buckets)``:
+    snapshot as per-batch DELTAS plus a periodically COMPACTED base,
+    bucketed by ``pmod(xxhash64(cast(id as string)), store_buckets)``:
 
-    - ``<workdir>/sigs_b<N>/_bkt=*/``     — signature deltas (each run
-      writes only ITS batch — the O(history) snapshot rewrite of the
-      legacy layout becomes an O(batch) append); blocked runs persist
-      the batch's ``_blk`` block values IN the sig rows;
-    - ``<workdir>/shingles_b<N>/_bkt=*/`` — shingle deltas, now
-      partitioned so the verify stage's old side reads only the
-      candidate ids' buckets (O(candidates) selected bytes instead of a
-      full scan of the largest store, ~2 B per corpus char);
-    - ``old_docs`` is NEVER required — blocked or not, history block
-      values come from the store (cold text AND cold doc tables stay
-      cold; the change-feed wrapper stops time-traveling the corpus).
+    - ``<workdir>/sigs_b<N>/`` / ``shingles_b<N>/`` — plain batch-sized
+      delta files carrying ``_bkt`` as a data column (each run writes
+      only ITS batch — the O(history) snapshot rewrite of the legacy
+      layout becomes an O(batch) append; a hive-partitioned delta would
+      instead cost O(min(batch, buckets)) file commits per step,
+      profiled at 3x the step's whole compute);
+    - ``<workdir>/sigs_c<V>/_bkt=*/`` / ``shingles_c<V>/_bkt=*/`` — the
+      compacted base (:func:`compact_dedup_store` folds deltas 1..V into
+      one dir-partitioned rewrite), where the verify stage's
+      candidate-bucket filter prunes at LISTING time, so the dominant
+      old-side read is O(candidates' buckets) instead of a full scan of
+      the largest store (~2 B per corpus char); the same filter
+      row-skips the small post-compaction deltas;
+    - blocked runs persist the batch's ``_blk`` block values IN the sig
+      rows, so ``old_docs`` is NEVER required — blocked or not, history
+      block values come from the store (cold text AND cold doc tables
+      stay cold; the change-feed wrapper stops time-traveling the
+      corpus).
 
     Requires ``persist_shingles=True`` (the store IS the verify source).
     Because block values are persisted, ``block_cols`` joins the
@@ -109,7 +126,9 @@ def run_incremental_dedup(
     mid-history. What stays O(history) per step is banding + census CPU
     over the compact signature union (~76 B/doc) — the measured linear
     wall (α = 1.008, PERF.md r13), now the ONLY history-proportional
-    term of the step.
+    term of the step. Compact after the first (corpus-sized) build and
+    periodically thereafter: steps between compactions read base +
+    recent deltas.
 
     ``auto_partition`` (r14, closing the r13 `weak`): run the band join +
     verify under :func:`~devcontainers_etl_node_spark.operators.dedup.applied_partition_plan`
@@ -213,6 +232,14 @@ def run_incremental_dedup(
                 f"those parameters or a fresh workdir (got {params})"
             )
         n_hist = (committed.get("_stats") or {}).get("n_docs")
+        # carry ALL bookkeeping keys through this step's manifest rewrite:
+        # dropping _compacted_through here would point the NEXT run's
+        # reader back at per-batch deltas the compaction already deleted —
+        # history would silently vanish from the union
+        params = {
+            **{k: v for k, v in committed.items() if k.startswith("_")},
+            **params,
+        }
         if old_docs is None and not store_buckets and (block_cols or not persist_shingles):
             raise ValueError(
                 "old_docs is required when a snapshot exists (candidate verify"
@@ -224,14 +251,28 @@ def run_incremental_dedup(
             old_docs if old_docs is not None else new_docs.limit(0)
         )
         if store_buckets:
-            # bucketed layout: per-batch DELTA dirs for sigs AND shingles,
-            # read as per-dir unions (each dir is _bkt-partitioned; the
-            # verify prune's partition filter pushes through the union to
-            # every leg's listing)
+            # bucketed layout: per-batch DELTA dirs for sigs AND shingles
+            # (plus, after compact_dedup_store, one compacted base dir
+            # covering versions 1.._compacted_through), read as per-dir
+            # unions (each dir is _bkt-partitioned; the verify prune's
+            # partition filter pushes through the union to every leg's
+            # listing)
+            base = committed.get("_compacted_through", 0)
             existing_sigs = _union_dirs(
-                spark, workdir, "sigs_b", cur, drop_bkt=True
+                spark, workdir, _store_dirs(workdir, "sigs", base, cur), drop_bkt=True
             )
-            existing_shingles = _union_dirs(spark, workdir, "shingles_b", cur)
+            existing_shingles = _union_dirs(
+                spark, workdir, _store_dirs(workdir, "shingles", base, cur)
+            )
+            if existing_sigs is None:
+                # degenerate: every committed batch was empty — behave as
+                # empty history (the shingle union is then None too, and
+                # the operator's no-store verify path covers it)
+                existing_sigs = spark.createDataFrame(
+                    [],
+                    "_id LONG, _sig ARRAY<BIGINT>"
+                    + (", _blk BIGINT" if block_cols else ""),
+                )
         else:
             existing_sigs = spark.read.parquet(os.path.join(workdir, f"sigs_v{cur}"))
         if persist_shingles and not store_buckets:
@@ -287,6 +328,7 @@ def run_incremental_dedup(
         scope.callback(existing_sigs.unpersist)
         scope.enter_context(geometry)
         geometry = scope
+    step_stats: dict = {}
     with geometry:
         pairs, merged_sigs, release = dd.minhash_incremental_pairs(
             existing_docs,
@@ -302,6 +344,7 @@ def run_incremental_dedup(
             max_collisions_per_doc=max_collisions_per_doc,
             existing_shingles=existing_shingles,
             store_buckets=store_buckets,
+            stats=step_stats,
         )
         version = (cur or 0) + 1
         # write the new snapshot fully, THEN commit the pointer — a crash
@@ -311,27 +354,29 @@ def run_incremental_dedup(
         if store_buckets:
             # bucketed layout: merged_sigs is the batch DELTA (the operator's
             # store_buckets contract) — an O(batch) append, never a rewrite.
-            # Both deltas land under the same version as partition-bucketed
-            # dirs; the bucket hash string-casts the id so the value is
-            # id-type-stable across batches (the verify-sink lesson).
-            _bkt = F.pmod(
-                F.xxhash64(F.col("_id").cast("string")), F.lit(store_buckets)
-            ).cast("int")
-            # repartition ON the partition column first: each bucket then
-            # lives in exactly one task, so partitionBy writes <=1 file per
-            # bucket per delta - without it every task spills a file into
-            # every bucket dir it touches (tasks x buckets small files)
-            merged_sigs.withColumn("_bkt", _bkt).repartition("_bkt").write.partitionBy(
-                "_bkt"
-            ).mode("overwrite").parquet(os.path.join(workdir, f"sigs_b{version}"))
+            # Deltas are written PLAIN (batch-sized files with _bkt as a
+            # data column): a hive-partitioned delta costs O(min(batch,
+            # buckets)) file commits per step REGARDLESS of batch bytes —
+            # profiled at 92 s of a 10k-doc step at 4096 buckets, 3x the
+            # whole compute. Directory partitioning belongs to the
+            # COMPACTED base (compact_dedup_store), where its one-time
+            # cost is amortized over every later step's dir-level prune;
+            # the verify filter row-skips the small recent deltas. The
+            # bucket hash string-casts the id so the value is
+            # id-type-stable across batches (the verify-sink lesson) —
+            # writer and prune share dd.store_bucket_expr byte-for-byte.
+            _bkt = dd.store_bucket_expr("_id", store_buckets)
+            merged_sigs.withColumn("_bkt", _bkt).write.mode("overwrite").parquet(
+                os.path.join(workdir, f"sigs_b{version}")
+            )
             dd.shingle_hash_rows(
                 new_docs.select(
                     F.col(id_col).alias("_id"), F.col(text_col).alias("_text")
                 ),
                 shingle_k,
-            ).withColumn("_bkt", _bkt).repartition("_bkt").write.partitionBy(
-                "_bkt"
-            ).mode("overwrite").parquet(os.path.join(workdir, f"shingles_b{version}"))
+            ).withColumn("_bkt", _bkt).write.mode("overwrite").parquet(
+                os.path.join(workdir, f"shingles_b{version}")
+            )
         else:
             merged_sigs.write.mode("overwrite").parquet(os.path.join(workdir, f"sigs_v{version}"))
             if persist_shingles:
@@ -351,29 +396,144 @@ def run_incremental_dedup(
         # committed doc count: the NEXT run's history size, read back for
         # free (no count job) by its auto_partition sizing
         params = {**params, "_stats": {"n_docs": int(n_total)}}
-    with open(mpath, "w") as f:
-        json.dump(params, f)
+    _write_manifest(mpath, params)
     _commit_current(workdir, version)
-    return {"pairs": pairs, "version": version, "n_pairs": pairs.count()}
+    out = {"pairs": pairs, "version": version, "n_pairs": pairs.count()}
+    if step_stats:
+        # verify-prune observability (bucketed layout): which store
+        # buckets the candidate semi-join actually selected this step
+        out["stats"] = step_stats
+    return out
+
+
+def _store_dirs(workdir: str, kind: str, base: int, cur: int) -> list[str]:
+    """The live store dirs for ``kind`` ("sigs"/"shingles"): the compacted
+    base (covers versions 1..base) plus the per-batch deltas after it."""
+    dirs = []
+    if base:
+        dirs.append(os.path.join(workdir, f"{kind}_c{base}"))
+    dirs += [os.path.join(workdir, f"{kind}_b{v}") for v in range(base + 1, cur + 1)]
+    return dirs
+
+
+def _has_parquet(d: str) -> bool:
+    for dirpath, _dirs, files in os.walk(d):
+        if any(f.endswith(".parquet") for f in files):
+            return True
+    return False
 
 
 def _union_dirs(
-    spark: SparkSession, workdir: str, prefix: str, cur: int, drop_bkt: bool = False
+    spark: SparkSession, workdir: str, dirs: list[str], drop_bkt: bool = False
 ) -> DataFrame:
-    """Union of the committed per-batch delta dirs ``<prefix>1..<prefix>cur``
-    as PER-DIR reads (each dir is its own ``_bkt``-partitioned root —
-    multi-path partition discovery is not relied on; a partition filter
-    pushes through the union into every leg's file listing). Ids are
-    disjoint across deltas by the id-disjointness gate, so the union IS
-    the table."""
+    """Union of store dirs as PER-DIR reads (each dir is its own
+    ``_bkt``-partitioned root — multi-path partition discovery is not
+    relied on; a partition filter pushes through the union into every
+    leg's file listing). Ids are disjoint across deltas by the
+    id-disjointness gate, so the union IS the table.
+
+    A delta from an EMPTY batch is ``_SUCCESS``-only (partitionBy writes
+    no part files for zero rows) and would fail schema inference — such
+    dirs are skipped; they contribute zero rows by construction. An
+    all-empty history returns None (caller keeps its empty-frame
+    default)."""
     from functools import reduce
 
-    parts = [
-        spark.read.parquet(os.path.join(workdir, f"{prefix}{v}"))
-        for v in range(1, cur + 1)
-    ]
+    parts = [spark.read.parquet(d) for d in dirs if _has_parquet(d)]
+    if not parts:
+        return None
     out = reduce(DataFrame.unionByName, parts)
     return out.drop("_bkt") if drop_bkt else out
+
+
+def compact_dedup_store(spark: SparkSession, workdir: str) -> dict:
+    """Fold a bucketed dedup store's per-batch delta dirs into one
+    compacted base — the maintenance half of the r14 bucketed layout.
+
+    Each ``run_incremental_dedup(store_buckets=...)`` step appends one
+    ``sigs_b<N>`` + ``shingles_b<N>`` delta, so an uncompacted cadence of
+    V batches makes every later step union V dirs (O(V x buckets) file
+    listings and plan nodes — the O(batch)-append win would decay into an
+    O(versions)-listing wall). Compaction rewrites the live store (the
+    previous compacted base, if any, plus all deltas up to CURRENT) into
+    ``sigs_c<V>`` / ``shingles_c<V>`` — one file per bucket — and records
+    ``_compacted_through: V`` in the manifest (a ``_``-bookkeeping key,
+    not part of the LSH contract), after which readers union 1 + (cur-V)
+    dirs. The dedup-store twin of ``txlog.compact``.
+
+    Crash-ordered like every commit here: the compacted dirs are written
+    fully, THEN the manifest flips atomically; only after that are the
+    folded deltas (and any older base) deleted. A crash before the flip
+    leaves the old layout intact (orphan ``*_c<V>`` dirs are overwritten
+    by the retry); a crash during cleanup leaves unreferenced dirs that
+    readers never touch (delete-worthy garbage, never corruption).
+
+    Returns ``{"compacted_through", "folded_dirs", "sig_files",
+    "shingle_files"}``. No-ops (with a zero ``folded_dirs``) when there
+    is nothing to fold."""
+    import shutil
+
+    mpath = os.path.join(workdir, _MANIFEST)
+    cur = _read_current(workdir)
+    if cur is None:
+        raise FileNotFoundError(f"no committed dedup snapshot at {workdir}")
+    try:
+        with open(mpath) as f:
+            committed = json.load(f)
+    except (OSError, ValueError):
+        raise ValueError(f"snapshot v{cur} exists but {_MANIFEST} is unreadable")
+    store_buckets = committed.get("store_buckets")
+    if not store_buckets:
+        raise ValueError(
+            f"dedup store at {workdir} uses the legacy layout (no "
+            "store_buckets): its signature snapshot is already one dir per "
+            "version — compaction only applies to the bucketed delta layout"
+        )
+    base = committed.get("_compacted_through", 0)
+    if base >= cur or (base == 0 and cur <= 1):
+        # one delta (or just the base) — nothing to fold
+        return {
+            "compacted_through": base,
+            "folded_dirs": 0,
+            "sig_files": None,
+            "shingle_files": None,
+        }
+
+    counts = {}
+    for kind in ("sigs", "shingles"):
+        live = _store_dirs(workdir, kind, base, cur)
+        union = _union_dirs(spark, workdir, live)
+        dst = os.path.join(workdir, f"{kind}_c{cur}")
+        if union is None:  # degenerate: every batch was empty
+            os.makedirs(dst, exist_ok=True)
+            open(os.path.join(dst, "_SUCCESS"), "w").close()
+            counts[kind] = 0
+            continue
+        # one file per bucket: rows already carry _bkt (partition column
+        # of every source dir); repartition on it so each bucket lands in
+        # exactly one task
+        union.repartition("_bkt").write.partitionBy("_bkt").mode(
+            "overwrite"
+        ).parquet(dst)
+        counts[kind] = sum(
+            1
+            for _dp, _dn, files in os.walk(dst)
+            for fname in files
+            if fname.endswith(".parquet")
+        )
+    folded = _store_dirs(workdir, "sigs", base, cur) + _store_dirs(
+        workdir, "shingles", base, cur
+    )
+    _write_manifest(mpath, {**committed, "_compacted_through": cur})
+    # post-commit cleanup: readers already resolve through the new base
+    for d in folded:
+        shutil.rmtree(d, ignore_errors=True)
+    return {
+        "compacted_through": cur,
+        "folded_dirs": len(folded),
+        "sig_files": counts["sigs"],
+        "shingle_files": counts["shingles"],
+    }
 
 
 def _avg_file_bytes_per_row(df: DataFrame, n_rows: int) -> int | None:
@@ -638,8 +798,7 @@ def run_incremental_substr(
         new_docs.select(F.col(id_col).cast("long").alias("doc_id"))
     ).write.mode("overwrite").parquet(os.path.join(workdir, f"ids_v{version}"))
     clean.write.mode("overwrite").parquet(os.path.join(workdir, "clean", f"run_{version}"))
-    with open(mpath, "w") as f:
-        json.dump(params, f)
+    _write_manifest(mpath, params)
     _commit_current(workdir, version)
     out = spark.read.parquet(os.path.join(workdir, "clean", f"run_{version}"))
     return {"clean": out, "version": version, "n_docs": out.count(), "audit": audit}

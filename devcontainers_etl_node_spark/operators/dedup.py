@@ -436,8 +436,11 @@ def applied_partition_plan(
         # maxPartitionBytes to ~4 MB degenerates to one-task-per-file over
         # a many-thousand-file bucketed store (measured 10x step blowup at
         # the 1M/100k rung). Scope-set a realistic open cost so small
-        # files pack by their actual bytes.
-        confs["spark.sql.files.openCostInBytes"] = str(open_cost_bytes)
+        # files pack by their actual bytes — monotone like the other two
+        # confs: a session already tuned to a SMALLER open cost keeps it.
+        cur_cost = _parse_byte_conf(spark.conf.get("spark.sql.files.openCostInBytes"))
+        if open_cost_bytes < cur_cost:
+            confs["spark.sql.files.openCostInBytes"] = str(open_cost_bytes)
     saved = {k: spark.conf.get(k) for k in confs}
     for k, v in confs.items():
         spark.conf.set(k, v)
@@ -864,6 +867,18 @@ def minhash_crossblock_recovery(
     return out
 
 
+def store_bucket_expr(col: str | Column, n_buckets: int) -> Column:
+    """The bucketed-store partition key: ``pmod(xxhash64(cast(id as
+    string)), n_buckets)``. The string cast makes the hash id-type-stable
+    across batches (xxhash64(int) != xxhash64(long) for equal values —
+    the r13 verify-sink lesson). The delta WRITER (incremental.py) and
+    the verify PRUNE (below) must derive buckets from THIS one
+    expression: any drift between them selects buckets the writer never
+    used and silently drops old-side pairs."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.pmod(F.xxhash64(c.cast("string")), F.lit(n_buckets)).cast("int")
+
+
 def minhash_incremental_pairs(
     existing_docs: DataFrame,
     existing_sigs: DataFrame,
@@ -878,6 +893,7 @@ def minhash_incremental_pairs(
     max_collisions_per_doc: float | None = None,
     existing_shingles: DataFrame | None = None,
     store_buckets: int | None = None,
+    stats: dict | None = None,
 ) -> tuple[DataFrame, DataFrame, Callable[[], None]]:
     """Incremental MinHash dedup: near-dup pairs INVOLVING newly arrived
     docs, reusing the persisted signature table of the historical corpus.
@@ -1159,16 +1175,14 @@ def minhash_incremental_pairs(
             cand_buckets = [
                 r._b
                 for r in cand_ids.select(
-                    F.pmod(
-                        F.xxhash64(F.col("_id").cast("string")),
-                        F.lit(store_buckets),
-                    )
-                    .cast("int")
-                    .alias("_b")
+                    store_bucket_expr("_id", store_buckets).alias("_b")
                 )
                 .distinct()
                 .collect()
             ]
+            if stats is not None:
+                stats["cand_buckets"] = sorted(cand_buckets)
+                stats["store_buckets"] = store_buckets
             shingle_src = existing_shingles.filter(F.col("_bkt").isin(cand_buckets))
         old_cand_shingles = shingle_src.select("_id", "_h").join(
             cand_ids, "_id", "left_semi"

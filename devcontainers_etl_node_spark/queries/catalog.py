@@ -8057,6 +8057,9 @@ def pretrain_prep(
     # — the graceful degradation default_block_cols encodes)
     if block_cols == "auto":
         _block_cols = _funnel.default_block_cols(_docs)
+    elif isinstance(block_cols, str):
+        # a bare string is one column name, not an iterable of characters
+        _block_cols = [block_cols]
     else:
         _block_cols = list(block_cols or [])
     ann = spread(_docs).select(

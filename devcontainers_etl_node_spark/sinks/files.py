@@ -99,10 +99,20 @@ def write_doc_store(
         # would silently vanish from the pruned verify scan. Fail loudly.
         with open(mpath) as f:
             committed = json.load(f)
-        # pre-r14 manifests predate id_type; every store this sink ever
-        # matched was long-keyed (the only type whose hash agreed), so
-        # absent means "long"
-        committed.setdefault("id_type", "long")
+        if "id_type" not in committed:
+            # pre-r14 manifests predate id_type, and the ORIGINAL id type
+            # is unknowable from the manifest: assuming "long" would let
+            # an int-keyed store (whose rows sit in xxhash64(int) buckets)
+            # accept correctly-bucketed new rows AND get re-stamped
+            # id_type=long — a mixed-derivation store that looks sound.
+            # Refuse; a rebuild re-buckets every row under one rule.
+            raise ValueError(
+                f"doc store at {root} predates the id_type layout manifest "
+                f"(pre-r14): its bucket derivation cannot be verified, so "
+                f"appending could mix two bucket rules in one store — "
+                f"rewrite it with mode='overwrite' to re-bucket under the "
+                f"current layout"
+            )
         if committed != layout:
             raise ValueError(
                 f"doc store at {root} was written with {committed}; append "

@@ -641,12 +641,13 @@ def test_bucketed_store_parity_and_layout(spark, tmp_path):
             (p.id_a, p.id_b, round(p.jaccard_sim, 9)) for p in t["pairs"].collect()
         }
 
-    # layout: per-batch deltas, partitioned; NO monolithic snapshot dirs
+    # layout: per-batch PLAIN deltas carrying _bkt as a data column (dir
+    # partitioning belongs to the compacted base); NO monolithic rewrites
     for v in (1, 2):
         for prefix in ("sigs_b", "shingles_b"):
             d = os.path.join(wd, f"{prefix}{v}")
             assert os.path.exists(os.path.join(d, "_SUCCESS"))
-            assert any(e.startswith("_bkt=") for e in os.listdir(d))
+            assert "_bkt" in spark.read.parquet(d).columns
         assert not os.path.exists(os.path.join(wd, f"sigs_v{v}"))
     # the delta union == a from-scratch signature rebuild over the corpus
     # (per-dir reads: each delta is its own partitioned root, same as the
@@ -800,3 +801,98 @@ def test_bucketed_store_cdf_cadence(spark, tmp_path):
     assert seen == want
     out = run_incremental_dedup_from_table(spark, corpus, wd, **kw)
     assert out["no_new_data"] and out["version"] == 3
+
+
+def test_bucketed_store_tolerates_empty_batch_delta(spark, tmp_path):
+    """An empty batch writes a _SUCCESS-only delta (partitionBy emits no
+    part files for zero rows); later runs must skip such dirs instead of
+    failing schema inference — and the empty batch itself must commit a
+    version (the change-feed cursor advances exactly once per batch, so
+    swallowing it would desync cursor and CURRENT)."""
+    a, b = _corpus_a(spark), _corpus_b(spark)
+    wd = str(tmp_path / "v2empty")
+    kw = dict(persist_shingles=True, store_buckets=8)
+    run_incremental_dedup(spark, a, wd, **kw)
+    empty = b.limit(0)
+    r2 = run_incremental_dedup(spark, empty, wd, **kw)
+    assert r2["version"] == 2 and r2["n_pairs"] == 0
+    # the run after the empty delta still reads the union and finds pairs
+    r3 = run_incremental_dedup(spark, b, wd, **kw)
+    assert r3["version"] == 3
+    got = {(r.id_a, r.id_b) for r in r3["pairs"].collect()}
+    full = {
+        (r.id_a, r.id_b)
+        for r in dedup.minhash_lsh_pairs(a.unionByName(b), threshold=0.5).collect()
+    }
+    new_ids = {101, 102, 103}
+    assert got == {(x, y) for x, y in full if x in new_ids or y in new_ids}
+
+
+def test_bucketed_store_compaction(spark, tmp_path):
+    """compact_dedup_store folds the per-batch delta dirs into one
+    compacted base: the manifest records _compacted_through (bookkeeping,
+    not contract), folded deltas are deleted, later steps read base +
+    post-compaction deltas and emit identical pairs, and a second
+    compaction folds base + new delta again. Legacy workdirs refuse."""
+    from devcontainers_etl_node_spark.incremental import compact_dedup_store
+
+    a, b = _corpus_a(spark), _corpus_b(spark)
+    c = spark.createDataFrame(
+        [(301, BASE.replace("fox", "wolf")),
+         (302, "entirely separate new arrival with unique content words")],
+        ["doc_id", "text"],
+    )
+    kw = dict(persist_shingles=True, store_buckets=8)
+
+    # twin workdir without compaction for pair parity
+    wd_plain = str(tmp_path / "plain")
+    run_incremental_dedup(spark, a, wd_plain, **kw)
+    run_incremental_dedup(spark, b, wd_plain, **kw)
+    want = {
+        (r.id_a, r.id_b, round(r.jaccard_sim, 9))
+        for r in run_incremental_dedup(spark, c, wd_plain, **kw)["pairs"].collect()
+    }
+
+    wd = str(tmp_path / "compacted")
+    run_incremental_dedup(spark, a, wd, **kw)
+    run_incremental_dedup(spark, b, wd, **kw)
+    out = compact_dedup_store(spark, wd)
+    assert out["compacted_through"] == 2 and out["folded_dirs"] == 4
+    import json
+
+    assert json.load(open(os.path.join(wd, "_MANIFEST.json")))[
+        "_compacted_through"
+    ] == 2
+    assert os.path.exists(os.path.join(wd, "sigs_c2", "_SUCCESS"))
+    assert any(
+        e.startswith("_bkt=") for e in os.listdir(os.path.join(wd, "sigs_c2"))
+    )  # the base IS dir-partitioned — this is where the listing prune lives
+    assert not os.path.exists(os.path.join(wd, "sigs_b1"))
+    assert not os.path.exists(os.path.join(wd, "shingles_b2"))
+
+    # the next step reads base + its own delta and matches the twin
+    r3 = run_incremental_dedup(spark, c, wd, **kw)
+    got = {(r.id_a, r.id_b, round(r.jaccard_sim, 9)) for r in r3["pairs"].collect()}
+    assert got == want
+    # second compaction folds base (c2) + the new delta (b3)
+    out2 = compact_dedup_store(spark, wd)
+    assert out2["compacted_through"] == 3 and out2["folded_dirs"] == 4
+    assert os.path.exists(os.path.join(wd, "sigs_c3", "_SUCCESS"))
+    assert not os.path.exists(os.path.join(wd, "sigs_c2"))
+    # nothing left to fold
+    assert compact_dedup_store(spark, wd)["folded_dirs"] == 0
+    # a batch AFTER compaction must carry _compacted_through through its
+    # own manifest rewrite — dropping it would point the next reader at
+    # the deleted per-batch deltas and silently lose all compacted history
+    d4 = spark.createDataFrame(
+        [(401, BASE.replace("dog", "hound"))], ["doc_id", "text"]
+    )
+    r4 = run_incremental_dedup(spark, d4, wd, **kw)
+    got4 = {(r.id_a, r.id_b) for r in r4["pairs"].collect()}
+    assert (1, 401) in got4  # doc 1 lives only in the compacted base
+
+    # legacy layout refuses (its sig snapshot is already one dir)
+    wd_legacy = str(tmp_path / "legacy")
+    run_incremental_dedup(spark, a, wd_legacy)
+    with pytest.raises(ValueError, match="legacy layout"):
+        compact_dedup_store(spark, wd_legacy)

@@ -554,18 +554,22 @@ def test_cli_dedup_pins_block_choice_per_workdir(tmp_path):
 
     from devcontainers_etl_node_spark.cli import _check_block_pin
 
+    import json
+
     wd = str(tmp_path / "wd")
     os.makedirs(wd)
-    # check passes but nothing is pinned until commit() — the failed-run
-    # path simply never calls commit()
+    # check writes only a write-ahead INTENT until commit() — the
+    # failed-run path never commits, and with no snapshot committed the
+    # next check discards the intent (r14: the intent also closes the
+    # kill window between snapshot commit and commit_pin)
     block, commit = _check_block_pin(wd, ["lang", "source"])
     assert block == ["lang", "source"]
-    assert not os.path.exists(os.path.join(wd, "_BLOCK.json"))
+    assert isinstance(json.load(open(os.path.join(wd, "_BLOCK.json"))), dict)
     # a "failed" first run: no commit — a different key is still allowed
     block2, commit2 = _check_block_pin(wd, ["lang"])
     assert block2 == ["lang"]
     commit2()  # the successful run pins ITS key
-    assert os.path.exists(os.path.join(wd, "_BLOCK.json"))
+    assert json.load(open(os.path.join(wd, "_BLOCK.json"))) == ["lang"]
     # same key re-checks fine; a different one now fails loudly
     _check_block_pin(wd, ["lang"])
     with pytest.raises(SystemExit, match="committed block key"):
@@ -594,10 +598,16 @@ def test_cli_dedup_failed_run_leaves_no_pin(spark, tmp_path):
     txlog.tx_write(docs, corpus)
     with pytest.raises(ValueError, match="pre-flight budget exceeded"):
         cli.main(["dedup", "--table", corpus, "--work", work])
-    assert not os.path.exists(os.path.join(work, "_BLOCK.json"))
+    # the failed run leaves at most an unpromoted write-ahead INTENT, not
+    # a pin: a later run with a different key is still allowed
+    import json
+
+    pin_path = os.path.join(work, "_BLOCK.json")
+    if os.path.exists(pin_path):
+        assert isinstance(json.load(open(pin_path)), dict)  # intent, not pin
     # informed opt-out now succeeds and pins the (unblocked) contract
     assert cli.main(["dedup", "--table", corpus, "--work", work, "--budget", "0"]) == 0
-    assert os.path.exists(os.path.join(work, "_BLOCK.json"))
+    assert json.load(open(pin_path)) == []
 
 
 def test_cli_curate_cross_block_recovery_flag(tmp_path, capsys):
@@ -648,7 +658,7 @@ def test_cli_dedup_bucketed_store_flags(spark, tmp_path, capsys):
     assert "snapshot v1 committed" in capsys.readouterr().err
     d = os.path.join(work, "sigs_b1")
     assert os.path.exists(os.path.join(d, "_SUCCESS"))
-    assert any(e.startswith("_bkt=") for e in os.listdir(d))
+    assert "_bkt" in spark.read.parquet(d).columns  # plain delta, bucket column
     assert not os.path.exists(os.path.join(work, "sigs_v1"))
 
     txlog.tx_write(

@@ -138,6 +138,19 @@ def main(n_hist: int, n_batch: int, bucketed: int | None = None, steps_only: boo
         f"  step1 build: wall {out1['wall']} s, v{out1['version']}, "
         f"{out1['n_pairs']} pairs", flush=True
     )
+    if bucketed:
+        # production shape: compact the corpus-sized build delta into the
+        # dir-partitioned base so later steps' verify prunes at listing time
+        from devcontainers_etl_node_spark.incremental import compact_dedup_store
+
+        t0 = time.perf_counter()
+        c = compact_dedup_store(spark, wd)
+        print(
+            f"  compact: {time.perf_counter() - t0:.1f} s — folded "
+            f"{c['folded_dirs']} dirs through v{c['compacted_through']} "
+            f"({c['sig_files']} sig + {c['shingle_files']} shingle files)",
+            flush=True,
+        )
 
     # ---- step 2: one ingest batch through the composition ----
     txlog.tx_write(docs.filter(part == k), root, mode="append")
@@ -147,19 +160,54 @@ def main(n_hist: int, n_batch: int, bucketed: int | None = None, steps_only: boo
         f"  step2 batch: wall {out2['wall']} s, v{out2['version']}, "
         f"{out2['n_pairs']} pairs", flush=True
     )
+    if bucketed and out2.get("stats"):
+        # verify-prune accounting: listing-level selected bytes — bucket
+        # dirs of the compacted base count only when selected; plain
+        # (post-compaction) deltas are scanned whole (row-skipped, but
+        # their bytes are read)
+        sel_buckets = set(out2["stats"]["cand_buckets"])
+        sel = tot = 0
+        for d in sorted(os.listdir(wd)):
+            if not (d.startswith("shingles_b") or d.startswith("shingles_c")):
+                continue
+            entries = os.listdir(os.path.join(wd, d))
+            if any(e.startswith("_bkt=") for e in entries):
+                for entry in entries:
+                    if not entry.startswith("_bkt="):
+                        continue
+                    b = _dir_bytes(os.path.join(wd, d, entry))
+                    tot += b
+                    if int(entry.split("=", 1)[1]) in sel_buckets:
+                        sel += b
+            else:
+                b = _dir_bytes(os.path.join(wd, d))
+                tot += b
+                sel += b
+        print(
+            f"  verify prune: {len(sel_buckets)}/{bucketed} buckets selected, "
+            f"{sel / 1e6:.1f}/{tot / 1e6:.1f} MB ({sel / max(tot, 1):.3f} of store)",
+            flush=True,
+        )
 
     # snapshot growth accounting (bucketed mode appends sig DELTAS, so v2
     # "size" is cumulative b1+b2 — the comparable on-disk footprint)
     if bucketed:
-        sig_bytes = {1: _dir_bytes(os.path.join(wd, "sigs_b1"))}
+        # after the post-build compaction v1 lives in the compacted base
+        base1 = os.path.join(wd, "sigs_c1")
+        sig_bytes = {
+            1: _dir_bytes(base1 if os.path.exists(base1) else os.path.join(wd, "sigs_b1"))
+        }
         sig_bytes[2] = sig_bytes[1] + _dir_bytes(os.path.join(wd, "sigs_b2"))
     else:
         sig_bytes = {
             v: _dir_bytes(os.path.join(wd, f"sigs_v{v}")) for v in (1, 2)
         }
-    shingle_bytes = {
-        v: _dir_bytes(os.path.join(wd, f"shingles_b{v}")) for v in (1, 2)
-    }
+    shingle_bytes = {}
+    for v in (1, 2):
+        d = os.path.join(wd, f"shingles_c{v}")
+        if not os.path.exists(d):
+            d = os.path.join(wd, f"shingles_b{v}")
+        shingle_bytes[v] = _dir_bytes(d)
     chars = docs.filter(part <= k).agg(F.sum(F.length("text"))).collect()[0][0]
     print(
         f"  snapshot: sigs v1 {sig_bytes[1]/1e6:.1f} MB -> v2 "
