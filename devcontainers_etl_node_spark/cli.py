@@ -461,6 +461,24 @@ def cmd_dedup_plan(args) -> int:
         g["partitioning"] = minhash_partition_plan(
             n, avg_doc_bytes=args.avg_doc_bytes
         )
+        if args.avg_doc_bytes:
+            # bucketed-store sizing (r14): the shingle store is ~2 B per
+            # corpus char on disk; bucket files must stay >=~64 MB for the
+            # compacted base's dir-prune to beat its own small-file
+            # overhead (measured: 4096 buckets on a 750 MB store made the
+            # pruned step 4x SLOWER than a plain scan), and prune
+            # selectivity is ~min(1, candidates/buckets) — so dir-prune
+            # pays once the store is >=~100 GB and grows with it
+            store_bytes = 2 * n * args.avg_doc_bytes
+            g["store_buckets"] = max(16, int(store_bytes // (64 << 20)))
+            print(
+                f"bucketed store: store_buckets={g['store_buckets']} "
+                f"(shingle store ~{store_bytes / 1e9:.1f} GB at ~2 B/char, "
+                f"~64 MB/bucket after compaction; dir-prune selectivity "
+                f"~min(1, candidates/buckets) — a >=100 GB-store feature, "
+                f"below that run plain deltas without compaction)",
+                file=sys.stderr,
+            )
         print(
             f"partitioning: set spark.sql.shuffle.partitions="
             f"{g['partitioning']['shuffle_partitions']} (~"

@@ -490,8 +490,11 @@ def compact_dedup_store(spark: SparkSession, workdir: str) -> dict:
             "version — compaction only applies to the bucketed delta layout"
         )
     base = committed.get("_compacted_through", 0)
-    if base >= cur or (base == 0 and cur <= 1):
-        # one delta (or just the base) — nothing to fold
+    if base >= cur:
+        # nothing newer than the base — nothing to fold. (A SINGLE delta
+        # is still worth folding: the corpus-sized build delta is plain,
+        # and compaction is what gives it the dir-partitioned layout the
+        # verify prune needs.)
         return {
             "compacted_through": base,
             "folded_dirs": 0,

@@ -476,6 +476,10 @@ def test_cli_dedup_plan_partition_sizing(capsys):
     assert g["partitioning"]["shuffle_partitions"] == 200
     assert g["partitioning"]["max_partition_bytes"] == 2048 * 20_000
     assert "spark.sql.shuffle.partitions=200" in err
+    # r14: --avg-doc-bytes also sizes the bucketed store (~64 MB bucket
+    # files after compaction: 2 B/char * 4e6 * 2048 / 64 MB = 244)
+    assert g["store_buckets"] == 244
+    assert "store_buckets=244" in err
     # r14 (verdict task 5): the blocking rule rides EVERY --docs
     # invocation, not just past-crossover refusals
     assert "family-consistent key" in err

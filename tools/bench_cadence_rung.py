@@ -138,9 +138,13 @@ def main(n_hist: int, n_batch: int, bucketed: int | None = None, steps_only: boo
         f"  step1 build: wall {out1['wall']} s, v{out1['version']}, "
         f"{out1['n_pairs']} pairs", flush=True
     )
-    if bucketed:
-        # production shape: compact the corpus-sized build delta into the
-        # dir-partitioned base so later steps' verify prunes at listing time
+    if bucketed and os.environ.get("CADENCE_COMPACT"):
+        # opt-in: compact the corpus-sized build delta into the
+        # dir-partitioned base. Measured at 1M/4096: the prune then reads
+        # 35% of store bytes but the 4096-small-file read overhead costs
+        # more than it saves (step 18.1 -> 76.5 s) — dir-prune with
+        # healthy >=64 MB bucket files is a >=100 GB-store feature, so at
+        # sandbox scale the plain layout is the honest configuration.
         from devcontainers_etl_node_spark.incremental import compact_dedup_store
 
         t0 = time.perf_counter()
