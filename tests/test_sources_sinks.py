@@ -503,13 +503,19 @@ def test_write_doc_store_bucket_derivation_id_type(spark, tmp_path):
     with pytest.raises(ValueError, match="type-sensitive"):
         minhash_slim_verify_sink(str_root, str(tmp_path / "out2"))
 
-    # pre-r14 manifests (no id_type) mean long: append still works
+    # pre-r14 manifests (no id_type): the ORIGINAL bucket rule is
+    # unknowable (an int-keyed store's rows sit in xxhash64(int)
+    # buckets), so appends REFUSE instead of assuming long and
+    # re-stamping a possibly mixed-derivation store as sound
     m.pop("id_type")
     json.dump(m, open(f"{int_root}/_STORE_MANIFEST.json", "w"))
-    write_doc_store(
-        spark.createDataFrame([(99, "late arrival")], "doc_id int, text string"),
-        int_root,
-        n_buckets=8,
-        mode="append",
-    )
-    assert spark.read.parquet(int_root).count() == 21
+    with pytest.raises(ValueError, match="pre-r14"):
+        write_doc_store(
+            spark.createDataFrame([(99, "late arrival")], "doc_id int, text string"),
+            int_root,
+            n_buckets=8,
+            mode="append",
+        )
+    # a rewrite re-buckets everything under the current layout
+    write_doc_store(int_docs, int_root, n_buckets=8, mode="overwrite")
+    assert json.load(open(f"{int_root}/_STORE_MANIFEST.json"))["id_type"] == "long"
