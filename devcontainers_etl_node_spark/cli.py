@@ -172,10 +172,26 @@ def _check_block_pin(workdir: str, block: list[str] | None):
     actually committed, and discards it otherwise (the same
     intent-vs-pointer resolution as the change-feed cursor). Without
     this, a kill in that window left a committed snapshot with NO pin,
-    and a later run could silently flip the contract."""
+    and a later run could silently flip the contract.
+
+    Promotion is deliberately narrow (r14 review fix #2): the intent
+    survives paths that commit NOTHING (a budget refusal, a no-new-data
+    return, a pre-join crash), and the CLI is not the only writer — a
+    pin-unaware ``run_incremental_dedup`` call can commit versions in
+    between. So an intent is promoted only when the pointer sits EXACTLY
+    at the version it named (``cur > for_version`` means foreign commits
+    drove the workdir past our crashed run — unknowable provenance,
+    discard), and, where the snapshot manifest records the block key as
+    a layout property (bucketed stores), only when that recorded key
+    agrees with the intent. A discarded intent is safe either way: the
+    next successful CLI run re-pins, and bucketed manifests enforce
+    their own key loudly (the manifest is authoritative; this pin is the
+    CLI's earlier, friendlier check and the only guard for the legacy
+    layout, where blocking is a per-query choice the manifest
+    deliberately does not record)."""
     import json as _json
 
-    from devcontainers_etl_node_spark.incremental import _read_current
+    from devcontainers_etl_node_spark.incremental import _MANIFEST, _read_current
 
     path = os.path.join(workdir, "_BLOCK.json")
     committed = None
@@ -183,9 +199,20 @@ def _check_block_pin(workdir: str, block: list[str] | None):
         with open(path) as f:
             raw = _json.load(f)
         if isinstance(raw, dict):
-            # leftover write-ahead intent: promoted iff its run committed
+            # leftover write-ahead intent: promoted iff its own run committed
             cur = _read_current(workdir)
-            if cur is not None and cur >= raw["for_version"]:
+            promote = cur is not None and cur == raw["for_version"]
+            if promote:
+                try:
+                    with open(os.path.join(workdir, _MANIFEST)) as f:
+                        manifest = _json.load(f)
+                except (OSError, ValueError):
+                    manifest = {}
+                if "block_cols" in manifest and (
+                    manifest["block_cols"] or []
+                ) != raw["key"]:
+                    promote = False  # committed by a run with another key
+            if promote:
                 committed = raw["key"]
                 with open(path, "w") as f:
                     _json.dump(committed, f)

@@ -259,10 +259,10 @@ def run_incremental_dedup(
             # listing)
             base = committed.get("_compacted_through", 0)
             existing_sigs = _union_dirs(
-                spark, workdir, _store_dirs(workdir, "sigs", base, cur), drop_bkt=True
+                spark, _store_dirs(workdir, "sigs", base, cur), drop_bkt=True
             )
             existing_shingles = _union_dirs(
-                spark, workdir, _store_dirs(workdir, "shingles", base, cur)
+                spark, _store_dirs(workdir, "shingles", base, cur)
             )
             if existing_sigs is None:
                 # degenerate: every committed batch was empty — behave as
@@ -298,6 +298,20 @@ def run_incremental_dedup(
         # block columns too
         existing_docs = new_docs.limit(0)
 
+    scope = None
+    if store_buckets and cur is not None:
+        # the sig-store union is consulted ~5x per step (id gate, census,
+        # band join, both est lookups) — and once more by the pre-r14
+        # n_hist fallback count just below, which is why the persist sits
+        # BEFORE the sizing block: cache the many-file store once for the
+        # whole step instead of re-listing and re-reading it per consumer,
+        # and drop the cache when the step scope exits (success OR refusal)
+        from contextlib import ExitStack
+        from pyspark import StorageLevel
+
+        existing_sigs = existing_sigs.persist(StorageLevel.MEMORY_AND_DISK)
+        scope = ExitStack()
+        scope.callback(existing_sigs.unpersist)
     if auto_partition:
         if n_hist is None:  # pre-r14 manifest: one count over ~128 B/doc rows
             n_hist = existing_sigs.count()
@@ -314,18 +328,17 @@ def run_incremental_dedup(
         n_total = n_hist + n_new
     else:
         geometry = _nullcontext()
-        n_total = None
-    if store_buckets and cur is not None:
-        # the sig-store union is consulted ~5x per step (id gate, census,
-        # band join, both est lookups); cache it for the step instead of
-        # re-listing and re-reading the many-file store each time, and
-        # drop the cache when the step scope exits (success OR refusal)
-        from contextlib import ExitStack
-        from pyspark import StorageLevel
-
-        existing_sigs = existing_sigs.persist(StorageLevel.MEMORY_AND_DISK)
-        scope = ExitStack()
-        scope.callback(existing_sigs.unpersist)
+        # keep the committed doc count honest even when the caller manages
+        # partitioning: a batch committed without refreshing ``_stats``
+        # would make every LATER auto_partition run size its plan from a
+        # count that silently excludes this batch — the undercount never
+        # self-heals and reproduces the geometry failure auto_partition
+        # exists to prevent. One column-pruned count of the batch pays for
+        # that; when n_hist itself is unknowable (pre-r14 manifest) leave
+        # ``_stats`` absent rather than commit a wrong number — the next
+        # auto run then falls back to counting the store.
+        n_total = (n_hist + new_docs.count()) if n_hist is not None else None
+    if scope is not None:
         scope.enter_context(geometry)
         geometry = scope
     step_stats: dict = {}
@@ -365,31 +378,33 @@ def run_incremental_dedup(
             # bucket hash string-casts the id so the value is
             # id-type-stable across batches (the verify-sink lesson) —
             # writer and prune share dd.store_bucket_expr byte-for-byte.
-            _bkt = dd.store_bucket_expr("_id", store_buckets)
-            merged_sigs.withColumn("_bkt", _bkt).write.mode("overwrite").parquet(
+            merged_sigs.withColumn(
+                "_bkt", dd.store_bucket_expr("_id", store_buckets)
+            ).write.mode("overwrite").parquet(
                 os.path.join(workdir, f"sigs_b{version}")
             )
-            dd.shingle_hash_rows(
+        else:
+            merged_sigs.write.mode("overwrite").parquet(os.path.join(workdir, f"sigs_v{version}"))
+        if store_buckets or persist_shingles:
+            # same-version commit as the sigs (coverage invariant), O(batch)
+            # write: only THIS batch's rows land, as the delta dir the next
+            # run's union reads. The batch is re-shingled once here — a
+            # batch-sized pass; the per-step save is corpus-side. Bucketed
+            # layout stamps the shared bucket column (writer == prune,
+            # byte-for-byte via dd.store_bucket_expr).
+            shingle_delta = dd.shingle_hash_rows(
                 new_docs.select(
                     F.col(id_col).alias("_id"), F.col(text_col).alias("_text")
                 ),
                 shingle_k,
-            ).withColumn("_bkt", _bkt).write.mode("overwrite").parquet(
+            )
+            if store_buckets:
+                shingle_delta = shingle_delta.withColumn(
+                    "_bkt", dd.store_bucket_expr("_id", store_buckets)
+                )
+            shingle_delta.write.mode("overwrite").parquet(
                 os.path.join(workdir, f"shingles_b{version}")
             )
-        else:
-            merged_sigs.write.mode("overwrite").parquet(os.path.join(workdir, f"sigs_v{version}"))
-            if persist_shingles:
-                # same-version commit as the sigs (coverage invariant), O(batch)
-                # write: only THIS batch's rows land, as the delta dir the next
-                # run's union reads. The batch is re-shingled once here — a
-                # batch-sized pass; the per-step save is corpus-side.
-                dd.shingle_hash_rows(
-                    new_docs.select(
-                        F.col(id_col).alias("_id"), F.col(text_col).alias("_text")
-                    ),
-                    shingle_k,
-                ).write.mode("overwrite").parquet(os.path.join(workdir, f"shingles_b{version}"))
         release()
         pairs.write.mode("overwrite").parquet(os.path.join(workdir, "pairs", f"run_{version}"))
     if n_total is not None:
@@ -424,7 +439,7 @@ def _has_parquet(d: str) -> bool:
 
 
 def _union_dirs(
-    spark: SparkSession, workdir: str, dirs: list[str], drop_bkt: bool = False
+    spark: SparkSession, dirs: list[str], drop_bkt: bool = False
 ) -> DataFrame:
     """Union of store dirs as PER-DIR reads (each dir is its own
     ``_bkt``-partitioned root — multi-path partition discovery is not
@@ -505,7 +520,7 @@ def compact_dedup_store(spark: SparkSession, workdir: str) -> dict:
     counts = {}
     for kind in ("sigs", "shingles"):
         live = _store_dirs(workdir, kind, base, cur)
-        union = _union_dirs(spark, workdir, live)
+        union = _union_dirs(spark, live)
         dst = os.path.join(workdir, f"{kind}_c{cur}")
         if union is None:  # degenerate: every batch was empty
             os.makedirs(dst, exist_ok=True)

@@ -281,9 +281,21 @@ def minhash_slim_verify_sink(
     # never derive, so the prune would silently select wrong buckets and
     # the verify join would emit zero pairs. write_doc_store casts
     # integral ids to long and records the type; refuse everything else
-    # at construction. Absent key = pre-r14 manifest = long (the only
-    # type whose hashes ever agreed with this sink).
-    store_id_type = manifest.get("id_type", "long")
+    # at construction. An ABSENT key means a pre-r14 manifest whose
+    # original id type is unknowable (write_doc_store then hashed the
+    # raw column): assuming long would let an int-keyed store pass and
+    # mis-prune silently — refuse it like the append path does
+    # (sinks/files.py write_doc_store).
+    store_id_type = manifest.get("id_type")
+    if store_id_type is None:
+        raise ValueError(
+            f"doc store at {store_root} predates the id_type layout "
+            f"manifest (pre-r14): its bucket derivation cannot be "
+            f"verified against this sink's long-keyed candidates, so the "
+            f"prune could silently select wrong buckets — rewrite the "
+            f"store with write_doc_store(mode='overwrite') to re-bucket "
+            f"under the current layout"
+        )
     if store_id_type != "long":
         raise ValueError(
             f"doc store at {store_root} is keyed by {store_id_type} ids; "
@@ -472,6 +484,17 @@ def streaming_minhash_neardup_pairs(
     candidate buckets instead of scanning the corpus. Slim and full
     modes have DIFFERENT state schemas — never flip ``doc_store`` on an
     existing checkpoint (see the geometry note below; same rule).
+
+    DEADLINE CAVEAT (measured at the r14 1M rung): the planner broadcasts
+    the small CANDIDATE side of the verify join, which nests the whole
+    stateful band aggregation inside the broadcast build — so
+    ``spark.sql.broadcastTimeout`` (default 300 s) becomes a per-batch
+    deadline on the stateful stage itself. A micro-batch whose state work
+    exceeds it kills the QUERY (measured: 1M-doc rung under concurrent
+    load), not just a join. Raise the timeout for large horizons, or use
+    ``slim_candidates`` + ``minhash_slim_verify_sink`` (the production
+    path), whose foreachBatch verify materializes candidates FIRST and
+    carries no such deadline.
 
     CHECKPOINT COMPATIBILITY (r12 release note): ``num_hashes``/``bands``
     are part of the CHECKPOINT contract, not just the output contract —

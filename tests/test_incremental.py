@@ -618,6 +618,46 @@ def test_incremental_auto_partition_opt_out(spark, tmp_path, monkeypatch):
     assert out["version"] == 1
 
 
+def test_manual_partition_batches_keep_stats_honest(spark, tmp_path, monkeypatch):
+    """r14 review fix: a batch committed with ``auto_partition=False``
+    must still advance the manifest's ``_stats.n_docs`` — otherwise every
+    LATER auto_partition run sizes its plan from a count that silently
+    excludes the manual batches, and the undercount never self-heals
+    (reproducing at scale the geometry failure auto_partition prevents).
+    When the history size is unknowable (pre-r14 manifest), the manual
+    run must leave ``_stats`` ABSENT rather than commit a wrong number."""
+    import json
+
+    from devcontainers_etl_node_spark.operators import dedup as dd
+
+    wd = str(tmp_path / "wd")
+    a, b = _corpus_a(spark), _corpus_b(spark)
+    run_incremental_dedup(spark, a, wd)  # auto run: _stats = 10
+    mpath = os.path.join(wd, "_MANIFEST.json")
+    assert json.load(open(mpath))["_stats"] == {"n_docs": 10}
+
+    def boom(*args, **kw):
+        raise AssertionError("applied_partition_plan must not be called")
+
+    monkeypatch.setattr(dd, "applied_partition_plan", boom)
+    run_incremental_dedup(spark, b, wd, old_docs=a, auto_partition=False)
+    assert json.load(open(mpath))["_stats"] == {"n_docs": 13}
+
+    # pre-r14 manifest (no _stats): the manual run leaves it absent —
+    # the next auto run falls back to counting the store
+    m = json.load(open(mpath))
+    del m["_stats"]
+    json.dump(m, open(mpath, "w"))
+    c = spark.createDataFrame(
+        [(201, "entirely new closing batch text one"), (202, "entirely new closing batch text two")],
+        ["doc_id", "text"],
+    )
+    run_incremental_dedup(
+        spark, c, wd, old_docs=a.unionByName(b), auto_partition=False
+    )
+    assert "_stats" not in json.load(open(mpath))
+
+
 # ---------------------------------------------------------------------------
 # Bucketed store layout (r14: store_buckets)
 # ---------------------------------------------------------------------------

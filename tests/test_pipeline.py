@@ -582,6 +582,60 @@ def test_cli_dedup_pins_block_choice_per_workdir(tmp_path):
         _check_block_pin(wd, None)
 
 
+def test_cli_block_pin_intent_promotion_is_narrow(tmp_path):
+    """r14 review fix: a leftover write-ahead intent is promoted only
+    when the snapshot pointer sits EXACTLY at the version the intent
+    named AND, where the manifest records the block key as a layout
+    property (bucketed stores), the committed key agrees. A pin-unaware
+    library run (`run_incremental_dedup` directly) that commits versions
+    after a refused/crashed CLI run must not inherit the stale key as a
+    pin the committed history was never built with."""
+    import json
+    import os
+
+    from devcontainers_etl_node_spark.cli import _check_block_pin
+    from devcontainers_etl_node_spark.incremental import _commit_current
+
+    # 1) foreign commits drove the pointer PAST the intent's version:
+    # the intent's provenance is unknowable — discard, don't promote
+    wd = str(tmp_path / "past")
+    os.makedirs(wd)
+    pin = os.path.join(wd, "_BLOCK.json")
+    with open(pin, "w") as f:
+        json.dump({"key": ["lang"], "for_version": 1}, f)
+    _commit_current(wd, 2)
+    block, _commit = _check_block_pin(wd, ["lang", "source"])
+    assert block == ["lang", "source"]  # not refused: stale intent gone
+    assert isinstance(json.load(open(pin)), dict)  # fresh intent, no pin
+
+    # 2) pointer at the intent's exact version, but the bucketed
+    # manifest records a DIFFERENT committed key: discard
+    wd2 = str(tmp_path / "mismatch")
+    os.makedirs(wd2)
+    pin2 = os.path.join(wd2, "_BLOCK.json")
+    with open(pin2, "w") as f:
+        json.dump({"key": ["lang"], "for_version": 1}, f)
+    _commit_current(wd2, 1)
+    with open(os.path.join(wd2, "_MANIFEST.json"), "w") as f:
+        json.dump({"store_buckets": 8, "block_cols": ["source"]}, f)
+    block2, _commit2 = _check_block_pin(wd2, ["source"])
+    assert block2 == ["source"]  # the manifest's key passes
+
+    # 3) the genuine kill-window case still promotes: pointer exactly at
+    # the intent's version, manifest agrees (or is legacy/silent)
+    wd3 = str(tmp_path / "promote")
+    os.makedirs(wd3)
+    pin3 = os.path.join(wd3, "_BLOCK.json")
+    with open(pin3, "w") as f:
+        json.dump({"key": ["lang"], "for_version": 1}, f)
+    _commit_current(wd3, 1)
+    import pytest
+
+    with pytest.raises(SystemExit, match="committed block key"):
+        _check_block_pin(wd3, ["source"])
+    assert json.load(open(pin3)) == ["lang"]  # promoted to a plain pin
+
+
 def test_cli_dedup_failed_run_leaves_no_pin(spark, tmp_path):
     """r14 advice fix, CLI-level: a budget-gate refusal must not pin the
     block key — the workdir stays uncommitted, and a later informed run

@@ -516,6 +516,11 @@ def test_write_doc_store_bucket_derivation_id_type(spark, tmp_path):
             n_buckets=8,
             mode="append",
         )
+    # ...and the READ path refuses it too (r14 review fix): assuming
+    # long would let an int-keyed pre-r14 store pass construction and
+    # silently prune the wrong buckets — zero pairs, no error
+    with pytest.raises(ValueError, match="pre-r14"):
+        minhash_slim_verify_sink(int_root, str(tmp_path / "out3"))
     # a rewrite re-buckets everything under the current layout
     write_doc_store(int_docs, int_root, n_buckets=8, mode="overwrite")
     assert json.load(open(f"{int_root}/_STORE_MANIFEST.json"))["id_type"] == "long"
