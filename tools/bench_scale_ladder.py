@@ -286,6 +286,13 @@ def run_streaming_state(sizes: list[int], batches: int = 10, modes: tuple = ("fu
     )
 
     spark = get_spark()
+    # the inline slim verify broadcasts the CANDIDATE side, nesting the
+    # whole stateful stage inside the broadcast-build deadline (default
+    # 300 s) — at the 1M rung a loaded box exceeded it and the QUERY died
+    # (operator docstring's deadline caveat). The rung measures state
+    # size, not a deadline: raise it for the run, restore after.
+    orig_bt = spark.conf.get("spark.sql.broadcastTimeout", "300")
+    spark.conf.set("spark.sql.broadcastTimeout", "3600")
     print(f"# streaming-state start loadavg={os.getloadavg()[0]:.2f} batches={batches}")
     print("| docs | mode | horizon docs | peak state rows | peak state MB | KB/horizon-doc | rows removed | pairs | wall |")
     print("|---|---|---|---|---|---|---|---|---|")
@@ -357,6 +364,7 @@ def run_streaming_state(sizes: list[int], batches: int = 10, modes: tuple = ("fu
                 f"{removed} | {pairs} | {wall} s |",
                 flush=True,
             )
+    spark.conf.set("spark.sql.broadcastTimeout", orig_bt)
 
 
 def _b100_col():
