@@ -578,13 +578,26 @@ def minhash_lsh_pairs(
     # xxhash64(seed, h) seed-chained form is DEGENERATE — 4x the candidate
     # collisions — the seed must be spread into the input bits, not chained
     # through the hash state. See PERF.md.)
-    # Persisted: read twice (signature agg + the verify-stage semi-join);
-    # 16 B/row hashed longs, disk-backed, strictly cheaper than recompute.
-    shingle_rows = shingle_hash_rows(base, shingle_k).persist(StorageLevel.MEMORY_AND_DISK)
-    # The signature table is read 3x downstream (band self-join x2, est-
-    # prune). It is tiny — num_hashes longs per doc (~128 B/doc, ~1.3 GB
-    # per 10M docs) — so persist it instead of recomputing the explode+agg
-    # lineage each time; disk-backed so it spills, never OOMs.
+    #
+    # r14 job-structure rework (guide §1.2/§2.4; measured jobs 24 -> 10 at
+    # sf0.1 with an identical pair set): the pre-r14 operator persisted
+    # shingle_rows, sig and cand and pinned each with an eager count —
+    # three sequential cache-materialization actions per call. Within ONE
+    # action Spark's exchange/stage reuse already computes each repeated
+    # subtree once (the sig exchange feeds band a/b + est a/b; the cand
+    # dropDuplicates exchange feeds the verify join + both cand_ids arms),
+    # so the ungated path now runs as a single lazy DAG ending at the
+    # localCheckpoint — no persists at all. The verify stage re-derives
+    # candidate shingles from the DOC table after a semi-join on the
+    # candidate ids (below), so the corpus-wide exploded shingle table
+    # never needs to be cached: its only remaining consumer is the
+    # signature aggregate. Caches remain ONLY where a SECOND action must
+    # reuse the signatures (the census gate / recovery pass): shuffle
+    # stages are never reused across actions, and a lazily-persisted
+    # frame first touched by a multi-branch AQE action was measured
+    # pathological (66 jobs vs 10 — plans/r14 experiment), so the cache
+    # is pinned with one eager count exactly as before.
+    shingle_rows = shingle_hash_rows(base, shingle_k)
     sig = minhash_signature_table(shingle_rows, num_hashes)
     key_cols: tuple = ()
     if block_cols:
@@ -601,45 +614,42 @@ def minhash_lsh_pairs(
         )
         sig = sig.join(blk, "_id")
         key_cols = ("_blk",)
-    sig = sig.persist(StorageLevel.MEMORY_AND_DISK)
-    # eager materialization: the self-join scans sig concurrently, and two
-    # stages racing on a cold cache each compute the full lineage. One
-    # count() pins the cache before fan-out (this op is terminal anyway).
-    n_docs = sig.count()
 
-    if max_collisions_per_doc is not None:
+    gated = max_collisions_per_doc is not None
+    multi_action = gated or cross_block_recovery
+    if cross_block_recovery:
+        # the recovery pass re-reads the full-corpus shingle table across
+        # its own actions (rep signatures + exact verify) — cache it; the
+        # sig count below materializes it linearly (single consumer chain)
+        shingle_rows = shingle_rows.persist(StorageLevel.MEMORY_AND_DISK)
+    if multi_action:
+        # the census (and the recovery pass) are separate actions that
+        # re-read the signatures — cache them; the count pins the cache
+        # before any multi-branch consumer (see rework note above) and
+        # is the n_docs the budget compares against.
+        sig = sig.persist(StorageLevel.MEMORY_AND_DISK)
+        n_docs = sig.count()
+
+    if gated:
         census = minhash_candidate_census(
             banded_signatures(sig, num_hashes, bands, key_cols), key_cols
         )
         if n_docs and census["raw_band_collisions"] > max_collisions_per_doc * n_docs:
-            for cached in (shingle_rows, sig):
-                cached.unpersist()
+            if cross_block_recovery:
+                shingle_rows.unpersist()
+            sig.unpersist()
             raise _minhash_budget_error(
                 census, n_docs, max_collisions_per_doc, threshold, bool(block_cols)
             )
 
     cand = band_candidate_pairs(sig, num_hashes=num_hashes, bands=bands, key_cols=key_cols)
     cand = _est_prune_candidates(cand, sig, num_hashes, bands, threshold)
-    # the (pruned) pair list feeds three consumers (verify output + both
-    # arms of the cand_ids union); it is 2 longs/pair — persist it rather
-    # than re-running the band self-join (+ est joins) per consumer.
-    cand = cand.persist(StorageLevel.MEMORY_AND_DISK)
-    cand.count()
-
-    verified = _exact_jaccard_verify(cand, shingle_rows, threshold)
-    # Materialize the (small) verified pair list, then RELEASE the three
-    # persisted intermediates — without this, repeated calls in one
-    # session (neardup_docs, pretrain_prep, gate sweeps) accumulate
-    # cached shingle/signature data indefinitely. localCheckpoint also
-    # truncates the lineage, so callers that embed this result in a
-    # bigger DAG (pretrain_prep) don't drag the whole LSH plan along.
+    verified = _exact_jaccard_verify_from_base(cand, base, shingle_k, threshold)
+    # Materialize the (small) verified pair list in ONE action.
+    # localCheckpoint also truncates the lineage, so callers that embed
+    # this result in a bigger DAG (pretrain_prep) don't drag the whole
+    # LSH plan along.
     out = verified.localCheckpoint(eager=True)
-    # the recovery pass re-reads the full-corpus shingle table (its rep
-    # signatures + exact verify) — keep it persisted and THREAD it through
-    # (r12 advice: recomputing it was a second complete corpus scan +
-    # shingle pass per call); everything else releases now.
-    for cached in (sig, cand):
-        cached.unpersist()
     try:
         if cross_block_recovery:
             recovered = minhash_crossblock_recovery(
@@ -656,7 +666,10 @@ def minhash_lsh_pairs(
             )
             out = out.unionByName(recovered).localCheckpoint(eager=True)
     finally:
-        shingle_rows.unpersist()
+        if cross_block_recovery:
+            shingle_rows.unpersist()
+        if multi_action:
+            sig.unpersist()
     return out
 
 
@@ -717,6 +730,43 @@ def _exact_jaccard_verify(
     sh = (
         shingle_rows.join(cand_ids, "_id", "left_semi")
         .groupBy("_id")
+        .agg(F.collect_set("_h").alias("_sh"))
+        .select("_id", "_sh", F.size("_sh").alias("_n"))
+    )
+    n_int = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b"))).cast("double")
+    return (
+        cand.join(
+            sh.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a"), F.col("_n").alias("na")),
+            "id_a",
+        )
+        .join(
+            sh.select(F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b"), F.col("_n").alias("nb")),
+            "id_b",
+        )
+        .withColumn("jaccard_sim", n_int / (F.col("na") + F.col("nb") - n_int))
+        .filter(F.col("jaccard_sim") >= threshold)
+        .select("id_a", "id_b", "jaccard_sim")
+    )
+
+
+def _exact_jaccard_verify_from_base(
+    cand: DataFrame, base: DataFrame, shingle_k: int, threshold: float
+) -> DataFrame:
+    """Exact shingle-set Jaccard over a candidate pair list, re-deriving
+    shingles from the DOC table (``base``: (_id, _text)) after a semi-join
+    down to the candidate ids — the r14 verify shape for the batch
+    operator. The semi-join runs BELOW the shingle explode, so the
+    explode+hash work is candidate-proportional at any corpus size, and
+    the corpus-wide exploded shingle table (~2 B per corpus char — larger
+    than the text itself) never needs to be persisted for the verify's
+    sake. Values are identical to :func:`_exact_jaccard_verify` over a
+    full shingle table: the semi-join commutes with the per-doc explode,
+    and the set intersect/union arithmetic is unchanged.
+    """
+    cand_ids = cand.select(F.col("id_a").alias("_id")).union(cand.select(F.col("id_b"))).distinct()
+    cand_shingles = shingle_hash_rows(base.join(cand_ids, "_id", "left_semi"), shingle_k)
+    sh = (
+        cand_shingles.groupBy("_id")
         .agg(F.collect_set("_h").alias("_sh"))
         .select("_id", "_sh", F.size("_sh").alias("_n"))
     )
@@ -1004,6 +1054,12 @@ def minhash_incremental_pairs(
     )
     new_shingles = shingle_hash_rows(new_base, shingle_k).persist(StorageLevel.MEMORY_AND_DISK)
     new_sigs = minhash_signature_table(new_shingles, num_hashes).persist(StorageLevel.MEMORY_AND_DISK)
+    # the count materializes BOTH caches fully before any multi-branch
+    # consumer (the id gate's limit(5) alone would fill them partially —
+    # LocalLimit short-circuits — and a partially-filled cache under a
+    # multi-branch AQE action is the measured lazy-persist pathology,
+    # plans/r14 experiment); the signing work itself is paid exactly once
+    # wherever the first action lands, so this pin is placement, not cost.
     n_new = new_sigs.count()
 
     # id-disjointness gate (one semi-join over the compact sig table —
@@ -1152,8 +1208,16 @@ def minhash_incremental_pairs(
             .filter(est >= est_cut)
             .select("id_a", "id_b")
         )
-    cand = cand.persist(StorageLevel.MEMORY_AND_DISK)
-    cand.count()
+    # r14: the candidate list needs an eager pin ONLY when a separate
+    # action reads it before the verify (the bucketed-store path collects
+    # the candidate bucket list below — shuffle stages are never reused
+    # across actions). Otherwise the verify is ONE action and exchange
+    # reuse computes the band join / est joins once (jobs measured down
+    # with an identical pair set — plans/r14 experiment).
+    cand_pinned = bool(store_buckets)
+    if cand_pinned:
+        cand = cand.persist(StorageLevel.MEMORY_AND_DISK)
+        cand.count()
 
     # exact verify: shingle sets for candidate docs only — new side from
     # the already-persisted new shingle rows, old side re-shingled from
@@ -1194,22 +1258,19 @@ def minhash_incremental_pairs(
         old_cand_shingles = shingle_hash_rows(
             old_base.join(cand_ids, "_id", "left_semi"), shingle_k
         )
-    # persisted: `sh` feeds BOTH sides of the verify join, and unlike the
-    # batch operator's verify (whose source is the already-persisted
-    # shingle table) each evaluation here re-derives the OLD side's
-    # shingles from text — the cadence contract (production persists
-    # signatures, never shingles). One count() pins it so the text
-    # re-derivation runs once, not twice (r12: measured ~1 s of the
-    # ~5 s warm step at sf0.1).
+    # `sh` feeds BOTH sides of the verify join; its groupBy exchange is
+    # reused within the single verify action (r14 — the former eager
+    # persist+count pinned it across what used to be TWO actions, the
+    # cand.count plus the checkpoint; with the candidate pin gone the
+    # whole verify is one action and the old-side text re-derivation
+    # runs once via exchange reuse, measured below in PERF/minibench).
     sh = (
         new_shingles.join(cand_ids, "_id", "left_semi")
         .unionByName(old_cand_shingles)
         .groupBy("_id")
         .agg(F.collect_set("_h").alias("_sh"))
         .select("_id", "_sh", F.size("_sh").alias("_n"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    sh.count()
     n_int = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b"))).cast("double")
     verified = (
         cand.join(
@@ -1233,8 +1294,9 @@ def minhash_incremental_pairs(
         # merged_sigs reuses the CACHED batch signatures — the snapshot write
         # replays the cache, not the shingle+sign pipeline (sign once, ever).
         merged_sigs = existing_sigs.select("_id", "_sig").unionByName(new_sigs)
-    for cached in (new_shingles, cand, sh):
-        cached.unpersist()
+    new_shingles.unpersist()
+    if cand_pinned:
+        cand.unpersist()
 
     def release() -> None:
         new_sigs.unpersist()

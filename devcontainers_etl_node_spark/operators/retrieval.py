@@ -86,17 +86,47 @@ def bm25_topk(
     integer-micros fixed point makes the sum order-insensitive and the
     result hashable against a SQL oracle bit-for-bit.
 
-    Plan shape: postings built once (one corpus shuffle); N/avgdl is a
-    one-row aggregate (bounded broadcast scalar); the query set is a
-    literal local relation (broadcast); df per term is computed AFTER the
-    postings are semi-joined down to query terms — identical to global df
-    for those terms, but the groupBy runs over matching postings only.
+    Plan shape (r14 rework — the pre-r14 form built full-corpus postings
+    FOUR times: the physical plan scanned + exploded + aggregated the
+    whole corpus once each for dl, corpus stats, df and the matched
+    postings, with two corpus-sized exchanges; guide §2.3/§2.4):
+
+    - doc length is computed MAP-SIDE as ``size(split(text))`` — by
+      definition equal to ``SUM(tf)`` over the doc's postings — and rides
+      the same tokenize pass as the postings, so the full-postings
+      ``groupBy(doc_id)`` shuffle disappears;
+    - the query vocabulary is a literal ``isin`` filter applied to the
+      exploded tokens BEFORE the postings aggregation (identical to the
+      former inner-join against the distinct query terms), so the one
+      postings exchange carries only query-term rows at any corpus size;
+    - corpus stats (N, avgdl) are a one-row map-side aggregate over the
+      docs (no postings needed).
+
+    Two corpus tokenize passes total (matched postings + stats), zero
+    corpus-sized exchanges; df per term still counts the FULL corpus's
+    matching postings (the filter precedes the per-(doc,term) groupBy,
+    not the df count), so scores are unchanged.
     """
     spark = df.sparkSession
     qdf = _query_df(spark, query_terms)
-    post = postings(df, text_col, id_col)
-    dl = post.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
-    return _score_topk(post, qdf, dl, k=k, k1=k1, b=b)
+    vocab = sorted({t for _, terms in query_terms for t in terms})
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    matched_toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(toks).cast("long").alias("dl"),
+        F.explode(toks).alias("term"),
+    ).filter(F.col("term").isin(vocab))
+    # unique per (doc, term) like postings(); max(dl) is a constant pick
+    post = matched_toks.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("tf"), F.max("dl").alias("dl")
+    )
+    # N/avgdl must cover every doc with >=1 token (explode drops null
+    # texts, so a null-text doc never reaches dl in the postings form —
+    # mirror that with an IS NOT NULL filter)
+    stats_src = df.filter(F.col(text_col).isNotNull()).select(
+        F.size(toks).cast("long").alias("dl")
+    )
+    return _score_topk(post, qdf, stats_src, k=k, k1=k1, b=b, dl_in_post=True)
 
 
 def _query_df(spark, query_terms: list[tuple[int, list[str]]]) -> DataFrame:
@@ -111,11 +141,17 @@ def _score_topk(
     k: int,
     k1: float,
     b: float,
+    dl_in_post: bool = False,
 ) -> DataFrame:
     """The BM25 scoring/ranking tail shared by the direct and the
     index-backed paths: ``post`` is (doc_id, term, tf) — unique per
     (doc, term) — and ``dl`` is (doc_id, dl) covering EVERY corpus doc
-    (corpus stats must not depend on which terms are queried)."""
+    (corpus stats must not depend on which terms are queried).
+
+    ``dl_in_post`` (r14): the direct path derives dl map-side and carries
+    it ON the postings rows; ``dl`` is then only the stats source (any
+    frame with a ``dl`` column covering every tokenizable doc) and the
+    per-doc dl join disappears."""
     stats = dl.agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         (F.sum("dl").cast("double") / F.count(F.lit(1)).cast("double")).alias("avgdl"),
@@ -125,17 +161,27 @@ def _score_topk(
     # df over the surviving postings equals global df for those terms
     # (postings are unique per (doc, term), so a plain count IS the doc
     # freq), and computing it before the query join keeps it correct even
-    # when two queries share a term.
-    qterms = qdf.select("term").distinct()
-    relevant = post.join(F.broadcast(qterms), "term")
+    # when two queries share a term. (r14 note: a count-window form of df
+    # was measured and rejected — it serializes the plan behind an extra
+    # sort+window barrier, +0.45 s at sf0.1; the groupBy branch below
+    # runs in parallel with the matched branch and, in the direct path,
+    # consumes the already-vocab-filtered postings, so no corpus-sized
+    # subtree is duplicated either way.)
+    if dl_in_post:
+        # direct path: post arrives already restricted to the query
+        # vocabulary (the literal isin filter) — the qterms semi-join
+        # would be a no-op stage
+        relevant = post
+    else:
+        qterms = qdf.select("term").distinct()
+        relevant = post.join(F.broadcast(qterms), "term")
     dfreq = relevant.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
     matched = relevant.join(F.broadcast(qdf), "term")
 
-    scored = (
-        matched.join(F.broadcast(dfreq), "term")
-        .join(dl, "doc_id")
-        .crossJoin(F.broadcast(stats))
-    )
+    scored = matched.join(F.broadcast(dfreq), "term")
+    if not dl_in_post:
+        scored = scored.join(dl, "doc_id")
+    scored = scored.crossJoin(F.broadcast(stats))
     idf_odds = ((F.col("n_docs") - F.col("df")).cast("double") + F.lit(0.5)) / (
         F.col("df").cast("double") + F.lit(0.5)
     )

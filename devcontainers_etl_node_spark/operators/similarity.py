@@ -339,22 +339,23 @@ def pq_topk(
     import pandas as pd
     from pyspark.sql import types as T
 
-    dim_row = corpus.select(F.size(vec_col).alias("d")).first()
-    if dim_row is None:
-        raise ValueError(
-            "pq_topk: the corpus is empty — PQ codebooks cannot be trained "
-            "on nothing (a raw NoneType error here would hide the cause)"
-        )
-    dim = dim_row["d"]
-    sub = dim // m
-
     c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
 
     # --- codebook training: bounded-sample collect + numpy Lloyd ---
+    # r14: the vector dimension comes from the training sample itself —
+    # the former one-row `first()` probe was a whole extra Spark job per
+    # call for a number the sample already carries.
     train_src = c.sample(fraction=train_fraction, seed=seed) if train_fraction else c
     train_pdf = train_src.select("c_vec").limit(max_train_rows).toPandas()
+    if len(train_pdf) == 0:
+        raise ValueError(
+            "pq_topk: the corpus is empty — PQ codebooks cannot be trained "
+            "on nothing (a raw NoneType error here would hide the cause)"
+        )
     X_full = np.asarray(train_pdf["c_vec"].tolist(), dtype=np.float64)
+    dim = X_full.shape[1]
+    sub = dim // m
     rng = np.random.default_rng(seed)
     codebooks = np.empty((m, n_codes, sub), dtype=np.float64)
     for j in range(m):

@@ -489,6 +489,25 @@ def winnow_fingerprints(
         F.col(id_col).alias("doc_id"),
         F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " ")).alias("t"),
     ).filter(F.length("t") >= k)
+    # r14 (guide §8): satisfy the window's hashpartitioning(doc_id)
+    # requirement BEFORE the per-character explode, so the one exchange
+    # carries each doc ONCE (~1 byte/char) instead of one 41-byte sort
+    # key per char (~50x the bytes). Generate preserves partitioning, so
+    # the window adds no second exchange — only its per-partition sort,
+    # which the shuffle previously paid anyway. The partition count is
+    # EXPLICIT (the session's shuffle-partition knob — the same count the
+    # pre-r14 exploded exchange used): a bare repartition("doc_id") is
+    # AQE-coalesced by the tiny DOC bytes it can see, not the ~50x
+    # post-explode volume it cannot, and the measured result was the
+    # whole md5+window stage serialized onto ~3 tasks (5.4 s vs 0.95 s —
+    # plans/r14 winnow experiment; output pinned identical). A map-side
+    # array formulation (transform + least-of-w, zero exchanges) was
+    # also measured and is a 12 s dead end: interpreted lambdas, no
+    # codegen. Per-task post-explode volume scales exactly like the
+    # pre-r14 plan's, so the cluster sizing story is unchanged.
+    norm = norm.repartition(
+        int(df.sparkSession.conf.get("spark.sql.shuffle.partitions")), "doc_id"
+    )
     pos = norm.select(
         "doc_id",
         "t",
