@@ -624,10 +624,17 @@ def minhash_lsh_pairs(
         shingle_rows = shingle_rows.persist(StorageLevel.MEMORY_AND_DISK)
     if multi_action:
         # the census (and the recovery pass) are separate actions that
-        # re-read the signatures — cache them; the count pins the cache
-        # before any multi-branch consumer (see rework note above) and
-        # is the n_docs the budget compares against.
-        sig = sig.persist(StorageLevel.MEMORY_AND_DISK)
+        # re-read the signatures — pin them. The pin is an EAGER
+        # localCheckpoint, not persist+count: a persisted
+        # InMemoryRelation canonicalizes per consumer, so the main
+        # action's repeated sig subtrees (band self-join a/b, est-prune
+        # x2) lose ReusedExchange and the band join replicates —
+        # measured at the 120k-doc gated rung
+        # (tools/exp_minhash_gated_r14.py, identical 36 587-pair
+        # output): persist pin 42.8-47.4 s / 55 jobs, checkpoint pin
+        # 16.6 s / 18 jobs. The count is then a cheap checkpointed
+        # count and is the n_docs the budget compares against.
+        sig = sig.localCheckpoint(eager=True)
         n_docs = sig.count()
 
     if gated:
@@ -637,7 +644,7 @@ def minhash_lsh_pairs(
         if n_docs and census["raw_band_collisions"] > max_collisions_per_doc * n_docs:
             if cross_block_recovery:
                 shingle_rows.unpersist()
-            sig.unpersist()
+            # sig's checkpoint blocks release via GC/ContextCleaner
             raise _minhash_budget_error(
                 census, n_docs, max_collisions_per_doc, threshold, bool(block_cols)
             )
@@ -668,8 +675,8 @@ def minhash_lsh_pairs(
     finally:
         if cross_block_recovery:
             shingle_rows.unpersist()
-        if multi_action:
-            sig.unpersist()
+        # sig's checkpoint blocks (multi_action) release via GC once the
+        # local ref drops — nothing to unpersist
     return out
 
 
@@ -866,24 +873,30 @@ def minhash_crossblock_recovery(
     # searchable — a cross-block family can be all-singletons under
     # blocking, e.g. a 2-member family split across two blocks)
     cc = connected_components_star(blocked_pairs.select("id_a", "id_b"))
+    # r14: cross-action pins are eager localCheckpoints, not persists —
+    # the same ReusedExchange-canonicalization finding as the main
+    # operator (tools/exp_minhash_gated_r14.py: checkpoint pin 2.6-2.9x
+    # faster, 55 -> 18 jobs); membership feeds reps here plus BOTH
+    # expansion arms of the candidate action, sig feeds the band
+    # self-join + est-prune.
     membership = (
         base.select("_id")
         .join(cc.withColumnRenamed("node", "_id"), "_id", "left")
         .select("_id", F.coalesce("component", F.col("_id")).alias("_rep"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(eager=True)
     )
     reps = membership.select(F.col("_rep").alias("_id")).distinct()
 
     sig = minhash_signature_table(
         shingle_rows.join(reps, "_id", "left_semi"), num_hashes
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ).localCheckpoint(eager=True)
     n_reps = sig.count()
 
     if max_collisions_per_doc is not None:
         census = minhash_candidate_census(banded_signatures(sig, num_hashes, bands))
         if n_reps and census["raw_band_collisions"] > max_collisions_per_doc * n_reps:
-            for cached in ([shingle_rows] if owns_shingles else []) + [membership, sig]:
-                cached.unpersist()
+            if owns_shingles:
+                shingle_rows.unpersist()
             raise _minhash_budget_error(
                 census, n_reps, max_collisions_per_doc, threshold, blocked=False
             )
@@ -907,13 +920,12 @@ def minhash_crossblock_recovery(
         .filter(F.col("id_a") != F.col("id_b"))
         .dropDuplicates(["id_a", "id_b"])
         .join(blocked_pairs.select("id_a", "id_b"), ["id_a", "id_b"], "left_anti")
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(eager=True)
     )
-    cand.count()
 
     out = _exact_jaccard_verify(cand, shingle_rows, threshold).localCheckpoint(eager=True)
-    for cached in ([shingle_rows] if owns_shingles else []) + [membership, sig, cand]:
-        cached.unpersist()
+    if owns_shingles:
+        shingle_rows.unpersist()
     return out
 
 
@@ -1052,14 +1064,25 @@ def minhash_incremental_pairs(
     new_base = spread(
         new_docs.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_text"))
     )
-    new_shingles = shingle_hash_rows(new_base, shingle_k).persist(StorageLevel.MEMORY_AND_DISK)
-    new_sigs = minhash_signature_table(new_shingles, num_hashes).persist(StorageLevel.MEMORY_AND_DISK)
-    # the count materializes BOTH caches fully before any multi-branch
-    # consumer (the id gate's limit(5) alone would fill them partially —
-    # LocalLimit short-circuits — and a partially-filled cache under a
-    # multi-branch AQE action is the measured lazy-persist pathology,
-    # plans/r14 experiment); the signing work itself is paid exactly once
-    # wherever the first action lands, so this pin is placement, not cost.
+    # r14: the batch pins are eager localCheckpoints, NOT persist+count.
+    # Both are read by several consumers across actions (id gate, band
+    # join, verify, merged snapshot), but a persisted InMemoryRelation is
+    # canonicalized per consumer (column pruning is baked into the cached
+    # plan reference), so the single verify action's repeated cand/sh
+    # subtrees do NOT hit ReusedExchange and the band join replicates —
+    # the measured 57-job fragmentation. A checkpointed frame is a plain
+    # RDD scan that canonicalizes identically everywhere: measured at the
+    # 120k-doc rung (tools/exp_incr_scale_r14.py, interleaved, identical
+    # 293 668-pair output) persist-pinned r14 = 45-47 s / 57 jobs,
+    # pre-r14 eager-persist = 60-77 s / 85 jobs, checkpoint-pinned =
+    # **16-24 s / 22 jobs**. Same once-ever signing contract: the
+    # checkpoint materializes here, merged_sigs replays the blocks.
+    # (Trade-off, documented: localCheckpoint forfeits lineage-based
+    # executor-loss recovery for these blocks — at cluster scale the
+    # production cadence persists the signature snapshot as parquet
+    # anyway, which is the durable equivalent.)
+    new_shingles = shingle_hash_rows(new_base, shingle_k).localCheckpoint(eager=True)
+    new_sigs = minhash_signature_table(new_shingles, num_hashes).localCheckpoint(eager=True)
     n_new = new_sigs.count()
 
     # id-disjointness gate (one semi-join over the compact sig table —
@@ -1070,8 +1093,8 @@ def minhash_incremental_pairs(
         for r in new_sigs.join(existing_sigs.select("_id"), "_id", "left_semi").limit(5).collect()
     ]
     if dup_ids:
-        new_sigs.unpersist()
-        new_shingles.unpersist()
+        # checkpoint blocks release via GC/ContextCleaner once these
+        # frames go out of scope — nothing to unpersist
         raise ValueError(
             f"new_docs ids already present in the committed snapshot (e.g. {dup_ids}); "
             "re-submitting a committed batch would duplicate signature rows — "
@@ -1118,8 +1141,6 @@ def minhash_incremental_pairs(
                 .collect()
             ]
             if uncovered:
-                new_sigs.unpersist()
-                new_shingles.unpersist()
                 raise ValueError(
                     f"blocked incremental dedup: existing_docs is missing ids present "
                     f"in existing_sigs (e.g. {uncovered}) — their block values cannot "
@@ -1163,8 +1184,6 @@ def minhash_incremental_pairs(
             new_flag_col="_is_new",
         )
         if n_new and census["raw_band_collisions"] > max_collisions_per_doc * n_new:
-            new_sigs.unpersist()
-            new_shingles.unpersist()
             raise _minhash_budget_error(
                 census, n_new, max_collisions_per_doc, threshold, bool(block_cols)
             )
@@ -1294,12 +1313,15 @@ def minhash_incremental_pairs(
         # merged_sigs reuses the CACHED batch signatures — the snapshot write
         # replays the cache, not the shingle+sign pipeline (sign once, ever).
         merged_sigs = existing_sigs.select("_id", "_sig").unionByName(new_sigs)
-    new_shingles.unpersist()
     if cand_pinned:
         cand.unpersist()
 
     def release() -> None:
-        new_sigs.unpersist()
+        # kept for API stability: the r14 checkpoint pins free their
+        # blocks via GC/ContextCleaner when the returned frames are
+        # dropped (callers already gc between reps); there is no cache
+        # left to unpersist eagerly.
+        return None
 
     return pairs, merged_sigs, release
 
