@@ -298,22 +298,22 @@ def run_incremental_dedup(
         # block columns too
         existing_docs = new_docs.limit(0)
 
-    scope = None
-    if store_buckets and cur is not None:
-        # the sig-store union is consulted ~5x per step (id gate, census,
-        # band join, both est lookups) — and once more by the pre-r14
-        # n_hist fallback count just below, which is why the persist sits
-        # BEFORE the sizing block: cache the many-file store once for the
-        # whole step instead of re-listing and re-reading it per consumer,
-        # and drop the cache when the step scope exits (success OR refusal)
-        from contextlib import ExitStack
-        from pyspark import StorageLevel
-
-        existing_sigs = existing_sigs.persist(StorageLevel.MEMORY_AND_DISK)
-        scope = ExitStack()
-        scope.callback(existing_sigs.unpersist)
+    # the sig-store union is consulted ~5x per step (id gate, census,
+    # band join, both est lookups): pin it once per step. r14: the pin is
+    # an eager localCheckpoint taken INSIDE the geometry scope below —
+    # (a) the store read then happens exactly once, under the tuned scan
+    # splits (a persist deferred the read the same way, but lazily);
+    # (b) a persisted InMemoryRelation canonicalizes per consumer, so the
+    # verify action's repeated subtrees lose ReusedExchange and the band
+    # join replicates (measured 2.6-2.9x, tools/exp_minhash_gated_r14.py)
+    # — checkpoint blocks canonicalize identically everywhere and release
+    # via GC when the step's frames drop.
+    pin_store = store_buckets and cur is not None
     if auto_partition:
-        if n_hist is None:  # pre-r14 manifest: one count over ~128 B/doc rows
+        if n_hist is None:  # pre-r14 manifest: one count over ~128 B/doc
+            # rows (legacy stores only; the store is re-read once more by
+            # the in-scope pin below — post-r14 manifests carry _stats
+            # and never hit this)
             n_hist = existing_sigs.count()
         n_new = new_docs.count()
         geometry = dd.applied_partition_plan(
@@ -338,11 +338,10 @@ def run_incremental_dedup(
         # ``_stats`` absent rather than commit a wrong number — the next
         # auto run then falls back to counting the store.
         n_total = (n_hist + new_docs.count()) if n_hist is not None else None
-    if scope is not None:
-        scope.enter_context(geometry)
-        geometry = scope
     step_stats: dict = {}
     with geometry:
+        if pin_store:
+            existing_sigs = existing_sigs.localCheckpoint(eager=True)
         pairs, merged_sigs, release = dd.minhash_incremental_pairs(
             existing_docs,
             existing_sigs,

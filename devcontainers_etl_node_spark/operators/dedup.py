@@ -1057,7 +1057,6 @@ def minhash_incremental_pairs(
     correctly; like every LSH index, parameters are part of the snapshot
     contract (callers should store them alongside the parquet).
     """
-    from pyspark import StorageLevel
 
     from devcontainers_etl_node_spark.operators.skew import spread
 
@@ -1232,11 +1231,14 @@ def minhash_incremental_pairs(
     # the candidate bucket list below — shuffle stages are never reused
     # across actions). Otherwise the verify is ONE action and exchange
     # reuse computes the band join / est joins once (jobs measured down
-    # with an identical pair set — plans/r14 experiment).
+    # with an identical pair set — plans/r14 experiment). The pin is an
+    # eager localCheckpoint, not persist+count: the verify action
+    # references cand three more times (join input + both cand_ids arms)
+    # and a persisted pin loses ReusedExchange per the canonicalization
+    # finding (tools/exp_minhash_gated_r14.py).
     cand_pinned = bool(store_buckets)
     if cand_pinned:
-        cand = cand.persist(StorageLevel.MEMORY_AND_DISK)
-        cand.count()
+        cand = cand.localCheckpoint(eager=True)
 
     # exact verify: shingle sets for candidate docs only — new side from
     # the already-persisted new shingle rows, old side re-shingled from
@@ -1313,9 +1315,6 @@ def minhash_incremental_pairs(
         # merged_sigs reuses the CACHED batch signatures — the snapshot write
         # replays the cache, not the shingle+sign pipeline (sign once, ever).
         merged_sigs = existing_sigs.select("_id", "_sig").unionByName(new_sigs)
-    if cand_pinned:
-        cand.unpersist()
-
     def release() -> None:
         # kept for API stability: the r14 checkpoint pins free their
         # blocks via GC/ContextCleaner when the returned frames are
