@@ -208,12 +208,19 @@ def minhash_candidate_census(
     ``banded``), the census counts the all×new join volume per bucket
     (``n_all·n_new − n_new``, self-matches excluded) instead of C(b,2).
 
-    Returns ``{raw_band_collisions, n_buckets, max_bucket}``. Cost: one
-    shuffle on the (band, bh) keys the operator shuffles on anyway —
-    measured ~15-20% of the unblocked operator wall at sf0.1 (PERF.md
-    r12), and it bounds the stage that is O(n²) at scale.
+    Returns ``{raw_band_collisions, n_buckets, max_bucket, banded_rows[,
+    new_banded_rows]}``. ``banded_rows`` (r14) is Σ bucket sizes — the
+    total banded row count, i.e. exactly ``bands`` per signed doc, so a
+    gated caller derives its doc count as ``banded_rows // bands`` from
+    THIS aggregation instead of running a separate count action over the
+    signature table (one fewer job per gated call; ``new_banded_rows``
+    is the Σ of the new-flag, the same identity for the batch side).
+    Cost: one shuffle on the (band, bh) keys the operator shuffles on
+    anyway — measured ~15-20% of the unblocked operator wall at sf0.1
+    (PERF.md r12), and it bounds the stage that is O(n²) at scale.
     """
     grp = banded.groupBy(*key_cols, "band", "bh")
+    extra: list = []
     if new_flag_col is None:
         buckets = grp.agg(F.count(F.lit(1)).alias("b"))
         coll = F.sum(F.col("b") * (F.col("b") - 1) / 2)
@@ -223,16 +230,23 @@ def minhash_candidate_census(
             F.sum(F.col(new_flag_col)).alias("bn"),
         )
         coll = F.sum(F.col("b") * F.col("bn") - F.col("bn"))
+        extra = [F.coalesce(F.sum("bn"), F.lit(0)).cast("long").alias("new_banded_rows")]
     row = buckets.agg(
         F.coalesce(coll, F.lit(0)).cast("long").alias("raw_band_collisions"),
         F.count(F.lit(1)).cast("long").alias("n_buckets"),
         F.coalesce(F.max("b"), F.lit(0)).cast("long").alias("max_bucket"),
+        F.coalesce(F.sum("b"), F.lit(0)).cast("long").alias("banded_rows"),
+        *extra,
     ).collect()[0]
-    return {
+    out = {
         "raw_band_collisions": int(row["raw_band_collisions"]),
         "n_buckets": int(row["n_buckets"]),
         "max_bucket": int(row["max_bucket"]),
+        "banded_rows": int(row["banded_rows"]),
     }
+    if new_flag_col is not None:
+        out["new_banded_rows"] = int(row["new_banded_rows"])
+    return out
 
 
 def _minhash_budget_error(
@@ -632,15 +646,17 @@ def minhash_lsh_pairs(
         # measured at the 120k-doc gated rung
         # (tools/exp_minhash_gated_r14.py, identical 36 587-pair
         # output): persist pin 42.8-47.4 s / 55 jobs, checkpoint pin
-        # 16.6 s / 18 jobs. The count is then a cheap checkpointed
-        # count and is the n_docs the budget compares against.
+        # 16.6 s / 18 jobs.
         sig = sig.localCheckpoint(eager=True)
-        n_docs = sig.count()
 
     if gated:
         census = minhash_candidate_census(
             banded_signatures(sig, num_hashes, bands, key_cols), key_cols
         )
+        # n_docs comes out of the census aggregation itself (banding emits
+        # exactly `bands` rows per signed doc), so the budget needs no
+        # separate count action over the signature table (r14).
+        n_docs = census["banded_rows"] // bands
         if n_docs and census["raw_band_collisions"] > max_collisions_per_doc * n_docs:
             if cross_block_recovery:
                 shingle_rows.unpersist()
@@ -1082,7 +1098,6 @@ def minhash_incremental_pairs(
     # anyway, which is the durable equivalent.)
     new_shingles = shingle_hash_rows(new_base, shingle_k).localCheckpoint(eager=True)
     new_sigs = minhash_signature_table(new_shingles, num_hashes).localCheckpoint(eager=True)
-    n_new = new_sigs.count()
 
     # id-disjointness gate (one semi-join over the compact sig table —
     # ~num_hashes longs/doc, far cheaper than the corruption it prevents):
@@ -1182,6 +1197,9 @@ def minhash_incremental_pairs(
             key_cols,
             new_flag_col="_is_new",
         )
+        # the batch's doc count falls out of the same census aggregation
+        # (bands rows per signed doc) — no separate count action (r14)
+        n_new = census["new_banded_rows"] // bands
         if n_new and census["raw_band_collisions"] > max_collisions_per_doc * n_new:
             raise _minhash_budget_error(
                 census, n_new, max_collisions_per_doc, threshold, bool(block_cols)

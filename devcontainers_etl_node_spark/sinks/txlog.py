@@ -837,6 +837,19 @@ def tx_merge(
 
     from pyspark.sql import functions as F
 
+    # Compute the changelog ONCE (r14, guide §1.2/§5): the merge reads
+    # `updates` from FOUR separate actions (key-contract aggregate, zone-map
+    # prune semi-join, the rewrite's anti-join + inserts, and the CDF
+    # change-file staging) — without a pin each action re-runs the caller's
+    # whole changelog DAG, which at scale is routinely an expensive query
+    # (a CDC feed with joins), not a cheap scan. The pin is an eager
+    # localCheckpoint — O(changelog) executor-local bytes, the same bound
+    # the change files already accept on disk — and also snapshots the
+    # batch, so validation, pruning, rewrite and change files all commit
+    # the SAME rows even if the source is non-deterministic.
+    updates = updates.localCheckpoint(eager=True)
+    payload = updates.drop(delete_col) if delete_col else updates
+
     # one small aggregate validates the source-key contract
     v = updates.agg(
         F.count(F.lit(1)).alias("n"),
