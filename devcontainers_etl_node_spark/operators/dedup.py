@@ -563,8 +563,6 @@ def minhash_lsh_pairs(
     Scale: only colliding docs ever meet (no O(n²) stage); AQE skew-join
     splits pathological buckets (boilerplate-heavy crawl shards).
     """
-    from pyspark import StorageLevel
-
     # validate the flag combination BEFORE any DataFrame work (r12 advice:
     # raising after the full LSH pass wasted the entire compute)
     if cross_block_recovery and not block_cols:
@@ -605,12 +603,15 @@ def minhash_lsh_pairs(
     # candidate shingles from the DOC table after a semi-join on the
     # candidate ids (below), so the corpus-wide exploded shingle table
     # never needs to be cached: its only remaining consumer is the
-    # signature aggregate. Caches remain ONLY where a SECOND action must
-    # reuse the signatures (the census gate / recovery pass): shuffle
-    # stages are never reused across actions, and a lazily-persisted
-    # frame first touched by a multi-branch AQE action was measured
-    # pathological (66 jobs vs 10 — plans/r14 experiment), so the cache
-    # is pinned with one eager count exactly as before.
+    # signature aggregate (r15 extends this to the recovery pass — its
+    # rep-signature and verify shingles also re-derive from the doc
+    # table, so NO corpus-wide shingle cache exists on any path). Pins
+    # remain ONLY where a SECOND action must reuse the signatures (the
+    # census gate / recovery pass): shuffle stages are never reused
+    # across actions, and a lazily-persisted frame first touched by a
+    # multi-branch AQE action was measured pathological (66 jobs vs 10 —
+    # plans/r14 experiment), so sig is pinned with an eager
+    # localCheckpoint below.
     shingle_rows = shingle_hash_rows(base, shingle_k)
     sig = minhash_signature_table(shingle_rows, num_hashes)
     key_cols: tuple = ()
@@ -631,11 +632,6 @@ def minhash_lsh_pairs(
 
     gated = max_collisions_per_doc is not None
     multi_action = gated or cross_block_recovery
-    if cross_block_recovery:
-        # the recovery pass re-reads the full-corpus shingle table across
-        # its own actions (rep signatures + exact verify) — cache it; the
-        # sig count below materializes it linearly (single consumer chain)
-        shingle_rows = shingle_rows.persist(StorageLevel.MEMORY_AND_DISK)
     if multi_action:
         # the census (and the recovery pass) are separate actions that
         # re-read the signatures — pin them. The pin is an EAGER
@@ -658,8 +654,6 @@ def minhash_lsh_pairs(
         # separate count action over the signature table (r14).
         n_docs = census["banded_rows"] // bands
         if n_docs and census["raw_band_collisions"] > max_collisions_per_doc * n_docs:
-            if cross_block_recovery:
-                shingle_rows.unpersist()
             # sig's checkpoint blocks release via GC/ContextCleaner
             raise _minhash_budget_error(
                 census, n_docs, max_collisions_per_doc, threshold, bool(block_cols)
@@ -673,26 +667,29 @@ def minhash_lsh_pairs(
     # this result in a bigger DAG (pretrain_prep) don't drag the whole
     # LSH plan along.
     out = verified.localCheckpoint(eager=True)
-    try:
-        if cross_block_recovery:
-            recovered = minhash_crossblock_recovery(
-                df,
-                out,
-                text_col=text_col,
-                id_col=id_col,
-                shingle_k=shingle_k,
-                num_hashes=num_hashes,
-                bands=bands,
-                threshold=threshold,
-                max_collisions_per_doc=max_collisions_per_doc,
-                shingle_rows=shingle_rows,
-            )
-            out = out.unionByName(recovered).localCheckpoint(eager=True)
-    finally:
-        if cross_block_recovery:
-            shingle_rows.unpersist()
-        # sig's checkpoint blocks (multi_action) release via GC once the
-        # local ref drops — nothing to unpersist
+    if cross_block_recovery:
+        # r15 (verdict item 8): the recovery pass no longer receives (or
+        # needs) a persisted corpus-wide shingle cache — it re-derives rep
+        # shingles and candidate-verify shingles from the DOC table, the
+        # same from-base shape the main verify adopted in r14. The former
+        # MEMORY_AND_DISK persist here held ~2 B per corpus char for the
+        # whole call (the #1 memory liability class the r14 rework evicted
+        # from the main path) to save ONE extra linear explode over the
+        # reps; measured A/B at the 120k rung in OPTIMIZATION_r15.md.
+        recovered = minhash_crossblock_recovery(
+            df,
+            out,
+            text_col=text_col,
+            id_col=id_col,
+            shingle_k=shingle_k,
+            num_hashes=num_hashes,
+            bands=bands,
+            threshold=threshold,
+            max_collisions_per_doc=max_collisions_per_doc,
+        )
+        out = out.unionByName(recovered).localCheckpoint(eager=True)
+    # sig's checkpoint blocks (multi_action) release via GC once the
+    # local ref drops — nothing to unpersist
     return out
 
 
@@ -824,13 +821,18 @@ def minhash_crossblock_recovery(
     """Bounded second pass recovering CROSS-BLOCK near-dup pairs after a
     blocked :func:`minhash_lsh_pairs` run (r11 verdict task 4).
 
-    ``shingle_rows`` (r13, advice fix): the already-persisted
-    ``shingle_hash_rows`` table from the blocked pass — when provided
-    (``minhash_lsh_pairs(cross_block_recovery=True)`` threads its own),
-    the recovery pass reuses it instead of re-running a second complete
-    corpus scan + shingle pass; the caller keeps ownership (this function
-    does not unpersist it). Values are identical either way (same
-    normalization + hash arithmetic).
+    ``shingle_rows`` (r13; default flipped r15): an optional ALREADY-
+    MATERIALIZED ``shingle_hash_rows`` table (e.g. a parquet shingle
+    store) — when provided, rep signatures and the exact verify read it
+    instead of re-shingling; the caller keeps ownership. When ``None``
+    (the default, and what ``minhash_lsh_pairs(cross_block_recovery=
+    True)`` now uses), BOTH are re-derived from the doc table below
+    id semi-joins — the reps pay one extra linear explode, the verify is
+    candidate-proportional, and no corpus-wide shingle cache (~2 B per
+    corpus char held for the whole pass — the r12-measured 10M-rung
+    memory liability class) exists at any point. Values are identical
+    either way (same normalization + hash arithmetic; the semi-join
+    commutes with the per-doc explode).
 
     Blocked banding trades cross-block recall for the O(Σ n_b²) floor —
     the right default contract, but some corpora have dup families that
@@ -872,17 +874,10 @@ def minhash_crossblock_recovery(
     disjoint from ``blocked_pairs`` by construction; union for the full
     set (or pass ``cross_block_recovery=True`` to ``minhash_lsh_pairs``).
     """
-    from pyspark import StorageLevel
-
     from devcontainers_etl_node_spark.operators.graph import connected_components_star
     from devcontainers_etl_node_spark.operators.skew import spread
 
     base = spread(df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_text")))
-    owns_shingles = shingle_rows is None
-    if owns_shingles:
-        shingle_rows = shingle_hash_rows(base, shingle_k).persist(
-            StorageLevel.MEMORY_AND_DISK
-        )
 
     # cluster membership: rep = min id of the blocked dup cluster;
     # docs in no blocked pair are their own rep (they must stay
@@ -903,16 +898,22 @@ def minhash_crossblock_recovery(
     )
     reps = membership.select(F.col("_rep").alias("_id")).distinct()
 
-    sig = minhash_signature_table(
-        shingle_rows.join(reps, "_id", "left_semi"), num_hashes
-    ).localCheckpoint(eager=True)
+    # rep shingles: from the caller's shingle table when one is supplied,
+    # otherwise re-derived from the DOC table below the semi-join (r15 —
+    # the default path carries NO corpus-wide shingle cache; one extra
+    # linear explode over the reps instead of a ~2 B/char persist held
+    # across the whole pass, the same trade the r14 main-path verify made)
+    rep_shingle_src = (
+        shingle_rows.join(reps, "_id", "left_semi")
+        if shingle_rows is not None
+        else shingle_hash_rows(base.join(reps, "_id", "left_semi"), shingle_k)
+    )
+    sig = minhash_signature_table(rep_shingle_src, num_hashes).localCheckpoint(eager=True)
     n_reps = sig.count()
 
     if max_collisions_per_doc is not None:
         census = minhash_candidate_census(banded_signatures(sig, num_hashes, bands))
         if n_reps and census["raw_band_collisions"] > max_collisions_per_doc * n_reps:
-            if owns_shingles:
-                shingle_rows.unpersist()
             raise _minhash_budget_error(
                 census, n_reps, max_collisions_per_doc, threshold, blocked=False
             )
@@ -939,10 +940,12 @@ def minhash_crossblock_recovery(
         .localCheckpoint(eager=True)
     )
 
-    out = _exact_jaccard_verify(cand, shingle_rows, threshold).localCheckpoint(eager=True)
-    if owns_shingles:
-        shingle_rows.unpersist()
-    return out
+    verified = (
+        _exact_jaccard_verify(cand, shingle_rows, threshold)
+        if shingle_rows is not None
+        else _exact_jaccard_verify_from_base(cand, base, shingle_k, threshold)
+    )
+    return verified.localCheckpoint(eager=True)
 
 
 def store_bucket_expr(col: str | Column, n_buckets: int) -> Column:
@@ -1102,10 +1105,25 @@ def minhash_incremental_pairs(
     # id-disjointness gate (one semi-join over the compact sig table —
     # ~num_hashes longs/doc, far cheaper than the corruption it prevents):
     # a re-submitted batch must fail loudly, not silently double-sign.
-    dup_ids = [
-        r._id
-        for r in new_sigs.join(existing_sigs.select("_id"), "_id", "left_semi").limit(5).collect()
-    ]
+    # In the BLOCKED path the same action also checks new_docs for
+    # duplicate id ROWS (r14 advice): the block join below is keyed on
+    # new_docs rows, so a duplicate id would fan out the banded batch —
+    # inflating the census, the budget denominator, and the band join —
+    # where the unblocked path's signature groupBy collapses it. The two
+    # checks ride ONE union action (no extra job per cadence step).
+    bad = new_sigs.join(existing_sigs.select("_id"), "_id", "left_semi").select(
+        "_id", F.lit("committed").alias("_why")
+    )
+    if block_cols:
+        bad = bad.unionByName(
+            new_docs.groupBy(F.col(id_col).alias("_id"))
+            .agg(F.count(F.lit(1)).alias("_c"))
+            .filter(F.col("_c") > 1)
+            .select("_id", F.lit("dup_in_batch").alias("_why"))
+        )
+    bad_rows = bad.limit(5).collect()
+    dup_ids = [r._id for r in bad_rows if r._why == "committed"]
+    batch_dups = [r._id for r in bad_rows if r._why == "dup_in_batch"]
     if dup_ids:
         # checkpoint blocks release via GC/ContextCleaner once these
         # frames go out of scope — nothing to unpersist
@@ -1113,6 +1131,13 @@ def minhash_incremental_pairs(
             f"new_docs ids already present in the committed snapshot (e.g. {dup_ids}); "
             "re-submitting a committed batch would duplicate signature rows — "
             "dedup against a fresh id range or rebuild the snapshot"
+        )
+    if batch_dups:
+        raise ValueError(
+            f"new_docs contains duplicate id rows (e.g. {batch_dups}); with "
+            "block_cols set, the block join is keyed on new_docs rows, so a "
+            "duplicate id would fan out the banded batch and inflate the "
+            "census/budget arithmetic — dedup the batch on the id first"
         )
 
     key_cols: tuple = ()
@@ -1351,6 +1376,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.2,
     block_col: str | None = None,
     prefix_filter: bool = False,
+    max_collisions_per_doc: float | None = None,
 ) -> DataFrame:
     """Exact n-gram (word shingle) Jaccard pairs via an inverted index.
 
@@ -1392,6 +1418,17 @@ def ngram_jaccard_pairs(
     intersecting the two sorted hash arrays for the (small) candidate
     set only. Lossless (Bayardo et al., WWW'07); pair set is asserted
     identical to the inverted-index path in tests.
+
+    ``max_collisions_per_doc`` (r15, opt-in — default None preserves the
+    historical behavior of every caller): the same census/budget refusal
+    ``minhash_lsh_pairs`` enforces, applied to the posting lists this
+    operator actually self-joins (raw grams, or the rarest-first prefixes
+    when ``prefix_filter=True``). Σ C(posting,2) is computed with one
+    linear aggregation BEFORE the join; if it exceeds
+    ``max_collisions_per_doc × n_docs`` the operator raises with the
+    measured volume and mitigations instead of launching a quadratic
+    stage — the planted-boilerplate failure mode (one shared header gram
+    in 10^5 docs = C(10^5,2) joined rows) is refused, not attempted.
     """
     # shingle sets are xxhash64-compressed to sorted distinct long arrays
     # once per row: 8 B/shingle regardless of shingle text size.
@@ -1417,8 +1454,53 @@ def ngram_jaccard_pairs(
         F.col("b._n") >= F.col("a._n") * threshold
     )
 
+    def _gate(postings: DataFrame, joined_on: str) -> None:
+        # census/budget refusal (r14 verdict item 9 — the same self-
+        # protection minhash_lsh_pairs has): Σ_buckets C(b,2) over the
+        # (block, gram) posting lists IS the raw row count the self-join
+        # below must process (the ratio filter prunes inside the join,
+        # so this is the exact upper bound). One aggregation over rows
+        # the join explodes anyway + one count over the checkpointed
+        # base — both linear — before paying a possibly-quadratic join.
+        row = (
+            postings.groupBy("_blk", "_g")
+            .agg(F.count(F.lit(1)).alias("b"))
+            .agg(
+                F.coalesce(F.sum(F.col("b") * (F.col("b") - 1) / 2), F.lit(0))
+                .cast("long")
+                .alias("coll"),
+                F.coalesce(F.max("b"), F.lit(0)).cast("long").alias("max_b"),
+            )
+            .collect()[0]
+        )
+        n_docs = base.count()  # checkpoint scan — no recompute
+        if n_docs and row["coll"] > max_collisions_per_doc * n_docs:
+            per_doc = row["coll"] / n_docs
+            hint = (
+                "tighten block_col (smaller blocks bound every posting list)"
+                if block_col
+                else "pass block_col (lang/source/time-window)"
+            )
+            raise ValueError(
+                f"ngram-jaccard pre-flight budget exceeded: {row['coll']} raw "
+                f"{joined_on} collisions over {n_docs} docs ({per_doc:.1f}/doc > "
+                f"{max_collisions_per_doc}/doc; max posting list {row['max_b']}) — "
+                f"a boilerplate-heavy corpus makes the inverted-index self-join "
+                f"quadratic in the hottest posting list; {hint}, "
+                + (
+                    "use minhash_lsh_pairs (banded LSH bounds the floor), "
+                    "or raise the budget"
+                    if prefix_filter
+                    else "pass prefix_filter=True (rarest-first prefixes drop "
+                    "common grams from the join), use minhash_lsh_pairs, or "
+                    "raise the budget"
+                )
+            )
+
     if not prefix_filter:
         grams = base.select("_id", "_blk", "_n", F.explode("_sh").alias("_g"))
+        if max_collisions_per_doc is not None:
+            _gate(grams, "posting")
         a, b = grams.alias("a"), grams.alias("b")
         pair_counts = (
             a.join(
@@ -1457,6 +1539,8 @@ def ngram_jaccard_pairs(
         .filter(F.col("_rk") <= F.col("_n") - F.ceil(F.col("_n") * F.lit(threshold)) + 1)
         .select("_id", "_blk", "_n", "_g")
     )
+    if max_collisions_per_doc is not None:
+        _gate(prefix, "prefix")
     a, b = prefix.alias("a"), prefix.alias("b")
     cand = (
         a.join(

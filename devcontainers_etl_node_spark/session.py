@@ -31,6 +31,12 @@ def get_spark(config: EngineConfig | None = None) -> SparkSession:
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", "48g")
         .config("spark.ui.enabled", "false")
+        # JVM unified logging goes to STDOUT by default, so a GC warning
+        # (e.g. "[...][warning][gc,alloc] ... GCLocker ...") can interleave
+        # with the one-line JSON contract bench.py prints on stdout — the
+        # exact failure that made BENCH_r13 unparseable. Route JVM logs to
+        # stderr; Spark's own log4j output already goes there.
+        .config("spark.driver.extraJavaOptions", "-Xlog:all=warning:stderr:uptime,level,tags")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -821,8 +821,13 @@ def tx_merge(
     if expected_head != UNCHECKED and head != expected_head:
         raise TxConflict(f"merge planned against v{expected_head} but head is v{head}")
     manifest = _read_manifest(root, head)
-    payload = updates.drop(delete_col) if delete_col else updates
-    schema = {f.name: f.dataType.simpleString() for f in payload.schema.fields}
+    # schema check is metadata-only — derived inline from the un-pinned
+    # frame; `payload` is bound exactly once, AFTER the checkpoint below,
+    # so no stale un-pinned binding survives to be misused (r14 advice)
+    schema = {
+        f.name: f.dataType.simpleString()
+        for f in (updates.drop(delete_col) if delete_col else updates).schema.fields
+    }
     prev_schema = manifest.get("schema")
     if prev_schema is not None and prev_schema != schema:
         diff = [

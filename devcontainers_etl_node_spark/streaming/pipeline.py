@@ -485,16 +485,16 @@ def streaming_minhash_neardup_pairs(
     modes have DIFFERENT state schemas — never flip ``doc_store`` on an
     existing checkpoint (see the geometry note below; same rule).
 
-    DEADLINE CAVEAT (measured at the r14 1M rung): the planner broadcasts
-    the small CANDIDATE side of the verify join, which nests the whole
-    stateful band aggregation inside the broadcast build — so
-    ``spark.sql.broadcastTimeout`` (default 300 s) becomes a per-batch
-    deadline on the stateful stage itself. A micro-batch whose state work
-    exceeds it kills the QUERY (measured: 1M-doc rung under concurrent
-    load), not just a join. Raise the timeout for large horizons, or use
-    ``slim_candidates`` + ``minhash_slim_verify_sink`` (the production
-    path), whose foreachBatch verify materializes candidates FIRST and
-    carries no such deadline.
+    JOIN STRATEGY (r15, closing the r14 deadline caveat): the verify join
+    is SHUFFLE_HASH-hinted with the candidate stream as the build side.
+    Without the hint the planner broadcast the small CANDIDATE side,
+    which nested the whole stateful band aggregation inside the broadcast
+    build — making ``spark.sql.broadcastTimeout`` (default 300 s) a
+    per-batch deadline on the stateful stage itself (measured at the r14
+    1M rung: a micro-batch whose state work exceeded it killed the QUERY,
+    not just a join). A shuffled hash join has no build deadline, keeps
+    the per-partition build side micro-batch-sized, and never sorts the
+    corpus-sized store side.
 
     CHECKPOINT COMPATIBILITY (r12 release note): ``num_hashes``/``bands``
     are part of the CHECKPOINT contract, not just the output contract —
@@ -737,11 +737,17 @@ def streaming_minhash_neardup_pairs(
     store = doc_store.select(
         F.col(id_col).alias("_vid"), F.col(text_col).alias("_vtext")
     ).dropDuplicates(["_vid"])
+    # SHUFFLE_HASH with the candidate side as build (see the join-strategy
+    # note in the docstring): no broadcast build → no broadcastTimeout
+    # deadline wrapping the stateful stage; build side is micro-batch-
+    # sized per partition; the store side is hashed, never sorted.
     joined = (
-        paired.join(
+        paired.hint("shuffle_hash")
+        .join(
             store.select(F.col("_vid").alias("id_a"), F.col("_vtext").alias("_ta")),
             "id_a",
         )
+        .hint("shuffle_hash")
         .join(
             store.select(F.col("_vid").alias("id_b"), F.col("_vtext").alias("_tb")),
             "id_b",

@@ -35,6 +35,28 @@ def test_staged_funnel_matches_pretrain_prep(spark, tmp_path):
     assert staged == single_dag
 
 
+def test_pretrain_prep_fused_boundary_metrics_exact(spark):
+    """r15 (verdict item 3 done-criterion): fusing the near_dedup →
+    decontaminated boundary into one action must leave every observe
+    metric EXACT — the double-counting risk that deferred the fusion in
+    r14 (an observe subtree referenced twice doubles its accumulators),
+    plus the filter-pushdown risk (the %10 benchmark filter sliding below
+    obs_near would exclude benchmark docs from the near_dedup row). Pin
+    the fused report row-for-row against the unfused r14 form on a corpus
+    where the stages actually differ (near-dup drops AND nonzero
+    contamination at SF_SMALL)."""
+    fused = _report_rows(QUERIES["pretrain_prep"](spark, SF_SMALL))
+    unfused = _report_rows(
+        QUERIES["pretrain_prep"](spark, SF_SMALL, fuse_report_stages=False)
+    )
+    assert fused == unfused
+    by_stage = {s: (d, t) for _, s, d, t in fused}
+    # the stages the fused boundary touches must be non-degenerate here,
+    # or this test pins nothing
+    assert by_stage["near_dedup"][0] < by_stage["exact_dedup"][0]
+    assert 0 < by_stage["decontaminated"][0] < by_stage["near_dedup"][0]
+
+
 def test_staged_funnel_resumes_from_completed_stages(spark, tmp_path):
     docs = table(spark, SF_SMALL, "documents")
     first = funnel.run_staged_funnel(spark, docs, str(tmp_path))

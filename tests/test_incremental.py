@@ -397,6 +397,39 @@ def test_incremental_wrapper_plumbs_blocking_and_budget(spark, tmp_path):
         assert f.read().strip() == "2"
 
 
+def test_blocked_incremental_rejects_duplicate_batch_ids(spark):
+    """r14 advice (dedup.py census denominator): with block_cols set the
+    block join is keyed on new_docs ROWS, so a duplicate id in the batch
+    would fan out the banded signatures and inflate the census, the
+    budget denominator, and the band join. The gate must refuse loudly;
+    the same duplicate batch UNBLOCKED keeps the historical collapse
+    semantics (signature groupBy merges the rows)."""
+    hist = spark.createDataFrame(
+        [(1, "totally different historical filler text with its own words", "en")],
+        ["doc_id", "text", "lang"],
+    )
+    hist_sigs = dedup.minhash_signature_table(
+        dedup.shingle_hash_rows(
+            hist.select(F.col("doc_id").alias("_id"), F.col("text").alias("_text"))
+        )
+    )
+    dup_batch = spark.createDataFrame(
+        [(7, BASE, "en"), (7, BASE, "en"), (8, BASE + " extra", "en")],
+        ["doc_id", "text", "lang"],
+    )
+    with pytest.raises(ValueError, match="duplicate id rows"):
+        dedup.minhash_incremental_pairs(
+            hist, hist_sigs, dup_batch, block_cols=["lang"]
+        )
+    # unblocked: same batch is accepted (groupBy collapses the dup rows)
+    pairs, _sigs, release = dedup.minhash_incremental_pairs(
+        hist, hist_sigs, dup_batch
+    )
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    release()
+    assert (7, 8) in got
+
+
 def test_persist_shingles_parity_and_contract(spark, tmp_path):
     """r13 space-for-time option: a persist_shingles cadence emits pair
     sets IDENTICAL to the text-reshingle cadence, never needs old_docs

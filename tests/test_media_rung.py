@@ -17,10 +17,13 @@ Marked `slow`: ~1 GB of I/O, a few minutes of wall. Deselect with
 The CORRECTNESS invariants (guarded row, identical shards, decode) gate
 unconditionally. The MB/s floor is host-dependent (r12 advice: an
 absolute threshold flakes on slower or busy boxes with correctness
-unaffected), so it is tunable via SPARK_GRAFT_MEDIA_MBPS_FLOOR (default
-300) and skipped automatically when the box is already loaded
-(1-min loadavg > half the CPU count) — a loaded box measures the host,
-not the code.
+unaffected; the r14 driver box measured ~1/3 the reference box's
+per-core speed while QUIET, so a load waiver alone is not enough — a
+wall-clock floor inside the correctness suite is flaky by construction
+on a slow-but-idle host). The floor is therefore OPT-IN: set
+SPARK_GRAFT_MEDIA_MBPS_FLOOR to a positive MB/s value to enforce it
+(calibrated boxes only); unset or 0 skips the assert and records the
+measured throughput in the skip message instead.
 """
 
 from __future__ import annotations
@@ -42,15 +45,21 @@ def test_media_rung_gb_gate(spark):
     assert metrics["guarded_rows"] == 1
     assert metrics["export_identical_shards"] >= 8
     assert metrics["decoded_ok"] >= 50
-    # throughput floor: env-tunable, waived on a loaded box
-    floor = float(os.environ.get("SPARK_GRAFT_MEDIA_MBPS_FLOOR", "300"))
+    # throughput floor: OPT-IN via env (default off — a wall-clock floor
+    # in the correctness suite flakes on slow-but-idle hosts; r14 VERDICT
+    # item 1). Still waived on a loaded box even when opted in.
+    floor = float(os.environ.get("SPARK_GRAFT_MEDIA_MBPS_FLOOR", "0"))
     load = os.getloadavg()[0]
     busy = load > (os.cpu_count() or 8) / 2
     if floor > 0 and not busy:
         assert metrics["ingest_mbps"] >= floor, metrics
-    elif busy:
+    else:
+        reason = (
+            f"loadavg {load:.1f} — MB/s floor waived on a busy host"
+            if floor > 0
+            else "MB/s floor not opted in (SPARK_GRAFT_MEDIA_MBPS_FLOOR unset/0)"
+        )
         pytest.skip(
-            f"loadavg {load:.1f} — MB/s floor waived on a busy host "
-            f"(correctness gates above still ran); measured "
+            f"{reason} (correctness gates above still ran); measured "
             f"{metrics['ingest_mbps']:.0f} MB/s"
         )

@@ -286,14 +286,12 @@ def run_streaming_state(sizes: list[int], batches: int = 10, modes: tuple = ("fu
     )
 
     spark = get_spark()
-    # the inline slim verify broadcasts the CANDIDATE side, nesting the
-    # whole stateful stage inside the broadcast-build deadline (default
-    # 300 s) — at the 1M rung a loaded box exceeded it and the QUERY died
-    # (operator docstring's deadline caveat). The rung measures state
-    # size, not a deadline: raise it for the run, restore after.
-    orig_bt = spark.conf.get("spark.sql.broadcastTimeout", "300")
-    spark.conf.set("spark.sql.broadcastTimeout", "3600")
-    print(f"# streaming-state start loadavg={os.getloadavg()[0]:.2f} batches={batches}")
+    # r15: the inline slim verify is SHUFFLE_HASH-hinted (no broadcast
+    # build), so spark.sql.broadcastTimeout is no longer a per-batch
+    # deadline on the stateful stage — the rung runs at the DEFAULT
+    # timeout on purpose: completing here under load is the fix's
+    # done-criterion (the r14 run had to raise it to 3600 s to survive).
+    print(f"# streaming-state start loadavg={os.getloadavg()[0]:.2f} batches={batches} broadcastTimeout={spark.conf.get('spark.sql.broadcastTimeout', '300')}")
     print("| docs | mode | horizon docs | peak state rows | peak state MB | KB/horizon-doc | rows removed | pairs | wall |")
     print("|---|---|---|---|---|---|---|---|---|")
     for n in sizes:
@@ -364,7 +362,6 @@ def run_streaming_state(sizes: list[int], batches: int = 10, modes: tuple = ("fu
                 f"{removed} | {pairs} | {wall} s |",
                 flush=True,
             )
-    spark.conf.set("spark.sql.broadcastTimeout", orig_bt)
 
 
 def _b100_col():
